@@ -1,0 +1,10 @@
+"""Operator registry — importing this package registers every query
+from SURVEY §2.3 into ``QUERIES`` / ``ORACLES``."""
+
+from i3cols_spark.operators.registry import ORACLES, QUERIES, query
+
+# Import order == SURVEY §2.3 section order; each import registers.
+from i3cols_spark.operators import scans  # noqa: E402,F401  (§A)
+from i3cols_spark.operators import joins  # noqa: E402,F401  (§B)
+
+__all__ = ["QUERIES", "ORACLES", "query"]

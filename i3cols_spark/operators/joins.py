@@ -1,0 +1,273 @@
+"""§2.3-B — the join family.
+
+The reference's only "join" is positional alignment of equal-length
+column arrays (SURVEY §2.2: row *i* everywhere is event *i*); we
+materialize the key and expose the full relational family.  Physical
+strategy notes per query: Catalyst picks broadcast-hash vs sort-merge
+from size estimates; we hint where the 100 TB-scale choice is known
+better than the estimate (dimension tables → ``broadcast``, fact-fact
+→ ``merge``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from i3cols_spark.operators.registry import query
+from i3cols_spark.sources.tables import table
+
+
+@query(
+    "q_join_inner_hash",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_nationkey
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer — customer is small → broadcast-hash join.
+
+    At 100 TB the customer dim is still ~GBs: broadcast beats shuffling
+    the orders fact table; AQE would also convert post-filter.
+    """
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    return orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner"
+    ).select("o_orderkey", "o_totalprice", "c_name", "c_nationkey")
+
+
+@query(
+    "q_join_sortmerge",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_orderstatus
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def q_join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders — both large at scale → sort-merge join.
+
+    The ``merge`` hint pins SMJ (at 100 TB neither side broadcasts;
+    local-scale size estimates would otherwise pick BHJ and the test
+    wouldn't exercise the scale-path plan).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").hint("merge")
+    return li.join(orders, li.l_orderkey == orders.o_orderkey, "inner").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "o_orderstatus"
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, p.p_brand, p.p_retailprice
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ part with an explicit broadcast hint (tiny dim side)."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_orderkey", "l_linenumber", "p_brand", "p_retailprice"
+    )
+
+
+@query(
+    "q_join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer LEFT JOIN orders — keeps customers without orders."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return customer.join(orders, customer.c_custkey == orders.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "q_join_full_outer",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, s.s_suppkey, s.s_name
+    FROM nation n FULL JOIN supplier s ON n.n_nationkey = s.s_nationkey
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation FULL JOIN supplier — nulls on both unmatched sides."""
+    nation = table(spark, sf_dir, "nation")
+    supplier = table(spark, sf_dir, "supplier")
+    return nation.join(
+        supplier, nation.n_nationkey == supplier.s_nationkey, "full"
+    ).select("n_nationkey", "n_name", "s_suppkey", "s_name")
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with ≥1 order — left-semi (np.intersect1d analog)."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders — left-anti (np.setdiff1d analog)."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_theta_range",
+    oracle="""
+    SELECT e1.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts > e1.ts
+     AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+    GROUP BY e1.user_id
+    """,
+)
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range self-join: follower events within 1 h, same user.
+
+    The equi-conjunct on ``user_id`` lets Spark run this as a hash/SMJ
+    on the key with the range predicate as a post-join filter — NOT a
+    cartesian product, which is what keeps it viable at 100 TB (pairs
+    are bounded per-user, the shuffle is on user_id).
+    """
+    e1 = table(spark, sf_dir, "events").alias("e1")
+    e2 = table(spark, sf_dir, "events").alias("e2")
+    cond = (
+        (F.col("e1.user_id") == F.col("e2.user_id"))
+        & (F.col("e2.ts") > F.col("e1.ts"))
+        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        e1.join(e2, cond)
+        .groupBy(F.col("e1.user_id").alias("user_id"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id, c.event_id AS asof_click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase → most recent prior-or-equal click of
+    the same user.
+
+    Spark has no native as-of physical operator (SURVEY §4.3), so we
+    use the union-and-carry-forward emulation: tag both streams, sort
+    within user, and carry the last click id forward with
+    ``last(..., ignorenulls)``.  This is ONE shuffle on user_id and no
+    join at all — it scales better than the naive
+    join+row_number emulation (which shuffles twice and materializes
+    all candidate pairs).  Ties at equal ts order clicks first
+    (kind 0 < kind 1), matching ASOF's ``>=`` semantics.
+    """
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    tagged = clicks.unionByName(purchases)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        tagged.withColumn("asof_click_id", F.last("click_id", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(F.col("purchase_id").alias("event_id"), "user_id", "asof_click_id")
+    )
+
+
+@query(
+    "q_join_multiway_star",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM region r
+    JOIN nation n    ON n.n_regionkey = r.r_regionkey
+    JOIN customer c  ON c.c_nationkey = n.n_nationkey
+    JOIN orders o    ON o.o_custkey   = c.c_custkey
+    JOIN lineitem l  ON l.l_orderkey  = o.o_orderkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q_join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q5-shaped star join (scan+filter+join+agg).
+
+    region→nation→customer broadcast down the dimension chain; the
+    only shuffles are lineitem⋈orders (the two fact tables) and the
+    final partial+final hash aggregate on n_name — the plan a
+    1000-executor cluster wants.
+    """
+    region = table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    nation = table(spark, sf_dir, "nation")
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1995-01-01")
+    li = table(spark, sf_dir, "lineitem")
+    dims = (
+        customer.join(
+            F.broadcast(nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)),
+            customer.c_nationkey == F.col("n_nationkey"),
+        )
+    ).select("c_custkey", "n_name")
+    facts = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_custkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        facts.join(F.broadcast(dims), facts.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )

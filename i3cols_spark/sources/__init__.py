@@ -1,0 +1,3 @@
+from i3cols_spark.sources.tables import TABLES, load_tables, table
+
+__all__ = ["TABLES", "load_tables", "table"]

@@ -1,0 +1,71 @@
+"""Columnar table loading — the i3cols ``cols.load`` analog.
+
+i3cols loads a directory of per-key ``.npy`` columns into a dict of
+NumPy arrays with optional mmap laziness and key-subset projection
+(reference: i3cols/cols.py::load, ::load_item, ::find_array_paths —
+SURVEY §2.1 S5/S6).  Here the store is Parquet and the lazy handle is a
+DataFrame: column pruning and predicate pushdown replace
+``load(keys=...)`` + mmap, and Catalyst applies both automatically from
+the query itself, so ``table()`` takes no ``keys`` argument — callers
+just ``.select()``.
+
+Scale note (100 TB): this reader is a thin wrapper over the Parquet
+datasource, so partition pruning (`partitionBy` layout written by
+sources.ingest), row-group skipping via min/max stats, and
+``spark.sql.files.maxPartitionBytes`` splitting all apply unchanged on
+a real cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from i3cols_spark.session import configure
+
+#: The driver-supplied star schema + extension fixtures (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table from ``{sf_dir}/{name}.parquet`` (lazy).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS): Spark reads it as a
+    LongType of epoch-nanos (session.py sets ``nanosAsLong``) and we
+    derive the µs-precision ``ts`` TimestampType column via integer
+    ``div 1000`` — the exact truncation DuckDB applies when it casts
+    TIMESTAMP_NS → TIMESTAMP, so the oracle sees identical values.  The
+    full-precision ticks stay available as ``ts_ns`` (the I3TIME_T
+    "DAQ tick" analog — SURVEY §1.2 / §4.3).
+    """
+    configure(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+        # Keep the driver's column order with ts in place.
+        df = df.select("event_id", "ts", "user_id", "event_type", "value", "props", "ts_ns")
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    """Load several tables → dict (the ``cols.load`` dict-of-arrays analog)."""
+    return {name: table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register temp views so operators can use ``spark.sql`` freely."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)

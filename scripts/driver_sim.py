@@ -1,0 +1,89 @@
+"""Simulate the driver's verify pass at the real surface.
+
+Builds a VANILLA SparkSession (deliberately without i3cols_spark's
+configs — the driver owns the session), imports ``__spark_entry__``
+fresh, smoke-runs ``entry()``, then runs every ``queries()`` entry at
+the driver's correctness SF against ``oracle_sql()`` in DuckDB with an
+order-insensitive value-hash compare (the driver-gate semantics).
+
+Usage: python scripts/driver_sim.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def value_hash(columns, rows) -> str:
+    from i3cols_spark.compare import _canon_rows
+
+    canon = _canon_rows(list(columns), rows)
+    h = hashlib.sha256()
+    for r in canon:
+        h.update(repr(r).encode())
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-sim")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as mod
+
+    t0 = time.time()
+    rows = mod.entry(spark).collect()
+    print(f"SMOKE entry(): {len(rows)} rows in {time.time()-t0:.1f}s -> {rows[:2]}")
+    assert len(rows) > 0, "smoke: entry() returned 0 rows"
+
+    from i3cols_spark.compare import duckdb_connect
+
+    queries, oracles = mod.queries(), mod.oracle_sql()
+    con = duckdb_connect(sf_dir)
+    n_ok = n_weak = n_fail = 0
+    for name, fn in sorted(queries.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols, s_rows = sdf.columns, [tuple(r) for r in sdf.collect()]
+            if name not in oracles:
+                print(f"  WEAK {name}: rows={len(s_rows)} ({time.time()-t0:.1f}s)")
+                n_weak += 1
+                continue
+            res = con.execute(oracles[name])
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+            sh, dh = value_hash(s_cols, s_rows), value_hash(d_cols, d_rows)
+            status = "OK" if (sh == dh and len(s_rows) == len(d_rows)) else "HASH-MISMATCH"
+            if status == "OK":
+                n_ok += 1
+            else:
+                n_fail += 1
+            print(
+                f"  {status} {name}: rows={len(s_rows)}/{len(d_rows)} "
+                f"hash={sh}/{dh} ({time.time()-t0:.1f}s)"
+            )
+        except Exception as e:  # noqa: BLE001
+            n_fail += 1
+            print(f"  ERROR {name}: {type(e).__name__}: {e}")
+    print(f"TOTAL ok={n_ok} weak={n_weak} fail={n_fail}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
