@@ -6,5 +6,8 @@ from i3cols_spark.operators.registry import ORACLES, QUERIES, query
 # Import order == SURVEY §2.3 section order; each import registers.
 from i3cols_spark.operators import scans  # noqa: E402,F401  (§A)
 from i3cols_spark.operators import joins  # noqa: E402,F401  (§B)
+from i3cols_spark.operators import aggregates  # noqa: E402,F401  (§C)
+from i3cols_spark.operators import windows  # noqa: E402,F401  (§C)
+from i3cols_spark.operators import setops  # noqa: E402,F401  (§C)
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,220 @@
+"""§2.3-C (aggregation half) — global/grouped aggregates, distinct,
+approximate, rollup/cube/grouping-sets, HAVING.
+
+The reference's aggregation surface is NumPy reductions over loaded
+columns, globally or per category-index slice (SURVEY §2.2); Spark's
+partial+final hash aggregation is the distributed equivalent and the
+category index is just a GROUP BY key.
+
+Float discipline (registry docstring): multi-row double reductions are
+rounded identically in both dialects because partial-aggregation order
+is nondeterministic; integer-valued doubles (l_quantity) sum exactly
+in IEEE double, so their sums stay unrounded.  DuckDB ``sum(INTEGER)``
+returns HUGEINT and ``count``/``rank`` BIGINT → explicit casts keep
+schemas aligned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from i3cols_spark.operators.registry import query
+from i3cols_spark.sources.tables import table
+
+
+@query(
+    "q_agg_global",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)                    AS n_rows,
+           sum(l_quantity)                             AS sum_qty,
+           round(sum(l_extendedprice), 2)              AS sum_price,
+           round(avg(l_extendedprice), 4)              AS avg_price,
+           min(l_extendedprice)                        AS min_price,
+           max(l_extendedprice)                        AS max_price,
+           round(stddev(l_extendedprice), 4)           AS std_price,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT)   AS n_supp
+    FROM lineitem
+    """,
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global reductions — the np.sum/mean/min/max/std analog."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.round(F.stddev("l_extendedprice"), 4).alias("std_price"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+
+
+@query(
+    "q_agg_groupby",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity)                                              AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                    AS avg_qty,
+           round(avg(l_extendedprice), 4)                               AS avg_price,
+           round(avg(l_discount), 6)                                    AS avg_disc,
+           CAST(count(*) AS BIGINT)                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: 8 aggregates over 2 grouping keys."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped COUNT DISTINCT (np.unique per slice analog)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@query("q_agg_approx_distinct")  # no oracle: HLL estimate is engine-specific
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) of users per event type.
+
+    No SQL oracle — DuckDB's approx_count_distinct uses a different
+    sketch, so values differ by design; the driver records rows-only.
+    tests/test_properties.py bounds the estimate within ±5% of exact
+    (the SURVEY §2.3 weak check).  At 100 TB this is THE way to count
+    distinct users: fixed-size sketch, no giant shuffle of raw ids.
+    """
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           round(sum(o.o_totalprice), 2) AS revenue,
+           CAST(count(*) AS BIGINT)      AS n_orders
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey   = c.c_custkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (region, nation) — hierarchical subtotals + grand total."""
+    region = table(spark, sf_dir, "region")
+    nation = table(spark, sf_dir, "nation")
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    joined = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+    SELECT event_type, yr,
+           CAST(count(*) AS BIGINT)  AS n_events,
+           round(sum(value), 2)      AS total_value
+    FROM (SELECT event_type, CAST(year(ts) AS BIGINT) AS yr, value FROM events)
+    GROUP BY CUBE (event_type, yr)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (event_type, year) — all 4 grouping combinations."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "yr", F.year("ts").cast("long")
+    )
+    return ev.cube("event_type", "yr").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT c_mktsegment, o_orderpriority,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority), (c_mktsegment), ())
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via spark.sql (Catalyst expands to union
+    of aggregations over one shuffle — same as DuckDB's plan shape)."""
+    from i3cols_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(
+        """
+        SELECT c_mktsegment, o_orderpriority,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority), (c_mktsegment), ())
+        """
+    )
+
+
+@query(
+    "q_agg_having",
+    oracle="""
+    SELECT l_suppkey,
+           sum(l_quantity)          AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING sum(l_quantity) > 2000
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count("*").alias("n_items"),
+        )
+        .filter(F.col("sum_qty") > 2000)
+    )

@@ -130,13 +130,21 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey, c.c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
     """,
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with no orders — left-anti (np.setdiff1d analog)."""
+    """Customers with no large order — left-anti (np.setdiff1d analog).
+
+    The >300000 predicate keeps the result non-empty at every SF
+    (every customer has *some* order in this data, so a bare anti-join
+    would be a vacuous 0-row check).
+    """
     customer = table(spark, sf_dir, "customer")
-    orders = table(spark, sf_dir, "orders")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
