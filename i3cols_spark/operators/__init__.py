@@ -9,5 +9,7 @@ from i3cols_spark.operators import joins  # noqa: E402,F401  (§B)
 from i3cols_spark.operators import aggregates  # noqa: E402,F401  (§C)
 from i3cols_spark.operators import windows  # noqa: E402,F401  (§C)
 from i3cols_spark.operators import setops  # noqa: E402,F401  (§C)
+from i3cols_spark.operators import nested  # noqa: E402,F401  (§D)
+from i3cols_spark.operators import scalar_funcs  # noqa: E402,F401  (§D)
 
 __all__ = ["QUERIES", "ORACLES", "query"]
