@@ -11,5 +11,9 @@ from i3cols_spark.operators import windows  # noqa: E402,F401  (§C)
 from i3cols_spark.operators import setops  # noqa: E402,F401  (§C)
 from i3cols_spark.operators import nested  # noqa: E402,F401  (§D)
 from i3cols_spark.operators import scalar_funcs  # noqa: E402,F401  (§D)
+from i3cols_spark.operators import dedup  # noqa: E402,F401  (§E)
+from i3cols_spark.operators import textops  # noqa: E402,F401  (§E)
+from i3cols_spark.operators import similarity  # noqa: E402,F401  (§E)
+from i3cols_spark.operators import stream_batch  # noqa: E402,F401  (§E)
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,280 @@
+"""§2.3-E — deduplication family: exact, MinHash-LSH, SimHash,
+n-gram Jaccard, embedding-cosine.
+
+Scale design (the reason each variant exists):
+  * exact        — one hash-groupBy shuffle; the 100 TB workhorse.
+  * minhash-LSH  — near-dup without the quadratic pair join: signature
+                   per row (no shuffle) → explode tiny band keys →
+                   bucket join only collides candidates.
+  * simhash      — 64-bit sketch per doc; hamming-radius search via
+                   band keys; cheapest near-dup filter.
+  * n-gram jaccard — exact verification semantics, blocked by lang to
+                   bound the pair space (and SQL-expressible → strong
+                   oracle for the verify step the LSH paths share).
+  * embedding    — semantic near-dup, blocked by label (stand-in for
+                   an IVF/LSH coarse bucket at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from i3cols_spark.functions.text import normalize, shingles, tokens
+from i3cols_spark.functions.vectors import cosine
+from i3cols_spark.operators.registry import query
+from i3cols_spark.sources.tables import table
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(lower(trim(text)))      AS text_hash,
+           min(doc_id)                 AS keeper_doc_id,
+           CAST(count(*) AS BIGINT)    AS n_copies
+    FROM documents
+    GROUP BY md5(lower(trim(text)))
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized content hash: one row per distinct
+    text, keeper = min doc_id, multiplicity preserved.
+
+    md5 (not xxhash64) because both engines implement the same RFC —
+    the oracle checks actual hash values.  At 100 TB: a single
+    hash-partition shuffle on a 16-byte key; AQE handles the skew of
+    a viral duplicate.
+    """
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("text_hash", F.md5(normalize("text")))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+@query("q_dedup_near_minhash")  # xxhash64 has no DuckDB twin → rows-only
+def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs, verified by true Jaccard.
+
+    Pipeline (SURVEY §2.3-E shingle→minhash→band→bucket-join):
+      1. per-row: 3-word shingles → 16-perm MinHash signature → 4 band
+         keys — all codegen'd HOFs, zero shuffles;
+      2. explode band keys (4 rows/doc) → self-join on (band, bkey):
+         only hash-colliding docs meet — the pair space is the
+         collision space, not n²;
+      3. verify candidates with exact shingle Jaccard (array_intersect
+         / array_union on the already-carried shingle arrays) and keep
+         jaccard ≥ 0.5.
+
+    Deterministic (fixed xxhash64 salts) but not SQL-expressible in
+    DuckDB → driver records rows-only; tests/test_properties.py checks
+    it against brute-force Jaccard at sf0.001 instead.
+    """
+    num_perm, bands, rows_per_band = 32, 8, 4
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", shingles("text").alias("sh")
+    )
+    # Signature via explode → hash-aggregate with 32 min() accumulators:
+    # map-side partial aggregation does the min-reduce before the
+    # shuffle, and the plan never carries a giant nested-HOF expression
+    # through a join (which Catalyst would otherwise inline and
+    # re-evaluate per join side — measured 8× blowup).
+    sh_rows = docs.select("doc_id", F.explode("sh").alias("shingle"))
+    sig = sh_rows.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"h{j}")
+            for j in range(num_perm)
+        ]
+    )
+    # Band keys are xxhash64 over plain h-columns → 8 small ints per doc.
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(band_entries).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates()
+    )
+    # Verify only the candidates: re-join the shingle arrays (tiny side).
+    sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@query("q_dedup_simhash")  # xxhash64-based sketch → rows-only
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 64-bit SimHash sketch + its 4 16-bit band keys.
+
+    Near-dup search = equality on any band (pigeonhole: hamming ≤ 3
+    ⇒ at least one of 4 bands identical).  Deterministic; rows-only
+    check (no DuckDB xxhash64).  At scale the sketch column is 8 bytes
+    per doc — the join input shrinks by ~1000× vs raw text.
+
+    Plan: token explode → one hash-aggregate with 64 sum() vote
+    accumulators (map-side combined), then the bit assembly on the
+    64 plain columns — same no-giant-HOF rule as the MinHash query
+    (functions.text.simhash64 keeps the per-row expression form for
+    embedding in other pipelines).
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok_rows = docs.select("doc_id", F.explode(tokens("text")).alias("tok")).select(
+        "doc_id", F.xxhash64("tok").alias("h")
+    )
+    votes = tok_rows.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        bit_value = F.lit(2**b if b < 63 else -(2**63)).cast("long")
+        sim = sim + F.when(F.col(f"v{b}") >= 0, bit_value).otherwise(F.lit(0).cast("long"))
+    out = votes.select("doc_id", sim.alias("simhash"))
+    for b in range(4):
+        out = out.withColumn(
+            f"band{b}",
+            F.shiftrightunsigned(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).cast("int"),
+        )
+    return out
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, lang, sh
+        FROM (
+            SELECT doc_id, lang,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                   )) AS sh
+            FROM (SELECT doc_id, lang,
+                         string_split_regex(lower(trim(text)), '\\s+') AS toks
+                  FROM documents)
+        )
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs ≥ 0.2, blocked by lang.
+
+    This is the brute-force (verification) semantics the MinHash path
+    approximates — expressed relationally so DuckDB can check it.
+    Jaccard = int/int division → bit-identical, no rounding.
+
+    Plan: inverted-index (sparse) similarity join — explode distinct
+    shingles, equi-join on (lang, shingle), count common shingles per
+    pair, then derive |union| = |a|+|b|-common from per-doc sizes.
+    Only pairs sharing ≥1 shingle ever materialize (jaccard ≥ 0.2 ⇒
+    common ≥ 1, so this is lossless), versus the O(block²) pair join
+    whose per-pair array recompute measured 100× slower at sf0.1.
+    Frequent-shingle skew on the join key is AQE skew-join territory.
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", shingles("text").alias("sh")
+    )
+    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
+    sh_rows = docs.select("lang", "doc_id", F.explode("sh").alias("shingle"))
+    a, b = sh_rows.alias("a"), sh_rows.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("common")
+    )
+    # sizes joins: AQE broadcasts them when small; no hint because at
+    # 100 TB the per-doc sizes side is itself large (one row per doc).
+    return (
+        common.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@query(
+    "q_dedup_embedding",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT b_id AS vec_id, min(a_id) AS rep_id
+    FROM pairs WHERE cos_sim >= 0.35
+    GROUP BY b_id
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: map each vector to its smallest-id
+    ≥τ neighbor (the cluster representative it would collapse into).
+
+    label is the blocking key — the stand-in for an IVF coarse
+    quantizer / LSH bucket partition column at 100 TB.
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    a, b = emb.alias("a"), emb.alias("b")
+    sim = F.round(cosine("a.embedding", "b.embedding"), 6)
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .withColumn("cos_sim", sim)
+        .filter(F.col("cos_sim") >= 0.35)
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("a.vec_id")).alias("rep_id"))
+    )

@@ -1,0 +1,150 @@
+"""§2.3-E — streaming semantics, batch-checkable forms.
+
+These queries() entries run the SAME frame logic Structured Streaming
+executes (tumbling/sliding/session windows, stateful dedup) in batch
+mode so the DuckDB oracle can check them; streaming/jobs.py runs the
+true readStream/writeStream versions and tests assert
+``availableNow`` ≡ batch (SURVEY §2.3-E note).
+
+Window starts are emitted as epoch-µs BIGINT — integer in both
+engines, immune to timestamp-precision drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from i3cols_spark.operators.registry import query
+from i3cols_spark.sources.tables import register_views, table
+
+_HOUR_US = 3_600_000_000
+_Q15_US = 900_000_000
+_GAP_US = 1_800_000_000  # 30 min session gap
+
+
+@query(
+    "q_stream_tumbling",
+    oracle=f"""
+    SELECT (epoch_us(ts) // {_HOUR_US}) * {_HOUR_US} AS window_start_us,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2)     AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per type per 1-hour tumbling window.
+
+    Uses Spark's window() (epoch-aligned) — the very expression the
+    streaming job groups on, so batch ≡ streaming by construction.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q_stream_sliding",
+    oracle=f"""
+    SELECT (epoch_us(ts) // {_Q15_US} - k.k) * {_Q15_US} AS window_start_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events, generate_series(0, 3) k(k)
+    GROUP BY 1
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 min (each event lands in exactly
+    4 windows).  Oracle derives the same 4 window starts with integer
+    µs arithmetic — the definition of sliding-window assignment."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "q_stream_session",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_GAP_US}
+                    OR lag(epoch_us(ts)) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts_us,
+               sum(is_start) OVER (
+                   PARTITION BY user_id ORDER BY ts_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           min(ts_us)              AS session_start_us,
+           max(ts_us) + {_GAP_US}  AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-min inactivity gap.
+
+    Spark: native session_window (merging state in streaming; a
+    sort-based merge in batch).  Oracle: the classic gap-and-island
+    construction (lag → cumulative start flags → group), proving the
+    two formulations agree.  session end = last event + gap.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT user_id, event_type,
+           min(epoch_us(ts))        AS first_ts_us,
+           CAST(count(*) AS BIGINT) AS n_dropped_plus_one
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup on (user_id, event_type) — the batch semantics
+    of streaming dropDuplicates, with the duplicate count retained so
+    the check is not vacuous.  streaming/jobs.py runs the true
+    ``dropDuplicatesWithinWatermark`` variant."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min(F.unix_micros("ts")).alias("first_ts_us"),
+        F.count("*").alias("n_dropped_plus_one"),
+    )

@@ -1,0 +1,214 @@
+"""§2.3-E — text analysis over the documents table: stats, quality
+scoring, language-ID heuristic, token counting, fingerprinting,
+TF-IDF top terms.
+
+All tokenization happens with JVM-side split/HOF expressions; the only
+shuffles are the analytic groupBys — each query is scan-dominated and
+scales linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from i3cols_spark.functions.text import rolling_fingerprint, tokens
+from i3cols_spark.operators.registry import query
+from i3cols_spark.sources.tables import table
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT)                            AS n_docs,
+           CAST(sum(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT)
+                                                               AS total_words,
+           round(avg(CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE)), 6)
+                                                               AS avg_words,
+           CAST(count(DISTINCT source) AS BIGINT)              AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language (tokenize → grouped counts)."""
+    docs = table(spark, sf_dir, "documents").withColumn("n_words", F.size(tokens("text")))
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.round(F.avg(F.col("n_words").cast("double")), 6).alias("avg_words"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           CAST(len(toks) AS BIGINT)    AS n_words,
+           CAST(len(list_filter(toks, w -> w IN ('the', 'a'))) AS DOUBLE) / len(toks)
+                                        AS stopword_ratio,
+           (len(toks) BETWEEN 20 AND 200
+            AND CAST(len(list_filter(toks, w -> w IN ('the', 'a'))) AS DOUBLE)
+                / len(toks) < 0.2)      AS quality_ok
+    FROM (SELECT doc_id, text,
+                 string_split_regex(lower(trim(text)), '\\s+') AS toks
+          FROM documents)
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: length, stopword ratio, rule flag
+    (the heuristics an LLM-data pipeline gates training docs on).
+    Ratios are int/int divisions → exact, no rounding."""
+    docs = table(spark, sf_dir, "documents").withColumn("toks", tokens("text"))
+    n_words = F.size("toks")
+    n_stop = F.size(F.filter("toks", lambda w: w.isin("the", "a")))
+    ratio = n_stop.cast("double") / n_words
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        n_words.cast("long").alias("n_words"),
+        ratio.alias("stopword_ratio"),
+        (n_words.between(20, 200) & (ratio < 0.2)).alias("quality_ok"),
+    )
+
+
+@query(
+    "q_text_langid",
+    oracle="""
+    SELECT doc_id, lang AS lang_actual,
+           CASE
+               WHEN len(list_filter(toks, w -> w IN ('the', 'a'))) >= 2 THEN 'en'
+               WHEN len(list_filter(toks, w -> w IN ('spark', 'stream'))) >= 2 THEN 'tech'
+               ELSE 'und'
+           END AS lang_pred
+    FROM (SELECT doc_id, lang,
+                 string_split_regex(lower(trim(text)), '\\s+') AS toks
+          FROM documents)
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic (n-gram scoring skeleton).
+
+    The fixture vocabulary is synthetic word soup, so the classifier's
+    *labels* are toy — the shape (tokenize → marker counts → argmax
+    CASE) is the real n-gram langid plumbing, deterministic for the
+    oracle.
+    """
+    docs = table(spark, sf_dir, "documents").withColumn("toks", tokens("text"))
+    n_en = F.size(F.filter("toks", lambda w: w.isin("the", "a")))
+    n_tech = F.size(F.filter("toks", lambda w: w.isin("spark", "stream")))
+    pred = (
+        F.when(n_en >= 2, "en").when(n_tech >= 2, "tech").otherwise("und")
+    )
+    return docs.select(
+        "doc_id", F.col("lang").alias("lang_actual"), pred.alias("lang_pred")
+    )
+
+
+@query(
+    "q_text_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+               AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+')) AS BIGINT)
+               AS re_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_bpe_tokens
+    FROM documents
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, BPE-ish regex word
+    classes, and the chars/4 approximation used for budget estimates."""
+    docs = table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.size(F.split(norm, r"\s+")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(norm, F.lit("[a-z]+|[0-9]+"), 0)).cast("long").alias("re_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("approx_bpe_tokens"),
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(
+                   CAST(0 AS BIGINT),
+                   list_transform(
+                       string_split_regex(lower(trim(text)), '\\s+'),
+                       w -> CAST(length(w) * 131 + ascii(substring(w, 1, 1)) AS BIGINT)
+                   )
+               ),
+               (acc, x) -> (acc * 31 + x) % 1000000007
+           ) AS fingerprint
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling document fingerprint (Rabin-Karp style
+    polynomial hash) — distinguishes reordered word-soup where bag-of-
+    words hashes collide.  Pure integer arithmetic → exact oracle."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_fingerprint("text").alias("fingerprint"))
+
+
+@query(
+    "q_tfidf_topterms",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+        FROM documents
+    ),
+    tf AS (
+        SELECT lang, word, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY lang, word
+    ),
+    df AS (
+        SELECT word, CAST(count(DISTINCT lang) AS BIGINT) AS df
+        FROM tf GROUP BY word
+    ),
+    nl AS (SELECT CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs FROM tok),
+    scored AS (
+        SELECT tf.lang, tf.word, tf.tf,
+               round(tf.tf * ln(nl.n_langs / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (word) CROSS JOIN nl
+    )
+    SELECT lang, word, tf, tfidf
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY lang ORDER BY tfidf DESC, word
+        ) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per language by TF-IDF (token counts → document
+    frequency join → windowed top-k).  ln() is transcendental →
+    rounded 6 dp both sides; ties broken by word for determinism."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(tokens("text")).alias("word"))
+    tf = tok.groupBy("lang", "word").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("word").agg(F.countDistinct("lang").alias("df"))
+    n_langs = tok.select(F.countDistinct("lang").alias("n_langs"))
+    scored = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n_langs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_langs").cast("double") / F.col("df")), 6),
+        )
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "word", "tf", "tfidf")
+    )

@@ -1,0 +1,118 @@
+"""Structured Streaming jobs over the events table (SURVEY §2.3-E).
+
+The reference is batch-only (single-machine NumPy — SURVEY §2.4);
+streaming is the [X] north-star extension.  Each job here is the
+readStream twin of an operators.stream_batch query: running it with
+the ``availableNow`` trigger over the static parquet must produce
+exactly the batch result (tests/test_streaming.py asserts it — the
+SURVEY §5.2.3 batch-equivalence property).
+
+Watermarks bound state: at 100 TB/day the tumbling-count state is
+|open windows| × |types|, not |events| — late data beyond 10 minutes
+is dropped deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from i3cols_spark.session import configure
+from i3cols_spark.sources.tables import table
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the same ns→µs ts rule
+    as the batch reader (sources/tables.py)."""
+    configure(spark)
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # The sf dir holds all tables; pathGlobFilter selects just events.
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return stream.withColumn("ts_ns", F.col("ts")).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_stream_tumbling (1-h tumbling, 10-min watermark)."""
+    ev = _event_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_stream_sliding (1-h window, 15-min slide)."""
+    ev = _event_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.unix_micros("w.start").alias("window_start_us"), "n_events")
+    )
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_stream_session (30-min gap session windows,
+    merging state maintained per user under the watermark)."""
+    ev = _event_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: first event per (user_id, event_type)
+    within the watermark horizon (dropDuplicatesWithinWatermark — state
+    is bounded by the horizon, unlike plain dropDuplicates whose state
+    grows forever on an unbounded stream)."""
+    ev = _event_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type", "event_id")
+    )
+
+
+def run_to_memory(df: DataFrame, name: str) -> None:
+    """Execute a streaming DataFrame with availableNow → in-memory table
+    ``name`` (complete for aggregations, append for dedup) and block
+    until all available data is processed."""
+    mode = "complete" if df.isStreaming and _has_aggregate(df) else "append"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _has_aggregate(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return "Aggregate" in plan

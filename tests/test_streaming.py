@@ -1,0 +1,46 @@
+"""Streaming ≡ batch equivalence (SURVEY §5.2.3): each Structured
+Streaming job run with the availableNow trigger over the static events
+parquet must equal its operators.stream_batch twin."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from i3cols_spark.operators import QUERIES
+from i3cols_spark.streaming import jobs
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize(
+    "stream_fn,batch_name",
+    [
+        (jobs.stream_tumbling_counts, "q_stream_tumbling"),
+        (jobs.stream_sliding_counts, "q_stream_sliding"),
+        (jobs.stream_session_windows, "q_stream_session"),
+    ],
+)
+def test_stream_equals_batch(spark, sf_dir, stream_fn, batch_name):
+    sdf = stream_fn(spark, sf_dir)
+    name = f"mem_{batch_name}"
+    jobs.run_to_memory(sdf, name)
+    streamed = spark.table(name)
+    batch = QUERIES[batch_name](spark, sf_dir)
+    assert _rows(streamed) == _rows(batch)
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir):
+    """Append-mode dedup: one row per (user_id, event_type); with all
+    data in one availableNow batch the kept event is the first by
+    arrival within the file — check keys, not which id won."""
+    sdf = jobs.stream_dedup_within_watermark(spark, sf_dir)
+    jobs.run_to_memory(sdf, "mem_dedup")
+    streamed = spark.table("mem_dedup")
+    batch_keys = _rows(QUERIES["q_stream_dedup"](spark, sf_dir).select("user_id", "event_type"))
+    stream_keys = _rows(streamed.select("user_id", "event_type"))
+    assert stream_keys == batch_keys
+    assert streamed.groupBy("user_id", "event_type").count().filter(F.col("count") > 1).count() == 0
