@@ -1,0 +1,86 @@
+"""Benchmark harness — prints ONE JSON line for the driver
+(BENCH_r{N}.json): headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Headline set: one representative per operator family (scan+filter,
+fact-fact join, star join, agg, window top-k, set op, array HOF,
+exact+near dedup, ANN, TF-IDF, streaming-window batch form) — the
+queries whose plans carry the 100 TB design decisions.
+
+``value`` = total wall seconds over the headline suite (lower is
+better); per-query timings in ``queries``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_filter_compound",
+    "q_join_sortmerge",
+    "q_join_multiway_star",
+    "q_agg_groupby",
+    "q_window_topk_pergroup",
+    "q_intersect",
+    "q_array_hof",
+    "q_udaf_grouped",
+    "q_dedup_exact",
+    "q_dedup_near_minhash",
+    "q_dedup_ngram_jaccard",
+    "q_similarity_knn_cosine",
+    "q_similarity_pairs_threshold",
+    "q_tfidf_topterms",
+    "q_stream_tumbling",
+    "q_stream_session",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+
+    from i3cols_spark.session import get_spark
+
+    spark = get_spark("i3cols-bench", cpus=cpus, shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from i3cols_spark.operators import QUERIES
+
+    # Warm the JVM + parquet footers once (not measured): tiny scan.
+    QUERIES["q_topk"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        n = len(QUERIES[name](spark, sf_dir).collect())
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from i3cols_spark.functions.text import normalize, shingles, tokens
-from i3cols_spark.functions.vectors import cosine
+from i3cols_spark.functions.vectors import dot, norm_l2
 from i3cols_spark.operators.registry import query
 from i3cols_spark.sources.tables import table
 
@@ -61,22 +61,26 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs, verified by true Jaccard.
 
     Pipeline (SURVEY §2.3-E shingle→minhash→band→bucket-join):
-      1. per-row: 3-word shingles → 16-perm MinHash signature → 4 band
-         keys — all codegen'd HOFs, zero shuffles;
-      2. explode band keys (4 rows/doc) → self-join on (band, bkey):
+      1. 3-word shingles per doc → 32-perm MinHash signature → 8 band
+         keys (banding tuned so P[miss | jaccard ≥ 0.9] < 2e-4);
+      2. explode band keys (8 rows/doc) → self-join on (band, bkey):
          only hash-colliding docs meet — the pair space is the
          collision space, not n²;
       3. verify candidates with exact shingle Jaccard (array_intersect
-         / array_union on the already-carried shingle arrays) and keep
-         jaccard ≥ 0.5.
+         / array_union, re-joined only for the few candidates) and
+         keep jaccard ≥ 0.5.
 
     Deterministic (fixed xxhash64 salts) but not SQL-expressible in
     DuckDB → driver records rows-only; tests/test_properties.py checks
     it against brute-force Jaccard at sf0.001 instead.
     """
     num_perm, bands, rows_per_band = 32, 8, 4
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", shingles("text").alias("sh")
+    # Single-file fixture ⇒ single input split; spread the per-row
+    # shingle/hash work across cores (at 100 TB the file count does it).
+    docs = (
+        table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", shingles("text").alias("sh"))
     )
     # Signature via explode → hash-aggregate with 32 min() accumulators:
     # map-side partial aggregation does the min-reduce before the
@@ -146,7 +150,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions.text.simhash64 keeps the per-row expression form for
     embedding in other pipelines).
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     tok_rows = docs.select("doc_id", F.explode(tokens("text")).alias("tok")).select(
         "doc_id", F.xxhash64("tok").alias("h")
     )
@@ -211,8 +217,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose per-pair array recompute measured 100× slower at sf0.1.
     Frequent-shingle skew on the join key is AQE skew-join territory.
     """
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", shingles("text").alias("sh")
+    docs = (
+        table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "lang", shingles("text").alias("sh"))
     )
     sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
     sh_rows = docs.select("lang", "doc_id", F.explode("sh").alias("shingle"))
@@ -268,9 +276,15 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     label is the blocking key — the stand-in for an IVF coarse
     quantizer / LSH bucket partition column at 100 TB.
     """
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism, "label")
+        .select("vec_id", "label", "embedding", norm_l2("embedding").alias("nrm"))
+    )
     a, b = emb.alias("a"), emb.alias("b")
-    sim = F.round(cosine("a.embedding", "b.embedding"), 6)
+    sim = F.round(
+        dot("a.embedding", "b.embedding") / (F.col("a.nrm") * F.col("b.nrm")), 6
+    )
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .withColumn("cos_sim", sim)

@@ -18,7 +18,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from i3cols_spark.functions.vectors import as_double, cosine, dot, lsh_bucket
+from i3cols_spark.functions.vectors import as_double, cosine, dot, lsh_bucket, norm_l2
 from i3cols_spark.operators.registry import query
 from i3cols_spark.sources.tables import table
 
@@ -99,9 +99,19 @@ def q_similarity_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the block key is an LSH/IVF bucket (see q_similarity_ann_lsh)
     and the same plan shape applies.
     """
-    emb = table(spark, sf_dir, "embeddings")
+    # Per-row norms precomputed once (HOF lambdas are interpreted per
+    # element, so the pair loop must do ONE reduction, not three), and
+    # an explicit repartition because the fixture is a single parquet
+    # file → a single input split would serialize all pair work.
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism, "label")
+        .select("vec_id", "label", "embedding", norm_l2("embedding").alias("nrm"))
+    )
     a, b = emb.alias("a"), emb.alias("b")
-    sim = F.round(cosine("a.embedding", "b.embedding"), 6)
+    sim = F.round(
+        dot("a.embedding", "b.embedding") / (F.col("a.nrm") * F.col("b.nrm")), 6
+    )
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
