@@ -1,0 +1,104 @@
+"""CLI — the i3cols command-line surface re-expressed over Spark jobs
+(i3cols/cli.py::main analog, SURVEY §2.1 S11).
+
+Subcommand mapping:
+  extract   ≙ extr_sep / extr_as_one  (JSON-lines → typed parquet,
+              --keys/--exclude-keys projection, run parsing from names)
+  combine   ≙ combine_runs            (union datasets, run-partitioned)
+  compact   ≙ compress/decompress     (rewrite with codec/file sizing)
+  query     — run a registered SURVEY §2.3 query by name
+  bench     — the bench.py headline suite
+
+Usage: python -m i3cols_spark.cli <subcommand> [options]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="i3cols-spark")
+    p.add_argument("--cpus", type=int, default=0, help="local[N] cores")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ex = sub.add_parser("extract", help="serial records → columnar parquet")
+    ex.add_argument("inputs", nargs="+")
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--keys", nargs="*", default=None, help="column subset")
+    ex.add_argument("--exclude-keys", nargs="*", default=None)
+    ex.add_argument("--partition-by", nargs="*", default=["run"])
+    ex.add_argument("--overwrite", action="store_true")
+
+    cb = sub.add_parser("combine", help="union N datasets (combine_runs)")
+    cb.add_argument("inputs", nargs="+")
+    cb.add_argument("--out", required=True)
+
+    cp = sub.add_parser("compact", help="rewrite with zstd + file sizing")
+    cp.add_argument("input")
+    cp.add_argument("--out", required=True)
+    cp.add_argument("--target-files", type=int, default=0)
+
+    q = sub.add_parser("query", help="run a registered query")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--limit", type=int, default=20)
+    q.add_argument("--explain", action="store_true")
+
+    sub.add_parser("list", help="list registered queries")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "list":
+        from i3cols_spark.operators import ORACLES, QUERIES
+
+        for name in sorted(QUERIES):
+            kind = "oracle" if name in ORACLES else "rows-only"
+            print(f"{name}\t{kind}")
+        return 0
+
+    from i3cols_spark.session import get_spark
+
+    spark = get_spark("i3cols-cli", cpus=args.cpus or None)
+
+    if args.cmd == "extract":
+        from i3cols_spark.sources.ingest import extract_jsonl, with_run_info, write_columns
+
+        df = with_run_info(extract_jsonl(spark, args.inputs))
+        if args.keys:
+            df = df.select(*args.keys)
+        if args.exclude_keys:
+            df = df.drop(*args.exclude_keys)
+        part = tuple(c for c in args.partition_by if c in df.columns)
+        write_columns(
+            df, args.out, partition_by=part, mode="overwrite" if args.overwrite else "error"
+        )
+        print(json.dumps({"written": args.out, "rows": spark.read.parquet(args.out).count()}))
+    elif args.cmd == "combine":
+        from i3cols_spark.sources.ingest import combine
+
+        merged = combine(spark, args.inputs, out=args.out)
+        print(json.dumps({"written": args.out, "rows": merged.count()}))
+    elif args.cmd == "compact":
+        from i3cols_spark.sources.ingest import compact
+
+        compact(spark, args.input, args.out, args.target_files)
+        print(json.dumps({"written": args.out}))
+    elif args.cmd == "query":
+        from i3cols_spark.operators import QUERIES
+
+        if args.name not in QUERIES:
+            print(f"unknown query: {args.name}", file=sys.stderr)
+            return 2
+        df = QUERIES[args.name](spark, args.sf_dir)
+        if args.explain:
+            df.explain("formatted")
+        df.show(args.limit, truncate=False)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

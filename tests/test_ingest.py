@@ -1,0 +1,114 @@
+"""Ingest/ETL layer tests (SURVEY §7 Milestone 3): write→read-back
+round trips, partition pruning, combine additivity, i3-shaped ragged
+round trip."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from i3cols_spark.plans.checks import explain_str
+from i3cols_spark.sources.ingest import (
+    combine,
+    compact,
+    events_to_i3_shape,
+    extract_jsonl,
+    read_columns,
+    with_run_info,
+    write_columns,
+)
+
+
+def _write_jsonl(path: str, rows: list[dict]) -> None:
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_extract_run_parse_write_read_roundtrip(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_jsonl(
+        str(src / "data_Run00000007_Subrun00000002.jsonl"),
+        [{"event_id": i, "charge": i * 1.5, "tag": f"t{i}"} for i in range(50)],
+    )
+    _write_jsonl(
+        str(src / "data_Run00000008_Subrun00000001.jsonl"),
+        [{"event_id": i + 100, "charge": i * 2.0, "tag": f"u{i}"} for i in range(30)],
+    )
+    df = with_run_info(extract_jsonl(spark, str(src)))
+    assert set(df.select("run").distinct().toPandas()["run"]) == {7, 8}
+
+    out = str(tmp_path / "cols")
+    write_columns(df, out, partition_by=("run",))
+    back = read_columns(spark, out)
+    assert back.count() == 80
+    # Projection (keys=) reads a column subset — the load(keys=...) analog.
+    subset = read_columns(spark, out, keys=["event_id", "charge"])
+    assert subset.columns == ["event_id", "charge"]
+    # Partition pruning: filtering the category column shows partition
+    # filters in the scan, not a full-data filter.
+    pruned = back.filter(F.col("run") == 7)
+    assert pruned.count() == 50
+    assert "PartitionFilters: [" in explain_str(pruned)
+
+
+def test_combine_additivity_and_run_tags(spark, tmp_path):
+    a_rows = [{"event_id": i, "v": float(i)} for i in range(20)]
+    b_rows = [{"event_id": i, "v": float(i), "extra": "x"} for i in range(15)]
+    src_a, src_b = str(tmp_path / "a.jsonl"), str(tmp_path / "b.jsonl")
+    _write_jsonl(src_a, a_rows)
+    _write_jsonl(src_b, b_rows)
+    pa, pb = str(tmp_path / "pa"), str(tmp_path / "pb")
+    write_columns(extract_jsonl(spark, src_a), pa)
+    write_columns(extract_jsonl(spark, src_b), pb)
+
+    out = str(tmp_path / "combined")
+    merged = combine(spark, [pa, pb], out=out, run_values=[1, 2])
+    assert merged.count() == 35  # UNION ALL additivity (S7)
+    back = read_columns(spark, out)
+    counts = {r["run"]: r["count"] for r in back.groupBy("run").count().collect()}
+    assert counts == {1: 20, 2: 15}
+    # missing columns null-filled by unionByName(allowMissingColumns)
+    assert back.filter(F.col("run") == 1).filter(F.col("extra").isNotNull()).count() == 0
+
+
+def test_compact_rewrites_fewer_files(spark, tmp_path):
+    rows = [{"event_id": i, "v": float(i)} for i in range(200)]
+    src = str(tmp_path / "many.jsonl")
+    _write_jsonl(src, rows)
+    p1 = str(tmp_path / "fragmented")
+    extract_jsonl(spark, src).repartition(16).write.parquet(p1)
+    n_before = len([f for f in os.listdir(p1) if f.endswith(".parquet")])
+    p2 = str(tmp_path / "compacted")
+    compact(spark, p1, p2, target_files=2)
+    n_after = len([f for f in os.listdir(p2) if f.endswith(".parquet")])
+    assert n_before == 16 and n_after <= 2
+    assert read_columns(spark, p2).count() == 200
+
+
+def test_i3_shape_ragged_roundtrip(spark, sf_dir, tmp_path):
+    """FIXTURES.md §B: header + ArrayType(StructType) pulses column
+    survives write→read→posexplode→rebuild exactly (the i3cols
+    data.npy+index.npy invariant)."""
+    events = events_to_i3_shape(spark, sf_dir)
+    out = str(tmp_path / "i3shape")
+    write_columns(events, out)
+    back = read_columns(spark, out)
+    # Parquet round-trips relax nullability flags; names+types must hold.
+    assert back.schema.simpleString() == events.schema.simpleString()
+    assert back.count() == events.count()
+
+    exploded = back.filter(F.col("pulses").isNotNull()).select(
+        "event_id", F.posexplode("pulses").alias("pos", "pulse")
+    )
+    rebuilt = exploded.groupBy("event_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "pulse"))), lambda s: s.pulse
+        ).alias("pulses")
+    )
+    orig = back.filter(F.col("pulses").isNotNull()).select("event_id", "pulses")
+    assert orig.exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(orig).count() == 0
