@@ -1,0 +1,150 @@
+"""Reference-surface completions: histogram/binning (np.histogram /
+np.bincount — SURVEY §2.2), ragged per-event summaries (i3cols/phys.py
+S13 pulse-series kernels), enum decode via broadcast dim join
+(i3cols/enums.py S14), and pivot (reshape, [X]).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from i3cols_spark.operators.registry import query
+from i3cols_spark.sources.tables import table
+
+
+@query(
+    "q_agg_histogram",
+    oracle="""
+    SELECT CASE WHEN value < 0.0 THEN 0
+                WHEN value >= 200.0 THEN 21
+                ELSE CAST(floor(value / 10.0) AS BIGINT) + 1 END AS bucket,
+           CAST(count(*) AS BIGINT)            AS n,
+           round(sum(value), 2)                AS bucket_sum
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """np.histogram analog: 20 equi-width buckets over [0, 200).
+
+    Spark's width_bucket(v, 0, 200, 20) evaluates floor(v/10)+1 with
+    bucket 0 below range and 21 above; DuckDB lacks width_bucket, so
+    the oracle states that arithmetic explicitly (identical doubles:
+    (200-0)/20 is exactly 10.0).  At any scale this is one
+    partial+final aggregation — the map-side combine reduces each
+    partition to ≤22 rows before the shuffle.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bucket", F.width_bucket("value", F.lit(0.0), F.lit(200.0), F.lit(20)))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("bucket_sum"),
+        )
+    )
+
+
+@query(
+    "q_physics_pulse_summary",
+    oracle="""
+    SELECT l_orderkey AS event_id,
+           CAST(count(*) AS BIGINT)        AS n_pulses,
+           round(sum(l_extendedprice), 2)  AS total_charge,
+           min(l_shipdate)                 AS first_time,
+           max(l_shipdate)                 AS last_time,
+           max(l_quantity)                 AS max_width
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def q_physics_pulse_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event pulse-series summary — the i3cols/phys.py kernel
+    family (total charge, first/last hit time, hit count) over the
+    ragged column.
+
+    Deliberately computed the i3cols way: rebuild the ragged pulses
+    array per event (collect_list), then reduce it with array HOFs —
+    while the oracle states the same semantics as a flat GROUP BY.
+    The differential check proves ragged-kernel ≡ relational-agg, the
+    core equivalence of SURVEY §1.2.  (At 100 TB you'd keep the flat
+    aggregation; the HOF form is for data already stored ragged.)
+    """
+    li = table(spark, sf_dir, "lineitem")
+    pulses = li.groupBy(F.col("l_orderkey").alias("event_id")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("l_shipdate").alias("time"),
+                F.col("l_extendedprice").alias("charge"),
+                F.col("l_quantity").alias("width"),
+            )
+        ).alias("pulses")
+    )
+    charge_sum = F.aggregate(
+        F.col("pulses"), F.lit(0.0), lambda acc, p: acc + p.charge
+    )
+    return pulses.select(
+        "event_id",
+        F.size("pulses").cast("long").alias("n_pulses"),
+        F.round(charge_sum, 2).alias("total_charge"),
+        F.array_min(F.transform("pulses", lambda p: p.time)).alias("first_time"),
+        F.array_max(F.transform("pulses", lambda p: p.time)).alias("last_time"),
+        F.array_max(F.transform("pulses", lambda p: p.width)).alias("max_width"),
+    )
+
+
+@query(
+    "q_enum_decode_join",
+    oracle="""
+    SELECT e.event_id, e.event_type, c.code AS type_code
+    FROM events e
+    JOIN (VALUES ('click', 1), ('purchase', 2), ('error', 3),
+                 ('signup', 4), ('view', 5)) AS c(name, code)
+      ON e.event_type = c.name
+    """,
+)
+def q_enum_decode_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enum decode via broadcast dimension join — the scalable S14
+    spelling (vs q_case_when's chained CASE): a 5-row dim broadcast to
+    every executor, no shuffle of the fact side."""
+    from i3cols_spark.operators.scalar_funcs import EVENT_TYPE_CODES
+    from i3cols_spark.sources.schemas import enum_dim
+
+    ev = table(spark, sf_dir, "events")
+    dim = enum_dim(
+        spark,
+        {v: k for k, v in EVENT_TYPE_CODES.items()},
+        code_col="type_code",
+        name_col="name",
+    )
+    return ev.join(F.broadcast(dim), ev.event_type == dim.name, "inner").select(
+        "event_id", "event_type", "type_code"
+    )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END), 0), 2) AS status_O,
+           round(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 0), 2) AS status_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns (reshape).  Explicit value list —
+    an unlisted pivot would need an extra distinct-scan pass, which at
+    100 TB is a full extra job; always enumerate pivot values."""
+    li = table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)), 2))
+    )
+    return out.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("status_O"),
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("status_F"),
+    )
