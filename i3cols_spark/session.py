@@ -72,6 +72,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # Managed-table home for bucketed datasets (sources.ingest.write_bucketed).
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/i3cols_spark_warehouse"),
+        )
     )
     for key, value in _RUNTIME_CONFS.items():
         builder = builder.config(key, value)

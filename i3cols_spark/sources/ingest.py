@@ -161,3 +161,51 @@ def events_to_i3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pulses",
         )
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed managed table: pre-shuffles data into ``n_buckets`` hash
+    buckets on ``bucket_col`` so later joins/aggregations on that key
+    are co-located — NO exchange at query time.
+
+    This is the 100 TB answer to "lineitem ⋈ orders on every query":
+    pay the shuffle once at write, never again (tests/test_plans.py
+    asserts the bucketed join plans without Exchange).  The i3cols
+    analog is alignment-by-construction: row i everywhere is event i.
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table_name)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the (large, skewed) left side into
+    ``n_salts`` sub-keys and explode the (smaller) right side across all
+    salts, so one hot key spreads over n_salts reducers.
+
+    AQE's skew-join split handles most cases automatically; this is the
+    explicit fallback for extreme single-key skew (one user with 10% of
+    events) where even a split partition is one task.  Correct for
+    inner/left joins on an equi key.
+    """
+    salted_left = left.withColumn(
+        "__salt", (F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))).cast("int")
+    )
+    salted_right = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = salted_left.join(salted_right, [key, "__salt"], how)
+    return out.drop("__salt")

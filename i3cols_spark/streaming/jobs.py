@@ -116,3 +116,39 @@ def run_to_memory(df: DataFrame, name: str) -> None:
 def _has_aggregate(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().analyzed().toString()
     return "Aggregate" in plan
+
+
+def stream_user_peaks_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running peak value and event count, emitted once per micro-batch.
+
+    This is the arbitrary-state path (SURVEY §1.2 streaming row:
+    ``applyInPandasWithState`` for operators the built-in windows can't
+    express).  State = (peak, count) per user — fixed size, watermark-
+    free here because the domain (user_id) is bounded; an unbounded
+    domain would add a state timeout.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _event_stream(spark, sf_dir).select("user_id", "value")
+
+    def update(key, pdfs, state: GroupState):
+        peak, count = state.get if state.exists else (float("-inf"), 0)
+        for pdf in pdfs:
+            if len(pdf):
+                peak = max(peak, float(pdf["value"].max()))
+                count += len(pdf)
+        state.update((peak, count))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "peak_value": [peak], "n_events": [count]}
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, peak_value double, n_events long",
+        stateStructType="peak double, count long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

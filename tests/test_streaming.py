@@ -44,3 +44,30 @@ def test_stream_dedup_within_watermark(spark, sf_dir):
     stream_keys = _rows(streamed.select("user_id", "event_type"))
     assert stream_keys == batch_keys
     assert streamed.groupBy("user_id", "event_type").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_stateful_user_peaks_matches_batch(spark, sf_dir):
+    """applyInPandasWithState over availableNow ≡ batch groupBy max/count."""
+    sdf = jobs.stream_user_peaks_stateful(spark, sf_dir)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("mem_peaks")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode may emit once per batch per key; keep the last emission
+    from i3cols_spark.sources.tables import table
+
+    streamed = (
+        spark.table("mem_peaks")
+        .groupBy("user_id")
+        .agg(F.max("peak_value").alias("peak_value"), F.max("n_events").alias("n_events"))
+    )
+    batch = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max("value").alias("peak_value"), F.count("*").alias("n_events"))
+    )
+    assert _rows(streamed) == _rows(batch)
