@@ -44,6 +44,16 @@ def configure(spark: SparkSession) -> SparkSession:
             # A locked-down session may refuse some keys; queries that
             # truly need one will fail loudly on their own.
             pass
+    try:
+        # Only touch shuffle.partitions when it's still Spark's stock 200
+        # (a deliberate user setting is respected): 200 tiny shuffle
+        # partitions on a local session is pure scheduling overhead, and
+        # AQE coalescing can't fix the task-launch cost.
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            cores = spark.sparkContext.defaultParallelism
+            spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 8)))
+    except Exception:
+        pass
     return spark
 
 
