@@ -109,15 +109,30 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sig.select("doc_id", F.explode(band_entries).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # Candidate pairs WITHOUT a self-join: bucket the band keys
+    # (groupBy + collect) and expand same-bucket pairs in-row.  A
+    # banded-table self-join would re-run the signature aggregation for
+    # each join side (lineage recompute, measured ~2× the query cost);
+    # this form computes the signature exactly once and shuffles only
+    # (band, bkey, doc_id) triples.  Bucket width is bounded by the
+    # collision rate, so the in-row expansion stays tiny.
+    buckets = (
+        banded.groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, 1_000_000),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .dropDuplicates()
     )
     # Verify only the candidates: re-join the shingle arrays (tiny side).
