@@ -1,0 +1,74 @@
+"""Property-based checks (hypothesis) for the pure expression library —
+functions/text.py semantics validated against plain-Python references
+on generated inputs, through real Spark evaluation."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from i3cols_spark.functions.text import (
+    normalize,
+    rolling_fingerprint,
+    shingles,
+    tokens,
+)
+
+WORD = st.text(alphabet="abcdefgh", min_size=1, max_size=6)
+TEXT = st.lists(WORD, min_size=1, max_size=30).map(" ".join)
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _eval(spark, texts, col):
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    return [r["out"] for r in df.select(col.alias("out")).collect()]
+
+
+def _py_fingerprint(text: str) -> int:
+    acc = 0
+    for w in text.strip().lower().split():
+        h = len(w) * 131 + ord(w[0])
+        acc = (acc * 31 + h) % 1_000_000_007
+    return acc
+
+
+@given(st.lists(TEXT, min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_rolling_fingerprint_matches_python(spark, texts):
+    got = _eval(spark, texts, rolling_fingerprint("text"))
+    assert got == [_py_fingerprint(t) for t in texts]
+
+
+@given(st.lists(TEXT, min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_shingles_properties(spark, texts):
+    got = _eval(spark, texts, shingles("text"))
+    for text, sh in zip(texts, got):
+        words = text.split()
+        # distinct, each shingle ≤ 3 words, count bounded by positions
+        assert len(sh) == len(set(sh))
+        assert all(1 <= len(s.split()) <= 3 for s in sh)
+        assert len(sh) <= max(len(words) - 2, 1)
+        # order-sensitivity witness: first shingle starts at word 0
+        assert sh[0].split()[0] == words[0].lower()
+
+
+@given(TEXT)
+@settings(**_SETTINGS)
+def test_normalization_invariance(spark, text):
+    """Case/padding perturbations must not change tokens or fingerprint
+    (the dedup-normalization contract)."""
+    variants = [text, f"  {text}  ", text.upper()]
+    toks = _eval(spark, variants, tokens("text"))
+    fps = _eval(spark, variants, rolling_fingerprint("text"))
+    norms = _eval(spark, variants, normalize("text"))
+    assert toks[0] == toks[1] == toks[2]
+    assert fps[0] == fps[1] == fps[2]
+    assert norms[0] == norms[1] == norms[2]
