@@ -221,3 +221,41 @@ def q_udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     )
+
+
+@query(
+    "q_udtf_python",
+    oracle="""
+    SELECT doc_id,
+           unnest(string_split(text, ' '))                          AS word,
+           CAST(length(unnest(string_split(text, ' '))) AS BIGINT)  AS word_len
+    FROM documents
+    """,
+)
+def q_udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Python UDTF (Spark 4 ``@udtf``): tokenize each document and
+    emit (word, word_len) rows — the user-defined table function form
+    of q_udtf_expand, proving the UDTF machinery end-to-end.
+
+    Kept OFF bench's headline set: a Python UDTF pays per-row Python
+    dispatch; the native split+explode twin is the hot-path spelling
+    (q_udtf_expand).  Both hash-match the same oracle.
+    """
+    from pyspark.sql.functions import udtf
+
+    from i3cols_spark.sources.tables import register_views
+
+    @udtf(returnType="word: string, word_len: long")
+    class Tokenize:
+        def eval(self, text: str):  # noqa: ANN001
+            for w in text.split(" "):
+                yield w, len(w)
+
+    register_views(spark, sf_dir, ("documents",))
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.word, t.word_len
+        FROM documents d, LATERAL tokenize_udtf(d.text) t
+        """
+    )

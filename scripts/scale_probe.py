@@ -1,0 +1,88 @@
+"""Scale probe: replicate the sf0.1 fixtures 10× (offset keys) into a
+~sf1 dataset under /tmp and measure how the headline plans scale —
+the local stand-in for the "would this hold at 1000×?" question.
+
+Derived purely from the driver fixtures (no new synthesis semantics);
+writes only under /tmp.  Usage: python scripts/scale_probe.py
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from i3cols_spark.session import get_spark
+from i3cols_spark.sources.tables import TABLES, table
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/i3cols_scale/sf1"
+COPIES = 10
+KEY_OFFSET = 10_000_000
+
+PROBES = [
+    "q_filter_compound",
+    "q_join_sortmerge",
+    "q_join_multiway_star",
+    "q_agg_groupby",
+    "q_window_topk_pergroup",
+    "q_dedup_exact",
+    "q_dedup_near_minhash",
+    "q_similarity_pairs_threshold",
+    "q_stream_tumbling",
+]
+
+
+def build(spark) -> None:
+    os.makedirs(DST, exist_ok=True)
+    dims = ("region", "nation", "customer", "supplier", "part")
+    for name in dims:
+        table(spark, SRC, name).write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
+
+    def replicate(name, offsets):
+        base = spark.read.parquet(f"{SRC}/{name}.parquet")
+        out = None
+        for k in range(COPIES):
+            df = base
+            for col in offsets:
+                df = df.withColumn(col, F.col(col) + k * KEY_OFFSET)
+            out = df if out is None else out.unionByName(df)
+        out.write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
+
+    replicate("orders", ["o_orderkey"])
+    replicate("lineitem", ["l_orderkey"])
+    replicate("events", ["event_id"])      # ts untouched: density ×10
+    replicate("documents", ["doc_id"])     # texts repeat → real dups
+    replicate("embeddings", ["vec_id"])
+
+
+def main() -> None:
+    spark = get_spark("scale-probe", cpus=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(f"{DST}/lineitem.parquet"):
+        t0 = time.time()
+        build(spark)
+        print(f"# built {DST} in {time.time()-t0:.0f}s", file=sys.stderr)
+
+    from i3cols_spark.operators import QUERIES
+
+    print(f"{'query':32s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>6s}")
+    for name in PROBES:
+        QUERIES[name](spark, SRC).collect()  # warm
+        t0 = time.perf_counter()
+        QUERIES[name](spark, SRC).collect()
+        small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n = len(QUERIES[name](spark, DST).collect())
+        big = time.perf_counter() - t0
+        print(f"{name:32s} {small:8.2f} {big:8.2f} {big/small:6.1f}  ({n} rows)")
+
+
+if __name__ == "__main__":
+    main()
+    shutil  # noqa: B018  (import kept for manual cleanup use)
