@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from i3cols_spark.operators.registry import query
-from i3cols_spark.sources.tables import register_views, table
+from i3cols_spark.sources.tables import table
 
 _HOUR_US = 3_600_000_000
 _Q15_US = 900_000_000

@@ -83,6 +83,9 @@ def main() -> None:
         print(f"{name:32s} {small:8.2f} {big:8.2f} {big/small:6.1f}  ({n} rows)")
 
 
+def cleanup() -> None:
+    shutil.rmtree("/tmp/i3cols_scale", ignore_errors=True)
+
+
 if __name__ == "__main__":
     main()
-    shutil  # noqa: B018  (import kept for manual cleanup use)
