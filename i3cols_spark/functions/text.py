@@ -44,11 +44,16 @@ def minhash_signature(shingle_arr: Column, num_perm: int = 32) -> Column:
     fixed-seed requirement of SURVEY §7).  Each element is an in-row
     ``aggregate`` (min-reduce): zero shuffles for the whole signature.
     """
-    def min_hash_for(j: int):
-        def step(acc, s):
-            return F.least(acc, F.xxhash64(F.lit(j), s))
+    # One string hash per shingle; per-permutation salting runs on the
+    # fixed-width long (same trick as operators/dedup.py — the string
+    # re-hash per permutation dominates otherwise).
+    base_hashes = F.transform(shingle_arr, lambda s: F.xxhash64(s))
 
-        return F.aggregate(shingle_arr, F.lit(2**63 - 1).cast("long"), step)
+    def min_hash_for(j: int):
+        def step(acc, h):
+            return F.least(acc, F.xxhash64(F.lit(j), h))
+
+        return F.aggregate(base_hashes, F.lit(2**63 - 1).cast("long"), step)
 
     return F.array(*[min_hash_for(j) for j in range(num_perm)])
 

@@ -87,10 +87,16 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle, and the plan never carries a giant nested-HOF expression
     # through a join (which Catalyst would otherwise inline and
     # re-evaluate per join side — measured 8× blowup).
-    sh_rows = docs.select("doc_id", F.explode("sh").alias("shingle"))
+    # Hash each shingle string ONCE to a long, then derive the per-
+    # permutation hashes by salting the long — 32 fixed-width hashes
+    # per row instead of 32 full string hashes (profiled: the string
+    # re-hash was ~80% of the query).
+    sh_rows = docs.select("doc_id", F.explode("sh").alias("shingle")).select(
+        "doc_id", F.xxhash64("shingle").alias("sh_hash")
+    )
     sig = sh_rows.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"h{j}")
+            F.min(F.xxhash64(F.lit(j), F.col("sh_hash"))).alias(f"h{j}")
             for j in range(num_perm)
         ]
     )
