@@ -25,16 +25,18 @@ DST = "/tmp/i3cols_scale/sf1"
 COPIES = 10
 KEY_OFFSET = 10_000_000
 
+# Heavy-output probes LAST: the session is shared, and GC pressure from
+# a 6 M-row materialization skews whatever runs next.
 PROBES = [
-    "q_filter_compound",
-    "q_join_sortmerge",
-    "q_join_multiway_star",
     "q_agg_groupby",
     "q_window_topk_pergroup",
     "q_dedup_exact",
+    "q_stream_tumbling",
+    "q_join_multiway_star",
+    "q_filter_compound",
+    "q_join_sortmerge",
     "q_dedup_near_minhash",
     "q_similarity_pairs_threshold",
-    "q_stream_tumbling",
 ]
 
 
@@ -71,15 +73,20 @@ def main() -> None:
 
     from i3cols_spark.operators import QUERIES
 
+    def run(name: str, sf: str) -> float:
+        # noop sink: full engine-side materialization without the
+        # driver-transfer cost (collecting 6 M rows to Python measures
+        # py4j/Arrow serialization, not the plan).
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
     print(f"{'query':32s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>6s}")
     for name in PROBES:
-        QUERIES[name](spark, SRC).collect()  # warm
-        t0 = time.perf_counter()
-        QUERIES[name](spark, SRC).collect()
-        small = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        n = len(QUERIES[name](spark, DST).collect())
-        big = time.perf_counter() - t0
+        run(name, SRC)  # warm
+        small = run(name, SRC)
+        big = run(name, DST)
+        n = QUERIES[name](spark, DST).count()
         print(f"{name:32s} {small:8.2f} {big:8.2f} {big/small:6.1f}  ({n} rows)")
 
 
