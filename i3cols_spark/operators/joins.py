@@ -252,10 +252,12 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: TPC-H-Q5-shaped star join (scan+filter+join+agg).
 
-    region→nation→customer broadcast down the dimension chain; the
-    only shuffles are lineitem⋈orders (the two fact tables) and the
-    final partial+final hash aggregate on n_name — the plan a
-    1000-executor cluster wants.
+    region and nation are broadcast unconditionally (dims bounded by
+    geography).  customer GROWS with scale factor, so facts⋈dims is
+    deliberately left to AQE: at small SF it converts to broadcast at
+    runtime; at 100 TB it stays a shuffled join — a hard-coded
+    ``broadcast(dims)`` measured 14.5× slower at 10× data (driver-side
+    hash-table build on 1.5 M rows) and would OOM the driver at scale.
     """
     region = table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
     nation = table(spark, sf_dir, "nation")
@@ -272,7 +274,7 @@ def q_join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "l_extendedprice", "l_discount"
     )
     return (
-        facts.join(F.broadcast(dims), facts.o_custkey == dims.c_custkey)
+        facts.join(dims, facts.o_custkey == dims.c_custkey)
         .groupBy("n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
