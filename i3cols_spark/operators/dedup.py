@@ -20,8 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from i3cols_spark.functions.text import normalize, shingles, tokens
-from i3cols_spark.functions.vectors import dot, norm_l2
+from i3cols_spark.functions.text import normalize, shingle_hashes, tokens
+from i3cols_spark.functions.vectors import as_double
 from i3cols_spark.operators.registry import query
 from i3cols_spark.sources.tables import table
 
@@ -77,29 +77,34 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     num_perm, bands, rows_per_band = 32, 8, 4
     # Single-file fixture ⇒ single input split; spread the per-row
     # shingle/hash work across cores (at 100 TB the file count does it).
+    # shingle_hashes: tokens hashed once, shingle fingerprint derived
+    # from token hashes — no per-shingle string allocation (profiled:
+    # building+hashing shingle STRINGS was ~60% of the query).
     docs = (
         table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", shingles("text").alias("sh"))
+        .select("doc_id", shingle_hashes("text").alias("sh"))
     )
     # Signature via explode → hash-aggregate with 32 min() accumulators:
     # map-side partial aggregation does the min-reduce before the
     # shuffle, and the plan never carries a giant nested-HOF expression
     # through a join (which Catalyst would otherwise inline and
-    # re-evaluate per join side — measured 8× blowup).
-    # Hash each shingle string ONCE to a long, then derive the per-
-    # permutation hashes by salting the long — 32 fixed-width hashes
-    # per row instead of 32 full string hashes (profiled: the string
-    # re-hash was ~80% of the query).
-    sh_rows = docs.select("doc_id", F.explode("sh").alias("shingle")).select(
-        "doc_id", F.xxhash64("shingle").alias("sh_hash")
-    )
-    sig = sh_rows.groupBy("doc_id").agg(
+    # re-evaluate per join side — measured 8× blowup).  Per-permutation
+    # hashes salt the fixed-width shingle fingerprint.
+    sh_rows = docs.select("doc_id", F.explode("sh").alias("sh_hash"))
+    # ONE per-doc aggregation computes the 32-way signature AND keeps
+    # the hashed shingle set for the verify step: the expensive shingle
+    # HOF → explode → salted-hash stream is shuffled once, and all
+    # three consumers (banding, verify-a, verify-b) hang off the same
+    # exchange (ReusedExchange), instead of re-evaluating the lineage.
+    per_doc = sh_rows.groupBy("doc_id").agg(
+        F.collect_list("sh_hash").alias("shh"),
         *[
             F.min(F.xxhash64(F.lit(j), F.col("sh_hash"))).alias(f"h{j}")
             for j in range(num_perm)
-        ]
+        ],
     )
+    sig = per_doc
     # Band keys are xxhash64 over plain h-columns → 8 small ints per doc.
     band_entries = F.array(
         *[
@@ -141,9 +146,13 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .dropDuplicates()
     )
-    # Verify only the candidates: re-join the shingle arrays (tiny side).
-    sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # Verify only the candidates — on the HASHED shingle sets, not the
+    # strings: the long arrays shuffle ~8× fewer bytes and compare with
+    # fixed-width equality (64-bit collisions are the same negligible
+    # approximation the signature itself already accepts).  Shingles
+    # are distinct per doc, so collect_list of exploded hashes is a set.
+    sh_a = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("shh").alias("sh_a"))
+    sh_b = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("shh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
@@ -236,12 +245,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Only pairs sharing ≥1 shingle ever materialize (jaccard ≥ 0.2 ⇒
     common ≥ 1, so this is lossless), versus the O(block²) pair join
     whose per-pair array recompute measured 100× slower at sf0.1.
-    Frequent-shingle skew on the join key is AQE skew-join territory.
+    The join key is xxhash64(shingle), not the string: fixed-width
+    shuffle + compare (collision odds ~1e-10 at sf0.1 — far below the
+    float-hash tolerance of the gate).  Frequent-shingle skew on the
+    join key is AQE skew-join territory.
     """
     docs = (
         table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", "lang", shingles("text").alias("sh"))
+        .select("doc_id", "lang", shingle_hashes("text").alias("sh"))
     )
     sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
     sh_rows = docs.select("lang", "doc_id", F.explode("sh").alias("shingle"))
@@ -295,21 +307,18 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥τ neighbor (the cluster representative it would collapse into).
 
     label is the blocking key — the stand-in for an IVF coarse
-    quantizer / LSH bucket partition column at 100 TB.
+    quantizer / LSH bucket partition column at 100 TB.  Pair scoring
+    is the shared block-nested-loop GEMM (similarity.blocked_pair_sims):
+    pair rows exist only above the threshold, everything below stays
+    inside a float64 matrix multiply.
     """
-    emb = (
-        table(spark, sf_dir, "embeddings")
-        .repartition(spark.sparkContext.defaultParallelism, "label")
-        .select("vec_id", "label", "embedding", norm_l2("embedding").alias("nrm"))
-    )
-    a, b = emb.alias("a"), emb.alias("b")
-    sim = F.round(
-        dot("a.embedding", "b.embedding") / (F.col("a.nrm") * F.col("b.nrm")), 6
+    from i3cols_spark.operators.similarity import blocked_pair_sims
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
     )
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .withColumn("cos_sim", sim)
-        .filter(F.col("cos_sim") >= 0.35)
-        .groupBy(F.col("b.vec_id").alias("vec_id"))
-        .agg(F.min(F.col("a.vec_id")).alias("rep_id"))
+        blocked_pair_sims(emb, threshold=0.35)
+        .groupBy(F.col("b_id").alias("vec_id"))
+        .agg(F.min("a_id").alias("rep_id"))
     )

@@ -78,39 +78,24 @@ def q_similarity_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_similarity_pairs_threshold",
-    oracle="""
-    WITH e AS (
-        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings
-    )
-    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.25
-    """,
-)
-def q_similarity_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs with cosine ≥ 0.25, blocked by label — block-nested-loop
-    with per-cell BLAS.
+def blocked_pair_sims(emb: DataFrame, threshold: float, nchunks: int = 8) -> DataFrame:
+    """Block-nested-loop all-pairs cosine ≥ ``threshold`` with per-cell
+    BLAS — the shared engine for pair similarity and embedding dedup.
 
-    A naive blocked self-join materializes O(n²/labels) pair ROWS and
-    scores each with an interpreted per-element reduction — measured
-    47× slower at 10× data.  Instead each label block is split into
-    ``_NCHUNKS`` cells (``vec_id % _NCHUNKS``), cells are joined
-    pairwise (ci ≤ cj, so shuffle replication is bounded by _NCHUNKS,
-    never by row count), and one ``mapInPandas`` GEMM scores an entire
-    cell pair per call.  Pair rows above the threshold are the ONLY
-    per-pair data that ever exists; everything below it stays inside a
-    float64 matrix multiply.  At 100 TB: parallelism = labels × C(n,2)
-    cells, per-task memory = 2 cells, and _NCHUNKS scales with block
-    cardinality stats — the DIMSUM/block-cartesian shape.
+    Input columns: ``vec_id`` (long), ``label`` (block key), ``v``
+    (array<double>).  Output: ``a_id < b_id``, ``cos_sim`` rounded to
+    6 dp (round-then-filter, matching the SQL-oracle dialect).
+
+    Each label block is split into ``nchunks`` cells (vec_id mod);
+    cells join pairwise (ci ≤ cj) so shuffle replication is bounded by
+    the chunk count, never by row count; one ``mapInPandas`` float64
+    GEMM scores an entire cell pair per call.  Pair rows above the
+    threshold are the ONLY per-pair data that ever exists.  At 100 TB:
+    parallelism = labels × C(nchunks+1, 2) cells, per-task memory =
+    2 cells, nchunks scales with block cardinality stats — the
+    DIMSUM/block-cartesian shape.
     """
-    nchunks = 8
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double("embedding").alias("v")
-    )
+    spark = emb.sparkSession
     cells = (
         emb.withColumn("chunk", F.pmod(F.col("vec_id"), F.lit(nchunks)).cast("int"))
         .groupBy("label", "chunk")
@@ -146,7 +131,7 @@ def q_similarity_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
                 an[an == 0] = np.inf
                 bn[bn == 0] = np.inf
                 sim = np.round((av @ bv.T) / np.outer(an, bn), 6)
-                ii, jj = np.nonzero((sim >= 0.25) & (aid[:, None] != bid[None, :]))
+                ii, jj = np.nonzero((sim >= threshold) & (aid[:, None] != bid[None, :]))
                 lo = np.minimum(aid[ii], bid[jj])
                 hi = np.maximum(aid[ii], bid[jj])
                 if diag:  # same cell: (i,j) and (j,i) both present — keep one
@@ -164,6 +149,42 @@ def q_similarity_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return pairs.mapInPandas(score, "a_id bigint, b_id bigint, cos_sim double")
+
+
+@query(
+    "q_similarity_pairs_threshold",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.25
+    """,
+)
+def q_similarity_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with cosine ≥ 0.25, blocked by label — block-nested-loop
+    with per-cell BLAS.
+
+    A naive blocked self-join materializes O(n²/labels) pair ROWS and
+    scores each with an interpreted per-element reduction — measured
+    47× slower at 10× data.  Instead each label block is split into
+    ``_NCHUNKS`` cells (``vec_id % _NCHUNKS``), cells are joined
+    pairwise (ci ≤ cj, so shuffle replication is bounded by _NCHUNKS,
+    never by row count), and one ``mapInPandas`` GEMM scores an entire
+    cell pair per call.  Pair rows above the threshold are the ONLY
+    per-pair data that ever exists; everything below it stays inside a
+    float64 matrix multiply.  At 100 TB: parallelism = labels × C(n,2)
+    cells, per-task memory = 2 cells, and _NCHUNKS scales with block
+    cardinality stats — the DIMSUM/block-cartesian shape (see
+    ``blocked_pair_sims``).
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    return blocked_pair_sims(emb, threshold=0.25)
 
 
 @query(
