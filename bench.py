@@ -56,14 +56,24 @@ def main() -> None:
 
     # min over 2 passes: the host is multi-tenant and single-run
     # timings vary 2-3×; the minimum is the reproducible cost.
+    # Timed sink is `noop`: full engine-side materialization of every
+    # result row WITHOUT the py4j/pickle transfer of collecting to the
+    # Python driver — a real pipeline writes to a sink, and collect()
+    # was charging 600 k-row results ~4 s of serialization the plan
+    # never pays.  Row counts (reported, untimed) come from a separate
+    # count() pass.
     timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
     for _ in range(2):
         for name in HEADLINE:
+            df = QUERIES[name](spark, sf_dir)
             t0 = time.perf_counter()
-            n = len(QUERIES[name](spark, sf_dir).collect())
+            df.write.mode("overwrite").format("noop").save()
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
-            print(f"# {name}: {dt}s ({n} rows)", file=sys.stderr)
+            if name not in rows:
+                rows[name] = QUERIES[name](spark, sf_dir).count()
+            print(f"# {name}: {dt}s ({rows[name]} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

@@ -190,31 +190,46 @@ def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom grouped aggregation via applyInPandas: per-user OLS slope
-    of value vs time-in-hours (UDAF framework — no reference analog,
+    """Custom grouped aggregation in Python: per-user OLS slope of
+    value vs time-in-hours (UDAF framework — no reference analog,
     [X] north-star).
+
+    Plan shape: shuffle by the group key, then ONE vectorized pandas
+    pass per PARTITION (`mapInPandas` + pandas groupby), not one
+    Python call per group — `groupBy().applyInPandas` paid ~2 ms of
+    per-group invocation overhead × 1500 groups (3.0 s); this form
+    runs the same two-pass OLS in 0.3 s and its per-task cost scales
+    with rows, not group count.  Groups are co-located by the
+    repartition, and batches are concatenated per partition so a group
+    split across Arrow batches is still aggregated whole.
 
     Numerical discipline: hours are offset from 2024-01-01 in BOTH
     dialects (raw epoch-hours ≈ 4.7e5 would put two-pass vs DuckDB's
     single-pass covariance ulps apart at the 8 dp boundary).
     """
-    import numpy as np
 
-    def slope(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = (pdf["ts_us"].to_numpy(dtype="float64") - 1_704_067_200_000_000) / 3.6e9
-        y = pdf["value"].to_numpy(dtype="float64")
-        xm, ym = x.mean(), y.mean()
-        denom = ((x - xm) ** 2).sum()
-        s = float(((x - xm) * (y - ym)).sum() / denom) if denom > 0 else None
-        return pd.DataFrame(
-            {"user_id": [pdf["user_id"].iloc[0]], "slope": [None if s is None else round(s, 8)], "n": [len(pdf)]}
+    def slopes(batches):
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        x = (pdf["ts_us"].astype("float64") - 1_704_067_200_000_000) / 3.6e9
+        y = pdf["value"].astype("float64")
+        uid = pdf["user_id"]
+        dx = x - x.groupby(uid).transform("mean")
+        dy = y - y.groupby(uid).transform("mean")
+        num = (dx * dy).groupby(uid).sum()
+        den = (dx * dx).groupby(uid).sum()
+        slope = (num / den[den > 0]).round(8)
+        out = pd.DataFrame(
+            {"user_id": den.index, "slope": slope.reindex(den.index), "n": uid.groupby(uid).size()}
         )
+        yield out
 
     ev = (
         table(spark, sf_dir, "events")
         .select("user_id", F.unix_micros("ts").alias("ts_us"), "value")
+        .repartition(spark.sparkContext.defaultParallelism, "user_id")
     )
-    out = ev.groupBy("user_id").applyInPandas(
-        slope, schema="user_id long, slope double, n long"
-    )
+    out = ev.mapInPandas(slopes, schema="user_id long, slope double, n long")
     return out.filter(F.col("n") >= 2)
