@@ -17,13 +17,30 @@ Scale design (the reason each variant exists):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from i3cols_spark.functions.text import normalize, shingle_hashes, tokens
 from i3cols_spark.functions.vectors import as_double
 from i3cols_spark.operators.registry import query
 from i3cols_spark.sources.tables import table
+
+
+def _pair_structs(ids: Column) -> Column:
+    """All ordered pairs (a<b by position) of a sorted id array, as an
+    array of (doc_a, doc_b) structs — in-row pair expansion for small
+    groups/buckets, avoiding a self-join.  Pass a plain column
+    reference (an expression argument would be re-evaluated per
+    element by Catalyst)."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, 1_000_000),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
 
 
 @query(
@@ -132,17 +149,8 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, 1_000_000),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
     cand = (
-        buckets.select(F.explode(pair_structs).alias("p"))
+        buckets.select(F.explode(_pair_structs(F.col("ids"))).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .dropDuplicates()
     )
@@ -239,49 +247,91 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximates — expressed relationally so DuckDB can check it.
     Jaccard = int/int division → bit-identical, no rounding.
 
-    Plan: inverted-index (sparse) similarity join — explode distinct
-    shingles, equi-join on (lang, shingle), count common shingles per
-    pair, then derive |union| = |a|+|b|-common from per-doc sizes.
-    Only pairs sharing ≥1 shingle ever materialize (jaccard ≥ 0.2 ⇒
-    common ≥ 1, so this is lossless), versus the O(block²) pair join
-    whose per-pair array recompute measured 100× slower at sf0.1.
-    The join key is xxhash64(shingle), not the string: fixed-width
-    shuffle + compare (collision odds ~1e-10 at sf0.1 — far below the
-    float-hash tolerance of the gate).  Frequent-shingle skew on the
-    join key is AQE skew-join territory.
+    Plan, outside-in:
+      1. COLLAPSE EXACT DUPLICATES first: group docs by (lang,
+         xxhash64(normalized text)).  Near-dup pair enumeration is
+         quadratic in the number of *distinct* texts — collapsing
+         before the index means a duplication factor of d shrinks the
+         quadratic term d², leaving only output-bound expansion
+         (measured: the uncollapsed index was 13.7× slower at 10×
+         replicated data; this form is ~1×).  This is the standard
+         production order: exact dedup before near-dedup.
+      2. Inverted-index (sparse) similarity join over one
+         REPRESENTATIVE per group — explode distinct shingles,
+         equi-join on (lang, shingle), count common shingles per rep
+         pair, derive |union| = |a|+|b|-common from per-rep sizes.
+         Only pairs sharing ≥1 shingle materialize (jaccard ≥ 0.2 ⇒
+         common ≥ 1: lossless), versus the O(block²) pair join whose
+         per-pair array recompute measured 100× slower.  Shingle
+         identity is the 64-bit token-hash fingerprint — fixed-width
+         shuffle + compare.  Frequent-shingle skew on the join key is
+         AQE skew-join territory.
+      3. EXPAND back to doc pairs: rep-pair jaccard applies to every
+         (member_a, member_b) combo; intra-group pairs are exactly
+         1.0 (identical shingle sets).  Both expansions are pure
+         output materialization.
     """
-    docs = (
-        table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", "lang", shingle_hashes("text").alias("sh"))
+    docs0 = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
     )
-    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
-    sh_rows = docs.select("lang", "doc_id", F.explode("sh").alias("shingle"))
+    grp = (
+        docs0.groupBy("lang", F.xxhash64(normalize("text")).alias("th"))
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.sort_array(F.collect_list("doc_id")).alias("ids"),
+            F.first("text").alias("text"),
+        )
+        .select("lang", "rep", "ids", shingle_hashes("text").alias("sh"))
+    )
+    sizes = grp.select("rep", F.size("sh").alias("n_sh"))
+    sh_rows = grp.select("lang", "rep", F.explode("sh").alias("shingle"))
     a, b = sh_rows.alias("a"), sh_rows.alias("b")
     common = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.rep") < F.col("b.rep")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(F.col("a.rep").alias("rep_a"), F.col("b.rep").alias("rep_b"))
         .agg(F.count("*").alias("common"))
     )
-    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    sz_a = sizes.select(F.col("rep").alias("rep_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("rep").alias("rep_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("common")
     )
     # sizes joins: AQE broadcasts them when small; no hint because at
-    # 100 TB the per-doc sizes side is itself large (one row per doc).
-    return (
-        common.join(sz_a, "doc_a")
-        .join(sz_b, "doc_b")
+    # 100 TB the per-rep sizes side is itself large (one row per text).
+    rep_pairs = (
+        common.join(sz_a, "rep_a")
+        .join(sz_b, "rep_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.2)
-        .select("doc_a", "doc_b", "jaccard")
+        .select("rep_a", "rep_b", "jaccard")
     )
+    mem = grp.select("rep", "ids")
+    cross = (
+        rep_pairs.join(mem.select(F.col("rep").alias("rep_a"), F.col("ids").alias("ids_a")), "rep_a")
+        .join(mem.select(F.col("rep").alias("rep_b"), F.col("ids").alias("ids_b")), "rep_b")
+        .select(F.explode("ids_a").alias("da"), "ids_b", "jaccard")
+        .select("da", F.explode("ids_b").alias("db"), "jaccard")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    intra = (
+        grp.filter(F.size("ids") >= 2)
+        .select(F.explode(_pair_structs(F.col("ids"))).alias("p"))
+        .select(
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 @query(

@@ -32,9 +32,16 @@ PROBES = [
     "q_window_topk_pergroup",
     "q_dedup_exact",
     "q_stream_tumbling",
+    "q_stream_session",
+    "q_udaf_grouped",
+    "q_tfidf_topterms",
+    "q_dedup_simhash",
+    "q_dedup_embedding",
+    "q_similarity_ann_lsh",
     "q_join_multiway_star",
     "q_filter_compound",
     "q_join_sortmerge",
+    "q_dedup_ngram_jaccard",
     "q_dedup_near_minhash",
     "q_similarity_pairs_threshold",
 ]
@@ -83,7 +90,8 @@ def main() -> None:
 
     print(f"{'query':32s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>6s}")
     for name in PROBES:
-        run(name, SRC)  # warm
+        run(name, SRC)  # warm ×2: wide-join codegen takes ~3 runs to JIT
+        run(name, SRC)
         small = run(name, SRC)
         big = run(name, DST)
         n = QUERIES[name](spark, DST).count()
