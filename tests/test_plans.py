@@ -103,6 +103,54 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     assert re.search(r"\(\d+\) Exchange\b", explain_str(nb))
 
 
+def test_star_join_leaves_fact_dim_join_to_aqe(spark, sf_dir):
+    """The facts⋈dims side must NOT carry a hard broadcast hint: the
+    customer-side dim grows with scale factor, and a pinned broadcast
+    measured 14.5× slower at 10× data (driver-side hash build) and
+    OOMs at real scale.  The logical plan may contain the geo-dim
+    (nation×region) hint only — i.e. at most the joins Catalyst was
+    explicitly told about, with the big join left to runtime sizing."""
+    df = QUERIES["q_join_multiway_star"](spark, sf_dir)
+    logical = df._jdf.queryExecution().logical().toString()
+    import re
+
+    hints = re.findall(r"UnresolvedHint broadcast", logical)
+    assert len(hints) <= 2, f"fact-dim join must be AQE's call:\n{logical}"
+
+
+def test_pair_similarity_is_cell_gemm_not_row_join(spark, sf_dir):
+    """Pair scoring must stay the block-nested-loop GEMM: a per-pair
+    row join (interpreted HOF dot per pair) measured 47× slower at 10×
+    data.  The plan shape that guarantees it: one MapInPandas (the
+    cell scorer) and no per-row join expansion after it."""
+    for q in ("q_similarity_pairs_threshold", "q_dedup_embedding"):
+        plan = explain_str(QUERIES[q](spark, sf_dir))
+        assert "MapInPandas" in plan, q
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_python_udaf_aggregates_per_partition_not_per_group(spark, sf_dir):
+    """The custom UDAF must be mapInPandas after a shuffle-by-key, not
+    groupBy().applyInPandas (FlatMapGroupsInPandas): per-group Python
+    invocation measured ~2 ms × group overhead, and its cost scales
+    with group count instead of rows."""
+    plan = explain_str(QUERIES["q_udaf_grouped"](spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_ngram_jaccard_collapses_exact_dups_first(spark, sf_dir):
+    """The inverted index must run on distinct texts: two aggregates
+    before the self-join (the (lang, text-hash) collapse plus the
+    common-shingle count), with the text-hash grouping visible in the
+    plan.  Without the collapse, a duplication factor of d multiplies
+    the quadratic pair term by d² (measured 13.7× at 10× data)."""
+    plan = explain_str(QUERIES["q_dedup_ngram_jaccard"](spark, sf_dir))
+    assert "xxhash64" in plan
+    assert plan.count("HashAggregate") >= 4  # collapse + common, partial+final
+
+
 def test_salted_join_matches_plain_join(spark, sf_dir):
     from i3cols_spark.sources.ingest import salted_join
     from i3cols_spark.sources.tables import table
