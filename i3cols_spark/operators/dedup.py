@@ -78,14 +78,23 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs, verified by true Jaccard.
 
     Pipeline (SURVEY §2.3-E shingle→minhash→band→bucket-join):
-      1. 3-word shingles per doc → 32-perm MinHash signature → 8 band
-         keys (banding tuned so P[miss | jaccard ≥ 0.9] < 2e-4);
-      2. explode band keys (8 rows/doc) → self-join on (band, bkey):
-         only hash-colliding docs meet — the pair space is the
+      0. COLLAPSE EXACT DUPLICATES by normalized-text hash first:
+         identical texts share every band key and verify at jaccard
+         exactly 1.0, so running LSH over one representative per
+         distinct text and expanding group pairs afterwards is
+         semantics-preserving — and the quadratic candidate space
+         shrinks by the duplication factor squared;
+      1. 3-word shingles per distinct text → 32-perm MinHash signature
+         → 8 band keys (banding tuned so P[miss | jaccard ≥ 0.9] <
+         2e-4);
+      2. explode band keys (8 rows/text) → bucket by (band, bkey):
+         only hash-colliding texts meet — the pair space is the
          collision space, not n²;
       3. verify candidates with exact shingle Jaccard (array_intersect
-         / array_union, re-joined only for the few candidates) and
-         keep jaccard ≥ 0.5.
+         / array_union over the hashed shingle sets, re-joined only
+         for the few candidates), keep jaccard ≥ 0.5;
+      4. expand rep pairs to member pairs + intra-group pairs at 1.0
+         (both output-bound).
 
     Deterministic (fixed xxhash64 salts) but not SQL-expressible in
     DuckDB → driver records rows-only; tests/test_properties.py checks
@@ -97,11 +106,15 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle_hashes: tokens hashed once, shingle fingerprint derived
     # from token hashes — no per-shingle string allocation (profiled:
     # building+hashing shingle STRINGS was ~60% of the query).
-    docs = (
-        table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", shingle_hashes("text").alias("sh"))
+    docs0 = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
     )
+    grp = docs0.groupBy(F.xxhash64(normalize("text")).alias("th")).agg(
+        F.min("doc_id").alias("rep"),
+        F.sort_array(F.collect_list("doc_id")).alias("ids"),
+        F.first("text").alias("text"),
+    )
+    docs = grp.select(F.col("rep").alias("doc_id"), shingle_hashes("text").alias("sh"))
     # Signature via explode → hash-aggregate with 32 min() accumulators:
     # map-side partial aggregation does the min-reduce before the
     # shuffle, and the plan never carries a giant nested-HOF expression
@@ -164,13 +177,38 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
-    return (
+    rep_pairs = (
         cand.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "jaccard")
+        .select(F.col("doc_a").alias("rep_a"), F.col("doc_b").alias("rep_b"), "jaccard")
     )
+    # Expand back to member pairs: rep-pair jaccard holds for every
+    # cross combo (identical shingle sets within a group); intra-group
+    # pairs are exactly 1.0.  Pure output materialization.
+    mem = grp.select("rep", "ids")
+    cross = (
+        rep_pairs.join(mem.select(F.col("rep").alias("rep_a"), F.col("ids").alias("ids_a")), "rep_a")
+        .join(mem.select(F.col("rep").alias("rep_b"), F.col("ids").alias("ids_b")), "rep_b")
+        .select(F.explode("ids_a").alias("da"), "ids_b", "jaccard")
+        .select("da", F.explode("ids_b").alias("db"), "jaccard")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    intra = (
+        grp.filter(F.size("ids") >= 2)
+        .select(F.explode(_pair_structs(F.col("ids"))).alias("p"))
+        .select(
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 @query("q_dedup_simhash")  # xxhash64-based sketch → rows-only
