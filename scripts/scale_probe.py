@@ -1,9 +1,16 @@
-"""Scale probe: replicate the sf0.1 fixtures 10× (offset keys) into a
-~sf1 dataset under /tmp and measure how the headline plans scale —
+"""Scale probe: replicate the sf0.1 fixtures N× (offset keys) into a
+larger dataset under /tmp and measure how the headline plans scale —
 the local stand-in for the "would this hold at 1000×?" question.
 
 Derived purely from the driver fixtures (no new synthesis semantics);
-writes only under /tmp.  Usage: python scripts/scale_probe.py
+writes only under /tmp.
+
+Usage:
+    python scripts/scale_probe.py                 # 10×, all 16 plans
+    python scripts/scale_probe.py 100             # 100× documents +
+                                                  # embeddings, pair-
+                                                  # family plans only
+    python scripts/scale_probe.py 10 q_agg_groupby ...   # subset
 """
 
 from __future__ import annotations
@@ -21,8 +28,8 @@ from i3cols_spark.session import get_spark
 from i3cols_spark.sources.tables import TABLES, table
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/i3cols_scale/sf1"
-COPIES = 10
+COPIES = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+DST = f"/tmp/i3cols_scale/x{COPIES}"
 KEY_OFFSET = 10_000_000
 
 # Heavy-output probes LAST: the session is shared, and GC pressure from
@@ -46,12 +53,22 @@ PROBES = [
     "q_similarity_pairs_threshold",
 ]
 
+# Past 10× only the documents/embeddings tables are replicated (the
+# relational facts already probed linear at 10×; the pair-family ops
+# are the ones with quadratic failure modes worth pushing further).
+PAIR_FAMILY = [
+    "q_dedup_exact",
+    "q_dedup_simhash",
+    "q_dedup_embedding",
+    "q_similarity_ann_lsh",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_near_minhash",
+    "q_similarity_pairs_threshold",
+]
+
 
 def build(spark) -> None:
     os.makedirs(DST, exist_ok=True)
-    dims = ("region", "nation", "customer", "supplier", "part")
-    for name in dims:
-        table(spark, SRC, name).write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
 
     def replicate(name, offsets):
         base = spark.read.parquet(f"{SRC}/{name}.parquet")
@@ -63,11 +80,16 @@ def build(spark) -> None:
             out = df if out is None else out.unionByName(df)
         out.write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
 
-    replicate("orders", ["o_orderkey"])
-    replicate("lineitem", ["l_orderkey"])
-    replicate("events", ["event_id"])      # ts untouched: density ×10
     replicate("documents", ["doc_id"])     # texts repeat → real dups
     replicate("embeddings", ["vec_id"])
+    if COPIES <= 10:
+        for name in ("region", "nation", "customer", "supplier", "part"):
+            table(spark, SRC, name).write.mode("overwrite").parquet(
+                f"{DST}/{name}.parquet"
+            )
+        replicate("orders", ["o_orderkey"])
+        replicate("lineitem", ["l_orderkey"])
+        replicate("events", ["event_id"])  # ts untouched: density ×N
 
 
 def main() -> None:
@@ -88,8 +110,9 @@ def main() -> None:
         QUERIES[name](spark, sf).write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
 
-    print(f"{'query':32s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>6s}")
-    for name in PROBES:
+    probes = sys.argv[2:] or (PROBES if COPIES <= 10 else PAIR_FAMILY)
+    print(f"{'query':32s} {'sf0.1':>8s} {f'x{COPIES}':>8s} {'ratio':>6s}")
+    for name in probes:
         run(name, SRC)  # warm ×2: wide-join codegen takes ~3 runs to JIT
         run(name, SRC)
         small = run(name, SRC)
