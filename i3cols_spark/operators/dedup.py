@@ -204,19 +204,26 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     check (no DuckDB xxhash64).  At scale the sketch column is 8 bytes
     per doc — the join input shrinks by ~1000× vs raw text.
 
-    Plan: token explode → one hash-aggregate with 64 sum() vote
-    accumulators (map-side combined), then the bit assembly on the
-    64 plain columns — same no-giant-HOF rule as the MinHash query
-    (functions.text.simhash64 keeps the per-row expression form for
-    embedding in other pipelines).
+    Plan: collapse exact duplicates by normalized-text hash (identical
+    token multisets ⇒ identical sketch — compute each distinct text's
+    votes once, then explode the member list back out), token explode
+    → one hash-aggregate with 64 sum() vote accumulators (map-side
+    combined), then the bit assembly on the 64 plain columns — same
+    no-giant-HOF rule as the MinHash query (functions.text.simhash64
+    keeps the per-row expression form for embedding in other
+    pipelines).
     """
-    docs = table(spark, sf_dir, "documents").repartition(
+    docs0 = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    tok_rows = docs.select("doc_id", F.explode(tokens("text")).alias("tok")).select(
-        "doc_id", F.xxhash64("tok").alias("h")
+    grp = docs0.groupBy(F.xxhash64(normalize("text")).alias("th")).agg(
+        F.collect_list("doc_id").alias("ids"),
+        F.first("text").alias("text"),
     )
-    votes = tok_rows.groupBy("doc_id").agg(
+    tok_rows = grp.select("th", F.explode(tokens("text")).alias("tok")).select(
+        "th", F.xxhash64("tok").alias("h")
+    )
+    votes = tok_rows.groupBy("th").agg(
         *[
             F.sum(
                 F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -228,7 +235,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in range(64):
         bit_value = F.lit(2**b if b < 63 else -(2**63)).cast("long")
         sim = sim + F.when(F.col(f"v{b}") >= 0, bit_value).otherwise(F.lit(0).cast("long"))
-    out = votes.select("doc_id", sim.alias("simhash"))
+    sketches = votes.select("th", sim.alias("simhash"))
+    out = (
+        grp.select("th", "ids")
+        .join(sketches, "th")
+        .select(F.explode("ids").alias("doc_id"), "simhash")
+    )
     for b in range(4):
         out = out.withColumn(
             f"band{b}",
