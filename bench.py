@@ -54,8 +54,10 @@ def main() -> None:
     # Warm the JVM + parquet footers once (not measured): tiny scan.
     QUERIES["q_topk"](spark, sf_dir).collect()
 
-    # min over 2 passes: the host is multi-tenant and single-run
-    # timings vary 2-3×; the minimum is the reproducible cost.
+    # min over 3 passes: the host is multi-tenant and single-run
+    # timings vary 2-3×; the minimum is the reproducible cost (pass 1
+    # also pays each query's whole-stage-codegen compile, so only the
+    # later passes measure the steady-state plan).
     # Timed sink is `noop`: full engine-side materialization of every
     # result row WITHOUT the py4j/pickle transfer of collecting to the
     # Python driver — a real pipeline writes to a sink, and collect()
@@ -64,7 +66,7 @@ def main() -> None:
     # count() pass.
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in HEADLINE:
             df = QUERIES[name](spark, sf_dir)
             t0 = time.perf_counter()

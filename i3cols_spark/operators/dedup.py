@@ -317,10 +317,20 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("lang", "rep", "ids", shingle_hashes("text").alias("sh"))
     )
-    sizes = grp.select("rep", F.size("sh").alias("n_sh"))
-    sh_rows = grp.select("lang", "rep", F.explode("sh").alias("shingle"))
+    # Per-rep shingle count rides ALONG the exploded rows instead of
+    # being a separate `grp` consumer: the expensive shingle_hashes
+    # projection then has exactly ONE evaluation site — the self-join
+    # sides are structurally identical subplans, so ReuseExchange
+    # computes them once — and the two per-rep size joins disappear
+    # (|union| = n_a + n_b - common from columns already in the agg).
+    sh_rows = grp.select(
+        "lang", "rep", F.size("sh").alias("n"), F.explode("sh").alias("shingle")
+    )
     a, b = sh_rows.alias("a"), sh_rows.alias("b")
-    common = (
+    jac = F.col("common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("common")
+    )
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
@@ -328,18 +338,11 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.rep") < F.col("b.rep")),
         )
         .groupBy(F.col("a.rep").alias("rep_a"), F.col("b.rep").alias("rep_b"))
-        .agg(F.count("*").alias("common"))
-    )
-    sz_a = sizes.select(F.col("rep").alias("rep_a"), F.col("n_sh").alias("n_a"))
-    sz_b = sizes.select(F.col("rep").alias("rep_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("common").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("common")
-    )
-    # sizes joins: AQE broadcasts them when small; no hint because at
-    # 100 TB the per-rep sizes side is itself large (one row per text).
-    rep_pairs = (
-        common.join(sz_a, "rep_a")
-        .join(sz_b, "rep_b")
+        .agg(
+            F.count("*").alias("common"),
+            F.first("a.n").alias("n_a"),
+            F.first("b.n").alias("n_b"),
+        )
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.2)
         .select("rep_a", "rep_b", "jaccard")
