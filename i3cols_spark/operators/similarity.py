@@ -1,6 +1,6 @@
 """§2.3-E — similarity search over the embeddings table.
 
-Three tiers, matching how ANN scales from correctness to 100 TB:
+Four tiers, matching how ANN scales from correctness to 100 TB:
   * brute-force top-k   — exact baseline; O(n) per query, scan-bound.
   * threshold pair join — blocked by label (bounded pair space).
   * LSH-bucketed ANN    — random-hyperplane buckets; at scale the
@@ -9,6 +9,11 @@ Three tiers, matching how ANN scales from correctness to 100 TB:
     constants (seeded, embedded in BOTH the Spark expression and the
     SQL oracle) so the approximate result is still deterministic and
     oracle-checkable.
+  * IVF coarse-quantized ANN — data-dependent cells (each vector
+    clusters to its nearest centroid); a query probes only the few
+    cells nearest its own vector.  Centroid selection is a
+    deterministic stride sample so the cell structure — and therefore
+    the approximate answer — is reproducible in the SQL oracle.
 """
 
 from __future__ import annotations
@@ -272,6 +277,124 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "bucket",
             F.round(cosine("embedding", "qv"), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+#: IVF coarse-quantizer parameters: centroids are the deterministic
+#: stride sample ``vec_id % _IVF_STRIDE == 1`` (≈ n/31 cells), queries
+#: probe the `_IVF_NPROBE` cells nearest the query vector.
+_IVF_STRIDE = 31
+_IVF_NPROBE = 4
+
+
+@query(
+    "q_similarity_ann_ivf",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {_IVF_STRIDE} = 1),
+    asg AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                                c.cid
+                   ) AS rn
+            FROM e, c
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    probe AS (
+        SELECT cid FROM c, q
+        ORDER BY round(list_cosine_similarity(cv, qv), 6) DESC, cid
+        LIMIT {_IVF_NPROBE}
+    )
+    SELECT a.vec_id, a.cid AS cell,
+           round(list_cosine_similarity(a.v, q.qv), 6) AS cos_sim
+    FROM asg a, q
+    WHERE a.cid IN (SELECT cid FROM probe) AND a.vec_id <> 0
+    ORDER BY cos_sim DESC, a.vec_id
+    LIMIT 5
+    """,
+)
+def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via IVF coarse quantization: assign every
+    vector to its nearest centroid cell, probe only the ``_IVF_NPROBE``
+    cells nearest the query vector (~nprobe/ncells of the data).
+
+    Centroids are a deterministic stride sample (``vec_id % 31 == 1``
+    — a k-means step would improve recall but break oracle
+    determinism; the cell/probe machinery is identical).  The centroid
+    set is O(n/31) and collected to the driver — in a real IVF index
+    centroids are O(√n) by construction and always fit; they ride to
+    executors inside the assignment kernel's closure (one broadcast).
+
+    Assignment is ONE float64 GEMM per Arrow batch (``mapInPandas``:
+    rows × centroid-matrix, argmax per row with smallest-cid
+    tie-break after 6 dp rounding — the exact comparator the SQL
+    oracle's ``row_number`` uses).  Cell filtering happens BEFORE any
+    query-distance math, so only ~nprobe/ncells of the vectors ever
+    reach the (codegen'd, JVM-side) cosine; at 100 TB the cell id is
+    written as a partition column (sources.ingest partitionBy) and the
+    probe filter becomes partition pruning — the scan itself skips
+    (ncells - nprobe)/ncells of the bytes, which is the entire point
+    of IVF.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.filter(F.col("vec_id") % _IVF_STRIDE == 1)
+        .select("vec_id", as_double("embedding").alias("v"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    cid = np.array([r["vec_id"] for r in cents], dtype=np.int64)
+    cmat = np.array([r["v"] for r in cents], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0] = np.inf
+    qrow = emb.filter(F.col("vec_id") == 0).select(as_double("embedding")).head()
+    qv = np.asarray(qrow[0], dtype=np.float64)
+    qnorm = np.linalg.norm(qv) or np.inf
+
+    # Probe selection runs on the driver over the (small) centroid set:
+    # nearest _IVF_NPROBE cells by rounded cosine, smallest-cid tiebreak.
+    qsim = np.round((cmat @ qv) / (cnorm * qnorm), 6)
+    order = np.lexsort((cid, -qsim))
+    probed = [int(x) for x in cid[order[:_IVF_NPROBE]]]
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vmat = np.array(pdf["v"].tolist(), dtype=np.float64)
+            vnorm = np.linalg.norm(vmat, axis=1)
+            vnorm[vnorm == 0] = np.inf
+            sims = np.round((vmat @ cmat.T) / np.outer(vnorm, cnorm), 6)
+            # cid is sorted ascending, argmax keeps the first maximum —
+            # i.e. the smallest centroid id on rounded-sim ties.
+            cell = cid[np.argmax(sims, axis=1)]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": cell, "v": pdf["v"]}
+            )
+
+    assigned = emb.select("vec_id", as_double("embedding").alias("v")).mapInPandas(
+        assign, "vec_id bigint, cell bigint, v array<double>"
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    return (
+        assigned.filter((F.col("vec_id") != 0) & F.col("cell").isin(probed))
+        .select(
+            "vec_id",
+            "cell",
+            F.round(cosine("v", qlit), 6).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(5)

@@ -130,6 +130,18 @@ def test_pair_similarity_is_cell_gemm_not_row_join(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, q
 
 
+def test_ann_ivf_assignment_is_single_gemm_pass(spark, sf_dir):
+    """IVF cell assignment must be one MapInPandas GEMM over the scan
+    (centroids ride in the closure — no join against a centroid table),
+    and the final top-k must be a TakeOrderedAndProject heap, not a
+    global sort."""
+    plan = explain_str(QUERIES["q_similarity_ann_ivf"](spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_python_udaf_aggregates_per_partition_not_per_group(spark, sf_dir):
     """The custom UDAF must be mapInPandas after a shuffle-by-key, not
     groupBy().applyInPandas (FlatMapGroupsInPandas): per-group Python

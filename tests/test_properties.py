@@ -134,3 +134,20 @@ def test_ann_lsh_results_subset_of_brute_force_universe(spark, sf_dir):
     for vid, sim in ann.items():
         if vid in exact:
             assert abs(exact[vid] - sim) < 1e-9
+
+
+def test_ann_ivf_results_agree_with_exact_cosines(spark, sf_dir):
+    """IVF candidates are real vectors from probed cells; wherever a
+    candidate also appears in the exact top-k, the cosine agrees."""
+    ivf = QUERIES["q_similarity_ann_ivf"](spark, sf_dir).collect()
+    assert len(ivf) == 5
+    assert len({r["vec_id"] for r in ivf}) == 5
+    sims = [r["cos_sim"] for r in ivf]
+    assert sims == sorted(sims, reverse=True)
+    exact = {
+        r["vec_id"]: r["cos_sim"]
+        for r in QUERIES["q_similarity_knn_cosine"](spark, sf_dir).collect()
+    }
+    for r in ivf:
+        if r["vec_id"] in exact:
+            assert abs(exact[r["vec_id"]] - r["cos_sim"]) < 1e-9
