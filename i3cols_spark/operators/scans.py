@@ -124,3 +124,55 @@ def q_project_computed(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
         F.year("l_shipdate").cast("long").alias("ship_year"),
     )
+
+
+def _npy_events_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the events table once per sf_dir in the reference's
+    native npy column-dir layout (under the system temp dir), so the
+    scan below exercises the real migration path: npy dataset →
+    Python DataSource → DataFrame."""
+    import hashlib
+    import os
+    import tempfile
+
+    from i3cols_spark.sources.npy_cols import write_npy_columns
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"i3cols_npy_events_{tag}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        write_npy_columns(
+            table(spark, sf_dir, "events").select("event_type", "value"),
+            out,
+            overwrite=True,
+        )
+        open(marker, "w").close()
+    return out
+
+
+@query(
+    "q_source_npy_scan",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_source_npy_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S5 ingest parity end-to-end: aggregate events read through
+    the ``i3cols_npy`` Python DataSource (sources/npy_cols.py — the
+    reference's ``<key>/data.npy`` column-dir format, i3cols/cols.py::
+    load), not through parquet.  Row-range splits mmap their slice of
+    every key and yield Arrow batches; the oracle runs the same
+    aggregate over the parquet twin, proving value-level fidelity of
+    the format bridge."""
+    from i3cols_spark.sources.npy_cols import read_npy_columns
+
+    fixture = _npy_events_fixture(spark, sf_dir)
+    df = read_npy_columns(spark, fixture, keys=["event_type", "value"])
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
