@@ -8,6 +8,8 @@ Subcommand mapping:
   compact   ≙ compress/decompress     (rewrite with codec/file sizing)
   query     — run a registered SURVEY §2.3 query by name
   bench     — the bench.py headline suite
+  import-npy / export-npy — bridge the reference's native npy
+              column-dir layout (sources/npy_cols.py DataSource)
 
 Usage: python -m i3cols_spark.cli <subcommand> [options]
 """
@@ -46,6 +48,18 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     q.add_argument("--limit", type=int, default=20)
     q.add_argument("--explain", action="store_true")
+
+    inp = sub.add_parser("import-npy", help="npy column dirs → parquet dataset")
+    inp.add_argument("input")
+    inp.add_argument("--out", required=True)
+    inp.add_argument("--keys", nargs="*", default=None)
+    inp.add_argument("--partition-by", nargs="*", default=[])
+    inp.add_argument("--overwrite", action="store_true")
+
+    out = sub.add_parser("export-npy", help="parquet dataset → npy column dirs")
+    out.add_argument("input")
+    out.add_argument("--out", required=True)
+    out.add_argument("--keys", nargs="*", default=None)
 
     sub.add_parser("list", help="list registered queries")
 
@@ -86,6 +100,23 @@ def main(argv: list[str] | None = None) -> int:
 
         compact(spark, args.input, args.out, args.target_files)
         print(json.dumps({"written": args.out}))
+    elif args.cmd == "import-npy":
+        from i3cols_spark.sources.ingest import write_columns
+        from i3cols_spark.sources.npy_cols import read_npy_columns
+
+        df = read_npy_columns(spark, args.input, keys=args.keys)
+        part = tuple(c for c in args.partition_by if c in df.columns)
+        write_columns(
+            df, args.out, partition_by=part, mode="overwrite" if args.overwrite else "error"
+        )
+        print(json.dumps({"written": args.out, "rows": spark.read.parquet(args.out).count()}))
+    elif args.cmd == "export-npy":
+        from i3cols_spark.sources.ingest import read_columns
+        from i3cols_spark.sources.npy_cols import write_npy_columns
+
+        df = read_columns(spark, args.input, keys=args.keys)
+        write_npy_columns(df, args.out, overwrite=True)
+        print(json.dumps({"written": args.out, "rows": df.count()}))
     elif args.cmd == "query":
         from i3cols_spark.operators import QUERIES
 

@@ -37,3 +37,23 @@ def test_cli_unknown_subcommand_exits_nonzero():
     )
     assert proc.returncode != 0
     assert "invalid choice" in proc.stderr
+
+
+def test_cli_npy_bridge_round_trip(tmp_path):
+    from i3cols_spark.cli import main
+
+    src = "/root/testdata/sf0.001/nation.parquet"
+    npy = str(tmp_path / "npy")
+    back = str(tmp_path / "back")
+    assert main(["--cpus", "4", "export-npy", src, "--out", npy]) == 0
+    import os
+
+    assert os.path.isfile(os.path.join(npy, "n_name", "data.npy"))
+    assert main(["--cpus", "4", "import-npy", npy, "--out", back]) == 0
+    import duckdb
+
+    n_src, n_back = (
+        duckdb.sql(f"SELECT count(*) FROM '{src}'").fetchone()[0],
+        duckdb.sql(f"SELECT count(*) FROM '{back}/*.parquet'").fetchone()[0],
+    )
+    assert n_src == n_back
