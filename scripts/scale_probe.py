@@ -45,6 +45,7 @@ PROBES = [
     "q_dedup_simhash",
     "q_dedup_embedding",
     "q_similarity_ann_lsh",
+    "q_similarity_ann_ivf",
     "q_join_multiway_star",
     "q_filter_compound",
     "q_join_sortmerge",
@@ -61,6 +62,7 @@ PAIR_FAMILY = [
     "q_dedup_simhash",
     "q_dedup_embedding",
     "q_similarity_ann_lsh",
+    "q_similarity_ann_ivf",
     "q_dedup_ngram_jaccard",
     "q_dedup_near_minhash",
     "q_similarity_pairs_threshold",
