@@ -15,6 +15,7 @@ from i3cols_spark.operators import dedup  # noqa: E402,F401  (§E)
 from i3cols_spark.operators import textops  # noqa: E402,F401  (§E)
 from i3cols_spark.operators import similarity  # noqa: E402,F401  (§E)
 from i3cols_spark.operators import stream_batch  # noqa: E402,F401  (§E)
+from i3cols_spark.operators import multimodal_ops  # noqa: E402,F401  (§E)
 from i3cols_spark.operators import physics  # noqa: E402,F401  (§2.2 completions)
 
 __all__ = ["QUERIES", "ORACLES", "query"]
