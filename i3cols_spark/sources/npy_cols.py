@@ -370,6 +370,14 @@ def write_npy_columns(df, path: str, overwrite: bool = False) -> None:
     tbl = df.toArrow()
     for name in tbl.column_names:
         col = _one_chunk(tbl.column(name))
+        # The npy layout has no null representation (structured arrays
+        # are dense) — refuse rather than silently writing garbage.
+        flat = col.flatten() if pa.types.is_list(col.type) else col
+        if col.null_count or (flat is not col and flat.null_count):
+            raise ValueError(
+                f"column {name!r} contains nulls; the npy column format "
+                "cannot represent them (fill or drop before export)"
+            )
         kdir = os.path.join(path, name)
         os.makedirs(kdir, exist_ok=True)
         if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):

@@ -129,3 +129,9 @@ def test_export_round_trip(spark, tmp_path):
     a = {r["k"]: (r["x"], r["arr"], r["name"]) for r in back.collect()}
     b = {r["k"]: (r["x"], r["arr"], r["name"]) for r in src.collect()}
     assert a == b
+
+
+def test_export_rejects_nulls(spark, tmp_path):
+    df = spark.sql("SELECT * FROM VALUES (1, 1.0), (2, CAST(NULL AS DOUBLE)) AS t(k, x)")
+    with pytest.raises(Exception, match="nulls"):
+        write_npy_columns(df, str(tmp_path / "nulls"), overwrite=True)
