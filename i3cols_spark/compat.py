@@ -23,6 +23,22 @@ from pyspark.sql import DataFrame, SparkSession
 from i3cols_spark.sources import ingest
 
 
+def _is_npy_dataset(dirpath: str) -> bool:
+    """True when ``dirpath`` is in the reference's NATIVE layout (any
+    ``<key>/data.npy`` subdir) — ``load`` then reads it through the
+    i3cols_npy DataSource, so existing on-disk i3cols datasets work
+    unconverted."""
+    import os
+
+    try:
+        return any(
+            os.path.isfile(os.path.join(dirpath, d, "data.npy"))
+            for d in os.listdir(dirpath)
+        )
+    except (OSError, TypeError):
+        return False
+
+
 def load(
     spark: SparkSession,
     dirpath: str,
@@ -36,7 +52,12 @@ def load(
     category values (the reference's per-category (start, stop) map;
     slicing is ``df.filter(col(cat) == v)`` → partition pruning).
     """
-    df = ingest.read_columns(spark, dirpath, keys=keys)
+    if _is_npy_dataset(dirpath):
+        from i3cols_spark.sources.npy_cols import read_npy_columns
+
+        df = read_npy_columns(spark, dirpath, keys=keys)
+    else:
+        df = ingest.read_columns(spark, dirpath, keys=keys)
     categories: dict[str, list] = {}
     for cat in ("run", "subrun"):
         if cat in df.columns and (keys is None or cat in keys):

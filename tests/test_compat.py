@@ -51,3 +51,19 @@ def test_reference_workflow_roundtrip(spark, tmp_path):
     z, _ = compat.load(spark, str(tmp_path / "u"))
     assert z.count() == 80
     assert sorted(z.columns) == sorted(loaded.columns)
+
+
+def test_load_autodetects_native_npy_layout(spark, tmp_path):
+    """compat.load on an UNCONVERTED i3cols dataset (npy column dirs)
+    reads through the i3cols_npy DataSource transparently."""
+    import os
+
+    import numpy as np
+
+    d = str(tmp_path / "native")
+    os.makedirs(os.path.join(d, "energy"))
+    np.save(os.path.join(d, "energy", "data.npy"), np.arange(20, dtype=np.float64))
+    df, cats = compat.load(spark, d, keys=["energy"])
+    assert cats == {}
+    rows = {r["event_id"]: r["energy"] for r in df.collect()}
+    assert rows == {i: float(i) for i in range(20)}
