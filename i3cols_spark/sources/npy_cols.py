@@ -53,6 +53,7 @@ import pyarrow as pa
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -219,52 +220,94 @@ class NpyColsReader(DataSourceReader):
         return unsupported
 
     def partitions(self):
-        lo, hi = self.lo, max(self.lo, self.hi)
-        n = max(1, min(self.npartitions, hi - lo))
-        bounds = np.linspace(lo, hi, n + 1).astype(np.int64)
-        return [
-            InputPartition((int(a), int(b)))
-            for a, b in zip(bounds[:-1], bounds[1:])
-            if b > a
-        ] or [InputPartition((lo, lo))]
+        return _range_partitions(self.lo, max(self.lo, self.hi), self.npartitions)
 
     def read(self, partition: InputPartition):
         start, stop = partition.value
-        cols = {k.name: np.load(k.data_path, mmap_mode="r") for k in self.keys}
-        idxs = {
-            k.name: np.load(k.index_path, mmap_mode="r")
-            for k in self.keys
-            if k.index_path
-        }
-        for a in range(start, stop, self.batch_rows):
-            b = min(a + self.batch_rows, stop)
-            arrays = [pa.array(np.arange(a, b, dtype=np.int64))]
-            names = [EVENT_ID]
-            for k in self.keys:
-                if k.index_path is None:
-                    arrays.append(_np_to_arrow(cols[k.name][a:b], k.spark_type))
-                else:
-                    arrays.append(self._ragged_slice(cols[k.name], idxs[k.name], a, b, k))
-                names.append(k.name)
-            yield pa.RecordBatch.from_arrays(arrays, names)
+        return _read_range(self.keys, start, stop, self.batch_rows)
 
-    @staticmethod
-    def _ragged_slice(data, index, a, b, key: _Key) -> pa.ListArray:
-        idx = index[a:b]
-        starts = idx["start"].astype(np.int64)
-        stops = idx["stop"].astype(np.int64)
-        lens = stops - starts
-        offsets = np.zeros(len(idx) + 1, dtype=np.int64)
-        np.cumsum(lens, out=offsets[1:])
-        if len(idx) and np.array_equal(starts[1:], stops[:-1]):
-            vals = data[starts[0] : stops[-1]]  # contiguous fast path
-        elif len(idx):
-            vals = np.concatenate([data[s:e] for s, e in zip(starts, stops)])
-        else:
-            vals = data[:0]
-        return pa.ListArray.from_arrays(
-            pa.array(offsets, pa.int32()), _np_to_arrow(vals, key.spark_type)
-        )
+
+def _ragged_slice(data, index, a, b, key: _Key) -> pa.ListArray:
+    idx = index[a:b]
+    starts = idx["start"].astype(np.int64)
+    stops = idx["stop"].astype(np.int64)
+    lens = stops - starts
+    offsets = np.zeros(len(idx) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    if len(idx) and np.array_equal(starts[1:], stops[:-1]):
+        vals = data[starts[0] : stops[-1]]  # contiguous fast path
+    elif len(idx):
+        vals = np.concatenate([data[s:e] for s, e in zip(starts, stops)])
+    else:
+        vals = data[:0]
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), _np_to_arrow(vals, key.spark_type)
+    )
+
+
+def _read_range(keys: list[_Key], start: int, stop: int, batch_rows: int):
+    """Yield Arrow batches for rows [start, stop) of every key — the
+    shared task body of the batch and stream readers.  mmaps open per
+    task; only the slice's pages are touched."""
+    cols = {k.name: np.load(k.data_path, mmap_mode="r") for k in keys}
+    idxs = {
+        k.name: np.load(k.index_path, mmap_mode="r") for k in keys if k.index_path
+    }
+    for a in range(start, stop, batch_rows):
+        b = min(a + batch_rows, stop)
+        arrays = [pa.array(np.arange(a, b, dtype=np.int64))]
+        names = [EVENT_ID]
+        for k in keys:
+            if k.index_path is None:
+                arrays.append(_np_to_arrow(cols[k.name][a:b], k.spark_type))
+            else:
+                arrays.append(_ragged_slice(cols[k.name], idxs[k.name], a, b, k))
+            names.append(k.name)
+        yield pa.RecordBatch.from_arrays(arrays, names)
+
+
+def _range_partitions(lo: int, hi: int, npartitions: int) -> list[InputPartition]:
+    n = max(1, min(npartitions, hi - lo))
+    bounds = np.linspace(lo, hi, n + 1).astype(np.int64)
+    return [
+        InputPartition((int(a), int(b)))
+        for a, b in zip(bounds[:-1], bounds[1:])
+        if b > a
+    ] or [InputPartition((lo, lo))]
+
+
+class NpyColsStreamReader(DataSourceStreamReader):
+    """Tail a GROWING npy dataset: each microbatch reads the row range
+    appended since the last committed offset (offset = aligned row
+    count).  This is the reference's extraction pattern — per-file
+    workers append to column dirs — turned into a Structured Streaming
+    source; downstream watermarks/windows/dedup then work unchanged.
+
+    Appends must be write-new-then-rename per column file (np.save in
+    place is not atomic); `latestOffset` takes the MIN row count across
+    keys so a half-appended dataset (some columns longer than others)
+    never emits misaligned rows."""
+
+    def __init__(self, keys: list[_Key], npartitions: int, batch_rows: int):
+        self.keys = keys
+        self.npartitions = npartitions
+        self.batch_rows = batch_rows
+
+    def initialOffset(self) -> dict:  # noqa: N802 (Spark API name)
+        return {"row": 0}
+
+    def latestOffset(self) -> dict:  # noqa: N802 (Spark API name)
+        return {"row": min((_num_rows(k) for k in self.keys), default=0)}
+
+    def partitions(self, start: dict, end: dict):
+        return _range_partitions(start["row"], end["row"], self.npartitions)
+
+    def read(self, partition: InputPartition):
+        a, b = partition.value
+        return _read_range(self.keys, a, b, self.batch_rows)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are derived from on-disk state; nothing to gc
 
 
 class NpyColsDataSource(DataSource):
@@ -296,6 +339,13 @@ class NpyColsDataSource(DataSource):
             int(self.options.get("batchrows", "65536")),
         )
 
+    def streamReader(self, schema: StructType) -> NpyColsStreamReader:  # noqa: N802
+        return NpyColsStreamReader(
+            self._keys(),
+            int(self.options.get("partitions", "16")),
+            int(self.options.get("batchrows", "65536")),
+        )
+
 
 def register(spark) -> None:
     """Register the format and enable Python-datasource filter pushdown
@@ -311,6 +361,18 @@ def register(spark) -> None:
 def read_npy_columns(spark, path: str, keys: list[str] | None = None, **options):
     register(spark)
     reader = spark.read.format(FORMAT_NAME)
+    if keys is not None:
+        reader = reader.option("keys", ",".join(keys))
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return reader.load(path)
+
+
+def stream_npy_columns(spark, path: str, keys: list[str] | None = None, **options):
+    """``readStream`` over a growing npy dataset (see
+    NpyColsStreamReader for the append contract)."""
+    register(spark)
+    reader = spark.readStream.format(FORMAT_NAME)
     if keys is not None:
         reader = reader.option("keys", ",".join(keys))
     for k, v in options.items():

@@ -135,3 +135,50 @@ def test_export_rejects_nulls(spark, tmp_path):
     df = spark.sql("SELECT * FROM VALUES (1, 1.0), (2, CAST(NULL AS DOUBLE)) AS t(k, x)")
     with pytest.raises(Exception, match="nulls"):
         write_npy_columns(df, str(tmp_path / "nulls"), overwrite=True)
+
+
+def test_stream_tails_appended_rows_exactly_once(spark, tmp_path):
+    """readStream over a growing npy dataset: a second availableNow run
+    from the same checkpoint reads ONLY the rows appended (atomically,
+    write-new + rename) since the first run's offset."""
+    from i3cols_spark.sources.npy_cols import stream_npy_columns
+
+    d = str(tmp_path / "grow")
+    os.makedirs(os.path.join(d, "x"))
+    np.save(os.path.join(d, "x", "data.npy"), np.arange(20, dtype=np.float64))
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sink")
+
+    def run_once():
+        q = (
+            stream_npy_columns(spark, d, partitions=3)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["event_id"]: r["x"] for r in spark.read.parquet(out).collect()}
+
+    first = run_once()
+    assert first == {i: float(i) for i in range(20)}
+    np.save(os.path.join(d, "x", "new.npy"), np.arange(35, dtype=np.float64))
+    os.replace(os.path.join(d, "x", "new.npy"), os.path.join(d, "x", "data.npy"))
+    second = run_once()
+    assert second == {i: float(i) for i in range(35)}
+    assert {k for k in second if k not in first} == set(range(20, 35))
+
+
+def test_stream_offset_is_min_across_keys(tmp_path):
+    """A half-appended dataset (one column longer) must not emit the
+    unmatched tail: latestOffset is the min row count across keys."""
+    from i3cols_spark.sources.npy_cols import NpyColsStreamReader, _scan_keys
+
+    d = str(tmp_path / "ds")
+    for k, n in (("a", 30), ("b", 25)):
+        os.makedirs(os.path.join(d, k))
+        np.save(os.path.join(d, k, "data.npy"), np.arange(n))
+    rdr = NpyColsStreamReader(_scan_keys(d, None), npartitions=4, batch_rows=1 << 16)
+    assert rdr.initialOffset() == {"row": 0}
+    assert rdr.latestOffset() == {"row": 25}
