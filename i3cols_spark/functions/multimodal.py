@@ -110,6 +110,26 @@ def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return df.mapInPandas(op, schema=FEATURES_SCHEMA)
 
 
+def resize_media(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Resize stub for image payloads: keeps every ``factor``-th byte
+    of the fake payload and divides the width/height metadata (a real
+    implementation decodes, resamples and re-encodes per Arrow batch —
+    identical plumbing).  Metadata stays consistent with the payload:
+    downstream operators can trust ``width``/``height`` without
+    decoding, which at scale is what lets a resolution filter prune
+    before any byte of payload is touched."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = [bytes(p)[::factor] for p in pdf["payload"]]
+            for dim in ("width", "height"):
+                out[dim] = (pdf[dim] // factor).astype(pdf[dim].dtype)
+            yield out
+
+    return df.mapInPandas(op, schema=df.schema)
+
+
 def frame_sample(df: DataFrame, every_n: int = 4) -> DataFrame:
     """Frame-sampling stub for video payloads: keeps every n-th 'frame'
     (8-byte block of the fake payload).  Real implementation would call

@@ -53,3 +53,30 @@ def test_frame_sample_reduces_payload(spark, sf_dir):
     )
     for r in joined:
         assert r["n1"] <= r["n0"] // 4 + 8
+
+
+def test_resize_halves_payload_and_metadata(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").limit(10)
+    media = attach_fake_media(docs).withColumn("width", F.lit(640)).withColumn(
+        "height", F.lit(480)
+    )
+    from i3cols_spark.functions.multimodal import resize_media
+
+    resized = resize_media(media, factor=2)
+    rows = (
+        media.select("media_id", F.octet_length("payload").alias("n0"))
+        .join(
+            resized.select(
+                "media_id",
+                F.octet_length("payload").alias("n1"),
+                "width",
+                "height",
+            ),
+            "media_id",
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r["n1"] == (r["n0"] + 1) // 2
+        assert r["width"] == 320 and r["height"] == 240
