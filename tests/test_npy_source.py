@@ -182,3 +182,32 @@ def test_stream_offset_is_min_across_keys(tmp_path):
     rdr = NpyColsStreamReader(_scan_keys(d, None), npartitions=4, batch_rows=1 << 16)
     assert rdr.initialOffset() == {"row": 0}
     assert rdr.latestOffset() == {"row": 25}
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_ROW = st.tuples(
+    st.integers(min_value=-(2**31), max_value=2**31 - 1),
+    st.floats(allow_nan=False, allow_infinity=True, width=64),
+    st.lists(st.integers(min_value=-(2**15), max_value=2**15 - 1), max_size=6),
+    st.text(alphabet="abc déf😀", max_size=8),
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(_ROW, min_size=1, max_size=40, unique_by=lambda r: r[0]))
+def test_round_trip_property(spark, tmp_path_factory, rows):
+    """Arbitrary (int, double, int-array, unicode-string) rows survive
+    export → npy column dirs → DataSource read exactly."""
+    df = spark.createDataFrame(rows, "k int, x double, arr array<smallint>, s string")
+    out = str(tmp_path_factory.mktemp("prop")) + "/ds"
+    write_npy_columns(df, out, overwrite=True)
+    back = read_npy_columns(spark, out)
+    got = {r["k"]: (r["x"], r["arr"], r["s"]) for r in back.collect()}
+    want = {r[0]: (r[1], list(r[2]), r[3]) for r in rows}
+    assert got == want
