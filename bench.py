@@ -34,7 +34,10 @@ HEADLINE = [
     "q_dedup_ngram_jaccard",
     "q_similarity_knn_cosine",
     "q_similarity_pairs_threshold",
+    "q_similarity_ann_ivf",
     "q_tfidf_topterms",
+    "q_multimodal_features",
+    "q_source_npy_scan",
     "q_stream_tumbling",
     "q_stream_session",
 ]
