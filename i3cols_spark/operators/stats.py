@@ -1,0 +1,149 @@
+"""Statistical aggregates + deterministic sampling (§2.2 completions
+and training-pipeline extensions).
+
+The reference's statistics surface is NumPy reductions over loaded
+columns — ``np.percentile`` / ``np.median`` / ``np.corrcoef`` /
+``np.cov`` / ``np.polyfit(deg=1)`` are all one-liners its users run on
+i3cols-loaded arrays (SURVEY §2.2's NumPy-delegated surface).  Spark's
+exact ``percentile``, ``corr``/``covar_*`` and ``regr_*`` aggregates
+are the distributed equivalents: single-pass, partial+final merged,
+no driver materialization.
+
+Deterministic sampling is the piece a 100 TB training-data pipeline
+adds on top: reproducible train/eval splits and per-source mixture
+rates must not depend on partitioning, executor count, or RNG state.
+The standard trick is a content hash threshold — a row is sampled iff
+a hex prefix of ``md5(key)`` falls below a per-stratum cutoff.  That
+is a pure per-row projection + filter (no shuffle, no state, pushes
+down to the scan), works identically in any engine that has md5, and
+resampling with a larger rate yields a superset (nested samples).
+
+Float discipline (registry docstring): multi-row double reductions
+rounded identically in both dialects; corr/covar/regr rounded at 6 dp
+(single-pass covariance accumulation differs across engines in the
+last few ulps — see scalar_funcs.py q_math_funcs note); interpolated
+percentiles at 4 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from i3cols_spark.operators.registry import query
+from i3cols_spark.sources.tables import table
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50_price,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price,
+           round(median(l_extendedprice), 4)              AS median_price,
+           round(quantile_cont(l_quantity, 0.90), 4)      AS p90_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group — np.percentile analog.
+
+    Spark ``percentile`` (exact, sort-based within the aggregate) ==
+    DuckDB ``quantile_cont``: both sort the group and linearly
+    interpolate, so values agree to rounding.  At 100 TB the exact
+    form still works (it is a proper partial/merge aggregate, state =
+    the group's values) but ``approx_percentile`` (t-digest, bounded
+    state) is the scale path — kept exact here because the oracle can
+    check exactness and q_agg_approx_distinct already covers the
+    sketch-aggregate pattern.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75_price"),
+        F.round(F.median("l_extendedprice"), 4).alias("median_price"),
+        F.round(F.percentile("l_quantity", F.lit(0.90)), 4).alias("p90_qty"),
+    )
+
+
+@query(
+    "q_agg_stats_corr",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_extendedprice, l_quantity), 6)           AS corr_price_qty,
+           round(covar_samp(l_extendedprice, l_quantity), 6)     AS covs_price_qty,
+           round(covar_pop(l_extendedprice, l_quantity), 6)      AS covp_price_qty,
+           round(regr_slope(l_extendedprice, l_quantity), 6)     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group — np.corrcoef / np.cov /
+    np.polyfit(deg=1) analog, as single-pass distributed aggregates.
+
+    corr / covar_samp / covar_pop / regr_slope / regr_intercept /
+    regr_r2 / regr_count all merge partial (n, Σx, Σy, Σxy, Σx²)
+    states, so one shuffle of constant-size state per group regardless
+    of SF.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    y, x = "l_extendedprice", "l_quantity"
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr(y, x), 6).alias("corr_price_qty"),
+        F.round(F.covar_samp(y, x), 6).alias("covs_price_qty"),
+        F.round(F.covar_pop(y, x), 6).alias("covp_price_qty"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).cast("bigint").alias("n_pairs"),
+    )
+
+
+#: Per-stratum hex cutoffs on the first 4 md5 digits (rate = cutoff/0x10000):
+#: urgent 25%, high 12.5%, rest ~3.1% — a typical quality-tiered mixture.
+_STRATA_CUTOFFS = (("1-URGENT", "4000"), ("2-HIGH", "2000"))
+_DEFAULT_CUTOFF = "0800"
+
+
+@query(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) <
+          CASE o_orderpriority
+               WHEN '{_STRATA_CUTOFFS[0][0]}' THEN '{_STRATA_CUTOFFS[0][1]}'
+               WHEN '{_STRATA_CUTOFFS[1][0]}' THEN '{_STRATA_CUTOFFS[1][1]}'
+               ELSE '{_DEFAULT_CUTOFF}' END
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample of orders by priority.
+
+    Hash-threshold sampling: keep a row iff the first 4 hex digits of
+    ``md5(key)`` sort below the stratum's cutoff.  Engine-independent
+    (md5 of the decimal key string), reproducible under any
+    partitioning, and nested (a 25% sample contains the 12.5% one —
+    lets train/eval splits shrink or grow without resampling).  Unlike
+    ``df.sample``/TABLESAMPLE this is exact-per-row, so the oracle can
+    hash-match the actual sampled rows, and unlike a RNG it never
+    depends on task scheduling.  The plan is a pure filter over the
+    scan — no shuffle at any SF.
+    """
+    orders = table(spark, sf_dir, "orders")
+    cutoff = F.when(
+        F.col("o_orderpriority") == _STRATA_CUTOFFS[0][0], F.lit(_STRATA_CUTOFFS[0][1])
+    ).when(
+        F.col("o_orderpriority") == _STRATA_CUTOFFS[1][0], F.lit(_STRATA_CUTOFFS[1][1])
+    ).otherwise(F.lit(_DEFAULT_CUTOFF))
+    bucket = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4)
+    return orders.filter(bucket < cutoff).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )

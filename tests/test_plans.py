@@ -176,6 +176,28 @@ def test_simhash_collapses_exact_dups_first(spark, sf_dir):
     assert "Generate" in plan  # explode(ids) expansion back out
 
 
+def test_stratified_sample_is_shuffle_free_scan_filter(spark, sf_dir):
+    """Hash-threshold sampling must stay a pure projection+filter over
+    the scan: no Exchange at any SF, and only the three output columns
+    (plus the filter inputs) in the read schema."""
+    import re
+
+    df = QUERIES["q_sample_stratified"](spark, sf_dir)
+    plan = explain_str(df)
+    assert not re.search(r"\(\d+\) Exchange\b", plan), plan
+    schemas = read_schema_columns(df)
+    for cols in schemas.values():
+        assert set(cols) == {"o_orderkey", "o_orderpriority", "o_totalprice"}, cols
+
+
+def test_stat_aggregates_combine_map_side(spark, sf_dir):
+    """corr/covar/regr and exact percentile are proper partial+final
+    aggregates — constant-size state shuffles per group, not rows."""
+    for q in ("q_agg_stats_corr", "q_agg_percentile"):
+        plan = explain_str(QUERIES[q](spark, sf_dir))
+        assert plan.count("HashAggregate") >= 2, q
+
+
 def test_salted_join_matches_plain_join(spark, sf_dir):
     from i3cols_spark.sources.ingest import salted_join
     from i3cols_spark.sources.tables import table
