@@ -148,3 +148,64 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_micros("ts")).alias("first_ts_us"),
         F.count("*").alias("n_dropped_plus_one"),
     )
+
+
+# SURVEY §2.3-E declares this query under the name
+# ``q_stream_dedup_stateful``; register the contract name as an alias
+# so both resolve (the driver may check either).
+from i3cols_spark.operators.registry import ORACLES, QUERIES  # noqa: E402
+
+QUERIES["q_stream_dedup_stateful"] = q_stream_dedup
+ORACLES["q_stream_dedup_stateful"] = ORACLES["q_stream_dedup"]
+
+
+@query(
+    "q_stream_join",
+    oracle=f"""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view'
+     AND p.event_type = 'purchase'
+     AND epoch_us(p.ts) BETWEEN epoch_us(v.ts)
+                            AND epoch_us(v.ts) + {_GAP_US}
+    """,
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase conversion join: each view paired with the same
+    user's purchases in the following 30 minutes — the batch form of a
+    watermarked stream-stream interval join (streaming/jobs.py runs
+    the readStream twin; state per side is bounded by watermark + the
+    30-min join range, so it holds at unbounded input).
+
+    Batch plan: an equi-join on user_id with the interval predicate as
+    a post-join filter — one shuffle on the join key, never a
+    cartesian expansion.
+    """
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return (
+        views.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag_us"),
+        )
+    )

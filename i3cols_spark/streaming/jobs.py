@@ -98,6 +98,47 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_stream_join: watermarked stream-stream inner
+    join pairing each view with the same user's purchases in the next
+    30 minutes.
+
+    Both sides carry a watermark and the join condition bounds event
+    time, so the state store retains each view row for at most
+    watermark + 30 min and each purchase row for watermark only —
+    bounded state on unbounded input (the requirement for inner
+    stream-stream joins to be runnable at all)."""
+    ev = _event_stream(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "10 minutes")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    return (
+        views.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag_us"),
+        )
+    )
+
+
 def run_to_memory(df: DataFrame, name: str) -> None:
     """Execute a streaming DataFrame with availableNow → in-memory table
     ``name`` (complete for aggregations, append for dedup) and block

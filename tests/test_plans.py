@@ -176,6 +176,14 @@ def test_simhash_collapses_exact_dups_first(spark, sf_dir):
     assert "Generate" in plan  # explode(ids) expansion back out
 
 
+def test_stream_join_batch_twin_is_keyed_not_cartesian(spark, sf_dir):
+    """The view→purchase interval join must hash on user_id with the
+    time bounds as residual predicates — never a cartesian/BNLJ."""
+    plan = explain_str(QUERIES["q_stream_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_stratified_sample_is_shuffle_free_scan_filter(spark, sf_dir):
     """Hash-threshold sampling must stay a pure projection+filter over
     the scan: no Exchange at any SF, and only the three output columns

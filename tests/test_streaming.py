@@ -22,6 +22,7 @@ def _rows(df):
         (jobs.stream_tumbling_counts, "q_stream_tumbling"),
         (jobs.stream_sliding_counts, "q_stream_sliding"),
         (jobs.stream_session_windows, "q_stream_session"),
+        (jobs.stream_view_purchase_join, "q_stream_join"),
     ],
 )
 def test_stream_equals_batch(spark, sf_dir, stream_fn, batch_name):
