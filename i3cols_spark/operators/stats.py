@@ -147,3 +147,42 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.filter(bucket < cutoff).select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
+
+
+#: Split boundaries on the 4-hex-digit bucket space (0x10000 buckets):
+#: test < 0x0800 (3.125%), val < 0x1000 (next 3.125%), train = rest.
+_TEST_HI, _VAL_HI = "0800", "1000"
+
+
+@query(
+    "q_split_assign",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_TEST_HI}'
+                THEN 'test'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_VAL_HI}'
+                THEN 'val'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment for every document.
+
+    Same hash-threshold scheme as q_sample_stratified but a 3-way
+    CASE over the bucket space instead of a filter: every row gets a
+    stable split label that is independent of partitioning, ordering
+    and cluster size, and adjusting a boundary moves only the rows in
+    the affected bucket range (no global reshuffle of the split).
+    Pure projection — no shuffle, no state, safe at any SF; in a real
+    pipeline the label becomes a ``partitionBy`` column on write so
+    each split prunes to its own files.
+    """
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    split = (
+        F.when(bucket < _TEST_HI, "test")
+        .when(bucket < _VAL_HI, "val")
+        .otherwise("train")
+    )
+    return docs.select("doc_id", "lang", split.alias("split"))
