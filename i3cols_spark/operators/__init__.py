@@ -18,5 +18,6 @@ from i3cols_spark.operators import stream_batch  # noqa: E402,F401  (§E)
 from i3cols_spark.operators import multimodal_ops  # noqa: E402,F401  (§E)
 from i3cols_spark.operators import physics  # noqa: E402,F401  (§2.2 completions)
 from i3cols_spark.operators import stats  # noqa: E402,F401  (§2.2 completions + sampling)
+from i3cols_spark.operators import graph  # noqa: E402,F401  (§E dedup clustering)
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,148 @@
+"""Distributed connected components — dedup CLUSTERS, not just pairs.
+
+Every pair-producing dedup op (minhash LSH, ngram Jaccard, embedding
+cosine — operators/dedup.py, similarity.py) stops at near-dup PAIRS.
+A training-data pipeline needs the transitive closure: if A~B and
+B~C, all three are one duplicate cluster and one representative
+survives.  That closure is connected components over the pair graph —
+the piece the single-machine reference cannot express at all and
+Spark has no built-in for.
+
+Algorithm: iterated min-label HOOKING + pointer-jumping SHORTCUT (the
+classic PRAM/Pregel CC shape, same family as the large-star/small-star
+MapReduce algorithm):
+
+  hook      comp[u] ← min(comp[u], min over neighbors v of comp[v])
+  shortcut  comp[u] ← comp[comp[u]]   (path halving)
+
+Plain neighbor-min propagation alone needs O(diameter) rounds — dup
+chains in a crawl corpus can be long.  The shortcut step halves label
+paths each round, giving O(log n) rounds on any topology.  Each round
+is two keyed shuffles over (nodes + edges) — no per-round growth —
+and ``localCheckpoint`` truncates the lineage so round k's plan does
+not replay rounds 1..k-1.  Convergence is an exact fixpoint check
+(count of changed labels), one lightweight action per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from i3cols_spark.functions.vectors import as_double
+from i3cols_spark.operators.registry import query
+from i3cols_spark.operators.similarity import blocked_pair_sims
+from i3cols_spark.sources.tables import table
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node with the min node id of its component.
+
+    ``nodes``: one column ``id`` (long).  ``edges``: columns ``a``,
+    ``b`` (long, undirected; either orientation).  Returns ``(id,
+    component)`` — singletons keep their own id.
+
+    Scale shape: state is one (id, comp) row per node; each round
+    shuffles edges once (hook) and labels twice (shortcut + change
+    count).  Rounds are O(log n) thanks to path halving, independent
+    of component diameter.
+    """
+    # Materialize the edge list ONCE: the hook join re-reads it every
+    # round, and without this the entire upstream pipeline (e.g. the
+    # pair GEMM) would re-execute per round.
+    sym = (
+        edges.select("a", "b")
+        .union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .localCheckpoint()
+    )
+    labels = nodes.select("id", F.col("id").alias("comp")).localCheckpoint()
+
+    for _ in range(max_iter):
+        # hook: pull the min neighbor label onto each node
+        nbr = (
+            sym.join(labels, sym.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        hooked = (
+            labels.join(nbr, labels.id == nbr.a, "left")
+            .select(
+                "id",
+                F.col("comp").alias("old_comp"),
+                F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
+            )
+        )
+        # shortcut: comp ← comp[comp]  (path halving via self-join)
+        parent = hooked.select(
+            F.col("id").alias("p_id"), F.col("comp").alias("p_comp")
+        )
+        nxt = (
+            hooked.join(parent, hooked.comp == parent.p_id, "left")
+            .select(
+                "id",
+                "old_comp",
+                F.coalesce("p_comp", "comp").alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        # old_comp rides along, so the fixpoint check is a filter over
+        # the just-materialized checkpoint — no extra join.
+        changed = nxt.filter(F.col("comp") != F.col("old_comp")).count()
+        labels = nxt.select("id", "comp")
+        if changed == 0:
+            break
+    return labels.select("id", "comp")
+
+
+@query(
+    "q_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE e AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.25
+    ),
+    edges AS (
+        SELECT a_id AS a, b_id AS b FROM pairs
+        UNION ALL
+        SELECT b_id, a_id FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT r.src, ed.b FROM reach r JOIN edges ed ON r.dst = ed.a
+    )
+    SELECT src AS vec_id, min(dst) AS component
+    FROM reach
+    GROUP BY src
+    """,
+)
+def q_dedup_clusters(spark, sf_dir: str) -> DataFrame:
+    """Near-dup clusters over embeddings: cosine-≥0.25 pairs (the
+    q_similarity_pairs_threshold edge set, scored by the shared
+    per-cell GEMM) closed transitively into components.
+
+    The oracle computes the same closure by recursive CTE (reach =
+    transitive closure, component = min reachable id) — fine at
+    oracle SF, quadratic in component size at scale, which is exactly
+    why the engine side uses O(log n)-round hooking + shortcutting
+    instead.
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    edges = blocked_pair_sims(emb, threshold=0.25).select(
+        F.col("a_id").alias("a"), F.col("b_id").alias("b")
+    )
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    return connected_components(nodes, edges).select(
+        F.col("id").alias("vec_id"), F.col("comp").alias("component")
+    )

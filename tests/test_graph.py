@@ -1,0 +1,43 @@
+"""Connected-components correctness on known topologies (the pair
+oracle in test_oracle_parity covers the embedding edge set; these
+cover shapes the fixture graph may not contain)."""
+
+from __future__ import annotations
+
+from i3cols_spark.operators.graph import connected_components
+
+
+def _cc(spark, nodes, edges, max_iter=25):
+    ndf = spark.createDataFrame([(n,) for n in nodes], "id long")
+    edf = spark.createDataFrame(edges or [(0, 0)], "a long, b long")
+    if not edges:
+        edf = edf.limit(0)
+    out = connected_components(ndf, edf, max_iter=max_iter)
+    return {r.id: r.comp for r in out.collect()}
+
+def test_long_chain_converges_in_log_rounds(spark):
+    """A 64-node chain has diameter 63; plain min-propagation would
+    need 63 rounds.  Path halving must finish within 10 iterations
+    (log2(64)=6 hook/shortcut rounds + slack)."""
+    n = 64
+    comp = _cc(spark, range(n), [(i, i + 1) for i in range(n - 1)], max_iter=10)
+    assert set(comp.values()) == {0}
+
+
+def test_two_components_and_singleton(spark):
+    comp = _cc(spark, range(7), [(1, 2), (2, 3), (5, 6)])
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[5] == comp[6] == 5
+    assert comp[0] == 0 and comp[4] == 4
+
+
+def test_no_edges_all_singletons(spark):
+    comp = _cc(spark, range(5), [])
+    assert comp == {i: i for i in range(5)}
+
+
+def test_edge_orientation_irrelevant(spark):
+    a = _cc(spark, range(4), [(3, 0), (1, 3)])
+    b = _cc(spark, range(4), [(0, 3), (3, 1)])
+    assert a == b
+    assert a[0] == a[1] == a[3] == 0
