@@ -233,3 +233,33 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ev.mapInPandas(slopes, schema="user_id long, slope double, n long")
     return out.filter(F.col("n") >= 2)
+
+
+@query(
+    "q_string_editdist",
+    oracle="""
+    SELECT a.n_name AS a_name, b.n_name AS b_name,
+           CAST(levenshtein(a.n_name, b.n_name) AS INT) AS edit_dist
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    """,
+)
+def q_string_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Levenshtein distance over the nation names — the
+    string-similarity primitive (fuzzy matching / near-dup keys).
+    Both engines implement classic unit-cost edit distance, so values
+    match exactly.  The pair space here is a tiny dim self-join; at
+    corpus scale edit distance only ever runs AFTER a blocking stage
+    (LSH band or fingerprint — see operators/dedup.py) has cut
+    candidates to near-linear.
+    """
+    nat = table(spark, sf_dir, "nation")
+    a = nat.select(F.col("n_nationkey").alias("a_key"), F.col("n_name").alias("a_name"))
+    b = nat.select(F.col("n_nationkey").alias("b_key"), F.col("n_name").alias("b_name"))
+    return (
+        a.join(b, F.col("a_key") < F.col("b_key"))
+        .select(
+            "a_name",
+            "b_name",
+            F.levenshtein("a_name", "b_name").alias("edit_dist"),
+        )
+    )

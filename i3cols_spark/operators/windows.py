@@ -221,3 +221,35 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(10)
     )
+
+
+@query(
+    "q_window_distribution",
+    oracle="""
+    SELECT c_custkey, n_name,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6)    AS cume,
+           CAST(ntile(4) OVER w AS INT)    AS quartile
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — percent_rank / cume_dist /
+    ntile(4) per nation, the quantile-bucketing primitive for feature
+    binning.  Order carries a unique-key tiebreak (c_custkey) so both
+    engines rank identically; one shuffle on the partition key.
+    """
+    cust = table(spark, sf_dir, "customer")
+    nat = table(spark, sf_dir, "nation")
+    w = W.partitionBy("n_name").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+        .select(
+            "c_custkey",
+            "n_name",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+    )
