@@ -139,6 +139,42 @@ def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def run_rollup_maintenance(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Continuously-maintained 1-hour rollup: the streaming tumbling
+    aggregate upserted into a window-partitioned Parquet table via
+    ``foreachBatch`` + dynamic partition overwrite.
+
+    Update-mode emits only windows CHANGED in each micro-batch, and
+    dynamic overwrite rewrites only those windows' partitions — so
+    maintenance cost per batch is O(changed windows), not O(table),
+    and replaying a batch is idempotent (same windows, same rewrite).
+    This is the continuous-aggregate / hypertable-rollup pattern: the
+    rollup table always equals the batch q_stream_tumbling over all
+    data seen so far (asserted in tests), and readers hit a plain
+    partition-pruned Parquet table with no streaming machinery.
+    """
+    agg = stream_tumbling_counts(spark, sf_dir)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("window_start_us")
+            .parquet(out_dir)
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out_dir}_ckpt")
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory(df: DataFrame, name: str) -> None:
     """Execute a streaming DataFrame with availableNow → in-memory table
     ``name`` (complete for aggregations, append for dedup) and block

@@ -72,3 +72,22 @@ def test_stateful_user_peaks_matches_batch(spark, sf_dir):
         .agg(F.max("value").alias("peak_value"), F.count("*").alias("n_events"))
     )
     assert _rows(streamed) == _rows(batch)
+
+
+def test_rollup_maintenance_equals_batch(spark, sf_dir, tmp_path):
+    """foreachBatch upsert rollup: after availableNow drains the
+    source, the window-partitioned parquet equals the batch tumbling
+    aggregate, and partition layout is by window start."""
+    out = str(tmp_path / "rollup")
+    jobs.run_rollup_maintenance(spark, sf_dir, out)
+    rolled = spark.read.parquet(out).select(
+        "window_start_us", "event_type", "n_events", "total_value"
+    )
+    batch = QUERIES["q_stream_tumbling"](spark, sf_dir)
+    assert _rows(rolled) == _rows(batch)
+    # partition pruning works: one window's read touches one partition dir
+    one = rolled.limit(1).collect()[0]
+    pruned = spark.read.parquet(out).filter(
+        F.col("window_start_us") == one.window_start_us
+    )
+    assert pruned.count() >= 1
