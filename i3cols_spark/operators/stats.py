@@ -27,11 +27,59 @@ percentiles at 4 dp.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from i3cols_spark.operators.registry import query
 from i3cols_spark.sources.tables import table
+
+
+def exact_percentiles(
+    df: DataFrame, key: str, value: str, ps: dict[str, float]
+) -> DataFrame:
+    """Exact interpolated percentiles per group, computed from the
+    VALUE DISTRIBUTION instead of Spark's ``percentile`` aggregate.
+
+    ``percentile``/``median`` buffer every raw value of a group inside
+    one aggregation buffer (×1 per call), so five percentiles over a
+    handful of huge groups concentrate 5×|group| doubles on single
+    reducers — measured 7.9× wall at a 10× probe, OOM at real scale.
+    Here the heavy reduction is ``groupBy(key, value).count()`` —
+    map-side combinable, state = |distinct values| not |rows| — then a
+    cumulative sum over each group's distinct values and one
+    conditional-min pass picks the two bracketing values per requested
+    percentile (h = (n-1)p, the same linear-interpolation definition
+    DuckDB's ``quantile_cont`` uses).  Skewed raw rows never shuffle;
+    only the distinct-value histogram does.
+    """
+    dist = df.groupBy(key, value).agg(F.count("*").alias("cnt"))
+    wcum = (
+        Window.partitionBy(key).orderBy(value).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = dist.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "tot", F.sum("cnt").over(Window.partitionBy(key))
+    )
+
+    def bracket(p: float, name: str) -> list[Column]:
+        h = (F.col("tot") - 1) * F.lit(float(p))
+        return [
+            F.min(h).alias(f"__h_{name}"),
+            F.min(F.when(F.col("cum") >= F.floor(h) + 1, F.col(value))).alias(
+                f"__lo_{name}"
+            ),
+            F.min(F.when(F.col("cum") >= F.ceil(h) + 1, F.col(value))).alias(
+                f"__hi_{name}"
+            ),
+        ]
+
+    aggs = [c for name, p in ps.items() for c in bracket(p, name)]
+    out = d.groupBy(key).agg(*aggs)
+    final = [F.col(key)]
+    for name in ps:
+        h, lo, hi = (F.col(f"__{x}_{name}") for x in ("h", "lo", "hi"))
+        final.append((lo + (h - F.floor(h)) * (hi - lo)).alias(name))
+    return out.select(*final)
 
 
 @query(
@@ -48,24 +96,35 @@ from i3cols_spark.sources.tables import table
     """,
 )
 def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group — np.percentile analog.
+    """Exact interpolated percentiles per group — np.percentile analog,
+    matching DuckDB ``quantile_cont`` (same h = (n-1)p linear
+    interpolation) to 4 dp.
 
-    Spark ``percentile`` (exact, sort-based within the aggregate) ==
-    DuckDB ``quantile_cont``: both sort the group and linearly
-    interpolate, so values agree to rounding.  At 100 TB the exact
-    form still works (it is a proper partial/merge aggregate, state =
-    the group's values) but ``approx_percentile`` (t-digest, bounded
-    state) is the scale path — kept exact here because the oracle can
-    check exactness and q_agg_approx_distinct already covers the
-    sketch-aggregate pattern.
+    Computed via ``exact_percentiles`` (distribution cumsum + bracket
+    pick), NOT Spark's ``percentile`` aggregate — see that helper's
+    docstring for why the buffering aggregate fails at scale (7.9× at
+    the 10× probe).  ``approx_percentile`` (bounded-state sketch)
+    remains the alternative when even the distinct-value histogram is
+    too wide.
     """
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75_price"),
-        F.round(F.median("l_extendedprice"), 4).alias("median_price"),
-        F.round(F.percentile("l_quantity", F.lit(0.90)), 4).alias("p90_qty"),
+    price = exact_percentiles(
+        li,
+        "l_returnflag",
+        "l_extendedprice",
+        {"p25_price": 0.25, "p50_price": 0.50, "p75_price": 0.75},
+    )
+    qty = exact_percentiles(li, "l_returnflag", "l_quantity", {"p90_qty": 0.90})
+    return (
+        price.join(qty, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.round("p25_price", 4).alias("p25_price"),
+            F.round("p50_price", 4).alias("p50_price"),
+            F.round("p75_price", 4).alias("p75_price"),
+            F.round("p50_price", 4).alias("median_price"),
+            F.round("p90_qty", 4).alias("p90_qty"),
+        )
     )
 
 
