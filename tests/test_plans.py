@@ -57,9 +57,15 @@ def test_topk_uses_take_ordered(spark, sf_dir):
 
 
 def test_range_join_is_keyed_not_cartesian(spark, sf_dir):
+    """The follower-count range query must plan as an ordered window
+    (range frame), not a pair-materializing self-join: the join form's
+    intermediate grows with squared per-user density (9.4× at the 10×
+    probe vs 1.9× for the window)."""
     plan = explain_str(QUERIES["q_join_theta_range"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
 def test_semi_anti_plans(spark, sf_dir):
