@@ -115,10 +115,15 @@ def main() -> None:
     probes = sys.argv[2:] or (PROBES if COPIES <= 10 else PAIR_FAMILY)
     print(f"{'query':32s} {'sf0.1':>8s} {f'x{COPIES}':>8s} {'ratio':>6s}")
     for name in probes:
-        run(name, SRC)  # warm ×2: wide-join codegen takes ~3 runs to JIT
+        # Warm ×2 PER SIDE then min-of-2: wide-join codegen takes ~3
+        # runs to JIT, and the big side spawns extra Python workers on
+        # its first mapInPandas run (a cold x10 run once measured
+        # 22.6× on q_multimodal_features vs 1.1× warm).
         run(name, SRC)
-        small = run(name, SRC)
-        big = run(name, DST)
+        run(name, SRC)
+        small = min(run(name, SRC), run(name, SRC))
+        run(name, DST)
+        big = min(run(name, DST), run(name, DST))
         n = QUERIES[name](spark, DST).count()
         print(f"{name:32s} {small:8.2f} {big:8.2f} {big/small:6.1f}  ({n} rows)")
 
