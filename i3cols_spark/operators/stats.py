@@ -245,3 +245,23 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("train")
     )
     return docs.select("doc_id", "lang", split.alias("split"))
+
+
+@query("q_agg_approx_percentile")  # no oracle: t-digest-style sketch is engine-specific
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile of extended price per return flag — the
+    bounded-state sketch twin of q_agg_percentile.
+
+    No SQL oracle: approximate-quantile sketches differ across engines
+    by design, so the driver records rows-only; tests/test_properties.py
+    bounds each estimate within the exact p±1% rank band.  At 100 TB
+    this is the percentile you run when even the distinct-value
+    histogram of exact_percentiles is too wide: state is a fixed-size
+    sketch per group, merged map-side.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile(
+            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000)
+        ).alias("approx_price_quartiles")
+    )

@@ -151,3 +151,27 @@ def test_ann_ivf_results_agree_with_exact_cosines(spark, sf_dir):
     for r in ivf:
         if r["vec_id"] in exact:
             assert abs(exact[r["vec_id"]] - r["cos_sim"]) < 1e-9
+
+
+def test_approx_percentile_within_rank_band(spark, sf_dir):
+    """Weak check for q_agg_approx_percentile: each estimate must fall
+    between the exact (p-1%) and (p+1%) percentile values."""
+    from i3cols_spark.operators.stats import exact_percentiles
+    from i3cols_spark.sources.tables import table
+
+    approx = {
+        r["l_returnflag"]: r["approx_price_quartiles"]
+        for r in QUERIES["q_agg_approx_percentile"](spark, sf_dir).collect()
+    }
+    li = table(spark, sf_dir, "lineitem")
+    bands = {}
+    for p in (0.25, 0.5, 0.75):
+        lo_hi = exact_percentiles(
+            li, "l_returnflag", "l_extendedprice",
+            {"lo": max(p - 0.01, 0.0), "hi": min(p + 0.01, 1.0)},
+        )
+        for r in lo_hi.collect():
+            bands.setdefault(r["l_returnflag"], []).append((r["lo"], r["hi"]))
+    for flag, quartiles in approx.items():
+        for est, (lo, hi) in zip(quartiles, bands[flag]):
+            assert lo <= est <= hi, (flag, est, lo, hi)
