@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from i3cols_spark.functions.vectors import as_double
 from i3cols_spark.operators.registry import query
-from i3cols_spark.operators.similarity import blocked_pair_sims
+from i3cols_spark.operators.similarity import rep_pair_sims
 from i3cols_spark.sources.tables import table
 
 
@@ -130,19 +130,36 @@ def q_dedup_clusters(spark, sf_dir: str) -> DataFrame:
     q_similarity_pairs_threshold edge set, scored by the shared
     per-cell GEMM) closed transitively into components.
 
+    The closure runs on exact-duplicate REPRESENTATIVES only
+    (rep_pair_sims): expanding dup groups into member-pair edges first
+    grows the edge list d²-fold and OOMed the edge checkpoint at a
+    100× replicated probe.  Identical non-zero vectors are mutually
+    cosine-1.0, so every member inherits its rep's component
+    (component ids are unchanged: each rep is already the min vec_id
+    of its group).  Zero vectors have undefined cosine — no edges —
+    so members of a zero-vector group stay singleton components, as
+    in the oracle.
+
     The oracle computes the same closure by recursive CTE (reach =
     transitive closure, component = min reachable id) — fine at
     oracle SF, quadratic in component size at scale, which is exactly
-    why the engine side uses O(log n)-round hooking + shortcutting
-    instead.
+    why the engine side uses O(log n)-round hooking + shortcutting.
     """
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double("embedding").alias("v")
     )
-    edges = blocked_pair_sims(emb, threshold=0.25).select(
-        F.col("a_id").alias("a"), F.col("b_id").alias("b")
+    grp, rep_sims = rep_pair_sims(emb, threshold=0.25)
+    edges = rep_sims.select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
+    nodes = grp.select(F.col("rep").alias("id"))
+    rep_labels = connected_components(nodes, edges)
+    members = grp.select(
+        "rep",
+        F.explode("ids").alias("vec_id"),
+        (~F.exists("v", lambda x: x != 0)).alias("is_zero"),
     )
-    nodes = emb.select(F.col("vec_id").alias("id"))
-    return connected_components(nodes, edges).select(
-        F.col("id").alias("vec_id"), F.col("comp").alias("component")
+    return members.join(rep_labels, members.rep == rep_labels.id).select(
+        "vec_id",
+        F.when(F.col("is_zero"), F.col("vec_id"))
+        .otherwise(F.col("comp"))
+        .alias("component"),
     )

@@ -108,6 +108,50 @@ def blocked_pair_sims(emb: DataFrame, threshold: float, nchunks: int = 8) -> Dat
     C(nchunks+1, 2) cells, per-task memory = 2 cells, nchunks scales
     with block cardinality stats — the DIMSUM/block-cartesian shape.
     """
+    grp, rep_sims = rep_pair_sims(emb, threshold, nchunks)
+
+    # Expand rep pairs to member pairs (cross) and add intra-group
+    # pairs at exactly 1.0 (identical vectors; zero vectors excluded —
+    # their cosine is NULL/undefined in the oracle dialect).  Both are
+    # pure output materialization.
+    mem = grp.select("rep", "ids")
+    cross = (
+        rep_sims.join(mem.select(F.col("rep").alias("a_id"), F.col("ids").alias("ids_a")), "a_id")
+        .join(mem.select(F.col("rep").alias("b_id"), F.col("ids").alias("ids_b")), "b_id")
+        .select(F.explode("ids_a").alias("ia"), "ids_b", "cos_sim")
+        .select("ia", F.explode("ids_b").alias("ib"), "cos_sim")
+        .select(
+            F.least("ia", "ib").alias("a_id"),
+            F.greatest("ia", "ib").alias("b_id"),
+            "cos_sim",
+        )
+    )
+    intra = (
+        grp.filter((F.size("ids") >= 2) & F.exists("v", lambda x: x != 0))
+        .select(F.explode(pair_structs(F.col("ids"), "a_id", "b_id")).alias("p"))
+        .select(
+            F.col("p.a_id").alias("a_id"),
+            F.col("p.b_id").alias("b_id"),
+            F.lit(1.0).alias("cos_sim"),
+        )
+    )
+    return cross.unionByName(intra)
+
+
+def rep_pair_sims(
+    emb: DataFrame, threshold: float, nchunks: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    """Stage 0+1 of ``blocked_pair_sims``, exposed for consumers that
+    do NOT want the duplicate expansion (e.g. connected-components
+    clustering, where member pairs of an exact-dup group would blow
+    the edge list up d²-fold — a 100× replicated probe OOMed the edge
+    checkpoint before this split).
+
+    Returns ``(grp, rep_sims)``: ``grp`` is the exact-duplicate
+    collapse (one row per (label, vector-hash): ``rep`` = min member
+    vec_id, ``ids`` = all members, ``v``), ``rep_sims`` the cosine-≥
+    threshold pairs among the representatives only (``a_id < b_id``).
+    """
     spark = emb.sparkSession
     grp = emb.groupBy("label", F.xxhash64("v").alias("vh")).agg(
         F.min("vec_id").alias("rep"),
@@ -168,33 +212,7 @@ def blocked_pair_sims(emb: DataFrame, threshold: float, nchunks: int = 8) -> Dat
             )
 
     rep_sims = pairs.mapInPandas(score, "a_id bigint, b_id bigint, cos_sim double")
-
-    # Expand rep pairs to member pairs (cross) and add intra-group
-    # pairs at exactly 1.0 (identical vectors; zero vectors excluded —
-    # their cosine is NULL/undefined in the oracle dialect).  Both are
-    # pure output materialization.
-    mem = grp.select("rep", "ids")
-    cross = (
-        rep_sims.join(mem.select(F.col("rep").alias("a_id"), F.col("ids").alias("ids_a")), "a_id")
-        .join(mem.select(F.col("rep").alias("b_id"), F.col("ids").alias("ids_b")), "b_id")
-        .select(F.explode("ids_a").alias("ia"), "ids_b", "cos_sim")
-        .select("ia", F.explode("ids_b").alias("ib"), "cos_sim")
-        .select(
-            F.least("ia", "ib").alias("a_id"),
-            F.greatest("ia", "ib").alias("b_id"),
-            "cos_sim",
-        )
-    )
-    intra = (
-        grp.filter((F.size("ids") >= 2) & F.exists("v", lambda x: x != 0))
-        .select(F.explode(pair_structs(F.col("ids"), "a_id", "b_id")).alias("p"))
-        .select(
-            F.col("p.a_id").alias("a_id"),
-            F.col("p.b_id").alias("b_id"),
-            F.lit(1.0).alias("cos_sim"),
-        )
-    )
-    return cross.unionByName(intra)
+    return grp, rep_sims
 
 
 @query(
