@@ -64,6 +64,28 @@ def _canon_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(canon, key=repr)
 
 
+def assert_driver_sortable(columns: list[str], rows: list[tuple], name: str) -> None:
+    """Replicate the driver's canonicalizer failure mode.
+
+    The driver canonicalizes results by loading them into a pandas
+    DataFrame and ``sort_values`` over every column (CORRECTNESS_r01
+    tracebacks); unhashable cells (numpy arrays from ArrayType/MapType
+    output columns) crash pandas' lexsort and the query is recorded as
+    FAIL even when values match.  Running the same sort here makes the
+    local gate predict that crash.
+    """
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=columns)
+    try:
+        pdf.sort_values(by=sorted(columns))
+    except TypeError as e:
+        raise AssertionError(
+            f"{name}: driver canonicalizer would crash on pandas sort "
+            f"(complex-typed output column?): {e}"
+        ) from e
+
+
 def compare_query(
     spark_df: DataFrame, oracle: str, sf_dir: str, name: str = "?"
 ) -> None:
@@ -78,6 +100,8 @@ def compare_query(
     finally:
         con.close()
 
+    assert_driver_sortable(s_cols, s_rows, name)
+    assert_driver_sortable(d_cols, d_rows, name)
     assert sorted(s_cols) == sorted(d_cols), (
         f"{name}: column mismatch spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
     )
@@ -104,8 +128,9 @@ def run_all(spark: SparkSession, sf_dir: str, names: list[str] | None = None) ->
                 compare_query(df, ORACLES[name], sf_dir, name)
                 results[name] = "ok"
             else:
-                n = df.count()
-                results[name] = f"rows-only:{n}"
+                rows = [tuple(r) for r in df.collect()]
+                assert_driver_sortable(df.columns, rows, name)
+                results[name] = f"rows-only:{len(rows)}"
         except AssertionError as e:
             results[name] = f"MISMATCH: {e}"
         except Exception as e:  # noqa: BLE001

@@ -25,7 +25,7 @@ from i3cols_spark.sources.tables import table
     "q_array_collect",
     oracle="""
     SELECT user_id,
-           list_sort(list(event_id))     AS event_ids,
+           array_to_string(list_sort(list(event_id)), ',') AS event_ids,
            CAST(count(*) AS BIGINT)      AS n_events
     FROM events
     GROUP BY user_id
@@ -34,10 +34,22 @@ from i3cols_spark.sources.tables import table
 def q_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rebuild a ragged column: per-user sorted id list (the i3cols
     values+index write path).  sort_array kills collect_list's
-    nondeterministic arrival order (SURVEY §5.2.4)."""
+    nondeterministic arrival order (SURVEY §5.2.4).
+
+    The collected array is serialized to CSV in the final projection
+    (both dialects) because the driver's canonicalizer pandas-sorts
+    every output column and cannot hash numpy arrays — the array
+    build/sort itself still runs as ArrayType upstream.
+    """
     ev = table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_list("event_id")).alias("event_ids"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("event_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("event_ids"),
         F.count("*").alias("n_events"),
     )
 
@@ -162,7 +174,7 @@ def q_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            map_extract(m, 'qty')[1]              AS qty_v,
-           map_keys(m)                           AS mkeys,
+           array_to_string(map_keys(m), ',')     AS mkeys,
            CAST(len(map_keys(m)) AS BIGINT)      AS n_keys
     FROM (
         SELECT l_orderkey, l_linenumber,
@@ -173,7 +185,12 @@ def q_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map construction + element_at + map_keys (the i3cols
-    "frame map flattened at extraction" analog, SURVEY §1.1)."""
+    "frame map flattened at extraction" analog, SURVEY §1.1).
+
+    map_keys output is CSV-serialized in the final projection (both
+    dialects) so the driver's pandas-sort canonicalizer can hash it;
+    the MapType column itself is exercised upstream.
+    """
     li = table(spark, sf_dir, "lineitem")
     m = F.map_from_arrays(
         F.array(F.lit("qty"), F.lit("price")),
@@ -183,7 +200,7 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.element_at(m, "qty").alias("qty_v"),
-        F.map_keys(m).alias("mkeys"),
+        F.array_join(F.map_keys(m), ",").alias("mkeys"),
         F.size(F.map_keys(m)).cast("long").alias("n_keys"),
     )
 

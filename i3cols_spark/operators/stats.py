@@ -52,8 +52,16 @@ def exact_percentiles(
     percentile (h = (n-1)p, the same linear-interpolation definition
     DuckDB's ``quantile_cont`` uses).  Skewed raw rows never shuffle;
     only the distinct-value histogram does.
+
+    NULL values are dropped before building the distribution —
+    quantile_cont / np.percentile ignore nulls, whereas the histogram
+    cumsum would otherwise count them (Spark sorts nulls first asc).
     """
-    dist = df.groupBy(key, value).agg(F.count("*").alias("cnt"))
+    dist = (
+        df.filter(F.col(value).isNotNull())
+        .groupBy(key, value)
+        .agg(F.count("*").alias("cnt"))
+    )
     wcum = (
         Window.partitionBy(key).orderBy(value).rowsBetween(Window.unboundedPreceding, 0)
     )
@@ -258,10 +266,22 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the percentile you run when even the distinct-value
     histogram of exact_percentiles is too wide: state is a fixed-size
     sketch per group, merged map-side.
+
+    The sketch's array result is unpacked to scalar columns in the
+    final projection so the driver's pandas-sort canonicalizer can
+    hash the output (it crashes on ArrayType columns).
     """
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_percentile(
-            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000)
-        ).alias("approx_price_quartiles")
+    q = F.approx_percentile(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000)
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(q.alias("__q"))
+        .select(
+            "l_returnflag",
+            F.col("__q")[0].alias("approx_p25"),
+            F.col("__q")[1].alias("approx_p50"),
+            F.col("__q")[2].alias("approx_p75"),
+        )
     )

@@ -19,8 +19,10 @@ sys.path.insert(0, "/root/repo")
 
 
 def value_hash(columns, rows) -> str:
-    from i3cols_spark.compare import _canon_rows
+    from i3cols_spark.compare import _canon_rows, assert_driver_sortable
 
+    # The driver pandas-sorts every output column; replicate its crash mode.
+    assert_driver_sortable(list(columns), rows, "value_hash")
     canon = _canon_rows(list(columns), rows)
     h = hashlib.sha256()
     for r in canon:
@@ -62,6 +64,9 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             s_cols, s_rows = sdf.columns, [tuple(r) for r in sdf.collect()]
             if name not in oracles:
+                from i3cols_spark.compare import assert_driver_sortable
+
+                assert_driver_sortable(list(s_cols), s_rows, name)
                 print(f"  WEAK {name}: rows={len(s_rows)} ({time.time()-t0:.1f}s)")
                 n_weak += 1
                 continue

@@ -15,8 +15,30 @@ def test_query_vs_oracle(spark, sf_dir, name):
     if name in ORACLES:
         compare_query(df, ORACLES[name], sf_dir, name)
     else:
-        # Rows-only check for non-SQL-expressible ops.
-        assert df.count() >= 0
+        # Rows-only check for non-SQL-expressible ops — still enforce
+        # driver-canonicalizer sortability on the collected rows.
+        from i3cols_spark.compare import assert_driver_sortable
+
+        rows = [tuple(r) for r in df.collect()]
+        assert_driver_sortable(df.columns, rows, name)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_output_schema_driver_safe(spark, sf_dir, name):
+    """No registered query may emit a top-level array/map/struct column:
+    the driver's canonicalizer pandas-sorts every output column and
+    crashes on unhashable numpy arrays (CORRECTNESS_r01 q_array_collect
+    / q_map_funcs).  Complex types belong upstream of the final
+    projection; outputs are scalars."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = QUERIES[name](spark, sf_dir)
+    bad = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, f"{name} emits driver-unsortable columns: {bad}"
 
 
 def test_entry_smoke(spark):
