@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from i3cols_spark.operators import ORACLES, QUERIES  # noqa: E402
+from i3cols_spark.operators import ORACLES, QUERIES, surface_order  # noqa: E402
 from i3cols_spark.session import configure  # noqa: E402
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -32,10 +32,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.3."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.3.
+
+    Ordered contract-first (SURVEY §2.3's 60 names, then tiered
+    extras): the driver consumes this dict in insertion order under a
+    finite budget, so the contract must never queue behind extras.
+    """
+    return {name: QUERIES[name] for name in surface_order()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (omissions → rows-only)."""
-    return dict(ORACLES)
+    order = surface_order()
+    return {name: ORACLES[name] for name in order if name in ORACLES}

@@ -1,7 +1,14 @@
 """Operator registry — importing this package registers every query
 from SURVEY §2.3 into ``QUERIES`` / ``ORACLES``."""
 
-from i3cols_spark.operators.registry import ORACLES, QUERIES, query
+from i3cols_spark.operators.registry import (
+    CONTRACT_QUERIES,
+    EXTRA_QUERIES,
+    ORACLES,
+    QUERIES,
+    query,
+    surface_order,
+)
 
 # Import order == SURVEY §2.3 section order; each import registers.
 from i3cols_spark.operators import scans  # noqa: E402,F401  (§A)
@@ -20,4 +27,11 @@ from i3cols_spark.operators import physics  # noqa: E402,F401  (§2.2 completion
 from i3cols_spark.operators import stats  # noqa: E402,F401  (§2.2 completions + sampling)
 from i3cols_spark.operators import graph  # noqa: E402,F401  (§E dedup clustering)
 
-__all__ = ["QUERIES", "ORACLES", "query"]
+__all__ = [
+    "CONTRACT_QUERIES",
+    "EXTRA_QUERIES",
+    "ORACLES",
+    "QUERIES",
+    "query",
+    "surface_order",
+]

@@ -48,3 +48,26 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(df.columns) == {"n_name", "revenue", "n_items"}
+
+
+def test_surface_order_contract_first():
+    """The driver consumes queries() in dict order under a finite
+    budget (round 1 truncated at 50 entries, stranding 13 contract
+    queries): all 60 SURVEY §2.3 names must precede every extra, and
+    the surface must expose every registered query exactly once."""
+    import __spark_entry__ as entrymod
+    from i3cols_spark.operators import CONTRACT_QUERIES, EXTRA_QUERIES
+
+    order = list(entrymod.queries())
+    assert len(CONTRACT_QUERIES) == 60
+    assert order[:60] == list(CONTRACT_QUERIES)
+    assert sorted(order) == sorted(QUERIES)
+    assert set(order[60:]) == set(EXTRA_QUERIES) | (
+        set(QUERIES) - set(CONTRACT_QUERIES) - set(EXTRA_QUERIES)
+    )
+    # Every contract query has an oracle entry except the declared
+    # weak-by-design ones (SURVEY §2.3: approx_distinct + minhash).
+    from i3cols_spark.operators import ORACLES
+    weak_ok = {"q_agg_approx_distinct", "q_dedup_near_minhash"}
+    missing = [n for n in CONTRACT_QUERIES if n not in ORACLES and n not in weak_ok]
+    assert not missing, f"contract queries without oracle: {missing}"
