@@ -24,7 +24,7 @@ from i3cols_spark.functions.arrays import pair_structs as _pair_structs
 from i3cols_spark.functions.text import normalize, shingle_hashes, tokens
 from i3cols_spark.functions.vectors import as_double
 from i3cols_spark.operators.registry import query
-from i3cols_spark.sources.tables import table
+from i3cols_spark.sources.tables import spread, table
 
 
 @query(
@@ -90,9 +90,7 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle_hashes: tokens hashed once, shingle fingerprint derived
     # from token hashes — no per-shingle string allocation (profiled:
     # building+hashing shingle STRINGS was ~60% of the query).
-    docs0 = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs0 = spread(table(spark, sf_dir, "documents"), spark)
     grp = docs0.groupBy(F.xxhash64(normalize("text")).alias("th")).agg(
         F.min("doc_id").alias("rep"),
         F.sort_array(F.collect_list("doc_id")).alias("ids"),
@@ -213,9 +211,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the per-row expression form for embedding in other
     pipelines).
     """
-    docs0 = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs0 = spread(table(spark, sf_dir, "documents"), spark)
     grp = docs0.groupBy(F.xxhash64(normalize("text")).alias("th")).agg(
         F.collect_list("doc_id").alias("ids"),
         F.first("text").alias("text"),
@@ -305,9 +301,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
          1.0 (identical shingle sets).  Both expansions are pure
          output materialization.
     """
-    docs0 = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs0 = spread(table(spark, sf_dir, "documents"), spark)
     grp = (
         docs0.groupBy("lang", F.xxhash64(normalize("text")).alias("th"))
         .agg(

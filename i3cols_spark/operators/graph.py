@@ -59,7 +59,7 @@ def connected_components(
         .union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .localCheckpoint()
     )
-    labels = nodes.select("id", F.col("id").alias("comp")).localCheckpoint()
+    labels = nodes.select("id", F.col("id").alias("comp")).localCheckpoint(eager=False)
 
     for _ in range(max_iter):
         # hook: pull the min neighbor label onto each node
@@ -80,6 +80,10 @@ def connected_components(
         parent = hooked.select(
             F.col("id").alias("p_id"), F.col("comp").alias("p_comp")
         )
+        # Lazy checkpoint: the fixpoint count below is the action that
+        # materializes it, so each round runs ONE job, not two (eager
+        # checkpoint + count was 2 jobs/round — round overhead, not
+        # data, dominates this loop at small SF).
         nxt = (
             hooked.join(parent, hooked.comp == parent.p_id, "left")
             .select(
@@ -87,15 +91,73 @@ def connected_components(
                 "old_comp",
                 F.coalesce("p_comp", "comp").alias("comp"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # old_comp rides along, so the fixpoint check is a filter over
-        # the just-materialized checkpoint — no extra join.
+        # the checkpoint being materialized — no extra join.
         changed = nxt.filter(F.col("comp") != F.col("old_comp")).count()
         labels = nxt.select("id", "comp")
         if changed == 0:
             break
+    else:
+        # Partially-merged labels are silently wrong downstream; the
+        # caller cannot detect non-convergence from the frame itself.
+        raise RuntimeError(
+            f"connected_components: no fixpoint within max_iter={max_iter} "
+            f"rounds ({changed} labels still changing); raise max_iter"
+        )
     return labels.select("id", "comp")
+
+
+def label_blocked_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Connected components when every edge stays INSIDE one block key
+    — the shape every blocked dedup pipeline here produces (minhash
+    bands, simhash bands, embedding label blocks): a pair generator
+    that never emits cross-block pairs cannot create cross-block
+    edges, so the transitive closure decomposes exactly per block.
+
+    ``nodes``: (id long, label); ``edges``: (label, a long, b long).
+    Returns (id, comp) with comp = min member id, like
+    ``connected_components`` — but with ZERO global fixpoint rounds:
+    one cogrouped shuffle on label, then a per-block union-find
+    (smaller-root-wins, so the root of every set is its min id) inside
+    ``applyInPandas``.  The iterative loop spent O(log n) × several
+    shuffle latencies per query (~6 s of pure round overhead at small
+    SF); this is one exchange at any SF.
+
+    Scale: parallelism = #blocks; per-task memory = one block's nodes
+    + its above-threshold edges (output-bound, same bound as the pair
+    query itself).  A genuinely cross-block edge set still needs the
+    general ``connected_components`` loop above.
+    """
+    import pandas as pd
+
+    def cc(key, nodes_pdf, edges_pdf):
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(edges_pdf["a"], edges_pdf["b"]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                # smaller root wins ⇒ every set's root is its min id
+                parent[rb] = ra
+        ids = nodes_pdf["id"].astype("int64")
+        return pd.DataFrame({"id": ids, "comp": [find(int(i)) for i in ids]})
+
+    return (
+        nodes.groupBy("label")
+        .cogroup(edges.groupBy("label"))
+        .applyInPandas(cc, "id long, comp long")
+    )
 
 
 @query(
@@ -149,9 +211,14 @@ def q_dedup_clusters(spark, sf_dir: str) -> DataFrame:
         "vec_id", "label", as_double("embedding").alias("v")
     )
     grp, rep_sims = rep_pair_sims(emb, threshold=0.25)
-    edges = rep_sims.select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
-    nodes = grp.select(F.col("rep").alias("id"))
-    rep_labels = connected_components(nodes, edges)
+    # Edges are label-blocked by construction (the pair engine never
+    # emits cross-label pairs), so the closure runs per label block —
+    # no global fixpoint loop (see label_blocked_components).
+    edges = rep_sims.select(
+        "label", F.col("a_id").alias("a"), F.col("b_id").alias("b")
+    )
+    nodes = grp.select(F.col("rep").alias("id"), "label")
+    rep_labels = label_blocked_components(nodes, edges)
     members = grp.select(
         "rep",
         F.explode("ids").alias("vec_id"),

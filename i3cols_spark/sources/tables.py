@@ -69,3 +69,30 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
     """Register temp views so operators can use ``spark.sql`` freely."""
     for name, df in load_tables(spark, sf_dir, names).items():
         df.createOrReplaceTempView(name)
+
+
+def spread(df: DataFrame, spark: SparkSession, min_bytes: int = 256 << 10) -> DataFrame:
+    """Round-robin a NARROW single-split input across cores — but only
+    when the shuffle can pay for itself.
+
+    The documents/embeddings fixtures arrive as one parquet file ⇒ one
+    input split, so per-row CPU work (shingling, hashing, GEMM prep)
+    would otherwise run on one core; at production scale the file
+    count provides the parallelism and this becomes a no-op.  Skipped
+    when the input is already split at least ``defaultParallelism``
+    ways or is too small (< ``min_bytes``) for task-spreading to beat
+    the fixed cost of a 32-task shuffle — at oracle SF (sf0.01) the
+    unconditional form was pure per-query overhead (VERDICT r01).
+    """
+    import os
+
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+        paths = [f.removeprefix("file:") for f in files]
+        nbytes = sum(os.path.getsize(p) for p in paths if os.path.exists(p))
+    except Exception:  # non-file-backed plan — keep the old behavior
+        return df.repartition(target)
+    if len(files) >= target or nbytes < min_bytes:
+        return df
+    return df.repartition(target)
