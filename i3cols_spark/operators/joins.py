@@ -195,7 +195,13 @@ def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p.event_id, p.user_id, c.event_id AS asof_click_id
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (
+        -- one click per (user, ts): max event_id — ASOF's pick among
+        -- equal-ts clicks is otherwise unspecified in BOTH engines
+        SELECT user_id, ts, max(event_id) AS event_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    ) c
       ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
 )
@@ -210,7 +216,11 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     join at all — it scales better than the naive
     join+row_number emulation (which shuffles twice and materializes
     all candidate pairs).  Ties at equal ts order clicks first
-    (kind 0 < kind 1), matching ASOF's ``>=`` semantics.
+    (kind 0 < kind 1), matching ASOF's ``>=`` semantics; among clicks
+    at the SAME ts the trailing ``click_id`` sort key makes ``last``
+    pick the max event_id deterministically (the oracle dedupes its
+    click stream to the same max — either engine's untied pick would
+    be run-order-dependent).
     """
     ev = table(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
@@ -230,7 +240,7 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = clicks.unionByName(purchases)
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "kind")
+        .orderBy("ts", "kind", "click_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (

@@ -430,6 +430,16 @@ def write_npy_columns(df, path: str, overwrite: bool = False) -> None:
     driver — a migration tool, deliberately not a distributed sink."""
     os.makedirs(path, exist_ok=overwrite)
     tbl = df.toArrow()
+    if overwrite:
+        # Prune key dirs left by a previous export with other columns
+        # or row counts — stale keys would later read back misaligned
+        # (or silently resurrect a dropped column).
+        import shutil
+
+        for entry in os.listdir(path):
+            sub = os.path.join(path, entry)
+            if os.path.isdir(sub) and entry not in tbl.column_names:
+                shutil.rmtree(sub)
     for name in tbl.column_names:
         col = _one_chunk(tbl.column(name))
         # The npy layout has no null representation (structured arrays
@@ -453,4 +463,9 @@ def write_npy_columns(df, path: str, overwrite: bool = False) -> None:
             np.save(os.path.join(kdir, "index.npy"), index)
             np.save(os.path.join(kdir, "data.npy"), _arrow_col_to_np(col.flatten()))
         else:
+            # A stale index.npy (key was ragged in a previous export)
+            # would make the reader treat this scalar key as ragged.
+            stale_idx = os.path.join(kdir, "index.npy")
+            if os.path.exists(stale_idx):
+                os.remove(stale_idx)
             np.save(os.path.join(kdir, "data.npy"), _arrow_col_to_np(col))

@@ -57,3 +57,34 @@ def test_cli_npy_bridge_round_trip(tmp_path):
         duckdb.sql(f"SELECT count(*) FROM '{back}/*.parquet'").fetchone()[0],
     )
     assert n_src == n_back
+
+
+def test_cli_compact_zstd_round_trip(tmp_path):
+    """SURVEY S8 (compress/decompress ≙ parquet codec): `compact` must
+    rewrite with the zstd codec actually applied on disk and preserve
+    every value through the round trip."""
+    from i3cols_spark.cli import main
+
+    src = "/root/testdata/sf0.001/orders.parquet"
+    out = str(tmp_path / "compacted")
+    assert main(["--cpus", "4", "compact", src, "--out", out, "--target-files", "1"]) == 0
+
+    import glob
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    files = glob.glob(f"{out}/*.parquet")
+    assert len(files) == 1  # --target-files honored
+    md = pq.ParquetFile(files[0]).metadata
+    codecs = {
+        md.row_group(g).column(c).compression
+        for g in range(md.num_row_groups)
+        for c in range(md.row_group(g).num_columns)
+    }
+    assert codecs == {"ZSTD"}
+    diff = duckdb.sql(
+        f"SELECT count(*) FROM ((SELECT * FROM '{src}' EXCEPT SELECT * FROM '{out}/*.parquet')"
+        f" UNION ALL (SELECT * FROM '{out}/*.parquet' EXCEPT SELECT * FROM '{src}'))"
+    ).fetchone()[0]
+    assert diff == 0

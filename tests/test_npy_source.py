@@ -131,6 +131,34 @@ def test_export_round_trip(spark, tmp_path):
     assert a == b
 
 
+def test_overwrite_prunes_stale_keys(spark, tmp_path):
+    """overwrite=True must not leave key dirs (or a ragged key's
+    index.npy) from a previous export: a stale key would read back as
+    'misaligned columns' or silently resurrect a dropped column."""
+    out = str(tmp_path / "re_export")
+    first = spark.range(20).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("gone"),
+        F.sequence(F.lit(0), F.col("id") % 3).alias("shape_change"),
+    )
+    write_npy_columns(first, out, overwrite=True)
+    assert os.path.isdir(os.path.join(out, "gone"))
+    assert os.path.isfile(os.path.join(out, "shape_change", "index.npy"))
+
+    second = spark.range(10).select(
+        F.col("id").alias("k"),
+        # same key name, now scalar: the old index.npy must go too
+        (F.col("id") % 3).alias("shape_change"),
+    )
+    write_npy_columns(second, out, overwrite=True)
+    assert not os.path.exists(os.path.join(out, "gone"))
+    assert not os.path.exists(os.path.join(out, "shape_change", "index.npy"))
+    back = read_npy_columns(spark, out)
+    # event_id is the reader's synthesized positional index column
+    assert sorted(back.columns) == ["event_id", "k", "shape_change"]
+    assert back.count() == 10
+
+
 def test_export_rejects_nulls(spark, tmp_path):
     df = spark.sql("SELECT * FROM VALUES (1, 1.0), (2, CAST(NULL AS DOUBLE)) AS t(k, x)")
     with pytest.raises(Exception, match="nulls"):
