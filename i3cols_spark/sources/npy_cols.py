@@ -220,7 +220,13 @@ class NpyColsReader(DataSourceReader):
         return unsupported
 
     def partitions(self):
-        return _range_partitions(self.lo, max(self.lo, self.hi), self.npartitions)
+        # A split smaller than one Arrow batch still costs a Python
+        # worker task but yields a single partial batch — cap the split
+        # count so every split carries ≥ batch_rows (tiny datasets get
+        # 1-2 tasks; at scale the npartitions knob governs).
+        span = max(self.lo, self.hi) - self.lo
+        n = min(self.npartitions, max(1, -(-span // self.batch_rows)))
+        return _range_partitions(self.lo, max(self.lo, self.hi), n)
 
     def read(self, partition: InputPartition):
         start, stop = partition.value
