@@ -41,20 +41,36 @@ TABLES = (
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table from ``{sf_dir}/{name}.parquet`` (lazy).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS): Spark reads it as a
-    LongType of epoch-nanos (session.py sets ``nanosAsLong``) and we
-    derive the µs-precision ``ts`` TimestampType column via integer
-    ``div 1000`` — the exact truncation DuckDB applies when it casts
-    TIMESTAMP_NS → TIMESTAMP, so the oracle sees identical values.  The
-    full-precision ticks stay available as ``ts_ns`` (the I3TIME_T
-    "DAQ tick" analog — SURVEY §1.2 / §4.3).
+    ``events.ts`` arrives in either of two parquet flavors depending on
+    the fixture generator, and ``table()`` normalizes both to the same
+    contract — ``ts`` is session-zoned TimestampType (µs) and ``ts_ns``
+    is the full-precision epoch-nanos LongType shadow (the I3TIME_T
+    "DAQ tick" analog — SURVEY §1.2 / §4.3):
+
+    * TIMESTAMP(NANOS): Spark reads it as LongType epoch-nanos
+      (session.py sets ``nanosAsLong``); ``ts`` is derived via integer
+      ``div 1000`` — the exact truncation DuckDB applies casting
+      TIMESTAMP_NS → TIMESTAMP, so the oracle sees identical values.
+    * timestamp[us] with no timezone: Spark 4 reads TIMESTAMP_NTZ,
+      which ``unix_micros``/``window()`` reject.  The session timezone
+      is pinned UTC on both engines (session.py / compare harness), so
+      ``cast("timestamp")`` is value-identical and ``ts_ns`` is the
+      µs ticks ×1000.
     """
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+                "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000)
+            )
+        else:
+            return df
         # Keep the driver's column order with ts in place.
         df = df.select("event_id", "ts", "user_id", "event_type", "value", "props", "ts_ns")
     return df

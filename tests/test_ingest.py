@@ -112,3 +112,44 @@ def test_i3_shape_ragged_roundtrip(spark, sf_dir, tmp_path):
     orig = back.filter(F.col("pulses").isNotNull()).select("event_id", "pulses")
     assert orig.exceptAll(rebuilt).count() == 0
     assert rebuilt.exceptAll(orig).count() == 0
+
+
+def test_events_ts_normalized_for_both_parquet_flavors(spark, tmp_path):
+    """Fixture contract pin (VERDICT r03): the driver has shipped
+    events.ts as parquet TIMESTAMP(NANOS) (read: bigint under
+    nanosAsLong) AND as timestamp[us] without timezone (read:
+    TIMESTAMP_NTZ).  ``table()`` must yield the same contract for
+    both — ``ts`` timestamp (µs, UTC session) + ``ts_ns`` bigint
+    epoch-nanos — so a silent testdata regeneration can't re-break
+    every unix_micros/window call site."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from i3cols_spark.sources.tables import table
+
+    us = 1_700_000_000_123_456  # epoch µs
+    base = {
+        "event_id": pa.array([1], pa.int64()),
+        "user_id": pa.array([7], pa.int64()),
+        "event_type": pa.array(["click"], pa.string()),
+        "value": pa.array([1.5], pa.float64()),
+        "props": pa.array(["{}"], pa.string()),
+    }
+
+    flavors = {
+        "ntz": pa.array([us], pa.timestamp("us")),  # no tz → TIMESTAMP_NTZ
+        "nanos": pa.array([us * 1000], pa.timestamp("ns")),
+    }
+    for name, ts_arr in flavors.items():
+        d = tmp_path / name
+        d.mkdir()
+        tbl = pa.table({"event_id": base["event_id"], "ts": ts_arr, **{
+            k: v for k, v in base.items() if k != "event_id"}})
+        pq.write_table(tbl, str(d / "events.parquet"))
+        df = table(spark, str(d), "events")
+        dtypes = dict(df.dtypes)
+        assert dtypes["ts"] == "timestamp", (name, dtypes)
+        assert dtypes["ts_ns"] == "bigint", (name, dtypes)
+        row = df.select(F.unix_micros("ts").alias("us"), "ts_ns").head()
+        assert row["us"] == us, (name, row)
+        assert row["ts_ns"] == us * 1000, (name, row)

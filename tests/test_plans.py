@@ -137,15 +137,66 @@ def test_pair_similarity_is_cell_gemm_not_row_join(spark, sf_dir):
 
 
 def test_ann_ivf_assignment_is_single_gemm_pass(spark, sf_dir):
-    """IVF cell assignment must be one MapInPandas GEMM over the scan
-    (centroids ride in the closure — no join against a centroid table),
-    and the final top-k must be a TakeOrderedAndProject heap, not a
-    global sort."""
-    plan = explain_str(QUERIES["q_similarity_ann_ivf"](spark, sf_dir))
-    assert "MapInPandas" in plan
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "TakeOrderedAndProject" in plan
+    """The index-BUILD assignment must be one MapInPandas GEMM over the
+    scan (centroids ride in the closure — no join against a centroid
+    table); the PROBE query must be the payoff: a partition-pruned
+    index scan (no GEMM, no per-call count) ending in a
+    TakeOrderedAndProject heap, not a global sort."""
+    import numpy as np
+
+    from i3cols_spark.operators.similarity import ivf_assignment
+    from i3cols_spark.sources.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    cid = np.array([1, 5], dtype=np.int64)
+    cmat = np.ones((2, 64), dtype=np.float64)
+    build = explain_str(ivf_assignment(emb, cid, cmat))
+    # formatted explain names each node twice (tree line + detail
+    # block), so one GEMM pass shows exactly one "MapInPandas (n)".
+    assert build.count("MapInPandas (") == 1
+    assert "Join" not in build
+
+    probe = explain_str(QUERIES["q_similarity_ann_ivf"](spark, sf_dir))
+    assert "MapInPandas" not in probe  # index reused, not rebuilt inline
+    assert "CartesianProduct" not in probe
+    assert "BroadcastNestedLoopJoin" not in probe
+    assert "TakeOrderedAndProject" in probe
+    assert "PartitionFilters" in probe and "cell#" in probe, probe
+
+
+def test_ann_ivf_rebuilds_on_fixture_mutation(spark, sf_dir, tmp_path):
+    """An in-place mutation of embeddings.parquet (same path, new
+    bytes — exactly what the round-3 testdata regeneration did) must
+    invalidate the cached index: the fingerprint check rebuilds instead
+    of silently serving stale neighbors."""
+    import json
+    import os
+    import shutil
+
+    from i3cols_spark.operators.similarity import build_ivf_index
+
+    d = tmp_path / "sfmut"
+    d.mkdir()
+    src = f"{sf_dir}/embeddings.parquet"
+    dst = str(d / "embeddings.parquet")
+    (shutil.copytree if os.path.isdir(src) else shutil.copy2)(src, dst)
+
+    idx = build_ivf_index(spark, str(d))
+    marker = os.path.join(idx, "_CENTROIDS.json")
+    fp0 = json.load(open(marker))["fingerprint"]
+    # Cached path: same content → same index, no rebuild.
+    assert build_ivf_index(spark, str(d)) == idx
+    assert json.load(open(marker))["fingerprint"] == fp0
+
+    # Mutate in place (bump mtime on every data file).
+    if os.path.isdir(dst):
+        for dp, _, fs in os.walk(dst):
+            for f in fs:
+                os.utime(os.path.join(dp, f))
+    else:
+        os.utime(dst)
+    build_ivf_index(spark, str(d))
+    assert json.load(open(marker))["fingerprint"] != fp0
 
 
 def test_python_udaf_aggregates_per_partition_not_per_group(spark, sf_dir):
