@@ -51,6 +51,11 @@ def connected_components(
     count).  Rounds are O(log n) thanks to path halving, independent
     of component diameter.
     """
+    if max_iter < 1:
+        # Without this, zero loop iterations would fall through to the
+        # non-convergence branch with `changed` unbound (NameError
+        # instead of the intended contract error — ADVICE r03).
+        raise ValueError(f"connected_components: max_iter must be >= 1, got {max_iter}")
     # Materialize the edge list ONCE: the hook join re-reads it every
     # round, and without this the entire upstream pipeline (e.g. the
     # pair GEMM) would re-execute per round.
@@ -61,7 +66,15 @@ def connected_components(
     )
     labels = nodes.select("id", F.col("id").alias("comp")).localCheckpoint(eager=False)
 
-    for _ in range(max_iter):
+    # Fixpoint is checked every 2nd round: the count is a full job and
+    # at small data the loop cost is pure driver round-trips, not
+    # shuffle bytes (measured ~10 s of job-launch overhead at every SF
+    # — VERDICT r03 item 9).  Skipped-check rounds stay lazy and are
+    # materialized by the next counted round's action; worst case is
+    # one extra (converged, cheap) round before detection.
+    _CHECK_EVERY = 2
+    changed = -1
+    for it in range(max_iter):
         # hook: pull the min neighbor label onto each node
         nbr = (
             sym.join(labels, sym.b == labels.id)
@@ -93,12 +106,16 @@ def connected_components(
             )
             .localCheckpoint(eager=False)
         )
-        # old_comp rides along, so the fixpoint check is a filter over
-        # the checkpoint being materialized — no extra join.
-        changed = nxt.filter(F.col("comp") != F.col("old_comp")).count()
         labels = nxt.select("id", "comp")
-        if changed == 0:
-            break
+        if (it + 1) % _CHECK_EVERY == 0 or it == max_iter - 1:
+            # old_comp rides along, so the fixpoint check is a filter
+            # over the checkpoint being materialized — no extra join.
+            # NOTE: detects "this round changed nothing"; a no-op
+            # round implies the fixpoint regardless of whether the
+            # PREVIOUS (uncounted) round also changed nothing.
+            changed = nxt.filter(F.col("comp") != F.col("old_comp")).count()
+            if changed == 0:
+                break
     else:
         # Partially-merged labels are silently wrong downstream; the
         # caller cannot detect non-convergence from the frame itself.

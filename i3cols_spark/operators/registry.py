@@ -82,11 +82,24 @@ EXTRA_QUERIES: tuple[str, ...] = (
 )
 
 
+#: §2.3-E contract names, hoisted to the FRONT of the surface this
+#: round: the driver's 50-entry budget stops inside the 60-name
+#: contract, and in §-order the A–D blocks (50 names) consume the
+#: whole budget — the E block has never received a driver row in three
+#: rounds despite passing the full-surface sim.  Rotating E first
+#: gives those 10 their first recorded correctness evidence; the A–D
+#: tail that falls off the budget this round has two green rounds of
+#: history (VERDICT r03 item 5).
+_E_BLOCK: tuple[str, ...] = CONTRACT_QUERIES[-10:]
+
+
 def surface_order() -> list[str]:
-    """Driver-facing ordering: contract first, tiered extras after,
-    then any registered name the tuples don't know about (fail-open so
-    a new operator is never silently dropped from the surface)."""
-    known = list(CONTRACT_QUERIES) + list(EXTRA_QUERIES)
+    """Driver-facing ordering: contract first (E-block hoisted — see
+    ``_E_BLOCK``), tiered extras after, then any registered name the
+    tuples don't know about (fail-open so a new operator is never
+    silently dropped from the surface)."""
+    contract = list(_E_BLOCK) + [q for q in CONTRACT_QUERIES if q not in _E_BLOCK]
+    known = contract + list(EXTRA_QUERIES)
     missing = [k for k in known if k not in QUERIES]
     if missing:
         raise KeyError(f"surface_order: unregistered contract/extra names: {missing}")

@@ -180,8 +180,14 @@ def rep_pair_sims(
     nch = F.greatest(
         F.lit(1), F.ceil(F.col("blk_n") / F.lit(_CELL_CAP))
     ).cast("int")
+    # Chunk on a HASH of the id, not the id itself: residue-skewed id
+    # spaces (e.g. ids that are all ≡ 0 mod k after an upstream
+    # stride sample) would pile an entire block into one cell and
+    # defeat the _CELL_CAP memory bound; xxhash64 residues are uniform
+    # for any id distribution.  Output is chunking-invariant — every
+    # cell pair (ci ≤ cj) is scored regardless of assignment.
     cells = (
-        reps.withColumn("chunk", F.pmod(F.col("vec_id"), nch).cast("int"))
+        reps.withColumn("chunk", F.pmod(F.xxhash64("vec_id"), nch).cast("int"))
         .groupBy("label", "chunk")
         .agg(F.collect_list(F.struct("vec_id", "v")).alias("rows"))
     )
@@ -224,7 +230,7 @@ def rep_pair_sims(
                 if diag:  # same cell: (i,j) and (j,i) both present — keep one
                     keep = aid[ii] < bid[jj]
                     lo, hi, ii, jj = lo[keep], hi[keep], ii[keep], jj[keep]
-                out_l.append(np.full(len(lo), label, dtype=np.int64))
+                out_l.append(np.full(len(lo), label))
                 out_a.append(lo)
                 out_b.append(hi)
                 out_s.append(sim[ii, jj])
@@ -238,9 +244,13 @@ def rep_pair_sims(
             )
 
     # ``label`` rides along so blocked consumers (per-label components,
-    # graph.py) can partition the pair stream without a re-join.
+    # graph.py) can partition the pair stream without a re-join.  Its
+    # type is DERIVED from the input: a hardcoded int silently
+    # overflowed bigint block keys and rejected string ones (ADVICE
+    # r03).
+    label_type = dict(emb.dtypes)["label"]
     rep_sims = pairs.mapInPandas(
-        score, "label int, a_id bigint, b_id bigint, cos_sim double"
+        score, f"label {label_type}, a_id bigint, b_id bigint, cos_sim double"
     )
     return grp, rep_sims
 

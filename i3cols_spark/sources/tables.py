@@ -60,20 +60,27 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
-        elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
-                "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000)
-            )
-        else:
-            return df
-        # Keep the driver's column order with ts in place.
-        df = df.select("event_id", "ts", "user_id", "event_type", "value", "props", "ts_ns")
+        df = normalize_events_ts(df)
     return df
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize an events frame's ``ts`` to the engine contract —
+    works on batch AND streaming DataFrames (dtype inspection only, no
+    actions).  Unrecognized ``ts`` types pass through unchanged."""
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+            "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000)
+        )
+    else:
+        return df
+    # Keep the driver's column order with ts in place.
+    return df.select("event_id", "ts", "user_id", "event_type", "value", "props", "ts_ns")
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
@@ -101,11 +108,15 @@ def spread(df: DataFrame, spark: SparkSession, min_bytes: int = 256 << 10) -> Da
     unconditional form was pure per-query overhead (VERDICT r01).
     """
     import os
+    from urllib.parse import unquote
 
     target = spark.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()
-        paths = [f.removeprefix("file:") for f in files]
+        # inputFiles() returns URIs: strip the scheme AND percent-decode
+        # — a path with spaces/unicode arrives URL-encoded and a raw
+        # getsize() on it silently reports the file missing (ADVICE r03).
+        paths = [unquote(f.removeprefix("file:")) for f in files]
         nbytes = sum(os.path.getsize(p) for p in paths if os.path.exists(p))
     except Exception:  # non-file-backed plan — keep the old behavior
         return df.repartition(target)

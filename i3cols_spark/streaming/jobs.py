@@ -18,12 +18,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from i3cols_spark.session import configure
-from i3cols_spark.sources.tables import table
+from i3cols_spark.sources.tables import normalize_events_ts, table
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with the same ns→µs ts rule
-    as the batch reader (sources/tables.py)."""
+    """readStream over the events parquet with the same ts
+    normalization rule as the batch reader (sources/tables.py — both
+    fixture flavors: epoch-nanos bigint and µs TIMESTAMP_NTZ)."""
     configure(spark)
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The sf dir holds all tables; pathGlobFilter selects just events.
@@ -33,9 +34,7 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return stream.withColumn("ts_ns", F.col("ts")).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    return normalize_events_ts(stream)
 
 
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

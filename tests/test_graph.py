@@ -41,3 +41,19 @@ def test_edge_orientation_irrelevant(spark):
     b = _cc(spark, range(4), [(0, 3), (3, 1)])
     assert a == b
     assert a[0] == a[1] == a[3] == 0
+
+
+def test_max_iter_below_one_raises_value_error(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="max_iter"):
+        _cc(spark, range(3), [(0, 1)], max_iter=0)
+
+
+def test_non_convergence_raises_runtime_error(spark):
+    """A chain too long for max_iter=1 must raise the contract error —
+    partially-merged labels are silently wrong downstream."""
+    import pytest
+
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        _cc(spark, range(64), [(i, i + 1) for i in range(63)], max_iter=1)

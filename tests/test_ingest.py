@@ -153,3 +153,20 @@ def test_events_ts_normalized_for_both_parquet_flavors(spark, tmp_path):
         row = df.select(F.unix_micros("ts").alias("us"), "ts_ns").head()
         assert row["us"] == us, (name, row)
         assert row["ts_ns"] == us * 1000, (name, row)
+
+
+def test_spread_handles_url_encoded_paths(spark, tmp_path):
+    """inputFiles() returns percent-encoded URIs; spread() must decode
+    them before stat'ing, or a path with spaces reads as 0 bytes and
+    skips the repartition it was sized for (ADVICE r03)."""
+    from i3cols_spark.sources.tables import spread
+
+    d = tmp_path / "with space"
+    d.mkdir()
+    spark.range(1000).selectExpr("id", "repeat('x', 400) AS pad") \
+        .coalesce(1).write.parquet(str(d / "t.parquet"))
+    df = spark.read.parquet(str(d / "t.parquet"))
+    assert any("%20" in f for f in df.inputFiles()), "precondition: URI not encoded"
+    out = spread(df, spark, min_bytes=1)
+    # one input split, nbytes > min_bytes → must have repartitioned
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism

@@ -60,7 +60,10 @@ def test_surface_order_contract_first():
 
     order = list(entrymod.queries())
     assert len(CONTRACT_QUERIES) == 60
-    assert order[:60] == list(CONTRACT_QUERIES)
+    # Rotation-agnostic: the contract block may be internally reordered
+    # (round 4 hoists the never-driver-tested E block first) but all 60
+    # contract names must still precede every extra.
+    assert set(order[:60]) == set(CONTRACT_QUERIES)
     assert sorted(order) == sorted(QUERIES)
     assert set(order[60:]) == set(EXTRA_QUERIES) | (
         set(QUERIES) - set(CONTRACT_QUERIES) - set(EXTRA_QUERIES)

@@ -160,7 +160,7 @@ def test_approx_percentile_within_rank_band(spark, sf_dir):
     from i3cols_spark.sources.tables import table
 
     approx = {
-        r["l_returnflag"]: r["approx_price_quartiles"]
+        r["l_returnflag"]: (r["approx_p25"], r["approx_p50"], r["approx_p75"])
         for r in QUERIES["q_agg_approx_percentile"](spark, sf_dir).collect()
     }
     li = table(spark, sf_dir, "lineitem")
@@ -175,3 +175,51 @@ def test_approx_percentile_within_rank_band(spark, sf_dir):
     for flag, quartiles in approx.items():
         for est, (lo, hi) in zip(quartiles, bands[flag]):
             assert lo <= est <= hi, (flag, est, lo, hi)
+
+
+def test_rep_pair_sims_label_type_follows_input(spark):
+    """The pair stream's label column must carry the INPUT's label
+    type: a hardcoded int overflowed bigint block keys and rejected
+    string ones (ADVICE r03)."""
+    from i3cols_spark.operators.similarity import rep_pair_sims
+
+    big = 10_000_000_000  # > int32
+    rows = [(1, big, [1.0, 0.0]), (2, big, [1.0, 0.001]), (3, big + 1, [1.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, label long, v array<double>")
+    grp, sims = rep_pair_sims(emb, threshold=0.9)
+    assert dict(sims.dtypes)["label"] == "bigint"
+    out = {(r.a_id, r.b_id): r.label for r in sims.collect()}
+    assert out == {(1, 2): big}  # cross-label pair (1,3) must not appear
+
+    embs = spark.createDataFrame(
+        [(1, "en", [1.0, 0.0]), (2, "en", [1.0, 0.001])],
+        "vec_id long, label string, v array<double>",
+    )
+    _, sims_s = rep_pair_sims(embs, threshold=0.9)
+    assert dict(sims_s.dtypes)["label"] == "string"
+    assert [r.label for r in sims_s.collect()] == ["en"]
+
+
+def test_pair_cells_bounded_under_residue_skew(spark):
+    """Chunking hashes the id: ids that are all congruent mod the
+    chunk count (a stride-sampled id space) must still spread across
+    cells instead of collapsing into one (ADVICE r03)."""
+    import pyspark.sql.functions as F
+    from i3cols_spark.operators.similarity import _CELL_CAP
+
+    n = 64
+    stride = 4  # ids ≡ 1 (mod 4); pmod(id, nch) would hit one residue
+    emb = spark.range(n).select(
+        (F.col("id") * stride + 1).alias("vec_id"),
+        F.lit(0).alias("label"),
+        F.array(F.rand(seed=7), F.rand(seed=11)).alias("v"),
+    )
+    blk = emb.groupBy("label").agg(F.count("*").alias("blk_n"))
+    reps = emb.join(F.broadcast(blk), "label")
+    nch = F.greatest(F.lit(1), F.ceil(F.col("blk_n") / F.lit(stride))).cast("int")
+    cells = (
+        reps.withColumn("chunk", F.pmod(F.xxhash64("vec_id"), nch).cast("int"))
+        .groupBy("chunk").count().collect()
+    )
+    assert len(cells) > 1, "skewed residues collapsed into one cell"
+    assert max(r["count"] for r in cells) < n
