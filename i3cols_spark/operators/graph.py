@@ -58,21 +58,55 @@ def connected_components(
         raise ValueError(f"connected_components: max_iter must be >= 1, got {max_iter}")
     # Materialize the edge list ONCE: the hook join re-reads it every
     # round, and without this the entire upstream pipeline (e.g. the
-    # pair GEMM) would re-execute per round.
-    sym = (
-        edges.select("a", "b")
-        .union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .localCheckpoint()
+    # pair GEMM) would re-execute per round.  Checkpoint BEFORE
+    # symmetrizing — a union of two selects over the input computes
+    # the upstream plan once per branch (the pair GEMM ran twice);
+    # flipping the checkpointed frame is a narrow re-read.
+    one = edges.select("a", "b").localCheckpoint()
+    sym = one.union(one.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # Size the loop's parallelism to the MATERIALIZED graph, not the
+    # session default: the checkpoint inherits the upstream plan's
+    # partition count (e.g. 64 from a union of 32+32), so every round
+    # would launch that many scan tasks even for a few thousand edges —
+    # task launches, not shuffle bytes, dominate the loop at small
+    # sizes (~0.5 s/round measured).  The count is one cheap job over
+    # the checkpoint; coalesce is narrow (no shuffle).  At real scale
+    # ``p`` saturates at defaultParallelism and this is a no-op.
+    spark = edges.sparkSession
+    try:
+        shuffle_conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # "auto" under some deployments
+        shuffle_conf = spark.sparkContext.defaultParallelism
+    p = max(1, min(shuffle_conf, int(sym.count() // 1_000_000) + 1))
+    if p < sym.rdd.getNumPartitions():
+        sym = sym.coalesce(p)
+    labels = (
+        nodes.select("id", F.col("id").alias("comp"))
+        .coalesce(p)
+        .localCheckpoint(eager=False)
     )
-    labels = nodes.select("id", F.col("id").alias("comp")).localCheckpoint(eager=False)
 
-    # Fixpoint is checked every 2nd round: the count is a full job and
-    # at small data the loop cost is pure driver round-trips, not
-    # shuffle bytes (measured ~10 s of job-launch overhead at every SF
-    # — VERDICT r03 item 9).  Skipped-check rounds stay lazy and are
-    # materialized by the next counted round's action; worst case is
-    # one extra (converged, cheap) round before detection.
-    _CHECK_EVERY = 2
+    # Scope shuffle.partitions to the graph-sized ``p`` for the loop's
+    # plan compilations: checkpoint materialization fixes the physical
+    # plan (df.rdd — no AQE re-optimization), so without this every
+    # round's 3 exchanges launch the session-default task count over
+    # kilobytes of labels.  Restored in ``finally``; on big graphs
+    # p == the session value and this is a no-op.
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(p))
+    try:
+        labels = _cc_loop(sym, labels, p, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+    return labels.select("id", "comp")
+
+
+def _cc_loop(sym: DataFrame, labels: DataFrame, p: int, max_iter: int) -> DataFrame:
+    """Hook + pointer-jump rounds with fixpoint checks every 2nd round
+    (the count is a full job; round overhead, not data, dominates at
+    small sizes — worst case is one extra converged round before
+    detection)."""
+    check_every = 2
     changed = -1
     for it in range(max_iter):
         # hook: pull the min neighbor label onto each node
@@ -97,6 +131,8 @@ def connected_components(
         # materializes it, so each round runs ONE job, not two (eager
         # checkpoint + count was 2 jobs/round — round overhead, not
         # data, dominates this loop at small SF).
+        # coalesce(p) bounds the checkpoint's partition count (and the
+        # final join stage's task count) to the graph-sized ``p``.
         nxt = (
             hooked.join(parent, hooked.comp == parent.p_id, "left")
             .select(
@@ -104,10 +140,11 @@ def connected_components(
                 "old_comp",
                 F.coalesce("p_comp", "comp").alias("comp"),
             )
+            .coalesce(p)
             .localCheckpoint(eager=False)
         )
         labels = nxt.select("id", "comp")
-        if (it + 1) % _CHECK_EVERY == 0 or it == max_iter - 1:
+        if (it + 1) % check_every == 0 or it == max_iter - 1:
             # old_comp rides along, so the fixpoint check is a filter
             # over the checkpoint being materialized — no extra join.
             # NOTE: detects "this round changed nothing"; a no-op
