@@ -1,0 +1,299 @@
+"""§2.3-E extensions — training-data pipeline operators beyond the
+core dedup/similarity/text families: benchmark decontamination,
+keep-best canonical selection, sequence packing, repetition scoring.
+
+These are the steps between "raw corpus" and "training shards" that a
+100 TB pipeline runs after dedup: drop documents that leak evaluation
+benchmarks, pick ONE canonical doc per duplicate group, pack variable
+-length documents into fixed token budgets, and gate on intra-document
+repetition (the strongest single quality signal in published corpus
+-cleaning recipes).  All tokenization stays in JVM split/HOF
+expressions; shuffles are only the analytic groupBys/windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from i3cols_spark.functions.text import shingles, tokens
+from i3cols_spark.operators.registry import query
+from i3cols_spark.sources.tables import table
+
+#: Every doc_id ≡ 0 (mod _BENCH_MOD) plays the "held-out benchmark"
+#: role — a deterministic stand-in for an eval set (the fixture has no
+#: separate benchmark table).  Shared by the Spark plan and the oracle.
+_BENCH_MOD = 97
+
+#: Contamination n-gram size.  Real decontamination uses 8-13-gram
+#: overlap; the fixture docs are ~30-150 words of a small vocabulary,
+#: so 5-grams give a meaningful (non-degenerate) match distribution.
+_BENCH_NGRAM = 5
+
+
+@query(
+    "q_text_contamination",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(
+                   list_transform(
+                       range(1, greatest(len(w) - {_BENCH_NGRAM} + 1, 1) + 1),
+                       i -> array_to_string(list_slice(w, i, i + {_BENCH_NGRAM} - 1), ' ')
+                   )
+               ) AS sh
+        FROM toks
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % {_BENCH_MOD} = 0
+    ),
+    expl AS (
+        SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % {_BENCH_MOD} <> 0
+    ),
+    hits AS (
+        SELECT e.doc_id, count(*) AS n_hit
+        FROM expl e JOIN bench b ON e.s = b.s
+        GROUP BY e.doc_id
+    )
+    SELECT s.doc_id,
+           CAST(len(s.sh) AS BIGINT)            AS n_shingles,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_contaminated,
+           CAST(coalesce(h.n_hit, 0) AS DOUBLE) / len(s.sh) AS contamination,
+           (coalesce(h.n_hit, 0) > 0)           AS flagged
+    FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    WHERE s.doc_id % {_BENCH_MOD} <> 0
+    """,
+)
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: fraction of each training document's
+    distinct word {n}-grams that appear in the held-out benchmark set.
+
+    Plan shape for 100 TB: the benchmark side is SMALL by definition
+    (eval sets are thousands of docs, the corpus is billions), so its
+    distinct shingle set is BROADCAST — the corpus side is one scan +
+    explode + map-side-joinable probe + one groupBy on doc_id.  No
+    corpus-sized shuffle touches the benchmark check itself.  At real
+    scale the join key is xxhash64(shingle) (8 bytes vs the string);
+    the string key here keeps the DuckDB oracle value-exact.
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", shingles("text", n=_BENCH_NGRAM).alias("sh")
+    )
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+    bench = (
+        docs.filter(is_bench)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    # n_shingles rides the exploded rows, so the per-doc re-aggregation
+    # is the ONLY corpus-sized shuffle — no corpus⋈corpus re-join of a
+    # hits frame back onto the docs (that join was two shuffles of
+    # full-corpus width).
+    corpus = docs.filter(~is_bench).select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s")
+    )
+    per_doc = (
+        corpus.join(F.broadcast(bench), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_sh").alias("n_sh"),
+            F.count("hit").alias("n_hit"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_sh").cast("long").alias("n_shingles"),
+        F.col("n_hit").cast("long").alias("n_contaminated"),
+        (F.col("n_hit").cast("double") / F.col("n_sh")).alias("contamination"),
+        (F.col("n_hit") > 0).alias("flagged"),
+    )
+
+
+@query(
+    "q_dedup_keep_best",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang, source,
+               md5(lower(trim(text))) AS grp,
+               len(string_split_regex(lower(trim(text)), '\\s+')) AS n_words
+        FROM documents
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY grp
+                   ORDER BY n_words DESC, source ASC, doc_id ASC
+               ) AS rn,
+               count(*) OVER (PARTITION BY grp) AS group_size
+        FROM scored
+    )
+    SELECT doc_id, lang, source,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(group_size AS BIGINT) AS group_size
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: exact-dup groups (by normalized
+    text hash) keep their BEST member — longest, then
+    lexicographically-first source, then smallest doc_id — not an
+    arbitrary one.  This is the selection step every dedup pipeline
+    runs after grouping: q_dedup_exact answers "which docs collide",
+    this answers "which single doc survives".
+
+    One hash-partitioned window per group — the same single shuffle as
+    the groupBy dedup, with the ranking criteria riding along.  At
+    100 TB the md5 group key distributes uniformly (no skew), and
+    top-1-per-group via row_number is map-side-light: only rank-1 rows
+    survive the filter, everything else dies in the reducer.
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(F.lower(F.trim("text"))).alias("grp"),
+        F.size(tokens("text")).alias("n_words"),
+    )
+    w = W.partitionBy("grp").orderBy(
+        F.desc("n_words"), F.asc("source"), F.asc("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .withColumn("group_size", F.count("*").over(W.partitionBy("grp")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("group_size").cast("long").alias("group_size"),
+        )
+    )
+
+
+#: Token budget per training pack.  Fixture docs are ~30-150 words, so
+#: 512 packs a handful of docs per sequence.
+_PACK_BUDGET = 512
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor(
+               (sum(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) - n_tokens) / {_PACK_BUDGET}.0
+           ) AS BIGINT) AS pack_seq,
+           source || '/' || CAST(CAST(floor(
+               (sum(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) - n_tokens) / {_PACK_BUDGET}.0
+           ) AS BIGINT) AS VARCHAR) AS pack_id
+    FROM t
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign every document to a fixed-token-budget
+    training pack — contiguous first-fit in doc_id order within each
+    source shard (pack = running-token-offset // budget).
+
+    Contiguous packing is the DISTRIBUTED packing discipline: a global
+    bin-packing optimum needs global state, but running-sum packing
+    needs only a window over (shard, order) — one shuffle on the shard
+    key, embarrassingly parallel across shards, deterministic under
+    any cluster size.  Pack ids are globally unique by construction
+    (shard-qualified).  At 100 TB the shard key is whatever the corpus
+    is already partitioned by, so the "shuffle" is a no-op sort within
+    existing partitions; per-pack waste is bounded by one document
+    tail, the same bound the streaming packers in published training
+    stacks accept.
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokens("text")).alias("n_tokens")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offset = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    pack_seq = F.floor(offset / F.lit(float(_PACK_BUDGET))).cast("long")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        pack_seq.alias("pack_seq"),
+        F.concat_ws("/", "source", pack_seq.cast("string")).alias("pack_id"),
+    )
+
+
+@query(
+    "q_text_repetition",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(w) AS n_words,
+               len(list_distinct(w)) AS n_distinct,
+               list_max(list_transform(list_distinct(w),
+                                       d -> len(list_filter(w, x -> x = d)))) AS top_freq
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(n_distinct AS DOUBLE) / n_words AS distinct_ratio,
+           CAST(top_freq AS DOUBLE) / n_words AS top_word_ratio,
+           (CAST(n_distinct AS DOUBLE) / n_words >= 0.3
+            AND CAST(top_freq AS DOUBLE) / n_words <= 0.2) AS repetition_ok
+    FROM m
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition gate: distinct-token ratio and
+    top-token frequency (the published corpus-cleaning recipes' "most
+    common word" and "fraction of unique words" rules).
+
+    Entirely per-row HOF arithmetic — NO shuffle: the top-frequency
+    scan is O(n_words × n_distinct) inside codegen, bounded by
+    document length, which beats the explode→groupBy→join form (two
+    shuffles over every token in the corpus) for any document under
+    ~10k words.  Ratios are int/int divisions — exact, no rounding
+    needed for oracle parity.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("w"))
+    n_words = F.size("w")
+    distinct = F.array_distinct("w")
+    n_distinct = F.size(distinct)
+    top_freq = F.array_max(
+        F.transform(distinct, lambda d: F.size(F.filter(F.col("w"), lambda x: x == d)))
+    )
+    distinct_ratio = n_distinct.cast("double") / n_words
+    top_ratio = top_freq.cast("double") / n_words
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_distinct.cast("long").alias("n_distinct"),
+        distinct_ratio.alias("distinct_ratio"),
+        top_ratio.alias("top_word_ratio"),
+        ((distinct_ratio >= 0.3) & (top_ratio <= 0.2)).alias("repetition_ok"),
+    )

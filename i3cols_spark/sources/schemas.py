@@ -115,7 +115,14 @@ I3_EVENT_T = T.StructType(
     ]
 )
 
-# --- enums (i3cols/enums.py analog; representative subsets) ----------
+# --- enums (i3cols/enums.py analog) ----------------------------------
+# Code→name maps mirroring the public icetray dataclasses enums
+# (I3Particle.h ParticleType/FitStatus/ParticleShape/LocationType,
+# TriggerKey.h SourceID/TypeID).  Values follow the PDG Monte Carlo
+# numbering scheme where the reference does; any registry dict plugs
+# into ``enum_dim`` for a broadcast decode join (S14) — the registry's
+# breadth costs nothing at runtime because only the dims a query joins
+# are ever materialized.
 PARTICLE_TYPE = {
     0: "unknown",
     22: "Gamma",
@@ -123,11 +130,29 @@ PARTICLE_TYPE = {
     -11: "EPlus",
     13: "MuMinus",
     -13: "MuPlus",
-    14: "NuMu",
-    -14: "NuMuBar",
+    15: "TauMinus",
+    -15: "TauPlus",
     12: "NuE",
     -12: "NuEBar",
+    14: "NuMu",
+    -14: "NuMuBar",
+    16: "NuTau",
+    -16: "NuTauBar",
+    111: "Pi0",
+    211: "PiPlus",
+    -211: "PiMinus",
+    130: "K0_Long",
+    310: "K0_Short",
+    321: "KPlus",
+    -321: "KMinus",
+    2112: "Neutron",
     2212: "PPlus",
+    -2212: "PMinus",
+    1000010020: "H2Nucleus",
+    1000020040: "He4Nucleus",
+    1000060120: "C12Nucleus",
+    1000080160: "O16Nucleus",
+    1000260560: "Fe56Nucleus",
 }
 
 FIT_STATUS = {
@@ -137,6 +162,69 @@ FIT_STATUS = {
     20: "InsufficientHits",
     30: "FailedToConverge",
     40: "MissingSeed",
+    50: "InsufficientQuality",
+}
+
+PARTICLE_SHAPE = {
+    0: "Null",
+    10: "Primary",
+    20: "TopShower",
+    30: "Cascade",
+    40: "CascadeSegment",
+    50: "InfiniteTrack",
+    60: "StartingTrack",
+    70: "StoppingTrack",
+    80: "ContainedTrack",
+    90: "MCTrack",
+    100: "Dark",
+}
+
+LOCATION_TYPE = {
+    0: "Anywhere",
+    10: "IceTop",
+    20: "InIce",
+    30: "InActiveVolume",
+}
+
+TRIGGER_SOURCE_ID = {
+    0: "IN_ICE",
+    10: "ICE_TOP",
+    20: "AMANDA_TWR_DAQ",
+    30: "EXTERNAL",
+    40: "GLOBAL",
+    50: "AMANDA_MUON_DAQ",
+    70: "SPASE",
+    80: "UNKNOWN_SOURCE",
+}
+
+TRIGGER_TYPE_ID = {
+    0: "SIMPLE_MULTIPLICITY",
+    10: "CALIBRATION",
+    20: "MIN_BIAS",
+    30: "THROUGHPUT",
+    40: "TWO_COINCIDENCE",
+    50: "THREE_COINCIDENCE",
+    70: "MERGED",
+    80: "SLOW_PARTICLE",
+    105: "FRAGMENT_MULTIPLICITY",
+    120: "STRING",
+    125: "VOLUME",
+    127: "SPHERE",
+    129: "UNBIASED",
+    170: "SPASE_2",
+    180: "UNKNOWN_TYPE",
+}
+
+#: Name → dict registry, so CLI/config layers can look an enum up by
+#: its reference name (i3cols/enums.py exposes the same flat module
+#: namespace).
+ENUMS: dict[str, dict[int, str]] = {
+    "ParticleType": PARTICLE_TYPE,
+    "FitStatus": FIT_STATUS,
+    "ParticleShape": PARTICLE_SHAPE,
+    "LocationType": LOCATION_TYPE,
+    "TriggerSourceID": TRIGGER_SOURCE_ID,
+    "TriggerTypeID": TRIGGER_TYPE_ID,
 }
 
 

@@ -67,3 +67,19 @@ def test_load_autodetects_native_npy_layout(spark, tmp_path):
     assert cats == {}
     rows = {r["event_id"]: r["energy"] for r in df.collect()}
     assert rows == {i: float(i) for i in range(20)}
+
+
+def test_enum_registry_decode_roundtrip(spark):
+    """Every registry enum builds a broadcastable dim and decodes its
+    own codes losslessly (S14); codes are unique within each enum."""
+    from i3cols_spark.sources.schemas import ENUMS, enum_dim
+
+    assert set(ENUMS) == {
+        "ParticleType", "FitStatus", "ParticleShape", "LocationType",
+        "TriggerSourceID", "TriggerTypeID",
+    }
+    for name, mapping in ENUMS.items():
+        assert len(mapping) == len(set(mapping)), name
+        dim = enum_dim(spark, mapping)
+        got = {r["code"]: r["name"] for r in dim.collect()}
+        assert got == mapping, name
