@@ -307,3 +307,133 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_ratio.alias("top_word_ratio"),
         ((distinct_ratio >= 0.3) & (top_ratio <= 0.2)).alias("repetition_ok"),
     )
+
+
+@query(
+    "q_embedding_centroids",
+    oracle="""
+    WITH e AS (
+        SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    )
+    SELECT label,
+           CAST(i - 1 AS INTEGER) AS pos,
+           round(avg(v[i]), 6)    AS mean_val,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM e, range(1, 65) t(i)
+    GROUP BY label, i
+    """,
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (elementwise mean) — the prototype-vector /
+    k-means-step primitive of embedding-space curation (cluster
+    balancing, semantic dedup seeding, drift monitoring).
+
+    Output is one row per (label, dimension): posexplode → one
+    groupBy(label, pos) with map-side partial aggregation — the
+    shuffle carries |labels|×dim partial sums, NOT vectors, so the
+    reduce side is tiny at any corpus size.  The elementwise mean is
+    rounded (multi-row float reduction — summation order differs
+    between engines).
+    """
+    from i3cols_spark.functions.vectors import as_double
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "label", as_double("embedding").alias("v")
+    )
+    return (
+        emb.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(F.avg("x"), 6).alias("mean_val"),
+            F.count("*").alias("n_vecs"),
+        )
+    )
+
+
+@query(
+    "q_embedding_quantize",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, v,
+               list_min(v) AS lo,
+               (list_max(v) - list_min(v)) / 255.0 AS scale
+        FROM e
+    ),
+    c AS (
+        SELECT vec_id, v, lo, scale,
+               CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+                    ELSE list_transform(v, x -> CAST(round((x - lo) / scale) AS INTEGER))
+               END AS codes
+        FROM q
+    )
+    SELECT vec_id,
+           round(lo, 6) AS lo,
+           round(scale, 6) AS scale,
+           CAST(len(list_filter(codes, c -> c >= 128)) AS BIGINT) AS n_high,
+           round(
+               list_sum(
+                   list_transform(
+                       range(1, len(v) + 1),
+                       i -> pow(v[i] - (lo + codes[i] * scale), 2)
+                   )
+               ) / len(v), 9
+           ) AS mse
+    FROM c
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 min-max quantization with reconstruction error —
+    the 4× storage/bandwidth cut an embedding store takes before ANN
+    indexing at 100 TB (codes + (lo, scale) replace float32).
+
+    Entirely per-row HOF arithmetic inside codegen — NO shuffle, no
+    Python: quantize, dequantize and the MSE reduction all run on the
+    scan.  Constant vectors (scale = 0) quantize to all-zero codes
+    with zero error.  ``zip_with`` pairs the original and
+    reconstructed values without materializing an index array.
+    """
+    from i3cols_spark.functions.vectors import as_double
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    lo = F.array_min("v")
+    scale = (F.array_max("v") - lo) / F.lit(255.0)
+    q = emb.select("vec_id", "v", lo.alias("lo"), scale.alias("scale"))
+    codes = F.when(
+        F.col("scale") == 0,
+        F.transform("v", lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            "v",
+            lambda x: F.round((x - F.col("lo")) / F.col("scale")).cast("int"),
+        )
+    )
+    c = q.withColumn("codes", codes)
+    recon = F.zip_with(
+        "v",
+        "codes",
+        lambda x, k: F.pow(x - (F.col("lo") + k * F.col("scale")), F.lit(2.0)),
+    )
+    # mse/n_high are computed BEFORE the projection that aliases the
+    # rounded lo/scale: Spark 4 resolves a select-list reference
+    # against a PRECEDING alias in the same list (lateral column
+    # alias), so `round(lo).alias("lo")` would silently feed the
+    # ROUNDED lo into the reconstruction error (caught by the oracle:
+    # 4.96e-7 vs the true 4.94e-7).
+    scored = c.withColumn(
+        "mse_raw",
+        F.aggregate(recon, F.lit(0.0), lambda acc, x: acc + x) / F.size("v"),
+    )
+    return scored.select(
+        "vec_id",
+        F.round("lo", 6).alias("lo"),
+        F.round("scale", 6).alias("scale"),
+        F.size(F.filter("codes", lambda k: k >= 128)).cast("long").alias("n_high"),
+        F.round("mse_raw", 9).alias("mse"),
+    )
