@@ -278,3 +278,48 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     salted = salted_join(ev, dim, "user_id").select("event_id", "user_total")
     assert salted.exceptAll(plain).count() == 0
     assert plain.exceptAll(salted).count() == 0
+
+
+def test_contamination_broadcasts_bench_side(spark, sf_dir):
+    """The benchmark shingle set is small by definition — it must be
+    the broadcast side, and the corpus must never shuffle against it
+    (no SortMergeJoin anywhere in the plan)."""
+    plan = explain_str(QUERIES["q_text_contamination"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_quantize_and_repetition_are_shuffle_free(spark, sf_dir):
+    """Per-row HOF operators must plan as pure scans: a shuffle in
+    int8 quantization or repetition scoring would be a 100 TB-scale
+    regression (both are per-document arithmetic)."""
+    import re
+
+    for q in ("q_embedding_quantize", "q_text_repetition"):
+        plan = explain_str(QUERIES[q](spark, sf_dir))
+        # spread() may add one round-robin repartition of the single
+        # -split fixture; no OTHER exchange (join/agg) is allowed.
+        exchanges = re.findall(r"\(\d+\) Exchange\b.*", plan)
+        assert len(exchanges) <= 1, (q, exchanges)
+        assert "SortMergeJoin" not in plan and "HashAggregate" not in plan, q
+
+
+def test_pack_and_keep_best_single_window_shuffle(spark, sf_dir):
+    """Sequence packing and keep-best selection are one hash-partition
+    window each: exactly one Exchange, no join."""
+    import re
+
+    for q in ("q_pack_sequences", "q_dedup_keep_best"):
+        plan = explain_str(QUERIES[q](spark, sf_dir))
+        assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, q
+        assert "Window" in plan, q
+        assert "Join" not in plan, q
+
+
+def test_centroids_aggregate_partially(spark, sf_dir):
+    """The centroid mean must partial-aggregate map-side (partial +
+    final HashAggregate pair): the shuffle carries |labels|x dim sums,
+    never vectors."""
+    plan = explain_str(QUERIES["q_embedding_centroids"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
