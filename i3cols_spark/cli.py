@@ -61,6 +61,13 @@ def main(argv: list[str] | None = None) -> int:
     out.add_argument("--out", required=True)
     out.add_argument("--keys", nargs="*", default=None)
 
+    sq = sub.add_parser("sql", help="ad-hoc SQL over the dataset tables")
+    sq.add_argument("statement")
+    sq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sq.add_argument("--limit", type=int, default=20)
+    sq.add_argument("--explain", action="store_true")
+    sq.add_argument("--out", default=None, help="write full result as parquet instead of showing")
+
     sub.add_parser("list", help="list registered queries")
 
     args = p.parse_args(argv)
@@ -127,6 +134,22 @@ def main(argv: list[str] | None = None) -> int:
         if args.explain:
             df.explain("formatted")
         df.show(args.limit, truncate=False)
+    elif args.cmd == "sql":
+        # The full spark.sql surface over the dataset: every fixture
+        # table is a temp view, so joins/windows/CTEs all work and
+        # Catalyst owns the plan (the engine adds nothing here — which
+        # is the point).
+        from i3cols_spark.sources.tables import register_views
+
+        register_views(spark, args.sf_dir)
+        df = spark.sql(args.statement)
+        if args.explain:
+            df.explain("formatted")
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"written": args.out, "rows": spark.read.parquet(args.out).count()}))
+        else:
+            df.show(args.limit, truncate=False)
     spark.stop()
     return 0
 

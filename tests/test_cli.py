@@ -88,3 +88,22 @@ def test_cli_compact_zstd_round_trip(tmp_path):
         f" UNION ALL (SELECT * FROM '{out}/*.parquet' EXCEPT SELECT * FROM '{src}'))"
     ).fetchone()[0]
     assert diff == 0
+
+
+def test_cli_sql_over_dataset_views(tmp_path, capsys):
+    """`sql` registers every fixture table as a view and runs arbitrary
+    spark.sql, writing parquet with --out."""
+    import json
+
+    from i3cols_spark.cli import main
+
+    out = str(tmp_path / "sqlout")
+    rc = main([
+        "sql",
+        "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--out", out,
+    ])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["written"] == out and payload["rows"] == 5
