@@ -52,3 +52,58 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "checksum",
         F.size("features").alias("n_features"),
     )
+
+
+@query(
+    "q_multimodal_resize_sample",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+    ),
+    s AS (  -- resize factor 2: payload[::2] keeps ceil(n/2) bytes
+        SELECT doc_id, CAST(ceil(n / 2.0) AS BIGINT) AS m FROM t
+    ),
+    b AS (  -- 8-byte frame blocks of the resized payload
+        SELECT doc_id, m,
+               m % 8 AS rem,
+               m // 8 + CASE WHEN m % 8 > 0 THEN 1 ELSE 0 END AS nblocks
+        FROM s
+    ),
+    k AS (  -- frame_sample every_n=2 keeps block indices 0,2,...
+        SELECT doc_id, rem, nblocks, (nblocks + 1) // 2 AS nkept FROM b
+    ),
+    z AS (
+        SELECT doc_id,
+               CASE WHEN rem > 0 AND (nblocks - 1) % 2 = 0
+                    THEN 8 * (nkept - 1) + rem
+                    ELSE 8 * nkept END AS n_bytes_sampled
+        FROM k
+    )
+    SELECT doc_id AS media_id,
+           n_bytes_sampled,
+           CAST(least(32, (n_bytes_sampled + 7) // 8) AS INT) AS n_features
+    FROM z
+    """,
+)
+def q_multimodal_resize_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal chain — decode-side resize (every 2nd byte)
+    → frame sampling (every 2nd 8-byte block) → featurize — as three
+    chained ``mapInPandas`` passes over the binary column.
+
+    The oracle states the surviving byte/feature counts in CLOSED FORM
+    from the stride arithmetic, so the correctness gate pins the exact
+    slicing semantics of all three operators (off-by-one in any stride
+    or block boundary shifts the counts).  At scale the chain stays
+    one task per Arrow batch end-to-end: no shuffle between stages,
+    payloads never visit the driver, and swapping the fake codec for a
+    real one changes none of the plumbing under test.
+    """
+    from i3cols_spark.functions.multimodal import frame_sample, resize_media
+
+    media = attach_fake_media(table(spark, sf_dir, "documents"))
+    sampled = frame_sample(resize_media(media, factor=2), every_n=2)
+    return extract_features(sampled).select(
+        "media_id",
+        F.col("n_bytes").alias("n_bytes_sampled"),
+        F.size("features").alias("n_features"),
+    )
