@@ -223,3 +223,68 @@ def test_pair_cells_bounded_under_residue_skew(spark):
     )
     assert len(cells) > 1, "skewed residues collapsed into one cell"
     assert max(r["count"] for r in cells) < n
+
+
+def test_contamination_excludes_bench_and_flags_consistently(spark, sf_dir):
+    """Benchmark docs must not appear in the output; the flag must be
+    exactly n_contaminated > 0; contamination ∈ [0, 1]."""
+    from i3cols_spark.operators.pipeline import _BENCH_MOD
+
+    rows = QUERIES["q_text_contamination"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_id"] % _BENCH_MOD != 0
+        assert r["flagged"] == (r["n_contaminated"] > 0)
+        assert 0.0 <= r["contamination"] <= 1.0
+        assert r["n_contaminated"] <= r["n_shingles"]
+
+
+def test_pack_sequences_contiguous_and_conserving(spark, sf_dir):
+    """Pack ids are dense from 0 within each source; total tokens are
+    conserved; every non-final pack is FULL (its token sum crosses the
+    budget once the straddling doc is counted)."""
+    from collections import defaultdict
+
+    from i3cols_spark.operators.pipeline import _PACK_BUDGET
+
+    rows = QUERIES["q_pack_sequences"](spark, sf_dir).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append(r)
+    for src, rs in by_src.items():
+        seqs = sorted({r["pack_seq"] for r in rs})
+        assert seqs == list(range(len(seqs))), src  # dense from 0
+        packs = defaultdict(int)
+        for r in rs:
+            packs[r["pack_seq"]] += r["n_tokens"]
+        # Contiguous packing invariant: a new pack opens only once the
+        # running offset crosses the budget boundary, so the cumulative
+        # token count through pack k must reach (k+1)×budget for every
+        # non-final pack.
+        cum = 0
+        for seq in seqs[:-1]:
+            cum += packs[seq]
+            assert cum >= (seq + 1) * _PACK_BUDGET, (src, seq, cum)
+    assert sum(r["n_tokens"] for r in rows) > 0
+
+
+def test_quantize_error_bounded_by_step(spark, sf_dir):
+    """int8 min-max quantization error per element is at most half a
+    step, so mse ≤ (scale/2)² (+ rounding slack)."""
+    rows = QUERIES["q_embedding_quantize"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        bound = (r["scale"] / 2.0) ** 2 + 1e-9
+        assert r["mse"] <= bound, (r["vec_id"], r["mse"], bound)
+        assert 0 <= r["n_high"] <= 64
+
+
+def test_keep_best_covers_each_group_once(spark, sf_dir):
+    """Keep-best emits exactly one survivor per distinct normalized
+    text, and group sizes sum to the corpus size."""
+    from i3cols_spark.sources.tables import table
+
+    rows = QUERIES["q_dedup_keep_best"](spark, sf_dir).collect()
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert sum(r["group_size"] for r in rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == len(rows)
