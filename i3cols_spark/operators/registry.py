@@ -78,6 +78,7 @@ EXTRA_QUERIES: tuple[str, ...] = (
     # tier 2 — stats / sampling
     "q_agg_percentile", "q_agg_approx_percentile", "q_agg_stats_corr",
     "q_agg_histogram", "q_sample_stratified", "q_split_assign",
+    "q_profile_columns",
     # tier 3 — bridge / demo
     "q_window_distribution", "q_udtf_python", "q_string_editdist",
     "q_physics_pulse_summary", "q_enum_decode_join", "q_pivot",

@@ -285,3 +285,75 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__q")[2].alias("approx_p75"),
         )
     )
+
+
+@query(
+    "q_profile_columns",
+    oracle="""
+    SELECT 'l_quantity' AS column_name,
+           CAST(count(*) AS BIGINT)                          AS n_rows,
+           CAST(count(*) - count(l_quantity) AS BIGINT)      AS n_nulls,
+           CAST(count(DISTINCT l_quantity) AS BIGINT)        AS n_distinct,
+           round(min(l_quantity), 6)                         AS min_val,
+           round(max(l_quantity), 6)                         AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(l_extendedprice) AS BIGINT),
+           CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+           round(min(l_extendedprice), 6),
+           round(max(l_extendedprice), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(l_discount) AS BIGINT),
+           CAST(count(DISTINCT l_discount) AS BIGINT),
+           round(min(l_discount), 6),
+           round(max(l_discount), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(l_tax) AS BIGINT),
+           CAST(count(DISTINCT l_tax) AS BIGINT),
+           round(min(l_tax), 6),
+           round(max(l_tax), 6)
+    FROM lineitem
+    """,
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (null rate / distinct count / min / max) for a
+    set of numeric columns — the ``ANALYZE``/data-quality summary every
+    ingest pipeline runs before training jobs trust a table.
+
+    ONE scan computes every metric for every column (all aggregates in
+    a single partial+final pass; the oracle's UNION ALL re-scans per
+    column, which is fine for DuckDB correctness but would be k full
+    reads at 100 TB).  The wide 1-row aggregate is then unpivoted to
+    (column_name, metrics) rows with a per-row ``stack`` — no second
+    shuffle.  distinct counts are exact here for oracle parity; swap
+    ``approx_count_distinct`` at scales where exact distinct becomes
+    its own shuffle problem.
+    """
+    cols = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    li = table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.round(F.min(c), 6).alias(f"{c}__min"),
+            F.round(F.max(c), 6).alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
+    )
