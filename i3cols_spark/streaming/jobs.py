@@ -138,6 +138,46 @@ def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_contaminated_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming decontamination probe: documents arrive as a stream,
+    the benchmark shingle set is STATIC — a stream-static broadcast
+    LEFT SEMI join emits each incoming doc's benchmark-overlapping
+    shingle hits (operators/pipeline.py::q_text_contamination is the
+    batch twin).
+
+    This is the stateless filter-against-reference-data streaming
+    shape (blocklist, eval-set, seen-before index): no watermark, no
+    state store — each micro-batch explodes its docs' shingle hashes
+    and probes the broadcast set map-side, so throughput scales with
+    input rate alone.  The static side is re-read per batch only if
+    the source changes; Spark caches the broadcast across batches.
+    """
+    from i3cols_spark.functions.text import shingle_hashes
+    from i3cols_spark.operators.pipeline import _BENCH_MOD, _BENCH_NGRAM
+
+    configure(spark)
+    static_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = (
+        static_docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.explode(shingle_hashes("text", n=_BENCH_NGRAM)).alias("s"))
+        .distinct()
+    )
+    stream = (
+        spark.readStream.schema(static_docs.schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    return (
+        stream.filter(F.col("doc_id") % _BENCH_MOD != 0)
+        .select(
+            "doc_id", F.explode(shingle_hashes("text", n=_BENCH_NGRAM)).alias("s")
+        )
+        .join(F.broadcast(bench), "s", "left_semi")
+        .select("doc_id", "s")
+    )
+
+
 def run_rollup_maintenance(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     """Continuously-maintained 1-hour rollup: the streaming tumbling
     aggregate upserted into a window-partitioned Parquet table via

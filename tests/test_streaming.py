@@ -91,3 +91,21 @@ def test_rollup_maintenance_equals_batch(spark, sf_dir, tmp_path):
         F.col("window_start_us") == one.window_start_us
     )
     assert pruned.count() >= 1
+
+
+def test_stream_contamination_matches_batch_flags(spark, sf_dir):
+    """The streaming decontamination probe's distinct contaminated
+    doc set must equal the batch q_text_contamination flagged set,
+    and every emitted hit must land on a benchmark shingle."""
+    sdf = jobs.stream_contaminated_hits(spark, sf_dir)
+    jobs.run_to_memory(sdf, "mem_contam")
+    streamed = spark.table("mem_contam")
+    stream_docs = {r["doc_id"] for r in streamed.select("doc_id").distinct().collect()}
+    batch_flagged = {
+        r["doc_id"]
+        for r in QUERIES["q_text_contamination"](spark, sf_dir)
+        .filter(F.col("flagged"))
+        .collect()
+    }
+    assert stream_docs == batch_flagged
+    assert streamed.count() >= len(stream_docs)
