@@ -127,26 +127,40 @@ def q_project_computed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _npy_events_fixture(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize the events table once per sf_dir in the reference's
-    native npy column-dir layout (under the system temp dir), so the
-    scan below exercises the real migration path: npy dataset →
-    Python DataSource → DataFrame."""
+    """Materialize the events table once per dataset CONTENT in the
+    reference's native npy column-dir layout (under the system temp
+    dir), so the scan below exercises the real migration path: npy
+    dataset → Python DataSource → DataFrame.
+
+    The ``_SUCCESS`` marker records a size+mtime fingerprint of the
+    source parquet: an in-place fixture regeneration (it happened
+    between rounds 2 and 3) invalidates the cached mirror instead of
+    silently serving stale rows — same hygiene as the IVF index
+    (operators/similarity.py::build_ivf_index)."""
     import hashlib
     import os
     import tempfile
 
+    from i3cols_spark.operators.similarity import _data_fingerprint
     from i3cols_spark.sources.npy_cols import write_npy_columns
 
+    fp = _data_fingerprint(os.path.join(sf_dir, "events.parquet"))
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), f"i3cols_npy_events_{tag}")
     marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
-        write_npy_columns(
-            table(spark, sf_dir, "events").select("event_type", "value"),
-            out,
-            overwrite=True,
-        )
-        open(marker, "w").close()
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read().strip() == fp:
+                return out
+    write_npy_columns(
+        table(spark, sf_dir, "events").select("event_type", "value"),
+        out,
+        overwrite=True,
+    )
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(fp)
+    os.replace(tmp, marker)
     return out
 
 

@@ -239,3 +239,34 @@ def test_round_trip_property(spark, tmp_path_factory, rows):
     got = {r["k"]: (r["x"], r["arr"], r["s"]) for r in back.collect()}
     want = {r[0]: (r[1], list(r[2]), r[3]) for r in rows}
     assert got == want
+
+
+def test_npy_fixture_rebuilds_on_source_mutation(spark, tmp_path):
+    """The cached npy mirror must track the source parquet's content
+    fingerprint: an in-place regeneration rebuilds instead of serving
+    stale rows (same hygiene as the IVF index)."""
+    import os
+    import shutil
+
+    from i3cols_spark.operators.scans import _npy_events_fixture
+
+    d = tmp_path / "sfnpy"
+    d.mkdir()
+    src = "/root/testdata/sf0.001/events.parquet"
+    dst = str(d / "events.parquet")
+    (shutil.copytree if os.path.isdir(src) else shutil.copy2)(src, dst)
+
+    out = _npy_events_fixture(spark, str(d))
+    marker = os.path.join(out, "_SUCCESS")
+    fp0 = open(marker).read()
+    assert _npy_events_fixture(spark, str(d)) == out  # cache hit
+    assert open(marker).read() == fp0
+
+    if os.path.isdir(dst):
+        for dp, _, fs in os.walk(dst):
+            for f in fs:
+                os.utime(os.path.join(dp, f))
+    else:
+        os.utime(dst)
+    _npy_events_fixture(spark, str(d))
+    assert open(marker).read() != fp0  # rebuilt
