@@ -288,3 +288,39 @@ def test_keep_best_covers_each_group_once(spark, sf_dir):
     n_docs = table(spark, sf_dir, "documents").count()
     assert sum(r["group_size"] for r in rows) == n_docs
     assert len({r["doc_id"] for r in rows}) == len(rows)
+
+
+def test_pair_engine_exact_under_single_giant_label(spark):
+    """Adversarial skew: ALL vectors share one label (the worst block
+    skew possible).  The cell-GEMM engine must still produce exactly
+    the brute-force pair set — adaptive chunking changes the schedule,
+    never the result — while cell sizes stay under _CELL_CAP."""
+    import numpy as np
+
+    from i3cols_spark.operators.similarity import blocked_pair_sims
+
+    rng = np.random.default_rng(3)
+    n, dim, thr = 400, 8, 0.9
+    vecs = rng.standard_normal((n, dim))
+    vecs[50] = vecs[40]  # exact duplicate pair rides along
+    emb = spark.createDataFrame(
+        [(i, 0, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, label int, v array<double>",
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r["cos_sim"]
+        for r in blocked_pair_sims(emb, threshold=thr).collect()
+    }
+    norms = np.linalg.norm(vecs, axis=1)
+    sims = np.round((vecs @ vecs.T) / np.outer(norms, norms), 6)
+    want = {
+        (a, b): sims[a, b]
+        for a in range(n)
+        for b in range(a + 1, n)
+        if sims[a, b] >= thr
+    }
+    # identical pair (40,50) must be present at exactly 1.0
+    assert want[(40, 50)] == 1.0
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9, k
