@@ -15,7 +15,7 @@ from pyspark.sql.window import Window as W
 
 from i3cols_spark.functions.text import rolling_fingerprint, tokens
 from i3cols_spark.operators.registry import query
-from i3cols_spark.sources.tables import table
+from i3cols_spark.sources.tables import spread, table
 
 
 @query(
@@ -211,4 +211,66 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select("lang", "word", "tf", "tfidf")
+    )
+
+
+@query(
+    "q_text_token_rarity",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents
+    ),
+    vocab AS (
+        SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+    ),
+    ranked AS (
+        SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rnk
+        FROM vocab
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT)      AS n_tokens,
+           CAST(sum(r.rnk) AS BIGINT)    AS rank_sum,
+           CAST(max(r.rnk) AS BIGINT)    AS rarest_rank,
+           round(CAST(sum(r.rnk) AS DOUBLE) / count(*), 6) AS mean_rank
+    FROM toks t JOIN ranked r ON t.tok = r.tok
+    GROUP BY t.doc_id
+    """,
+)
+def q_text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-rank rarity scoring: rank every vocabulary token by corpus
+    frequency (1 = most common), then score each document by the mean
+    and max rank of its tokens — the rare-token-density signal
+    curriculum ordering and quality filters use (a deterministic
+    stand-in for LM perplexity: high mean rank ⇔ unusual vocabulary).
+
+    Two-phase global-statistics shape: phase 1 builds the vocabulary
+    rank table (token groupBy — shuffle ∝ |vocab|, map-side combined;
+    the rank window is over the VOCAB table, not the corpus); phase 2
+    broadcasts it back onto the exploded corpus (vocabularies are
+    ~10⁶ rows at any corpus size — always broadcastable) and
+    re-aggregates per doc: one corpus-sized shuffle total.
+    Determinism by construction: rank sums are exact integers (no
+    float reduction order), so no rounding negotiation with the
+    oracle — ties in frequency break on the token string.
+    """
+    docs = spread(table(spark, sf_dir, "documents"), spark).select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    )
+    vocab = docs.groupBy("tok").agg(F.count("*").alias("cnt"))
+    ranked = vocab.select(
+        "tok",
+        F.row_number()
+        .over(W.orderBy(F.desc("cnt"), F.asc("tok")))
+        .alias("rnk"),
+    )
+    return (
+        docs.join(F.broadcast(ranked), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("rnk").alias("rank_sum"),
+            F.max("rnk").alias("rarest_rank"),
+            F.round(F.sum("rnk").cast("double") / F.count("*"), 6).alias("mean_rank"),
+        )
     )
