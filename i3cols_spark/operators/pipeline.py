@@ -437,3 +437,123 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("codes", lambda k: k >= 128)).cast("long").alias("n_high"),
         F.round("mse_raw", 9).alias("mse"),
     )
+
+
+@query(
+    "q_pipeline_end2end",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, lang, source, text,
+               string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    quality AS (  -- stage 1: quality gate (same rules as q_text_quality)
+        SELECT * FROM base
+        WHERE len(toks) BETWEEN 20 AND 200
+          AND CAST(len(list_filter(toks, w -> w IN ('the', 'a'))) AS DOUBLE)
+              / len(toks) < 0.2
+    ),
+    best AS (  -- stage 2: keep-best survivor per exact-dup group
+        SELECT doc_id, lang, source, text, toks FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY md5(lower(trim(text)))
+                       ORDER BY len(toks) DESC, source ASC, doc_id ASC
+                   ) AS rn
+            FROM quality
+        ) WHERE rn = 1
+    ),
+    sh AS (
+        SELECT doc_id, source, toks,
+               list_distinct(list_transform(
+                   range(1, greatest(len(toks) - {_BENCH_NGRAM} + 1, 1) + 1),
+                   i -> array_to_string(list_slice(toks, i, i + {_BENCH_NGRAM} - 1), ' ')
+               )) AS sh
+        FROM best
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(sh) AS s FROM (
+            SELECT list_distinct(list_transform(
+                       range(1, greatest(len(toks) - {_BENCH_NGRAM} + 1, 1) + 1),
+                       i -> array_to_string(list_slice(toks, i, i + {_BENCH_NGRAM} - 1), ' ')
+                   )) AS sh
+            FROM base WHERE doc_id % {_BENCH_MOD} = 0
+        )
+    ),
+    clean AS (  -- stage 3: decontaminate (drop bench docs + any overlap)
+        SELECT doc_id, source, len(toks) AS n_tokens FROM sh
+        WHERE doc_id % {_BENCH_MOD} <> 0
+          AND NOT EXISTS (SELECT 1 FROM bench b, unnest(sh.sh) AS u(s)
+                          WHERE u.s = b.s)
+    )
+    SELECT doc_id, source,  -- stage 4: pack per source shard
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor(
+               (sum(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) - n_tokens) / {_PACK_BUDGET}.0
+           ) AS BIGINT) AS pack_seq
+    FROM clean
+    """,
+)
+def q_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE composed DataFrame plan:
+    quality gate → keep-best exact dedup → benchmark decontamination →
+    sequence packing.  This is what a 100 TB training-data job
+    actually runs — the individual operators exist so each stage is
+    independently oracle-checked; this query proves they COMPOSE
+    (Catalyst fuses the stages: the quality filter pushes into the
+    scan, dedup and packing share nothing but a narrow survivor
+    stream, and the decontamination probe stays broadcast).
+
+    Stage shuffles at scale: 1 window (dedup group), 1 groupBy
+    (per-doc hit count), 1 window (pack) — everything else is
+    scan-side.  The whole pipeline emits only surviving docs.
+    """
+    docs = spread(table(spark, sf_dir, "documents"), spark).select(
+        "doc_id", "lang", "source", "text", tokens("text").alias("toks")
+    )
+    n_words = F.size("toks")
+    stop_ratio = (
+        F.size(F.filter("toks", lambda w: w.isin("the", "a"))).cast("double") / n_words
+    )
+    quality = docs.filter(n_words.between(20, 200) & (stop_ratio < 0.2))
+
+    w_best = W.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy(
+        F.desc(F.size("toks")), F.asc("source"), F.asc("doc_id")
+    )
+    best = (
+        quality.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "toks", shingle_hashes("text", n=_BENCH_NGRAM).alias("sh"))
+    )
+
+    bench = (
+        docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.explode(shingle_hashes("text", n=_BENCH_NGRAM)).alias("s"))
+        .distinct()
+    )
+    hits = (
+        best.select("doc_id", F.explode("sh").alias("s"))
+        .join(F.broadcast(bench), "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = (
+        best.filter(F.col("doc_id") % _BENCH_MOD != 0)
+        .join(hits, "doc_id", "left_anti")
+        .select("doc_id", "source", F.size("toks").alias("n_tokens"))
+    )
+
+    w_pack = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offset = F.sum("n_tokens").over(w_pack) - F.col("n_tokens")
+    return clean.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.floor(offset / F.lit(float(_PACK_BUDGET))).cast("long").alias("pack_seq"),
+    )
