@@ -77,6 +77,11 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
         df = df.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
             "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000)
         )
+    elif ts_type == "timestamp":
+        # tz-aware µs parquet (the third flavor a generator could emit)
+        # — ts is already the contract type; only the ns shadow column
+        # needs deriving.
+        df = df.withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
     else:
         return df
     # Keep the driver's column order with ts in place.

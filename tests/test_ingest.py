@@ -139,6 +139,7 @@ def test_events_ts_normalized_for_both_parquet_flavors(spark, tmp_path):
     flavors = {
         "ntz": pa.array([us], pa.timestamp("us")),  # no tz → TIMESTAMP_NTZ
         "nanos": pa.array([us * 1000], pa.timestamp("ns")),
+        "tz": pa.array([us], pa.timestamp("us", tz="UTC")),  # → TIMESTAMP
     }
     for name, ts_arr in flavors.items():
         d = tmp_path / name
