@@ -69,8 +69,25 @@ def main(argv: list[str] | None = None) -> int:
     sq.add_argument("--out", default=None, help="write full result as parquet instead of showing")
 
     sub.add_parser("list", help="list registered queries")
+    sub.add_parser("bench", help="run the headline bench (one JSON line)")
 
     args = p.parse_args(argv)
+
+    if args.cmd == "bench":
+        # bench.py lives at the repo root next to __spark_entry__.py;
+        # delegate so `i3cols-spark bench` and `python bench.py` are
+        # the same measurement.
+        import importlib.util
+        import os as _os
+
+        root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        spec = importlib.util.spec_from_file_location(
+            "i3cols_bench", _os.path.join(root, "bench.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.main()
+        return 0
 
     if args.cmd == "list":
         from i3cols_spark.operators import ORACLES, QUERIES
