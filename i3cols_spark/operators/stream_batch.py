@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from i3cols_spark.operators.registry import query
 from i3cols_spark.sources.tables import table
@@ -207,5 +208,51 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "view_id",
             "purchase_id",
             (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag_us"),
+        )
+    )
+
+
+@query(
+    "q_merge_latest_state",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           event_id, value
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_merge_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge / compaction semantics: collapse an append-only event
+    log to the LATEST row per key (newest ts, event_id tiebreak) — the
+    state a MERGE INTO target table would hold after replaying the
+    log.  The keep-first twin above (q_stream_dedup) models
+    dropDuplicates; this models upsert-compaction, the other half of
+    every log-to-table pipeline.
+
+    One hash-partitioned window; at 100 TB this is the periodic
+    compaction job: it shuffles each key's rows to one reducer where
+    only the rank-1 row survives.  Keys are (user, type) — naturally
+    high-cardinality, so no skew handling is needed; a hot-key log
+    would pre-aggregate per partition with max_by first.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            "value",
         )
     )
