@@ -284,3 +284,56 @@ def q_dedup_clusters(spark, sf_dir: str) -> DataFrame:
         .otherwise(F.col("comp"))
         .alias("component"),
     )
+
+
+@query(
+    "q_dedup_cluster_sizes",
+    oracle="""
+    WITH RECURSIVE e AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.25
+    ),
+    edges AS (
+        SELECT a_id AS a, b_id AS b FROM pairs
+        UNION ALL
+        SELECT b_id, a_id FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT r.src, ed.b FROM reach r JOIN edges ed ON r.dst = ed.a
+    ),
+    comp AS (
+        SELECT src AS vec_id, min(dst) AS component FROM reach GROUP BY src
+    ),
+    sizes AS (
+        SELECT component, count(*) AS sz FROM comp GROUP BY component
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters
+    FROM sizes GROUP BY sz
+    """,
+)
+def q_dedup_cluster_sizes(spark, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the dedup report every
+    curation run publishes (how much of the corpus is singletons vs
+    giant near-dup families; the retention ratio is Σ n_clusters /
+    Σ size×n_clusters).
+
+    Two tiny aggregations over the q_dedup_clusters closure: component
+    sizes, then the size histogram — both shuffle rows proportional to
+    |components| and |distinct sizes|, negligible next to the closure
+    itself at any scale.
+    """
+    comp = q_dedup_clusters(spark, sf_dir)
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("sz"))
+        .groupBy(F.col("sz").cast("long").alias("cluster_size"))
+        .agg(F.count("*").alias("n_clusters"))
+    )

@@ -71,7 +71,7 @@ EXTRA_QUERIES: tuple[str, ...] = (
     "q_text_quality", "q_text_langid", "q_text_tokens",
     "q_text_fingerprint", "q_similarity_ann_lsh", "q_similarity_ann_ivf",
     "q_multimodal_features", "q_stream_dedup", "q_stream_join",
-    "q_dedup_clusters",
+    "q_dedup_clusters", "q_dedup_cluster_sizes",
     "q_text_contamination", "q_dedup_keep_best", "q_pack_sequences",
     "q_text_repetition", "q_embedding_centroids", "q_embedding_quantize",
     "q_multimodal_resize_sample", "q_text_token_rarity",
