@@ -309,7 +309,7 @@ def test_pack_and_keep_best_single_window_shuffle(spark, sf_dir):
     window each: exactly one Exchange, no join."""
     import re
 
-    for q in ("q_pack_sequences", "q_dedup_keep_best"):
+    for q in ("q_pack_sequences", "q_dedup_keep_best", "q_merge_latest_state"):
         plan = explain_str(QUERIES[q](spark, sf_dir))
         assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, q
         assert "Window" in plan, q
