@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from i3cols_spark.functions.rounding import round_half_up
 from i3cols_spark.operators.registry import query
 from i3cols_spark.sources.tables import table
 
@@ -60,7 +61,7 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(l_extendedprice), 2)                               AS sum_base_price,
            round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 4)                                    AS avg_qty,
+           floor(avg(l_quantity) * 10000 + 0.5) / 10000.0                  AS avg_qty,
            round(avg(l_extendedprice), 4)                               AS avg_price,
            round(avg(l_discount), 6)                                    AS avg_disc,
            CAST(count(*) AS BIGINT)                                     AS count_order
@@ -78,7 +79,7 @@ def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
         F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
         F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        round_half_up(F.avg("l_quantity"), 4).alias("avg_qty"),
         F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
         F.round(F.avg("l_discount"), 6).alias("avg_disc"),
         F.count("*").alias("count_order"),

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from i3cols_spark.functions.text import rolling_fingerprint, tokens
+from i3cols_spark.functions.rounding import round_half_up
 from i3cols_spark.operators.registry import query
 from i3cols_spark.sources.tables import spread, table
 
@@ -25,7 +26,7 @@ from i3cols_spark.sources.tables import spread, table
            CAST(count(*) AS BIGINT)                            AS n_docs,
            CAST(sum(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT)
                                                                AS total_words,
-           round(avg(CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE)), 6)
+           floor(avg(CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE)) * 1000000 + 0.5) / 1000000.0
                                                                AS avg_words,
            CAST(count(DISTINCT source) AS BIGINT)              AS n_sources
     FROM documents
@@ -38,7 +39,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_words").cast("long").alias("total_words"),
-        F.round(F.avg(F.col("n_words").cast("double")), 6).alias("avg_words"),
+        round_half_up(F.avg(F.col("n_words").cast("double")), 6).alias("avg_words"),
         F.countDistinct("source").alias("n_sources"),
     )
 
@@ -232,7 +233,7 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT)      AS n_tokens,
            CAST(sum(r.rnk) AS BIGINT)    AS rank_sum,
            CAST(max(r.rnk) AS BIGINT)    AS rarest_rank,
-           round(CAST(sum(r.rnk) AS DOUBLE) / count(*), 6) AS mean_rank
+           floor(CAST(sum(r.rnk) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000.0 AS mean_rank
     FROM toks t JOIN ranked r ON t.tok = r.tok
     GROUP BY t.doc_id
     """,
@@ -271,6 +272,6 @@ def q_text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_tokens"),
             F.sum("rnk").alias("rank_sum"),
             F.max("rnk").alias("rarest_rank"),
-            F.round(F.sum("rnk").cast("double") / F.count("*"), 6).alias("mean_rank"),
+            round_half_up(F.sum("rnk").cast("double") / F.count("*"), 6).alias("mean_rank"),
         )
     )

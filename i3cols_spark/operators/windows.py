@@ -227,8 +227,8 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_distribution",
     oracle="""
     SELECT c_custkey, n_name,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6)    AS cume,
+           floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000.0 AS pct_rank,
+           floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000.0    AS cume,
            CAST(ntile(4) OVER w AS INT)    AS quartile
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal, c_custkey)
@@ -239,17 +239,26 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile(4) per nation, the quantile-bucketing primitive for feature
     binning.  Order carries a unique-key tiebreak (c_custkey) so both
     engines rank identically; one shuffle on the partition key.
+
+    6-dp canonicalization is ``floor(x·10⁶ + 0.5)/10⁶`` in BOTH
+    dialects instead of ``round``: cume_dist values are exact binary
+    fractions (k/n with n a multiple of a power of two), and on the
+    exact .5 boundary Spark's round is HALF_UP while DuckDB's double
+    round is half-to-even — caught by a sf0.1 soak (k/1280 rows).
+    The shared floor construction computes identical doubles on
+    identical inputs in either engine.
     """
     cust = table(spark, sf_dir, "customer")
     nat = table(spark, sf_dir, "nation")
     w = W.partitionBy("n_name").orderBy("c_acctbal", "c_custkey")
+    half_up6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
     return (
         cust.join(nat, cust.c_nationkey == nat.n_nationkey)
         .select(
             "c_custkey",
             "n_name",
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            half_up6(F.percent_rank().over(w)).alias("pct_rank"),
+            half_up6(F.cume_dist().over(w)).alias("cume"),
             F.ntile(4).over(w).alias("quartile"),
         )
     )
