@@ -13,7 +13,11 @@ in both dialects; explicit casts where engines' type widening differs
 (DuckDB sum(int)→HUGEINT, year()→BIGINT, ...); multi-row float
 reductions rounded to a declared precision in BOTH dialects because
 their summation order is nondeterministic; per-row IEEE arithmetic is
-left unrounded (bit-identical across engines).
+left unrounded (bit-identical across engines).  Ratios of exact
+integers must round via ``functions/rounding.py`` (shared HALF_UP
+floor construction), NOT ``round()``: dyadic rationals land exactly
+on .5 boundaries where Spark rounds HALF_UP but DuckDB rounds doubles
+half-to-even (caught by the sf0.1 soak, round 4).
 """
 
 from __future__ import annotations
