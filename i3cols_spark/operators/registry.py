@@ -75,11 +75,11 @@ EXTRA_QUERIES: tuple[str, ...] = (
     "q_text_quality", "q_text_langid", "q_text_tokens",
     "q_text_fingerprint", "q_similarity_ann_lsh", "q_similarity_ann_ivf",
     "q_multimodal_features", "q_stream_dedup", "q_stream_join",
-    "q_dedup_clusters", "q_dedup_cluster_sizes",
     "q_text_contamination", "q_dedup_keep_best", "q_pack_sequences",
     "q_text_repetition", "q_embedding_centroids", "q_embedding_quantize",
     "q_multimodal_resize_sample", "q_text_token_rarity",
-    "q_pipeline_end2end", "q_merge_latest_state",
+    "q_merge_latest_state", "q_pipeline_end2end",
+    "q_dedup_clusters", "q_dedup_cluster_sizes",
     # tier 2 — stats / sampling
     "q_agg_percentile", "q_agg_approx_percentile", "q_agg_stats_corr",
     "q_agg_histogram", "q_sample_stratified", "q_split_assign",
