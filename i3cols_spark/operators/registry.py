@@ -82,7 +82,7 @@ EXTRA_QUERIES: tuple[str, ...] = (
     "q_dedup_clusters", "q_dedup_cluster_sizes",
     # tier 2 — stats / sampling
     "q_agg_percentile", "q_agg_approx_percentile", "q_agg_stats_corr",
-    "q_agg_histogram", "q_sample_stratified", "q_split_assign",
+    "q_agg_histogram", "q_sample_stratified", "q_sample_mixture", "q_split_assign",
     "q_profile_columns",
     # tier 3 — bridge / demo
     "q_window_distribution", "q_udtf_python", "q_string_editdist",

@@ -357,3 +357,53 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(cols)}, {stack_args}) AS "
         "(column_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
     )
+
+
+@query(
+    "q_sample_mixture",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ),
+    m AS (SELECT min(n) AS n_min FROM counts),
+    rates AS (
+        SELECT lang,
+               CAST(floor(CAST(n_min AS DOUBLE) * 65536 / n) AS BIGINT) AS cutoff
+        FROM counts, m
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+          < r.cutoff
+    """,
+)
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing: downsample every language shard to the
+    SMALLEST language's size so the output mixture is uniform — the
+    mixture-weighting step of training-data assembly, with the rates
+    COMPUTED from the data (q_sample_stratified's fixed-rate twin).
+    The fixture's languages are genuinely skewed (en ≈ 2.5× the
+    others), so the rebalance is non-vacuous.
+
+    Two-phase shape: per-source counts (one tiny agg) broadcast back
+    as integer bucket cutoffs over the 16-bit md5-prefix space; the
+    sample itself is the same deterministic hash-threshold filter as
+    every sampler here — reproducible under any partitioning and
+    nested (raising a source's target share strictly grows its
+    sample).  Expected size = n_min per source (±binomial noise —
+    hash-threshold sampling is exact-per-row, not exact-count; an
+    exact-count variant would need a per-source rank, one window).
+    """
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    n_min = counts.agg(F.min("n").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        F.floor(F.col("n_min").cast("double") * 65536 / F.col("n")).cast("long").alias("cutoff"),
+    )
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(bucket < F.col("cutoff"))
+        .select("doc_id", "lang", "source")
+    )
