@@ -99,6 +99,12 @@ EXTRA_QUERIES: tuple[str, ...] = (
 #: gives those 10 their first recorded correctness evidence; the A–D
 #: tail that falls off the budget this round has two green rounds of
 #: history (VERDICT r03 item 5).
+#:
+#: Round-5 note: once CORRECTNESS_r04 records the E rows, rotate the
+#: D-tail that fell off this round (q_case_when … q_udtf_expand) back
+#: toward the front so every contract name keeps fresh driver
+#: evidence; the full-surface sim (scripts/driver_sim.py) remains the
+#: complete check either way.
 _E_BLOCK: tuple[str, ...] = CONTRACT_QUERIES[-10:]
 
 
