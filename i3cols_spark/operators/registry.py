@@ -78,7 +78,7 @@ EXTRA_QUERIES: tuple[str, ...] = (
     "q_text_contamination", "q_dedup_keep_best", "q_pack_sequences",
     "q_text_repetition", "q_embedding_centroids", "q_embedding_quantize",
     "q_multimodal_resize_sample", "q_text_token_rarity",
-    "q_merge_latest_state", "q_pipeline_end2end",
+    "q_merge_latest_state", "q_funnel_conversion", "q_pipeline_end2end",
     "q_dedup_clusters", "q_dedup_cluster_sizes",
     # tier 2 — stats / sampling
     "q_agg_percentile", "q_agg_approx_percentile", "q_agg_stats_corr",

@@ -256,3 +256,107 @@ def q_merge_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
+
+
+@query(
+    "q_funnel_conversion",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+          AND e.ts <= s1.t1 + INTERVAL 24 HOURS
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          AND e.ts <= s2.t2 + INTERVAL 24 HOURS
+        GROUP BY e.user_id
+    )
+    SELECT CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2
+                     WHEN t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS funnel_stage,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM u
+    LEFT JOIN s1 USING (user_id)
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+    GROUP BY 1
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: how far does each user get through
+    view → click → purchase (each stage strictly after the previous
+    one and within a 24 h conversion window — without the window every
+    user in a long-lived log trivially completes the funnel),
+    aggregated to users-per-furthest-stage — the conversion
+    query of event analytics, and a sequence-pattern primitive SQL
+    needs three self-joins to express.
+
+    Spark-first shape: ONE shuffle (groupBy user) collects each
+    user's (ts, event) sequence, sorted in-row, and a codegen
+    ``aggregate`` HOF walks it once carrying the (t1, t2, t3) stage
+    timestamps — per-user state is three longs regardless of event
+    count, and no events-sized join ever happens.  The SQL oracle
+    uses the equivalent three-pass join form (same values, the plan
+    a relational engine would pick); at 100 TB the walk form reads
+    events once vs the oracle shape's three scans + three joins.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct(
+            F.unix_micros("ts").alias("ts_us"),
+            F.col("event_id").alias("eid"),
+            F.col("event_type").alias("et"),
+        ).alias("e"),
+    )
+    seq = ev.groupBy("user_id").agg(F.sort_array(F.collect_list("e")).alias("seq"))
+
+    nolong = F.lit(None).cast("long")
+    init = F.struct(nolong.alias("t1"), nolong.alias("t2"), nolong.alias("t3"))
+
+    def step(acc, e):
+        t1 = F.when(
+            acc["t1"].isNull() & (e["et"] == "view"), e["ts_us"]
+        ).otherwise(acc["t1"])
+        # stage checks use the PRE-update accumulator: one event can
+        # satisfy at most one stage, and "after" is strict (ties at
+        # the same µs do not advance — matching the oracle's ts > t).
+        win = F.lit(24 * 3600 * 1_000_000)  # 24 h in µs
+        t2 = F.when(
+            acc["t2"].isNull()
+            & acc["t1"].isNotNull()
+            & (e["et"] == "click")
+            & (e["ts_us"] > acc["t1"])
+            & (e["ts_us"] <= acc["t1"] + win),
+            e["ts_us"],
+        ).otherwise(acc["t2"])
+        t3 = F.when(
+            acc["t3"].isNull()
+            & acc["t2"].isNotNull()
+            & (e["et"] == "purchase")
+            & (e["ts_us"] > acc["t2"])
+            & (e["ts_us"] <= acc["t2"] + win),
+            e["ts_us"],
+        ).otherwise(acc["t3"])
+        return F.struct(t1.alias("t1"), t2.alias("t2"), t3.alias("t3"))
+
+    walked = seq.select(F.aggregate("seq", init, step).alias("w"))
+    stage = (
+        F.when(F.col("w.t3").isNotNull(), 3)
+        .when(F.col("w.t2").isNotNull(), 2)
+        .when(F.col("w.t1").isNotNull(), 1)
+        .otherwise(0)
+        .cast("int")
+    )
+    return walked.select(stage.alias("funnel_stage")).groupBy("funnel_stage").agg(
+        F.count("*").alias("n_users")
+    )
