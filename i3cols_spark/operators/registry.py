@@ -91,30 +91,50 @@ EXTRA_QUERIES: tuple[str, ...] = (
 )
 
 
-#: §2.3-E contract names, hoisted to the FRONT of the surface this
-#: round: the driver's 50-entry budget stops inside the 60-name
-#: contract, and in §-order the A–D blocks (50 names) consume the
-#: whole budget — the E block has never received a driver row in three
-#: rounds despite passing the full-surface sim.  Rotating E first
-#: gives those 10 their first recorded correctness evidence; the A–D
-#: tail that falls off the budget this round has two green rounds of
-#: history (VERDICT r03 item 5).
-#:
-#: Round-5 note: once CORRECTNESS_r04 records the E rows, rotate the
-#: D-tail that fell off this round (q_case_when … q_udtf_expand) back
-#: toward the front so every contract name keeps fresh driver
-#: evidence; the full-surface sim (scripts/driver_sim.py) remains the
-#: complete check either way.
-_E_BLOCK: tuple[str, ...] = CONTRACT_QUERIES[-10:]
+#: Round-5 rotation, named EXPLICITLY (VERDICT r04 item 1 + ADVICE
+#: r04 item 4: no positional slicing — membership is pinned by
+#: tests/test_oracle_parity.py).  The driver checks the FIRST 50
+#: surface names each round; across rounds 1–4 the union of checked
+#: names is 63 of 100, leaving 37 registered queries (every tier-1/2/3
+#: extra, incl. the flagship LLM-pipeline ops) with no official
+#: CORRECTNESS row ever.  This block = those 37 never-checked names,
+#: followed by the 13 stalest (3 last checked in round 1, 10 in round
+#: 3) — exactly the 50-row budget.  After round 5 every registered
+#: name has an official row from round 4 or 5.
+_R5_PRIORITY: tuple[str, ...] = (
+    # 37 never-driver-checked (set(registry) − ∪CORRECTNESS_r1..4)
+    "q_dedup_simhash", "q_dedup_ngram_jaccard", "q_dedup_embedding",
+    "q_text_quality", "q_text_langid", "q_text_tokens",
+    "q_text_fingerprint", "q_similarity_ann_lsh", "q_similarity_ann_ivf",
+    "q_multimodal_features", "q_stream_dedup", "q_stream_join",
+    "q_text_contamination", "q_dedup_keep_best", "q_pack_sequences",
+    "q_text_repetition", "q_embedding_centroids", "q_embedding_quantize",
+    "q_multimodal_resize_sample", "q_text_token_rarity",
+    "q_merge_latest_state", "q_funnel_conversion", "q_pipeline_end2end",
+    "q_dedup_clusters", "q_dedup_cluster_sizes",
+    "q_agg_percentile", "q_agg_approx_percentile", "q_agg_stats_corr",
+    "q_agg_histogram", "q_sample_stratified", "q_sample_mixture",
+    "q_split_assign", "q_profile_columns",
+    "q_string_editdist", "q_physics_pulse_summary", "q_enum_decode_join",
+    "q_pivot",
+    # 13 stalest: last official row in round 1 …
+    "q_source_npy_scan", "q_udtf_python", "q_window_distribution",
+    # … and round 3 (the D-block that rotated out of round 4's budget)
+    "q_case_when", "q_json_extract", "q_array_collect",
+    "q_array_explode", "q_array_hof", "q_struct_nested", "q_map_funcs",
+    "q_udf_scalar", "q_udaf_grouped", "q_udtf_expand",
+)
 
 
 def surface_order() -> list[str]:
-    """Driver-facing ordering: contract first (E-block hoisted — see
-    ``_E_BLOCK``), tiered extras after, then any registered name the
-    tuples don't know about (fail-open so a new operator is never
-    silently dropped from the surface)."""
-    contract = list(_E_BLOCK) + [q for q in CONTRACT_QUERIES if q not in _E_BLOCK]
-    known = contract + list(EXTRA_QUERIES)
+    """Driver-facing ordering: the round-5 evidence-rotation block
+    first (see ``_R5_PRIORITY``), the remaining contract + extras in
+    §-order after, then any registered name the tuples don't know
+    about (fail-open so a new operator is never silently dropped from
+    the surface)."""
+    prio = set(_R5_PRIORITY)
+    rest = [q for q in (*CONTRACT_QUERIES, *EXTRA_QUERIES) if q not in prio]
+    known = list(_R5_PRIORITY) + rest
     missing = [k for k in known if k not in QUERIES]
     if missing:
         raise KeyError(f"surface_order: unregistered contract/extra names: {missing}")
