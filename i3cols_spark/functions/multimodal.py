@@ -2,13 +2,14 @@
 metadata, with decode / feature-extract / resize / frame-sample as
 Arrow-batched ``mapInPandas`` operators (SURVEY north-star).
 
-The container has no image/audio libraries, so the actual codecs are
-STUBBED (clearly marked below): ``decode_media`` raises
-NotImplementedError for real codecs and provides a deterministic fake
-codec ("fake/raw": payload bytes are the samples) so the Spark-side
-plumbing — schema, partitioning, UDF signature, Arrow batch shape — is
-real and tested end-to-end.  Swapping in Pillow/librosa later changes
-only the inner ``_decode_payload`` function.
+Real formats decode for real via the pure-stdlib codecs in
+``functions/codecs.py``: BMP / PPM / PGM / PNG images and PCM WAV
+audio (encode + decode, round-trip tested).  Only codecs that
+genuinely require external libraries (JPEG via Pillow, MP3, video)
+stay behind per-format ``NotImplementedError`` gates.  The
+deterministic "fake/raw" codec (payload bytes are the samples) is
+kept for closed-form oracle arithmetic in the resize/frame-sample
+chain.
 
 Scale notes: binary payloads ride the normal columnar path (parquet
 keeps them page-compressed); ``mapInPandas`` streams Arrow batches so
@@ -40,8 +41,9 @@ MEDIA_T = T.StructType(
 )
 
 FEATURES_SCHEMA = (
-    "media_id long, media_type string, n_bytes long, "
-    "checksum string, features array<float>"
+    "media_id long, media_type string, n_bytes long, checksum string, "
+    "width int, height int, sample_rate int, n_frames int, "
+    "features array<float>"
 )
 
 
@@ -59,24 +61,154 @@ def attach_fake_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
-def _decode_payload(media_type: str, payload: bytes) -> list[float]:
-    """Inner codec.  STUB: only the deterministic fake codec is
-    implemented in this container; real decoders are gated behind
-    import-try so the same operator works where the libs exist."""
+#: Feature-vector sample budget after the leading structural entries.
+_N_SAMPLES = 29
+
+#: Decoded structural metadata + feature samples for one payload.
+_DECODED_FIELDS = ("width", "height", "sample_rate", "n_frames", "features")
+
+
+def decode_media(media_type: str, payload: bytes) -> dict:
+    """Decode one payload for real; returns a dict with the
+    ``_DECODED_FIELDS`` keys (absent dims are None).
+
+    Image features: [width, height, channels] + a ≤29-entry stride
+    sample of the pixel bytes.  Audio features: [sample_rate,
+    channels, n_frames] + a ≤29-entry stride sample of the PCM sample
+    values.  fake/raw: byte values of an 8-byte stride (≤32), the
+    original closed-form codec.
+    """
+    from i3cols_spark.functions import codecs
+
+    def _stride_sample(seq, k: int = _N_SAMPLES) -> list[float]:
+        if not len(seq):
+            return []
+        step = max(1, len(seq) // k)
+        return [float(v) for v in seq[::step][:k]]
+
     if media_type == "fake/raw":
-        # Deterministic fake "samples": byte values of an 8-byte stride.
-        return [float(b) for b in payload[::8][:32]]
+        return {
+            "width": None,
+            "height": None,
+            "sample_rate": None,
+            "n_frames": None,
+            "features": [float(b) for b in payload[::8][:32]],
+        }
+    image_decoders = {
+        "image/bmp": codecs.decode_bmp,
+        "image/x-portable-pixmap": codecs.decode_ppm,
+        "image/x-portable-graymap": codecs.decode_ppm,
+        "image/png": codecs.decode_png,
+    }
+    if media_type in image_decoders:
+        img = image_decoders[media_type](payload)
+        return {
+            "width": img.width,
+            "height": img.height,
+            "sample_rate": None,
+            "n_frames": None,
+            "features": [float(img.width), float(img.height), float(img.channels)]
+            + _stride_sample(img.pixels),
+        }
+    if media_type in ("audio/wav", "audio/x-wav"):
+        audio = codecs.decode_wav(payload)
+        return {
+            "width": None,
+            "height": None,
+            "sample_rate": audio.sample_rate,
+            "n_frames": audio.n_frames,
+            "features": [
+                float(audio.sample_rate),
+                float(audio.channels),
+                float(audio.n_frames),
+            ]
+            + _stride_sample(codecs.pcm_samples(audio)),
+        }
     if media_type.startswith("image/"):
-        try:
-            from PIL import Image  # noqa: F401
-        except ImportError as e:  # pragma: no cover - lib not in container
-            raise NotImplementedError(
-                "image decode requires Pillow (not in this container); "
-                "use media_type='fake/raw' for plumbing tests"
-            ) from e
-    if media_type.startswith("audio/"):  # pragma: no cover
-        raise NotImplementedError("audio decode not available in this container")
+        raise NotImplementedError(
+            f"{media_type} needs an external codec (e.g. Pillow); "
+            "stdlib formats: bmp, ppm/pgm, png"
+        )
+    if media_type.startswith(("audio/", "video/")):
+        raise NotImplementedError(
+            f"{media_type} needs an external codec; stdlib format: wav"
+        )
     raise NotImplementedError(f"unknown media_type: {media_type}")
+
+
+def attach_synthetic_media(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fixture helper that builds REAL media payloads: even ids get a
+    24-bit BMP, odd ids a 16-bit PCM WAV, with pixel/sample bytes
+    cycled from the UTF-8 text and dimensions derived from the byte
+    length ``n`` in closed form — so a SQL oracle can predict what the
+    real decoder must recover:
+
+    - BMP:  width = n % 13 + 1, height = n % 7 + 1
+    - WAV:  sample_rate = 8000 + (n % 5) * 1000, n_frames = n % 50 + 1
+
+    This is an encode→decode round trip through genuine format bytes
+    (headers, padding, zlib-free BI_RGB rows, RIFF chunks), not a
+    metadata passthrough.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from i3cols_spark.functions import codecs
+
+        def cycle(src: bytes, size: int) -> bytes:
+            if not src:
+                src = b"\x00"
+            return (src * (size // len(src) + 1))[:size]
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "media_type", "payload",
+                "width", "height", "sample_rate", "n_frames",
+            )}
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                src = str(text).encode("utf-8")
+                n = len(src)
+                rows["media_id"].append(doc_id)
+                if doc_id % 2 == 0:
+                    w, h = n % 13 + 1, n % 7 + 1
+                    img = codecs.ImageData(
+                        width=w, height=h, channels=3,
+                        pixels=cycle(src, w * h * 3),
+                    )
+                    rows["media_type"].append("image/bmp")
+                    rows["payload"].append(codecs.encode_bmp(img))
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["sample_rate"].append(None)
+                    rows["n_frames"].append(None)
+                else:
+                    rate, frames = 8000 + (n % 5) * 1000, n % 50 + 1
+                    audio = codecs.AudioData(
+                        sample_rate=rate, channels=1, sample_width=2,
+                        n_frames=frames, frames=cycle(src, 2 * frames),
+                    )
+                    rows["media_type"].append("audio/wav")
+                    rows["payload"].append(codecs.encode_wav(audio))
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["sample_rate"].append(rate)
+                    rows["n_frames"].append(frames)
+            yield pd.DataFrame(rows)
+
+    src_df = df.select(F.col(id_col), F.col(text_col))
+    return src_df.mapInPandas(
+        op,
+        schema=(
+            "media_id long, media_type string, payload binary, "
+            "width int, height int, sample_rate int, n_frames int"
+        ),
+    )
+
+
+def _decode_payload(media_type: str, payload: bytes) -> list[float]:
+    """Back-compat shim: feature vector only."""
+    return decode_media(media_type, payload)["features"]
 
 
 def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
@@ -91,21 +223,21 @@ def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
         import hashlib
 
         for pdf in batches:
-            feats = [
-                _decode_payload(mt, bytes(p))
+            decoded = [
+                decode_media(mt, bytes(p))
                 for mt, p in zip(pdf["media_type"], pdf["payload"])
             ]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "media_type": pdf["media_type"],
-                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
-                    "checksum": [
-                        hashlib.md5(bytes(p)).hexdigest() for p in pdf["payload"]
-                    ],
-                    "features": feats,
-                }
-            )
+            out = {
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                "checksum": [
+                    hashlib.md5(bytes(p)).hexdigest() for p in pdf["payload"]
+                ],
+            }
+            for field in _DECODED_FIELDS:
+                out[field] = [d[field] for d in decoded]
+            yield pd.DataFrame(out)
 
     return df.mapInPandas(op, schema=FEATURES_SCHEMA)
 

@@ -3,13 +3,16 @@ registered, oracle-checked query.
 
 The engine's multimodal layer (functions/multimodal.py) treats media
 as opaque ``binary`` payloads + typed metadata and runs decode /
-feature-extract as Arrow-batched ``mapInPandas`` operators, with the
-codec itself stubbed (no image/audio libs in this container).  The
-deterministic fake codec makes the WHOLE pipeline oracle-checkable:
-payload = UTF-8 bytes of the document text, so byte length, md5
-checksum and feature count are reproducible in SQL — the correctness
-gate covers the real Spark-side plumbing (schema, Arrow batch shape,
-UDF signature), which is exactly the part that survives a codec swap.
+feature-extract as Arrow-batched ``mapInPandas`` operators.  Since
+round 5 the decode is REAL: pure-stdlib codecs (functions/codecs.py)
+parse genuine BMP / PPM / PGM / PNG / WAV bytes.  q_multimodal_features
+round-trips documents through actual format encoders and re-derives
+width/height/sample_rate/frames by decoding the bytes — the oracle
+predicts those structural values in closed form from the text length,
+so a header-arithmetic bug anywhere in encode OR decode breaks the
+hash.  The deterministic "fake/raw" codec remains for the
+resize/frame-sample chain whose stride arithmetic the second oracle
+pins.
 """
 
 from __future__ import annotations
@@ -17,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from i3cols_spark.functions.multimodal import attach_fake_media, extract_features
+from i3cols_spark.functions.multimodal import (
+    attach_fake_media,
+    attach_synthetic_media,
+    extract_features,
+)
 from i3cols_spark.operators.registry import query
 from i3cols_spark.sources.tables import table
 
@@ -25,31 +32,65 @@ from i3cols_spark.sources.tables import table
 @query(
     "q_multimodal_features",
     oracle="""
+    WITH t AS (
+        SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+    ),
+    img AS (  -- even ids: 24-bit BMP, dims closed-form from n
+        SELECT doc_id,
+               n % 13 + 1 AS w, n % 7 + 1 AS h,
+               (n % 13 + 1) * (n % 7 + 1) * 3 AS npix
+        FROM t WHERE doc_id % 2 = 0
+    ),
+    aud AS (  -- odd ids: 16-bit mono PCM WAV
+        SELECT doc_id,
+               8000 + (n % 5) * 1000 AS rate, n % 50 + 1 AS frames
+        FROM t WHERE doc_id % 2 = 1
+    )
     SELECT doc_id AS media_id,
-           'fake/raw' AS media_type,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           md5(text) AS checksum,
-           CAST(least(32, (octet_length(encode(text)) + 7) // 8) AS INT)
-               AS n_features
-    FROM documents
+           'image/bmp' AS media_type,
+           -- 54-byte headers + rows padded to 4 bytes
+           CAST(54 + h * ((w * 3 + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(NULL AS INT) AS sample_rate, CAST(NULL AS INT) AS n_frames,
+           -- [w, h, channels] + stride sample of the pixel bytes
+           CAST(3 + least(29, (npix + greatest(1, npix // 29) - 1)
+                              // greatest(1, npix // 29)) AS INT) AS n_features
+    FROM img
+    UNION ALL
+    SELECT doc_id AS media_id,
+           'audio/wav' AS media_type,
+           CAST(44 + 2 * frames AS BIGINT) AS n_bytes,  -- RIFF+fmt+data hdrs
+           CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+           CAST(rate AS INT) AS sample_rate, CAST(frames AS INT) AS n_frames,
+           CAST(3 + least(29, (frames + greatest(1, frames // 29) - 1)
+                              // greatest(1, frames // 29)) AS INT) AS n_features
+    FROM aud
     """,
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload → decode+featurize via one ``mapInPandas`` pass
-    (functions/multimodal.py::extract_features).
+    """REAL encode→decode round trip: documents become genuine BMP
+    (even ids) / WAV (odd ids) payload bytes via
+    ``attach_synthetic_media``, then one ``mapInPandas`` pass decodes
+    the actual format headers and pixels/PCM frames
+    (functions/codecs.py) and featurizes.
 
-    The fake codec reads every 8th byte (≤32 samples), so the oracle
-    can state the feature count in closed form; checksum is md5 of
-    the payload bytes in both engines.  At scale this is
-    embarrassingly parallel over the scan — payloads stay
-    page-compressed in parquet and peak memory is one Arrow batch.
+    Every output column is re-derived FROM THE DECODED BYTES — width/
+    height come from the BITMAPINFOHEADER, sample_rate/n_frames from
+    the RIFF chunks — while the oracle predicts them in closed form
+    from the text length, so the hash pins both encoder and decoder.
+    At scale this is embarrassingly parallel over the scan — payloads
+    stay page-compressed in parquet and peak memory is one Arrow
+    batch.
     """
-    media = attach_fake_media(table(spark, sf_dir, "documents"))
+    media = attach_synthetic_media(table(spark, sf_dir, "documents"))
     return extract_features(media).select(
         "media_id",
         "media_type",
         "n_bytes",
-        "checksum",
+        "width",
+        "height",
+        "sample_rate",
+        "n_frames",
         F.size("features").alias("n_features"),
     )
 

@@ -1,0 +1,172 @@
+"""Round-trip tests for the pure-stdlib media codecs
+(functions/codecs.py): crafted BMP/PPM/PGM/PNG/WAV bytes decode back
+to the exact pixels/samples that were encoded, plus hand-built
+fixtures for decoder paths the encoders don't emit (top-down BMP,
+PNG filter types, comment-bearing PNM headers)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from i3cols_spark.functions import codecs
+from i3cols_spark.functions.codecs import AudioData, ImageData
+
+
+def _rgb(w: int, h: int) -> bytes:
+    return bytes((x * 7 + y * 13 + c * 29) % 256 for y in range(h) for x in range(w) for c in range(3))
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (3, 2), (4, 4), (13, 7), (5, 1)])
+def test_bmp_round_trip(w, h):
+    img = ImageData(width=w, height=h, channels=3, pixels=_rgb(w, h))
+    payload = codecs.encode_bmp(img)
+    assert payload[:2] == b"BM"
+    # declared file size matches actual bytes (header arithmetic)
+    assert struct.unpack_from("<I", payload, 2)[0] == len(payload)
+    out = codecs.decode_bmp(payload)
+    assert (out.width, out.height, out.channels) == (w, h, 3)
+    assert out.pixels == img.pixels
+
+
+def test_bmp_top_down_variant():
+    """Negative height = top-down row order; decoder must not flip."""
+    w, h = 3, 2
+    img = ImageData(width=w, height=h, channels=3, pixels=_rgb(w, h))
+    payload = bytearray(codecs.encode_bmp(img))
+    # flip to top-down: negate height, reverse the stored row order
+    struct.pack_into("<i", payload, 22, -h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = [payload[54 + i * stride : 54 + (i + 1) * stride] for i in range(h)]
+    payload[54:] = b"".join(reversed(rows))
+    out = codecs.decode_bmp(bytes(payload))
+    assert out.pixels == img.pixels
+
+
+@pytest.mark.parametrize("channels", [1, 3])
+def test_pnm_round_trip(channels):
+    w, h = 6, 3
+    pixels = bytes((i * 31) % 256 for i in range(w * h * channels))
+    img = ImageData(width=w, height=h, channels=channels, pixels=pixels)
+    out = codecs.decode_ppm(codecs.encode_ppm(img))
+    assert (out.width, out.height, out.channels) == (w, h, channels)
+    assert out.pixels == pixels
+
+
+def test_pnm_header_comments():
+    img = ImageData(width=2, height=2, channels=3, pixels=_rgb(2, 2))
+    payload = codecs.encode_ppm(img)
+    commented = payload.replace(b"P6\n", b"P6\n# a comment\n", 1)
+    out = codecs.decode_ppm(commented)
+    assert out.pixels == img.pixels
+
+
+@pytest.mark.parametrize("channels", [1, 3, 4])
+def test_png_round_trip(channels):
+    w, h = 5, 4
+    pixels = bytes((i * 17 + 3) % 256 for i in range(w * h * channels))
+    img = ImageData(width=w, height=h, channels=channels, pixels=pixels)
+    out = codecs.decode_png(codecs.encode_png(img))
+    assert (out.width, out.height, out.channels) == (w, h, channels)
+    assert out.pixels == pixels
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_all_filter_types(ftype):
+    """Hand-build an IDAT stream using each scanline filter; decoding
+    must invert it exactly (Sub/Up/Average/Paeth reconstruction)."""
+    w, h, ch = 4, 3, 3
+    pixels = _rgb(w, h)
+    stride = w * ch
+
+    def filt(line: bytes, prev: bytes) -> bytes:
+        out = bytearray(line)
+        for i in range(stride - 1, -1, -1):
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ftype == 1:
+                out[i] = (line[i] - a) & 0xFF
+            elif ftype == 2:
+                out[i] = (line[i] - b) & 0xFF
+            elif ftype == 3:
+                out[i] = (line[i] - (a + b) // 2) & 0xFF
+            elif ftype == 4:
+                out[i] = (line[i] - codecs._paeth(a, b, c)) & 0xFF
+        return bytes(out)
+
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        line = pixels[y * stride : (y + 1) * stride]
+        raw += bytes([ftype]) + filt(line, prev)
+        prev = line
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    payload = (
+        codecs._PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    out = codecs.decode_png(payload)
+    assert out.pixels == pixels
+
+
+@pytest.mark.parametrize("sample_width", [1, 2, 4])
+def test_wav_round_trip(sample_width):
+    n_frames, channels = 37, 2
+    frames = bytes((i * 11) % 256 for i in range(n_frames * channels * sample_width))
+    audio = AudioData(
+        sample_rate=16000, channels=channels, sample_width=sample_width,
+        n_frames=n_frames, frames=frames,
+    )
+    payload = codecs.encode_wav(audio)
+    out = codecs.decode_wav(payload)
+    assert (out.sample_rate, out.channels, out.sample_width, out.n_frames) == (
+        16000, channels, sample_width, n_frames,
+    )
+    assert out.frames == frames
+    samples = codecs.pcm_samples(out)
+    assert len(samples) == n_frames * channels
+    if sample_width == 2:
+        assert samples[0] == struct.unpack_from("<h", frames, 0)[0]
+
+
+def test_wav_header_is_44_bytes():
+    """The q_multimodal_features oracle states n_bytes = 44 + data;
+    pin the stdlib wave module's PCM header size."""
+    audio = AudioData(sample_rate=8000, channels=1, sample_width=2,
+                      n_frames=5, frames=b"\x01\x02" * 5)
+    payload = codecs.encode_wav(audio)
+    assert len(payload) == 44 + 10
+
+
+def test_decode_media_dispatch_and_gates():
+    from i3cols_spark.functions.multimodal import decode_media
+
+    img = ImageData(width=4, height=2, channels=3, pixels=_rgb(4, 2))
+    d = decode_media("image/bmp", codecs.encode_bmp(img))
+    assert (d["width"], d["height"]) == (4, 2)
+    assert d["features"][:3] == [4.0, 2.0, 3.0]
+
+    d = decode_media("image/png", codecs.encode_png(img))
+    assert (d["width"], d["height"]) == (4, 2)
+
+    audio = AudioData(sample_rate=9000, channels=1, sample_width=2,
+                      n_frames=8, frames=bytes(16))
+    d = decode_media("audio/wav", codecs.encode_wav(audio))
+    assert (d["sample_rate"], d["n_frames"]) == (9000, 8)
+    assert d["features"][:3] == [9000.0, 1.0, 8.0]
+
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_media("image/jpeg", b"\xff\xd8\xff")
+    with pytest.raises(NotImplementedError):
+        decode_media("video/mp4", b"")
