@@ -14,7 +14,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window as W
 
 from i3cols_spark.operators.registry import query
 from i3cols_spark.sources.tables import table
@@ -235,26 +234,29 @@ def q_merge_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropDuplicates; this models upsert-compaction, the other half of
     every log-to-table pipeline.
 
-    One hash-partitioned window; at 100 TB this is the periodic
-    compaction job: it shuffles each key's rows to one reducer where
-    only the rank-1 row survives.  Keys are (user, type) — naturally
-    high-cardinality, so no skew handling is needed; a hot-key log
-    would pre-aggregate per partition with max_by first.
+    Hot-key-proof shape (VERDICT r04 item 4): a ``max_by`` GROUP BY
+    instead of a row_number window.  The window form shuffles EVERY
+    row of a key to one reducer before ranking; ``max_by`` is a
+    declarative aggregate, so each map task pre-combines its rows to
+    one candidate per key (partial_max_by before the exchange — pinned
+    by test_plans) and a hot (user, type) key ships one row per
+    upstream partition instead of its whole history.  The ordering key
+    is struct(ts, event_id): field-wise struct comparison gives newest
+    ts with event_id tiebreak, exactly the window's ORDER BY.
     """
     ev = table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id", "event_type").orderBy(
-        F.desc("ts"), F.desc("event_id")
+    latest = ev.groupBy("user_id", "event_type").agg(
+        F.max_by(
+            F.struct(
+                F.unix_micros("ts").alias("ts_us"),
+                F.col("event_id").alias("event_id"),
+                F.col("value").alias("value"),
+            ),
+            F.struct("ts", "event_id"),
+        ).alias("r")
     )
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            "event_type",
-            F.unix_micros("ts").alias("ts_us"),
-            "event_id",
-            "value",
-        )
+    return latest.select(
+        "user_id", "event_type", "r.ts_us", "r.event_id", "r.value"
     )
 
 
@@ -309,8 +311,23 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses the equivalent three-pass join form (same values, the plan
     a relational engine would pick); at 100 TB the walk form reads
     events once vs the oracle shape's three scans + three joins.
+
+    Skew containment (VERDICT r04): the walk only reads the three
+    funnel event types, so they are filtered INSIDE the collect —
+    ``collect_list`` skips nulls, so a ``when`` guard drops non-funnel
+    events during the map-side partial aggregation and a hot user's
+    unrelated traffic never reaches the reducer or the in-row array.
+    A plain pre-``filter`` would be wrong: a user with ONLY non-funnel
+    events must still surface as funnel_stage 0, so every user_id has
+    to survive to the groupBy (pinned by test_funnel_stage0_users).
     """
-    ev = table(spark, sf_dir, "events").select(
+    return funnel_stages(table(spark, sf_dir, "events"))
+
+
+def funnel_stages(events: DataFrame) -> DataFrame:
+    """The funnel walk over any (user_id, ts, event_id, event_type)
+    frame — see ``q_funnel_conversion`` for semantics and shape."""
+    ev = events.select(
         "user_id",
         F.struct(
             F.unix_micros("ts").alias("ts_us"),
@@ -318,7 +335,12 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("et"),
         ).alias("e"),
     )
-    seq = ev.groupBy("user_id").agg(F.sort_array(F.collect_list("e")).alias("seq"))
+    funnel_only = F.when(
+        F.col("e.et").isin("view", "click", "purchase"), F.col("e")
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(funnel_only)).alias("seq")
+    )
 
     nolong = F.lit(None).cast("long")
     init = F.struct(nolong.alias("t1"), nolong.alias("t2"), nolong.alias("t3"))

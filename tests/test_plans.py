@@ -323,3 +323,30 @@ def test_centroids_aggregate_partially(spark, sf_dir):
     plan = explain_str(QUERIES["q_embedding_centroids"](spark, sf_dir))
     assert plan.count("HashAggregate") >= 2
     assert "Join" not in plan
+
+
+def test_merge_latest_is_partial_maxby_not_window(spark, sf_dir):
+    """CDC compaction must pre-combine map-side (VERDICT r04 item 4):
+    a row_number window ships a hot key's ENTIRE history to one
+    reducer; the max_by aggregate sends one candidate row per upstream
+    partition.  The plan must show partial/final aggregation and no
+    Window node."""
+    plan = explain_str(QUERIES["q_merge_latest_state"](spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "max_by" in plan
+    # partial + final pair (map-side combine before the exchange)
+    assert plan.count("Aggregate") >= 2, plan
+
+
+def test_funnel_filters_inside_collect_not_before_groupby(spark, sf_dir):
+    """Funnel skew containment (VERDICT r04 item 3): non-funnel events
+    must be dropped inside the partial collect_list (CASE WHEN guard —
+    collect_list skips nulls) rather than by a pre-groupBy filter,
+    because a user with only non-funnel events still counts at stage
+    0.  Assert the guard reached the aggregate and no events-sized
+    join/window appeared."""
+    df = QUERIES["q_funnel_conversion"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "collect_list(CASE WHEN" in plan, plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

@@ -109,3 +109,32 @@ def test_stream_contamination_matches_batch_flags(spark, sf_dir):
     }
     assert stream_docs == batch_flagged
     assert streamed.count() >= len(stream_docs)
+
+
+def test_funnel_stage0_users(spark):
+    """A user whose events are ALL non-funnel types must still be
+    counted at funnel_stage 0 — this is why q_funnel_conversion guards
+    event types INSIDE collect_list instead of pre-filtering the scan
+    (a pre-filter silently drops such users from the denominator)."""
+    import datetime
+
+    from i3cols_spark.operators.stream_batch import funnel_stages
+
+    t0 = datetime.datetime(2025, 1, 1)
+    rows = [
+        # u1: full funnel within the window
+        (1, t0, 101, "view"),
+        (1, t0 + datetime.timedelta(hours=1), 102, "click"),
+        (1, t0 + datetime.timedelta(hours=2), 103, "purchase"),
+        # u2: only non-funnel events -> stage 0, must NOT disappear
+        (2, t0, 201, "error"),
+        (2, t0 + datetime.timedelta(hours=1), 202, "signup"),
+        # u3: view then click outside the 24 h window -> stage 1
+        (3, t0, 301, "view"),
+        (3, t0 + datetime.timedelta(hours=30), 302, "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {r["funnel_stage"]: r["n_users"] for r in funnel_stages(ev).collect()}
+    assert out == {3: 1, 0: 1, 1: 1}
