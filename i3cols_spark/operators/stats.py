@@ -57,36 +57,65 @@ def exact_percentiles(
     quantile_cont / np.percentile ignore nulls, whereas the histogram
     cumsum would otherwise count them (Spark sorts nulls first asc).
     """
-    dist = (
-        df.filter(F.col(value).isNotNull())
-        .groupBy(key, value)
-        .agg(F.count("*").alias("cnt"))
+    return exact_percentiles_multi(df, key, {value: ps})
+
+
+def exact_percentiles_multi(
+    df: DataFrame, key: str, specs: dict[str, dict[str, float]]
+) -> DataFrame:
+    """``exact_percentiles`` over SEVERAL value columns in ONE scan
+    (VERDICT r04 item 5): the columns are unpivoted via ``stack`` into
+    (key, vcol, value) rows, so one groupBy builds every column's
+    distinct-value histogram together and one window pass cumsums each
+    (key, vcol) distribution — the table is read once however many
+    columns are profiled, vs one full scan per column in the naive
+    form.  Values are cast to double (the interpolated result type
+    anyway) to share the stacked column.
+    """
+    cols = list(specs)
+    stack_args = ", ".join(
+        f"'{c}', CAST({c} AS DOUBLE)" for c in cols
     )
+    stacked = df.select(
+        F.col(key),
+        F.expr(f"stack({len(cols)}, {stack_args}) AS (vcol, value)"),
+    ).filter(F.col("value").isNotNull())
+
+    dist = stacked.groupBy(key, "vcol", "value").agg(F.count("*").alias("cnt"))
     wcum = (
-        Window.partitionBy(key).orderBy(value).rowsBetween(Window.unboundedPreceding, 0)
+        Window.partitionBy(key, "vcol")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     d = dist.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
-        "tot", F.sum("cnt").over(Window.partitionBy(key))
+        "tot", F.sum("cnt").over(Window.partitionBy(key, "vcol"))
     )
 
-    def bracket(p: float, name: str) -> list[Column]:
+    def bracket(vcol: str, p: float, name: str) -> list[Column]:
+        here = F.col("vcol") == vcol
         h = (F.col("tot") - 1) * F.lit(float(p))
         return [
-            F.min(h).alias(f"__h_{name}"),
-            F.min(F.when(F.col("cum") >= F.floor(h) + 1, F.col(value))).alias(
-                f"__lo_{name}"
-            ),
-            F.min(F.when(F.col("cum") >= F.ceil(h) + 1, F.col(value))).alias(
-                f"__hi_{name}"
-            ),
+            F.min(F.when(here, h)).alias(f"__h_{name}"),
+            F.min(
+                F.when(here & (F.col("cum") >= F.floor(h) + 1), F.col("value"))
+            ).alias(f"__lo_{name}"),
+            F.min(
+                F.when(here & (F.col("cum") >= F.ceil(h) + 1), F.col("value"))
+            ).alias(f"__hi_{name}"),
         ]
 
-    aggs = [c for name, p in ps.items() for c in bracket(p, name)]
+    aggs = [
+        c
+        for vcol, ps in specs.items()
+        for name, p in ps.items()
+        for c in bracket(vcol, p, name)
+    ]
     out = d.groupBy(key).agg(*aggs)
     final = [F.col(key)]
-    for name in ps:
-        h, lo, hi = (F.col(f"__{x}_{name}") for x in ("h", "lo", "hi"))
-        final.append((lo + (h - F.floor(h)) * (hi - lo)).alias(name))
+    for ps in specs.values():
+        for name in ps:
+            h, lo, hi = (F.col(f"__{x}_{name}") for x in ("h", "lo", "hi"))
+            final.append((lo + (h - F.floor(h)) * (hi - lo)).alias(name))
     return out.select(*final)
 
 
@@ -108,31 +137,33 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching DuckDB ``quantile_cont`` (same h = (n-1)p linear
     interpolation) to 4 dp.
 
-    Computed via ``exact_percentiles`` (distribution cumsum + bracket
-    pick), NOT Spark's ``percentile`` aggregate — see that helper's
-    docstring for why the buffering aggregate fails at scale (7.9× at
-    the 10× probe).  ``approx_percentile`` (bounded-state sketch)
-    remains the alternative when even the distinct-value histogram is
-    too wide.
+    Computed via ``exact_percentiles_multi`` (stacked distribution
+    cumsum + bracket pick), NOT Spark's ``percentile`` aggregate — see
+    ``exact_percentiles`` for why the buffering aggregate fails at
+    scale (7.9× at the 10× probe).  Both value columns ride ONE
+    lineitem scan (VERDICT r04 item 5: the two-call form read the
+    table twice); ``approx_percentile`` (bounded-state sketch) remains
+    the alternative when even the distinct-value histogram is too
+    wide.
     """
     li = table(spark, sf_dir, "lineitem")
-    price = exact_percentiles(
+    both = exact_percentiles_multi(
         li,
         "l_returnflag",
-        "l_extendedprice",
-        {"p25_price": 0.25, "p50_price": 0.50, "p75_price": 0.75},
+        {
+            "l_extendedprice": {
+                "p25_price": 0.25, "p50_price": 0.50, "p75_price": 0.75,
+            },
+            "l_quantity": {"p90_qty": 0.90},
+        },
     )
-    qty = exact_percentiles(li, "l_returnflag", "l_quantity", {"p90_qty": 0.90})
-    return (
-        price.join(qty, "l_returnflag")
-        .select(
-            "l_returnflag",
-            F.round("p25_price", 4).alias("p25_price"),
-            F.round("p50_price", 4).alias("p50_price"),
-            F.round("p75_price", 4).alias("p75_price"),
-            F.round("p50_price", 4).alias("median_price"),
-            F.round("p90_qty", 4).alias("p90_qty"),
-        )
+    return both.select(
+        "l_returnflag",
+        F.round("p25_price", 4).alias("p25_price"),
+        F.round("p50_price", 4).alias("p50_price"),
+        F.round("p75_price", 4).alias("p75_price"),
+        F.round("p50_price", 4).alias("median_price"),
+        F.round("p90_qty", 4).alias("p90_qty"),
     )
 
 

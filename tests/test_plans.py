@@ -350,3 +350,15 @@ def test_funnel_filters_inside_collect_not_before_groupby(spark, sf_dir):
     assert "collect_list(CASE WHEN" in plan, plan
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_percentile_scans_lineitem_once(spark, sf_dir):
+    """q_agg_percentile profiles two value columns; the stacked
+    exact_percentiles_multi form must read lineitem ONCE (the two-call
+    form planned two FileScans — VERDICT r04 item 5)."""
+    import re
+
+    plan = explain_str(QUERIES["q_agg_percentile"](spark, sf_dir))
+    # formatted mode prints each node twice (tree + detail); count the
+    # numbered detail entries
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
