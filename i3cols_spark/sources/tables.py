@@ -38,6 +38,102 @@ TABLES = (
 )
 
 
+#: Post-normalization contract schema per fixture table: column name →
+#: allowed Spark dtype strings.  Most columns pin ONE dtype; columns
+#: with several field-tested parquet flavors (the round-3 NTZ class:
+#: date columns arrive tz-less or tz-aware depending on the fixture
+#: generator) list every flavor the operators are verified against.
+#: ``table()`` checks this on every load — metadata-only, no scan —
+#: so a regenerated fixture that drifts a logical type fails LOUDLY
+#: at the choke point, naming the column, instead of surfacing as a
+#: cryptic mid-query error or a silent value change (VERDICT r04
+#: item 6; round 3's breakage class).
+_DATE_FLAVORS = ("timestamp_ntz", "timestamp")
+FIXTURE_SCHEMAS: dict[str, dict[str, tuple[str, ...]]] = {
+    "region": {"r_regionkey": ("int",), "r_name": ("string",)},
+    "nation": {
+        "n_nationkey": ("int",), "n_name": ("string",),
+        "n_regionkey": ("int",),
+    },
+    "customer": {
+        "c_custkey": ("bigint",), "c_name": ("string",),
+        "c_nationkey": ("int",), "c_acctbal": ("double",),
+        "c_mktsegment": ("string",),
+    },
+    "supplier": {
+        "s_suppkey": ("bigint",), "s_name": ("string",),
+        "s_nationkey": ("int",), "s_acctbal": ("double",),
+    },
+    "part": {
+        "p_partkey": ("bigint",), "p_name": ("string",),
+        "p_brand": ("string",), "p_type": ("string",),
+        "p_size": ("int",), "p_retailprice": ("double",),
+    },
+    "orders": {
+        "o_orderkey": ("bigint",), "o_custkey": ("bigint",),
+        "o_orderstatus": ("string",), "o_totalprice": ("double",),
+        "o_orderdate": _DATE_FLAVORS, "o_orderpriority": ("string",),
+    },
+    "lineitem": {
+        "l_orderkey": ("bigint",), "l_partkey": ("bigint",),
+        "l_suppkey": ("bigint",), "l_linenumber": ("int",),
+        "l_quantity": ("double",), "l_extendedprice": ("double",),
+        "l_discount": ("double",), "l_tax": ("double",),
+        "l_returnflag": ("string",), "l_linestatus": ("string",),
+        "l_shipdate": _DATE_FLAVORS,
+    },
+    # events is checked AFTER normalize_events_ts, so ts is always the
+    # contract TimestampType and ts_ns the nanosecond shadow.
+    "events": {
+        "event_id": ("bigint",), "ts": ("timestamp",),
+        "user_id": ("bigint",), "event_type": ("string",),
+        "value": ("double",), "props": ("string",),
+        "ts_ns": ("bigint",),
+    },
+    "documents": {
+        "doc_id": ("bigint",), "text": ("string",), "lang": ("string",),
+        "source": ("string",), "n_chars": ("bigint",),
+    },
+    "embeddings": {
+        "vec_id": ("bigint",), "embedding": ("array<float>",),
+        "label": ("int",),
+    },
+}
+
+
+class SchemaDriftError(RuntimeError):
+    """A fixture table's parquet schema no longer matches the engine
+    contract — raised at ``table()`` load, naming every drift."""
+
+
+def check_fixture_schema(name: str, df: DataFrame) -> None:
+    """Compare ``df``'s dtypes to ``FIXTURE_SCHEMAS[name]``; raise
+    :class:`SchemaDriftError` listing every missing / unexpected /
+    retyped column.  Metadata-only (``df.dtypes`` comes from the
+    parquet footer already read at plan time)."""
+    expected = FIXTURE_SCHEMAS.get(name)
+    if expected is None:
+        return
+    actual = dict(df.dtypes)
+    drifts = []
+    for col, allowed in expected.items():
+        if col not in actual:
+            drifts.append(f"missing column {col!r} (expected {'/'.join(allowed)})")
+        elif actual[col] not in allowed:
+            drifts.append(
+                f"column {col!r} is {actual[col]!r}, expected {'/'.join(allowed)}"
+            )
+    for col in actual:
+        if col not in expected:
+            drifts.append(f"unexpected column {col!r} ({actual[col]!r})")
+    if drifts:
+        raise SchemaDriftError(
+            f"fixture table {name!r} drifted from the engine contract "
+            f"(regenerated testdata? update sources/tables.py:FIXTURE_SCHEMAS "
+            f"and re-verify the operators): " + "; ".join(drifts)
+        )
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table from ``{sf_dir}/{name}.parquet`` (lazy).
 
@@ -61,6 +157,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = normalize_events_ts(df)
+    check_fixture_schema(name, df)
     return df
 
 

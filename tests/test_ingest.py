@@ -171,3 +171,34 @@ def test_spread_handles_url_encoded_paths(spark, tmp_path):
     out = spread(df, spark, min_bytes=1)
     # one input split, nbytes > min_bytes → must have repartitioned
     assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_schema_drift_tripwire(spark, tmp_path, sf_dir):
+    """A regenerated fixture whose logical types drift (the round-3
+    breakage class) must fail LOUDLY at table() load, naming the
+    drifted column — not surface mid-query (VERDICT r04 item 6)."""
+    import pytest
+
+    from i3cols_spark.sources.tables import SchemaDriftError, table
+
+    # retyped column: l_quantity double -> int
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "l_quantity", F.col("l_quantity").cast("int")
+    )
+    li.write.parquet(str(tmp_path / "lineitem.parquet"))
+    with pytest.raises(SchemaDriftError, match="l_quantity.*'int'.*expected double"):
+        table(spark, str(tmp_path), "lineitem")
+
+    # dropped + extra column
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet").drop("lang").withColumn(
+        "extra", F.lit(1)
+    )
+    doc.write.parquet(str(tmp_path / "documents.parquet"))
+    with pytest.raises(SchemaDriftError, match="missing column 'lang'"):
+        table(spark, str(tmp_path), "documents")
+    with pytest.raises(SchemaDriftError, match="unexpected column 'extra'"):
+        table(spark, str(tmp_path), "documents")
+
+    # both verified date flavors pass (ntz fixture is the shipped one)
+    orders_ntz = table(spark, sf_dir, "orders")
+    assert dict(orders_ntz.dtypes)["o_orderdate"] in ("timestamp_ntz", "timestamp")
