@@ -90,14 +90,39 @@ def connected_components(
     # plan compilations: checkpoint materialization fixes the physical
     # plan (df.rdd — no AQE re-optimization), so without this every
     # round's 3 exchanges launch the session-default task count over
-    # kilobytes of labels.  Restored in ``finally``; on big graphs
-    # p == the session value and this is a no-op.
-    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(p))
-    try:
+    # kilobytes of labels.  The override lives in an ISOLATED
+    # spark.newSession() (same context, own conf) — mutating the
+    # caller's session conf would leak the graph-sized value into any
+    # query compiled concurrently in that session, e.g. a streaming
+    # micro-batch (ADVICE r04 item 1).  Frames cross sessions via
+    # global temp views; the loop's checkpoints are materialized by
+    # its own fixpoint actions, so the handed-back frame is a cheap
+    # RDD scan.  On big graphs p == the session value anyway.
+    if p == shuffle_conf:
         labels = _cc_loop(sym, labels, p, max_iter)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+    else:
+        iso = spark.newSession()
+        iso.conf.set("spark.sql.shuffle.partitions", str(p))
+        gdb = spark.conf.get(
+            "spark.sql.globalTempDatabase", "global_temp"
+        )
+        tag = f"_cc_{id(sym)}"
+        sym.createOrReplaceGlobalTempView(f"{tag}_sym")
+        labels.createOrReplaceGlobalTempView(f"{tag}_labels")
+        try:
+            out = _cc_loop(
+                iso.table(f"{gdb}.{tag}_sym"),
+                iso.table(f"{gdb}.{tag}_labels"),
+                p,
+                max_iter,
+            )
+            out.createOrReplaceGlobalTempView(f"{tag}_out")
+            # rebind into the caller's session (analysis is eager, so
+            # the view can be dropped right after)
+            labels = spark.table(f"{gdb}.{tag}_out")
+        finally:
+            for suffix in ("_sym", "_labels", "_out"):
+                spark.catalog.dropGlobalTempView(f"{tag}{suffix}")
     return labels.select("id", "comp")
 
 

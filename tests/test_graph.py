@@ -57,3 +57,35 @@ def test_non_convergence_raises_runtime_error(spark):
 
     with pytest.raises(RuntimeError, match="no fixpoint"):
         _cc(spark, range(64), [(i, i + 1) for i in range(63)], max_iter=1)
+
+
+def test_cc_does_not_mutate_caller_session_conf(spark):
+    """The graph-sized shuffle.partitions override must live in an
+    isolated session (ADVICE r04 item 1): a concurrently compiled
+    query in the caller's session must never see the loop's value.
+    The caller conf is asserted unchanged and a frame compiled right
+    after the loop plans with the session-default partition count."""
+    from i3cols_spark.operators.graph import connected_components
+
+    from pyspark.sql import functions as F
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    nodes = spark.range(6).select(F.col("id"))
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "a long, b long"
+    )
+    out = {
+        (r["id"], r["comp"])
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert out == {(0, 0), (1, 0), (2, 0), (3, 3), (4, 4), (5, 4)}
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    # a fresh aggregation in the caller session PLANS with the session
+    # conf (AQE may coalesce at runtime, so check the planned
+    # partitioning, not the executed partition count)
+    probe = spark.range(100).groupBy((F.col("id") % 5).alias("k")).count()
+    import re
+
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"hashpartitioning\([^)]*, (\d+)\)", plan)
+    assert m and m.group(1) == before, plan
