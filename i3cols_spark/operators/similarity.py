@@ -354,10 +354,14 @@ _IVF_NPROBE = 4
 
 def _data_fingerprint(path: str) -> str:
     """Cheap content fingerprint of a parquet file/dir: names + sizes +
-    mtimes of every data file.  An in-place fixture regeneration (same
-    path, new bytes — it happened between rounds 2 and 3) changes the
-    fingerprint without reading any data.  On a real cluster the same
-    stat-walk runs against the shared filesystem's metadata."""
+    mtimes of every data file, PLUS the tail bytes of each file — for
+    parquet that's the footer, whose row-group statistics change
+    whenever values change.  The metadata-only stat walk misses a
+    regeneration that preserves sizes and mtimes (``rsync -a`` /
+    ``tar -p`` restores — ADVICE r04 item 3); the 4 KiB footer sample
+    closes that hole for a few metadata-sized reads, no data scan.  On
+    a real cluster both the stat-walk and the ranged tail read go to
+    the shared filesystem."""
     import hashlib
     import os
 
@@ -371,6 +375,9 @@ def _data_fingerprint(path: str) -> str:
     for f in files:
         st = os.stat(f)
         h.update(f"{os.path.relpath(f, path)}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+        with open(f, "rb") as fh:
+            fh.seek(max(0, st.st_size - 4096))
+            h.update(fh.read(4096))
     return h.hexdigest()
 
 

@@ -362,3 +362,24 @@ def test_percentile_scans_lineitem_once(spark, sf_dir):
     # formatted mode prints each node twice (tree + detail); count the
     # numbered detail entries
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+
+
+def test_data_fingerprint_detects_mtime_preserving_rewrite(tmp_path):
+    """A regeneration that preserves file sizes and mtimes (rsync -a /
+    tar -p restore) must still change the fingerprint: the tail-bytes
+    (parquet footer) sample is what catches it (ADVICE r04 item 3)."""
+    import os
+
+    from i3cols_spark.operators.similarity import _data_fingerprint
+
+    d = tmp_path / "ds"
+    d.mkdir()
+    f = d / "part-0.parquet"
+    f.write_bytes(b"A" * 10_000)
+    st = os.stat(f)
+    fp1 = _data_fingerprint(str(d))
+    # same size, same mtime, different bytes
+    f.write_bytes(b"A" * 5_000 + b"B" * 5_000)
+    os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns))
+    fp2 = _data_fingerprint(str(d))
+    assert fp1 != fp2
