@@ -153,6 +153,53 @@ def test_ann_ivf_results_agree_with_exact_cosines(spark, sf_dir):
             assert abs(exact[r["vec_id"]] - r["cos_sim"]) < 1e-9
 
 
+def test_ivf_lloyd_refinement_recall(spark, sf_dir):
+    """The flagged k-means refinement (build_ivf_index refine_iters>0,
+    VERDICT r04 item 7) must not lose recall vs the stride-sample seed
+    at equal nprobe — averaged over several query vectors against the
+    exact brute-force top-k (the LSH-recall pattern)."""
+    import numpy as np
+
+    from i3cols_spark.operators.similarity import ivf_topk
+    from i3cols_spark.functions.vectors import as_double
+    from i3cols_spark.sources.tables import table
+
+    emb = {
+        r["vec_id"]: np.asarray(r["v"], dtype=np.float64)
+        for r in table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double("embedding").alias("v"))
+        .collect()
+    }
+    ids = np.array(sorted(emb))
+    mat = np.stack([emb[i] for i in ids])
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = np.inf
+
+    def exact_topk(qid: int, k: int = 5) -> set[int]:
+        q = emb[qid]
+        qn = np.linalg.norm(q) or np.inf
+        sims = np.round((mat @ q) / (norms * qn), 6)
+        order = np.lexsort((ids, -sims))
+        ranked = [int(x) for x in ids[order] if x != qid]
+        return set(ranked[:k])
+
+    queries = [0, 7, 42, 101, 250]
+    recalls = {0: [], 1: []}
+    for refine in (0, 1):
+        for qid in queries:
+            got = {
+                r["vec_id"]
+                for r in ivf_topk(
+                    spark, sf_dir, query_vec_id=qid, refine_iters=refine
+                ).collect()
+            }
+            recalls[refine].append(len(got & exact_topk(qid)) / 5.0)
+    seed_recall = sum(recalls[0]) / len(queries)
+    refined_recall = sum(recalls[1]) / len(queries)
+    assert seed_recall > 0
+    assert refined_recall >= seed_recall, (recalls, "refinement lost recall")
+
+
 def test_approx_percentile_within_rank_band(spark, sf_dir):
     """Weak check for q_agg_approx_percentile: each estimate must fall
     between the exact (p-1%) and (p+1%) percentile values."""
