@@ -242,6 +242,72 @@ def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return df.mapInPandas(op, schema=FEATURES_SCHEMA)
 
 
+def resize_media_real(df: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL resize over genuine format bytes, one ``mapInPandas`` pass:
+    decode each payload with the stdlib codecs, nearest-neighbor
+    downsample (every ``factor``-th pixel row/column for images, every
+    ``factor``-th PCM frame for audio), and RE-ENCODE to the same
+    format — so downstream consumers still hold valid BMP/WAV bytes
+    and the width/height/n_frames metadata is re-derived from the
+    re-encoded payload, not arithmetically assumed.
+
+    Output dims are exact stride counts: ceil(w/f) × ceil(h/f) pixels,
+    ceil(frames/f) frames — closed-form for the oracle.  fake/raw
+    payloads pass through ``resize_media``'s byte-stride semantics.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from i3cols_spark.functions import codecs
+
+        def one(mt: str, payload: bytes):
+            if mt == "image/bmp":
+                img = codecs.decode_bmp(payload)
+                px = np.frombuffer(img.pixels, dtype=np.uint8).reshape(
+                    img.height, img.width, img.channels
+                )[::factor, ::factor]
+                out = codecs.ImageData(
+                    width=px.shape[1], height=px.shape[0],
+                    channels=img.channels, pixels=px.tobytes(),
+                )
+                return (
+                    codecs.encode_bmp(out), out.width, out.height, None, None
+                )
+            if mt in ("audio/wav", "audio/x-wav"):
+                a = codecs.decode_wav(payload)
+                fw = a.channels * a.sample_width
+                frames = np.frombuffer(a.frames, dtype=np.uint8).reshape(
+                    a.n_frames, fw
+                )[::factor]
+                out = codecs.AudioData(
+                    sample_rate=a.sample_rate, channels=a.channels,
+                    sample_width=a.sample_width, n_frames=frames.shape[0],
+                    frames=frames.tobytes(),
+                )
+                return (
+                    codecs.encode_wav(out), None, None,
+                    out.sample_rate, out.n_frames,
+                )
+            # fake/raw and other pass-through media: byte-stride resize
+            return (bytes(payload)[::factor], None, None, None, None)
+
+        for pdf in batches:
+            res = [
+                one(mt, bytes(p))
+                for mt, p in zip(pdf["media_type"], pdf["payload"])
+            ]
+            out = pdf.copy()
+            out["payload"] = [r[0] for r in res]
+            out["width"] = pd.array([r[1] for r in res], dtype="Int32")
+            out["height"] = pd.array([r[2] for r in res], dtype="Int32")
+            out["sample_rate"] = pd.array([r[3] for r in res], dtype="Int32")
+            out["n_frames"] = pd.array([r[4] for r in res], dtype="Int32")
+            yield out
+
+    return df.mapInPandas(op, schema=df.schema)
+
+
 def resize_media(df: DataFrame, factor: int = 2) -> DataFrame:
     """Resize stub for image payloads: keeps every ``factor``-th byte
     of the fake payload and divides the width/height metadata (a real

@@ -148,3 +148,65 @@ def q_multimodal_resize_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bytes").alias("n_bytes_sampled"),
         F.size("features").alias("n_features"),
     )
+
+
+@query(
+    "q_multimodal_real_resize",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+    ),
+    img AS (  -- even ids: BMP resized by 2 -> ceil(w/2) x ceil(h/2)
+        SELECT doc_id,
+               (n % 13 + 1 + 1) // 2 AS w1,
+               (n % 7 + 1 + 1) // 2 AS h1
+        FROM t WHERE doc_id % 2 = 0
+    ),
+    aud AS (  -- odd ids: WAV keeps every 2nd frame -> ceil(frames/2)
+        SELECT doc_id,
+               8000 + (n % 5) * 1000 AS rate,
+               (n % 50 + 1 + 1) // 2 AS f1
+        FROM t WHERE doc_id % 2 = 1
+    )
+    SELECT doc_id AS media_id,
+           'image/bmp' AS media_type,
+           CAST(54 + h1 * ((w1 * 3 + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+           CAST(w1 AS INT) AS width, CAST(h1 AS INT) AS height,
+           CAST(NULL AS INT) AS sample_rate, CAST(NULL AS INT) AS n_frames
+    FROM img
+    UNION ALL
+    SELECT doc_id AS media_id,
+           'audio/wav' AS media_type,
+           CAST(44 + 2 * f1 AS BIGINT) AS n_bytes,
+           CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+           CAST(rate AS INT) AS sample_rate, CAST(f1 AS INT) AS n_frames
+    FROM aud
+    """,
+)
+def q_multimodal_real_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize chain over genuine format bytes: synthesize BMP/WAV
+    payloads (attach_synthetic_media), nearest-neighbor downsample by
+    2 with decode → resample → RE-ENCODE (resize_media_real), then
+    decode the re-encoded payload again (extract_features) and report
+    its structural fields.
+
+    Every value crosses the codecs twice — a padding/stride/header bug
+    at any of the four encode/decode hops shifts n_bytes or the dims
+    and breaks the closed-form hash.  Plan shape: two chained
+    ``mapInPandas`` passes over the scan, no shuffle, payloads never
+    visit the driver — at 100 TB this is the canonical media
+    preprocessing job (embarrassingly parallel, Arrow-batch peak
+    memory)."""
+    from i3cols_spark.functions.multimodal import resize_media_real
+
+    media = attach_synthetic_media(table(spark, sf_dir, "documents"))
+    resized = resize_media_real(media, factor=2)
+    return extract_features(resized).select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        "width",
+        "height",
+        "sample_rate",
+        "n_frames",
+    )

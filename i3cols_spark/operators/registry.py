@@ -77,12 +77,14 @@ EXTRA_QUERIES: tuple[str, ...] = (
     "q_multimodal_features", "q_stream_dedup", "q_stream_join",
     "q_text_contamination", "q_dedup_keep_best", "q_pack_sequences",
     "q_text_repetition", "q_embedding_centroids", "q_embedding_quantize",
-    "q_multimodal_resize_sample", "q_text_token_rarity",
+    "q_multimodal_resize_sample", "q_multimodal_real_resize",
+    "q_text_token_rarity",
     "q_merge_latest_state", "q_funnel_conversion", "q_pipeline_end2end",
     "q_dedup_clusters", "q_dedup_cluster_sizes",
     # tier 2 — stats / sampling
     "q_agg_percentile", "q_agg_approx_percentile", "q_agg_stats_corr",
-    "q_agg_histogram", "q_sample_stratified", "q_sample_mixture", "q_split_assign",
+    "q_agg_histogram", "q_agg_mode", "q_sample_stratified",
+    "q_sample_mixture", "q_sample_fixed_n", "q_split_assign",
     "q_profile_columns",
     # tier 3 — bridge / demo
     "q_window_distribution", "q_udtf_python", "q_string_editdist",
@@ -98,9 +100,14 @@ EXTRA_QUERIES: tuple[str, ...] = (
 #: names is 63 of 100, leaving 37 registered queries (every tier-1/2/3
 #: extra, incl. the flagship LLM-pipeline ops) with no official
 #: CORRECTNESS row ever.  This block = those 37 never-checked names,
-#: followed by the 13 stalest (3 last checked in round 1, 10 in round
-#: 3) — exactly the 50-row budget.  After round 5 every registered
-#: name has an official row from round 4 or 5.
+#: plus the 3 operators NEW in round 5 (real-resize, fixed-n sample,
+#: mode — zero evidence yet), then the stalest previously-checked
+#: names up to the 50-row budget (3 last checked in round 1, 7 of the
+#: round-3 D block; the 3 D-block names squeezed out — q_case_when,
+#: q_json_extract, q_array_collect — hold green rows from BOTH r2 and
+#: r3 and stay covered by the full-surface sim).  After round 5 every
+#: registered name has an official row from round 4 or 5 except those
+#: three (round 3).
 _R5_PRIORITY: tuple[str, ...] = (
     # 37 never-driver-checked (set(registry) − ∪CORRECTNESS_r1..4)
     "q_dedup_simhash", "q_dedup_ngram_jaccard", "q_dedup_embedding",
@@ -117,10 +124,11 @@ _R5_PRIORITY: tuple[str, ...] = (
     "q_split_assign", "q_profile_columns",
     "q_string_editdist", "q_physics_pulse_summary", "q_enum_decode_join",
     "q_pivot",
-    # 13 stalest: last official row in round 1 …
+    # 3 new in round 5 (no evidence yet anywhere)
+    "q_multimodal_real_resize", "q_sample_fixed_n", "q_agg_mode",
+    # 10 stalest: last official row in round 1 …
     "q_source_npy_scan", "q_udtf_python", "q_window_distribution",
-    # … and round 3 (the D-block that rotated out of round 4's budget)
-    "q_case_when", "q_json_extract", "q_array_collect",
+    # … and round 3 (D-block names that rotated out of round 4)
     "q_array_explode", "q_array_hof", "q_struct_nested", "q_map_funcs",
     "q_udf_scalar", "q_udaf_grouped", "q_udtf_expand",
 )

@@ -438,3 +438,76 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bucket < F.col("cutoff"))
         .select("doc_id", "lang", "source")
     )
+
+
+@query(
+    "q_sample_fixed_n",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+    LIMIT 100
+    """,
+)
+def q_sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size uniform sample — the distributed
+    replacement for reservoir sampling: take the N rows with the
+    SMALLEST content hash.  md5 is uniform over keys, so hash-rank
+    order is a uniform permutation; the same N rows come back under
+    any partitioning, any cluster size, any execution order, and the
+    sample is stable under appends (a new row only enters by evicting
+    the current max — classic bottom-k / KMV semantics, the same
+    structure KMV distinct-count sketches use).
+
+    Plan: ``TakeOrderedAndProject`` — each task keeps an N-row heap,
+    the driver merges heaps; no full sort, no shuffle of the data, no
+    RNG state.  A rate-based sample (q_sample_stratified) cannot
+    promise an exact N; this cannot promise a rate — together they
+    cover both sampling contracts a pipeline needs.
+    """
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.md5(F.col("o_orderkey").cast("string")), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+    WITH counts AS (
+        SELECT l_returnflag, l_quantity, count(*) AS cnt
+        FROM lineitem GROUP BY l_returnflag, l_quantity
+    )
+    SELECT l_returnflag,
+           first(l_quantity ORDER BY cnt DESC, l_quantity) AS mode_qty,
+           CAST(max(cnt) AS BIGINT) AS mode_count
+    FROM counts
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group (most frequent value, smallest-value
+    tiebreak) — the categorical summary NumPy users get from
+    ``np.unique(return_counts=True)``.
+
+    Two-phase shape: ``groupBy(key, value).count()`` (map-side
+    combined — raw rows never shuffle, only the distinct-value
+    histogram, same scale argument as exact_percentiles) then one
+    ``max_by`` over the tiny histogram with ordering key
+    struct(cnt, -value): highest count wins, ties break to the
+    smallest value deterministically.  DuckDB's ``mode()`` leaves ties
+    unspecified, so the oracle states the same ordered pick
+    explicitly.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("cnt")
+    )
+    return counts.groupBy("l_returnflag").agg(
+        F.max_by(
+            F.col("l_quantity"), F.struct(F.col("cnt"), -F.col("l_quantity"))
+        ).alias("mode_qty"),
+        F.max("cnt").alias("mode_count"),
+    )

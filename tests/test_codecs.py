@@ -170,3 +170,41 @@ def test_decode_media_dispatch_and_gates():
         decode_media("image/jpeg", b"\xff\xd8\xff")
     with pytest.raises(NotImplementedError):
         decode_media("video/mp4", b"")
+
+
+def test_resize_media_real_pixel_values(spark):
+    """resize_media_real must produce the exact nearest-neighbor
+    stride pixels/frames through a full decode -> resample -> re-encode
+    -> decode cycle, not just plausible dimensions."""
+    import numpy as np
+
+    from i3cols_spark.functions.multimodal import resize_media_real
+
+    w, h = 5, 4
+    img = ImageData(width=w, height=h, channels=3, pixels=_rgb(w, h))
+    audio = AudioData(
+        sample_rate=12000, channels=1, sample_width=2,
+        n_frames=7, frames=bytes(range(14)),
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "image/bmp", bytearray(codecs.encode_bmp(img)), None, None, None, None),
+            (2, "audio/wav", bytearray(codecs.encode_wav(audio)), None, None, None, None),
+        ],
+        "media_id long, media_type string, payload binary, width int, "
+        "height int, sample_rate int, n_frames int",
+    )
+    rows = {r["media_id"]: r for r in resize_media_real(df, factor=2).collect()}
+
+    out_img = codecs.decode_bmp(bytes(rows[1]["payload"]))
+    exp = np.frombuffer(img.pixels, dtype=np.uint8).reshape(h, w, 3)[::2, ::2]
+    assert (out_img.width, out_img.height) == (3, 2)
+    assert (rows[1]["width"], rows[1]["height"]) == (3, 2)
+    assert out_img.pixels == exp.tobytes()
+
+    out_aud = codecs.decode_wav(bytes(rows[2]["payload"]))
+    assert out_aud.n_frames == 4
+    assert rows[2]["n_frames"] == 4
+    exp_frames = np.frombuffer(audio.frames, dtype=np.uint8).reshape(7, 2)[::2]
+    assert out_aud.frames == exp_frames.tobytes()
+    assert out_aud.sample_rate == 12000

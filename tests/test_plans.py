@@ -306,10 +306,12 @@ def test_quantize_and_repetition_are_shuffle_free(spark, sf_dir):
 
 def test_pack_and_keep_best_single_window_shuffle(spark, sf_dir):
     """Sequence packing and keep-best selection are one hash-partition
-    window each: exactly one Exchange, no join."""
+    window each: exactly one Exchange, no join.  (q_merge_latest_state
+    left this list in round 5: it became a max_by aggregate — see
+    test_merge_latest_is_partial_maxby_not_window.)"""
     import re
 
-    for q in ("q_pack_sequences", "q_dedup_keep_best", "q_merge_latest_state"):
+    for q in ("q_pack_sequences", "q_dedup_keep_best"):
         plan = explain_str(QUERIES[q](spark, sf_dir))
         assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, q
         assert "Window" in plan, q
@@ -383,3 +385,11 @@ def test_data_fingerprint_detects_mtime_preserving_rewrite(tmp_path):
     os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns))
     fp2 = _data_fingerprint(str(d))
     assert fp1 != fp2
+
+
+def test_fixed_n_sample_uses_take_ordered(spark, sf_dir):
+    """The bottom-k hash sample must plan as TakeOrderedAndProject
+    (per-task N-row heaps merged on the driver), never a global sort
+    of the table."""
+    plan = explain_str(QUERIES["q_sample_fixed_n"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
