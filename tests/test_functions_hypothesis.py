@@ -72,3 +72,59 @@ def test_normalization_invariance(spark, text):
     assert toks[0] == toks[1] == toks[2]
     assert fps[0] == fps[1] == fps[2]
     assert norms[0] == norms[1] == norms[2]
+
+
+# ---- media codec round-trips on generated images/audio (no Spark) ----
+
+_DIM = st.integers(min_value=1, max_value=9)
+
+
+@given(w=_DIM, h=_DIM, data=st.data())
+@settings(max_examples=20, deadline=None)
+def test_bmp_round_trip_random(w, h, data):
+    from i3cols_spark.functions import codecs
+
+    px = data.draw(
+        st.binary(min_size=w * h * 3, max_size=w * h * 3), label="pixels"
+    )
+    img = codecs.ImageData(width=w, height=h, channels=3, pixels=px)
+    out = codecs.decode_bmp(codecs.encode_bmp(img))
+    assert (out.width, out.height, out.pixels) == (w, h, px)
+
+
+@given(w=_DIM, h=_DIM, ch=st.sampled_from([1, 3, 4]), data=st.data())
+@settings(max_examples=20, deadline=None)
+def test_png_round_trip_random(w, h, ch, data):
+    from i3cols_spark.functions import codecs
+
+    px = data.draw(
+        st.binary(min_size=w * h * ch, max_size=w * h * ch), label="pixels"
+    )
+    img = codecs.ImageData(width=w, height=h, channels=ch, pixels=px)
+    out = codecs.decode_png(codecs.encode_png(img))
+    assert (out.width, out.height, out.channels, out.pixels) == (w, h, ch, px)
+
+
+@given(
+    rate=st.integers(min_value=1, max_value=192000),
+    nch=st.integers(min_value=1, max_value=2),
+    sw=st.sampled_from([1, 2, 4]),
+    n=st.integers(min_value=0, max_value=50),
+    data=st.data(),
+)
+@settings(max_examples=20, deadline=None)
+def test_wav_round_trip_random(rate, nch, sw, n, data):
+    from i3cols_spark.functions import codecs
+
+    frames = data.draw(
+        st.binary(min_size=n * nch * sw, max_size=n * nch * sw), label="frames"
+    )
+    audio = codecs.AudioData(
+        sample_rate=rate, channels=nch, sample_width=sw, n_frames=n,
+        frames=frames,
+    )
+    out = codecs.decode_wav(codecs.encode_wav(audio))
+    assert (out.sample_rate, out.channels, out.sample_width, out.n_frames) == (
+        rate, nch, sw, n,
+    )
+    assert out.frames == frames
