@@ -557,3 +557,62 @@ def q_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.floor(offset / F.lit(float(_PACK_BUDGET))).cast("long").alias("pack_seq"),
     )
+
+
+#: Chunking geometry shared by the Spark plan and the oracle: 200-char
+#: chunks every 150 chars (50-char overlap so no boundary context is
+#: lost) — the character-level analog of token-window chunking for
+#: embedding/RAG indexing.
+_CHUNK_LEN = 200
+_CHUNK_STRIDE = 150
+
+
+@query(
+    "q_text_chunking",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(s // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(s AS BIGINT)                    AS chunk_start,
+           substr(text, s + 1, {_CHUNK_LEN})    AS chunk_text,
+           CAST(length(substr(text, s + 1, {_CHUNK_LEN})) AS BIGINT)
+                                                AS chunk_len
+    FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(0, length(text) - 1, {_CHUNK_STRIDE})) AS s
+        FROM documents WHERE length(text) > 0
+    )
+    """,
+)
+def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping document chunking: split every document into
+    200-char windows every 150 chars (the final window short) — the
+    chunk-for-embedding / context-window-packing step of a RAG or
+    pretraining pipeline, keyed so chunks rejoin their parent
+    deterministically.
+
+    Shape: ``sequence → explode → substring`` — a per-row generator
+    with NO shuffle and no Python: chunk starts come from an in-row
+    ``sequence`` over the document's own length, so the operator is a
+    pure flatMap the scan pipelines straight into (row growth is
+    bounded by len/stride ≈ 1.33× the corpus in bytes with this
+    geometry).  At 100 TB chunking runs in the same stage as the scan
+    and any downstream per-chunk projection (embedding UDF,
+    fingerprint) — data explodes exactly once and never wide.
+    """
+    docs = spread(table(spark, sf_dir, "documents"), spark).filter(
+        F.length("text") > 0
+    )
+    starts = F.sequence(
+        F.lit(0), F.length("text") - 1, F.lit(_CHUNK_STRIDE)
+    )
+    chunk = F.expr(f"substring(text, chunk_start + 1, {_CHUNK_LEN})")
+    return (
+        docs.select("doc_id", "text", F.explode(starts).alias("chunk_start"))
+        .select(
+            "doc_id",
+            F.floor(F.col("chunk_start") / _CHUNK_STRIDE).cast("long").alias("chunk_id"),
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            chunk.alias("chunk_text"),
+            F.length(chunk).cast("long").alias("chunk_len"),
+        )
+    )

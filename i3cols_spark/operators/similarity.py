@@ -643,3 +643,104 @@ def ivf_topk(
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+#: Batch-kNN geometry shared by the Spark plan and the oracle: every
+#: vec_id ≡ 0 (mod 125) is a query (4 queries at the 500-vector
+#: fixtures, 16 at sf0.1), k = 5 neighbors each.
+_KNN_BATCH_K = 5
+_KNN_QUERY_MOD = 125
+
+
+@query(
+    "q_similarity_knn_batch",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % {_KNN_QUERY_MOD} = 0),
+    sims AS (
+        SELECT q.qid, e.vec_id,
+               round(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim
+        FROM e, q WHERE e.vec_id <> q.qid
+    ),
+    ranked AS (
+        SELECT qid, vec_id, cos_sim,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY cos_sim DESC, vec_id
+               ) AS knn_rank
+        FROM sims
+    )
+    SELECT qid, knn_rank, vec_id, cos_sim
+    FROM ranked WHERE knn_rank <= {_KNN_BATCH_K}
+    """,
+)
+def q_similarity_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for a BATCH of query vectors in one corpus
+    pass — the many-queries form of q_similarity_knn_cosine (which is
+    1 query = 1 scan; N embedding-lookup queries must amortize to one
+    scan or the serving job rereads the corpus N times).
+
+    Shape: the query matrix is tiny by contract (|corpus|/125 rows —
+    collected driver-side and closed over, the same bounded-collect
+    pattern as the IVF centroid sidecar) and rides into ONE
+    ``mapInPandas`` GEMM over the corpus: each Arrow batch scores
+    batch × queries in a single float64 matmul and emits only its
+    LOCAL top-k per query — ≤ tasks × |Q| × k candidate rows ever
+    leave the scan stage, so the final exact rank (one window over the
+    candidate frame) shuffles thousands of rows, not |corpus| × |Q|.
+    Local pruning is exact: candidates are selected by the same total
+    order (rounded cos desc, vec_id asc) the final window ranks by,
+    and the global top-k under a total order is contained in the union
+    of per-partition top-k.  At 100 TB this is scan-bound with
+    near-zero shuffle; for query sets too large to broadcast, the same
+    plan tiles the query side (an outer loop of broadcast batches) or
+    falls back to the IVF index path.
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    qrows = emb.filter(F.col("vec_id") % _KNN_QUERY_MOD == 0).collect()
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["v"] for r in qrows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = np.inf
+    k = _KNN_BATCH_K
+
+    def local_topk(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            mat = np.array(list(pdf["v"]), dtype=np.float64)
+            vn = np.linalg.norm(mat, axis=1)
+            vn[vn == 0] = np.inf
+            sims = np.round((mat @ qmat.T) / np.outer(vn, qnorm), 6)
+            out_q, out_i, out_s = [], [], []
+            for j in range(len(qids)):
+                s = sims[:, j].copy()
+                s[ids == qids[j]] = -np.inf  # exclude self
+                top = np.lexsort((ids, -s))[:k]
+                top = top[np.isfinite(s[top])]
+                out_q.append(np.full(len(top), qids[j]))
+                out_i.append(ids[top])
+                out_s.append(s[top])
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q) if out_q else [],
+                    "vec_id": np.concatenate(out_i) if out_i else [],
+                    "cos_sim": np.concatenate(out_s) if out_s else [],
+                }
+            )
+
+    from pyspark.sql.window import Window
+
+    cand = emb.mapInPandas(local_topk, "qid bigint, vec_id bigint, cos_sim double")
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        cand.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select("qid", "knn_rank", "vec_id", "cos_sim")
+    )

@@ -474,6 +474,56 @@ def q_sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_anomaly_zscore",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               round(avg(value), 6)         AS mu,
+               round(stddev_samp(value), 6) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - s.mu) / s.sigma, 4) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE abs(round((e.value - s.mu) / s.sigma, 4)) >= 3.0
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection: events whose value sits
+    ≥ 3σ from their event type's mean — the standard-score anomaly
+    screen every metrics pipeline runs (NumPy users write it as
+    ``np.abs((x - x.mean()) / x.std()) >= 3``).
+
+    Two-phase shape: one map-side-combined aggregate computes each
+    type's (μ, σ) — constant state per group — and broadcasts the
+    tiny stats frame back onto the event scan, so scoring is a pure
+    per-row projection + filter over ONE pass of the data: no second
+    shuffle, no window, no self-join, and the filter runs before
+    anything wide materializes.  At 100 TB that is scan-bound — the
+    only alternative shapes (a window over event_type, or a
+    re-aggregating self-join) shuffle every raw row.
+
+    Float discipline: μ/σ are multi-row reductions → rounded to 6 dp
+    in both dialects; the per-row z is then IEEE-identical arithmetic
+    on identical doubles, rounded at 4 dp, and the threshold compares
+    the ROUNDED z (round-then-filter) so the cut is boundary-exact
+    across engines.
+    """
+    ev = table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_samp("value"), 6).alias("sigma"),
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= 3.0)
+        .select("event_id", "event_type", "value", "z")
+    )
+
+
+@query(
     "q_agg_mode",
     oracle="""
     WITH counts AS (

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from i3cols_spark.operators.registry import query
 from i3cols_spark.sources.tables import table
@@ -257,6 +258,118 @@ def q_merge_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return latest.select(
         "user_id", "event_type", "r.ts_us", "r.event_id", "r.value"
+    )
+
+
+@query(
+    "q_scd2_intervals",
+    oracle="""
+    SELECT user_id, event_id,
+           value AS attr_value,
+           epoch_us(ts) AS valid_from_us,
+           lead(epoch_us(ts)) OVER w AS valid_to_us,
+           lead(ts) OVER w IS NULL   AS is_current
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: turn an
+    append-only change log (each purchase event sets a user's current
+    attribute value) into validity intervals — ``valid_from`` = the
+    change's own timestamp, ``valid_to`` = the NEXT change's timestamp
+    (half-open [from, to)), and the key's last row flagged
+    ``is_current`` with an open interval.  This is the standard
+    dimension-table versioning every warehouse CDC pipeline maintains;
+    the merge-to-latest twin (q_merge_latest_state) keeps only the
+    final state, this keeps the full queryable history.
+
+    Shape: one ``lead`` window per user key — a single hash-partition
+    shuffle on user_id, no join, no self-scan.  Per-key ordering is
+    (ts, event_id) so simultaneous-µs changes version
+    deterministically.  At 100 TB the natural layout is the log
+    bucketed by user_id, making the window shuffle-free; hot keys cost
+    only their own history length (no cross-key state).  Intervals are
+    epoch-µs BIGINT per this module's timestamp convention.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead(F.unix_micros("ts")).over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("attr_value"),
+        F.unix_micros("ts").alias("valid_from_us"),
+        nxt.alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "q_ts_gapfill",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               round(sum(value), 2) AS day_value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+    spine AS (
+        SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        FROM span
+    )
+    SELECT s.user_id, epoch_us(s.day) AS day_us,
+           d.day_value IS NOT NULL AS is_observed,
+           last_value(d.day_value IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    """,
+)
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: per-user daily purchase totals on a
+    DENSE calendar spine (every day between the user's first and last
+    purchase), gaps forward-filled with the last observed value — the
+    resample + LOCF step feature pipelines run before any
+    fixed-frequency model sees event data.
+
+    Shape, outside-in: (1) one map-side-combined groupBy builds the
+    sparse (user, day) aggregate — raw events never ride further;
+    (2) the spine is ``sequence(min_day, max_day, 1 day)`` exploded
+    per user — generated from the tiny span aggregate, never from raw
+    rows, so its size is users × days regardless of event density;
+    (3) a left join hangs observations on the spine (both sides
+    already hash-partitioned by user from their aggregates);
+    (4) ``last(ignorenulls)`` over the per-user day order carries
+    observations forward.  The fill window rides the SAME user_id
+    partitioning as the join — one effective repartitioning end to
+    end.  At 100 TB the spine join is the canonical skew-safe shape:
+    its left side is bounded by calendar length, not traffic.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("day_value"))
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        F.unix_micros("day").alias("day_us"),
+        F.col("day_value").isNotNull().alias("is_observed"),
+        F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
     )
 
 

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from i3cols_spark.functions.text import rolling_fingerprint, tokens
+from i3cols_spark.functions.text import rolling_fingerprint, shingles, tokens
 from i3cols_spark.functions.rounding import round_half_up
 from i3cols_spark.operators.registry import query
 from i3cols_spark.sources.tables import spread, table
@@ -273,5 +273,144 @@ def q_text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rnk").alias("rank_sum"),
             F.max("rnk").alias("rarest_rank"),
             round_half_up(F.sum("rnk").cast("double") / F.count("*"), 6).alias("mean_rank"),
+        )
+    )
+
+
+@query(
+    "q_agg_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents
+    ),
+    counts AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM counts)
+    SELECT tok, cnt,
+           floor(cnt / total * 1000000 + 0.5) / 1000000.0 AS share
+    FROM counts, tot
+    WHERE cnt >= 50
+    ORDER BY cnt DESC, tok
+    LIMIT 25
+    """,
+)
+def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items / heavy-hitters: the corpus tokens appearing at
+    least 50 times, with their share of all tokens, top 25 by count —
+    the exact form of the frequency query behind stopword discovery,
+    vocabulary pruning and boilerplate detection in a training-data
+    pipeline.
+
+    Shape: explode → ONE map-side-combined groupBy (state = |vocab|,
+    not |tokens| — raw token rows never shuffle), the grand total read
+    off the counts frame itself (no second scan of the data), and the
+    top-25 via TakeOrderedAndProject heaps over the vocabulary-sized
+    frame.  At 100 TB the exact count shuffles |vocab| rows — fine for
+    word-like vocabularies; for unbounded key domains (URLs, n-grams)
+    swap the same pipeline onto a count-min/space-saving sketch and
+    keep this exact form as its verification twin.
+
+    Share is a ratio of exact integers → HALF_UP canonical rounding in
+    both dialects (functions/rounding.py).
+    """
+    tok = spread(table(spark, sf_dir, "documents"), spark).select(
+        F.explode(tokens("text")).alias("tok")
+    )
+    counts = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("double").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= 50)
+        .select(
+            "tok",
+            "cnt",
+            round_half_up(F.col("cnt") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(25)
+    )
+
+
+@query(
+    "q_source_overlap",
+    oracle="""
+    WITH toks AS (
+        SELECT source, string_split_regex(lower(trim(text)), '\\s+') AS tk
+        FROM documents
+    ),
+    pos AS (
+        SELECT source, tk,
+               unnest(generate_series(0, greatest(len(tk) - 2, 0))) AS i
+        FROM toks
+    ),
+    vocab AS (
+        SELECT DISTINCT source,
+               array_to_string(list_slice(tk, i + 1, i + 2), ' ') AS sh
+        FROM pos
+    ),
+    sized AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n FROM vocab GROUP BY source
+    ),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(count(*) AS BIGINT) AS common
+        FROM vocab a JOIN vocab b ON a.sh = b.sh AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, common, sa.n AS n_a, sb.n AS n_b,
+           CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+    FROM inter
+    JOIN sized sa ON src_a = sa.source
+    JOIN sized sb ON src_b = sb.source
+    """,
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise corpus overlap between sources: Jaccard similarity of
+    each source pair's distinct word-BIGRAM vocabularies — the
+    source-level contamination / redundancy audit run before mixing
+    corpora into a training set (two crawls of the same site show up
+    as a high-Jaccard pair before any doc-level dedup runs).
+
+    Shape: per-row bigram shingling (shared ``shingles`` helper — no
+    explode until after the per-doc distinct), ONE distinct over
+    (source, shingle) — state = union vocabulary, not token count —
+    then the same inverted-index self-join as q_dedup_ngram_jaccard:
+    only shingles both sources share produce join rows, so the pair
+    space is collision-bound, never |sources|² × |vocab|.  Sizes join
+    back via broadcast (the per-source frame is |sources| rows).  At
+    100 TB the vocab frame is the only shuffled data and is bounded by
+    distinct bigrams per source — the op's cost is the scan plus a
+    skew-safe equi-join on the shingle key (AQE territory for
+    stop-bigrams).  Jaccard is int/int division → bit-identical, no
+    rounding.
+    """
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    vocab = docs.select(
+        "source", F.explode(shingles("text", 2)).alias("sh")
+    ).distinct()
+    sized = vocab.groupBy("source").agg(F.count("*").alias("n"))
+    a, b = vocab.alias("a"), vocab.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sized.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sized.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a", "src_b", "common", "n_a", "n_b",
+            (
+                F.col("common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("common"))
+            ).alias("jaccard"),
         )
     )
