@@ -83,6 +83,7 @@ EXTRA_QUERIES: tuple[str, ...] = (
     "q_dedup_clusters", "q_dedup_cluster_sizes",
     "q_similarity_knn_batch", "q_agg_heavy_hitters", "q_source_overlap",
     "q_text_chunking", "q_scd2_intervals", "q_ts_gapfill",
+    "q_text_pii_scrub", "q_rolling_active_users", "q_retention_cohorts",
     # tier 2 — stats / sampling
     "q_agg_percentile", "q_agg_approx_percentile", "q_agg_stats_corr",
     "q_agg_histogram", "q_agg_mode", "q_sample_stratified",
@@ -102,16 +103,15 @@ EXTRA_QUERIES: tuple[str, ...] = (
 #: names is 63 of 100, leaving 37 registered queries (every tier-1/2/3
 #: extra, incl. the flagship LLM-pipeline ops) with no official
 #: CORRECTNESS row ever.  This block = those 37 never-checked names,
-#: plus the 10 operators NEW in round 5 (real-resize, fixed-n sample,
+#: plus the 13 operators NEW in round 5 (real-resize, fixed-n sample,
 #: mode, batch kNN, heavy hitters, source overlap, chunking, SCD2,
-#: gap-fill, z-score — zero evidence yet), then the 3 stalest
-#: previously-checked names (last official row in round 1) up to the
-#: 50-row budget.  The D-block names squeezed out (q_case_when,
-#: q_json_extract, q_array_collect, q_array_explode, q_array_hof,
-#: q_struct_nested, q_map_funcs, q_udf_scalar, q_udaf_grouped,
-#: q_udtf_expand) hold green rows from r2 and/or r3 and stay covered
-#: by the full-surface sim.  After round 5 every registered name has
-#: an official row from round 4 or 5 except those ten (rounds 2–3).
+#: gap-fill, z-score, PII scrub, rolling WAU, retention cohorts —
+#: zero evidence yet): exactly the 50 never-officially-checked names,
+#: filling the budget.  The previously-checked names squeezed out
+#: (q_source_npy_scan, q_udtf_python, q_window_distribution from r1;
+#: the D block from r2/r3) all hold official green rows from earlier
+#: rounds and stay covered by the full-surface sim.  After round 5
+#: every registered name has an official row from SOME round.
 _R5_PRIORITY: tuple[str, ...] = (
     # 37 never-driver-checked (set(registry) − ∪CORRECTNESS_r1..4)
     "q_dedup_simhash", "q_dedup_ngram_jaccard", "q_dedup_embedding",
@@ -128,13 +128,12 @@ _R5_PRIORITY: tuple[str, ...] = (
     "q_split_assign", "q_profile_columns",
     "q_string_editdist", "q_physics_pulse_summary", "q_enum_decode_join",
     "q_pivot",
-    # 10 new in round 5 (no evidence yet anywhere)
+    # 13 new in round 5 (no evidence yet anywhere)
     "q_multimodal_real_resize", "q_sample_fixed_n", "q_agg_mode",
     "q_similarity_knn_batch", "q_agg_heavy_hitters", "q_source_overlap",
     "q_text_chunking", "q_scd2_intervals", "q_ts_gapfill",
-    "q_anomaly_zscore",
-    # 3 stalest: last official row in round 1
-    "q_source_npy_scan", "q_udtf_python", "q_window_distribution",
+    "q_anomaly_zscore", "q_text_pii_scrub", "q_rolling_active_users",
+    "q_retention_cohorts",
 )
 
 

@@ -495,3 +495,131 @@ def funnel_stages(events: DataFrame) -> DataFrame:
     return walked.select(stage.alias("funnel_stage")).groupBy("funnel_stage").agg(
         F.count("*").alias("n_users")
     )
+
+
+@query(
+    "q_rolling_active_users",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    contrib AS (
+        SELECT user_id,
+               unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY))
+                   AS wday
+        FROM ud
+    )
+    SELECT epoch_us(c.wday) AS day_us,
+           CAST(count(DISTINCT c.user_id) AS BIGINT) AS wau
+    FROM contrib c JOIN days d ON c.wday = d.day
+    GROUP BY 1
+    """,
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) per day — the engagement
+    metric every event pipeline publishes, and the textbook case where
+    the obvious SQL (a BETWEEN range join of days × activity) is a
+    theta join that explodes at scale.
+
+    Spark-first shape: INVERT the window — each distinct (user, day)
+    activity CONTRIBUTES to the 7 trailing window-days it can satisfy
+    (an in-row ``sequence`` + explode, exactly 7× the distinct-activity
+    frame, linear forever), then one distinct-count per window day.
+    The join against observed days only trims phantom trailing days
+    and broadcasts (|days| rows).  No range join, no per-day rescan;
+    state is |users × days| pairs, not raw events.  The oracle keeps
+    the range-join formulation as the independent semantic statement.
+    """
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    days = ud.select("day").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("interval 6 days"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("wday"),
+    )
+    return (
+        contrib.join(F.broadcast(days), contrib["wday"] == days["day"])
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(F.unix_micros("wday").alias("day_us"), "wau")
+    )
+
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    actives AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    ),
+    sizes AS (
+        SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_cohort
+        FROM firsts GROUP BY cohort_week
+    ),
+    cells AS (
+        SELECT f.cohort_week,
+               CAST((epoch_us(a.week) - epoch_us(f.cohort_week))
+                    // 604800000000 AS BIGINT) AS week_offset,
+               CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+        FROM actives a JOIN firsts f USING (user_id)
+        GROUP BY 1, 2
+    )
+    SELECT epoch_us(c.cohort_week) AS cohort_week_us,
+           c.week_offset, c.n_active, s.n_cohort,
+           CAST(c.n_active AS DOUBLE) / s.n_cohort AS retention
+    FROM cells c JOIN sizes s USING (cohort_week)
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort matrix: users grouped by first-seen
+    week, each cohort's share still active k weeks later — the
+    engagement triangle behind every product-analytics dashboard and
+    the canonical "needs two passes over user identity" query.
+
+    Shape: TWO tiny per-user aggregates off one event scan (first-seen
+    week via min, distinct active weeks) — both map-side combined,
+    state = |users| and |users × weeks| — then an equi-join on user_id
+    (both sides already hash-partitioned by user from their
+    aggregates: one effective exchange) and a cells-sized groupBy.
+    Week offsets are exact integer µs arithmetic on the two trunc'd
+    weeks (calendar weeks are DST-free in UTC µs).  Cohort sizes
+    broadcast back onto the cells frame.  Retention is int/int →
+    bit-identical, no rounding.  At 100 TB nothing here scales with
+    raw events except the first scan.
+    """
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    actives = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    sizes = firsts.groupBy("cohort_week").agg(F.count("*").alias("n_cohort"))
+    week_offset = (
+        (F.unix_micros("week") - F.unix_micros("cohort_week"))
+        / F.lit(604_800_000_000)
+    ).cast("long")
+    cells = (
+        actives.join(firsts, "user_id")
+        .groupBy("cohort_week", week_offset.alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return cells.join(F.broadcast(sizes), "cohort_week").select(
+        F.unix_micros("cohort_week").alias("cohort_week_us"),
+        "week_offset",
+        "n_active",
+        "n_cohort",
+        (F.col("n_active").cast("double") / F.col("n_cohort")).alias("retention"),
+    )

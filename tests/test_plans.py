@@ -393,3 +393,76 @@ def test_fixed_n_sample_uses_take_ordered(spark, sf_dir):
     of the table."""
     plan = explain_str(QUERIES["q_sample_fixed_n"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_zscore_broadcasts_stats_no_rowwise_shuffle(spark, sf_dir):
+    """The 3σ screen must broadcast the tiny per-type stats frame onto
+    the event scan: a SortMergeJoin or Window here would shuffle every
+    raw event row."""
+    plan = explain_str(QUERIES["q_anomaly_zscore"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+
+
+def test_chunking_and_pii_scrub_are_shuffle_free(spark, sf_dir):
+    """Chunking and PII scrubbing are per-row generators/projections —
+    they must pipeline with the scan (spread() may add one round-robin
+    repartition of the single-split fixture; nothing else)."""
+    import re
+
+    for q in ("q_text_chunking", "q_text_pii_scrub"):
+        plan = explain_str(QUERIES[q](spark, sf_dir))
+        exchanges = re.findall(r"\(\d+\) Exchange\b", plan)
+        assert len(exchanges) <= 1, (q, exchanges)
+        assert "Join" not in plan and "HashAggregate" not in plan, q
+
+
+def test_heavy_hitters_partial_agg_and_take_ordered(spark, sf_dir):
+    """Exact frequent items: token counts must combine map-side
+    (partial+final pair — raw token rows never shuffle) and the top-25
+    must plan as TakeOrderedAndProject heaps, not a global sort."""
+    plan = explain_str(QUERIES["q_agg_heavy_hitters"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_source_overlap_collapses_texts_first(spark, sf_dir):
+    """The bigram vocabulary must build from DISTINCT texts (the
+    (source, text-hash) collapse) so replicated corpora shingle each
+    text once — the uncollapsed form measured 3.4× at 10× replicated
+    data."""
+    plan = explain_str(QUERIES["q_source_overlap"](spark, sf_dir))
+    assert "xxhash64" in plan, plan
+    # collapse + vocab-distinct + intersection count, each partial+final
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_scd2_is_single_window_exchange(spark, sf_dir):
+    """SCD2 interval build is ONE lead window on the user key: exactly
+    one Exchange, no join, no second pass."""
+    import re
+
+    plan = explain_str(QUERIES["q_scd2_intervals"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert "Window" in plan and "Join" not in plan
+
+
+def test_gapfill_and_wau_are_keyed_not_cartesian(spark, sf_dir):
+    """The gap-fill spine join and the WAU day-trim join must stay
+    keyed equi-joins — a BETWEEN range join over days × activity
+    would plan cartesian/BNLJ and explode at scale."""
+    for q in ("q_ts_gapfill", "q_rolling_active_users"):
+        plan = explain_str(QUERIES[q](spark, sf_dir))
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_knn_batch_ranks_candidates_not_corpus(spark, sf_dir):
+    """Batch kNN: the corpus is scored inside one vectorized Python
+    stage (local per-partition top-k), and the final exact rank is a
+    window over the candidate frame — the corpus-sized frame must
+    never reach the window's exchange."""
+    plan = explain_str(QUERIES["q_similarity_knn_batch"](spark, sf_dir))
+    assert "MapInPandas" in plan, plan
+    assert "Window" in plan, plan
+    assert "Join" not in plan, plan
