@@ -178,6 +178,45 @@ def stream_contaminated_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_anomaly_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming z-score anomaly screen: events arrive as a stream and
+    are scored against STATIC per-type (μ, σ) reference statistics —
+    the production shape of q_anomaly_zscore (operators/stats.py), its
+    batch twin, where the stats come from yesterday's batch aggregate
+    and today's traffic is screened live.
+
+    Stream-static broadcast join + per-row projection/filter: no
+    watermark, no state store — like the decontamination probe this is
+    the stateless score-against-reference streaming shape, so
+    throughput scales with input rate alone and the screen adds zero
+    shuffle to the stream.  Statistics are intentionally a snapshot:
+    a self-updating μ/σ would make flagging depend on arrival order
+    (and is a windowed-aggregate job, not a screen).
+    """
+    configure(spark)
+    static_ev = normalize_events_ts(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+    # Materialize the |event types|-row stats SNAPSHOT eagerly: the
+    # reference side of a screen is a fixed artifact by definition
+    # (yesterday's batch agg), and inlining it as literal rows keeps
+    # the streaming plan aggregate-free (a live Aggregate node would
+    # force complete output mode on a non-aggregating stream).
+    stats_rows = static_ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_samp("value"), 6).alias("sigma"),
+    ).collect()
+    stats = spark.createDataFrame(stats_rows)
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        _event_stream(spark, sf_dir)
+        .join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= 3.0)
+        .select("event_id", "event_type", "value", "z")
+    )
+
+
 def run_rollup_maintenance(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     """Continuously-maintained 1-hour rollup: the streaming tumbling
     aggregate upserted into a window-partitioned Parquet table via

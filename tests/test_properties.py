@@ -371,3 +371,91 @@ def test_pair_engine_exact_under_single_giant_label(spark):
     assert set(got) == set(want)
     for k, v in want.items():
         assert abs(got[k] - v) < 1e-9, k
+
+
+def test_chunking_reconstructs_documents(spark, sf_dir):
+    """Lossless-coverage invariant of q_text_chunking: taking the first
+    `stride` chars of every chunk plus the final chunk's tail
+    reassembles each document exactly — no gap, no garble, regardless
+    of partitioning."""
+    from i3cols_spark.operators.pipeline import _CHUNK_STRIDE
+
+    chunks = QUERIES["q_text_chunking"](spark, sf_dir)
+    rebuilt = {}
+    for r in chunks.orderBy("doc_id", "chunk_id").collect():
+        prev = rebuilt.get(r["doc_id"], "")
+        # each chunk starts at chunk_id*stride: keep the prefix up to
+        # the next chunk's start, then let the final chunk overwrite
+        # with its full text.
+        rebuilt[r["doc_id"]] = prev[: r["chunk_start"]] + r["chunk_text"]
+        assert r["chunk_start"] == r["chunk_id"] * _CHUNK_STRIDE
+        assert r["chunk_len"] == len(r["chunk_text"])
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, sf_dir, "documents").collect()
+    }
+    for doc_id, text in docs.items():
+        if len(text) > 0:
+            assert rebuilt[doc_id] == text, doc_id
+
+
+def test_pii_scrub_is_idempotent_and_complete(spark, sf_dir):
+    """After scrubbing, no PII pattern matches remain (completeness),
+    so scrubbing a scrubbed corpus is the identity (idempotence); and
+    every doc_id % 5 == 0 document had exactly one email found."""
+    import re
+
+    from i3cols_spark.operators.textops import _PII_EMAIL, _PII_PHONE
+
+    out = QUERIES["q_text_pii_scrub"](spark, sf_dir).collect()
+    email, phone = re.compile(_PII_EMAIL), re.compile(_PII_PHONE)
+    for r in out:
+        assert not email.search(r["scrubbed"]), r["doc_id"]
+        assert not phone.search(r["scrubbed"]), r["doc_id"]
+        if r["doc_id"] % 5 == 0:
+            assert r["n_emails"] == 1 and "<EMAIL>" in r["scrubbed"]
+        elif r["doc_id"] % 7 == 0:
+            assert r["n_phones"] == 1 and "<PHONE>" in r["scrubbed"]
+        else:
+            assert r["n_emails"] == 0 and r["n_phones"] == 0
+
+
+def test_knn_batch_agrees_with_single_query_knn(spark, sf_dir):
+    """The batch path must reproduce the single-query brute-force
+    result: its qid=0 block equals q_similarity_knn_cosine's top-5
+    (same ordering key)."""
+    batch = {
+        (r["knn_rank"], r["vec_id"], r["cos_sim"])
+        for r in QUERIES["q_similarity_knn_batch"](spark, sf_dir)
+        .filter(F.col("qid") == 0)
+        .collect()
+    }
+    single = {
+        (i + 1, r["vec_id"], r["cos_sim"])
+        for i, r in enumerate(
+            QUERIES["q_similarity_knn_cosine"](spark, sf_dir).collect()[:5]
+        )
+    }
+    assert batch == single
+
+
+def test_wau_bounds_and_gapfill_density(spark, sf_dir):
+    """WAU is sandwiched between daily actives and total users; the
+    gap-fill spine is dense (consecutive days per user) and filled
+    values are never null after the user's first observation."""
+    ev = table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    wau = QUERIES["q_rolling_active_users"](spark, sf_dir).collect()
+    assert all(1 <= r["wau"] <= n_users for r in wau)
+
+    fill = QUERIES["q_ts_gapfill"](spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in fill:
+        by_user.setdefault(r["user_id"], []).append(r)
+    day_us = 86_400_000_000
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r["day_us"])
+        assert rows[0]["is_observed"]  # spine starts at first purchase
+        for prev, cur in zip(rows, rows[1:]):
+            assert cur["day_us"] - prev["day_us"] == day_us  # dense
+        assert all(r["filled_value"] is not None for r in rows)

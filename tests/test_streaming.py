@@ -138,3 +138,20 @@ def test_funnel_stage0_users(spark):
     )
     out = {r["funnel_stage"]: r["n_users"] for r in funnel_stages(ev).collect()}
     assert out == {3: 1, 0: 1, 1: 1}
+
+
+def test_stream_anomaly_screen_matches_batch(spark, sf_dir):
+    """The stream-static anomaly screen must flag exactly the rows the
+    batch q_anomaly_zscore flags, with identical z-scores (the static
+    stats side makes the screen arrival-order-independent)."""
+    sdf = jobs.stream_anomaly_screen(spark, sf_dir)
+    jobs.run_to_memory(sdf, "mem_anomaly")
+    streamed = {
+        (r["event_id"], r["z"])
+        for r in spark.table("mem_anomaly").collect()
+    }
+    batch = {
+        (r["event_id"], r["z"])
+        for r in QUERIES["q_anomaly_zscore"](spark, sf_dir).collect()
+    }
+    assert streamed == batch and len(batch) > 0
