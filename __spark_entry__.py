@@ -34,9 +34,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.3.
 
-    Ordered contract-first (SURVEY §2.3's 60 names, then tiered
-    extras): the driver consumes this dict in insertion order under a
-    finite budget, so the contract must never queue behind extras.
+    The driver consumes this dict in insertion order under a finite
+    (50-row) budget, so ordering is evidence strategy: round 5 leads
+    with the rotation block — exactly the 50 names with no official
+    CORRECTNESS row in rounds 1–4 (see registry._R5_PRIORITY) — then
+    the remaining contract + extras in §-order.
     """
     return {name: QUERIES[name] for name in surface_order()}
 

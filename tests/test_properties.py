@@ -459,3 +459,16 @@ def test_wau_bounds_and_gapfill_density(spark, sf_dir):
         for prev, cur in zip(rows, rows[1:]):
             assert cur["day_us"] - prev["day_us"] == day_us  # dense
         assert all(r["filled_value"] is not None for r in rows)
+
+
+def test_retention_cohort_baseline_is_full(spark, sf_dir):
+    """Week-0 of every cohort is 100% by construction (each user is
+    active in their own first week), retention never exceeds 1, and
+    per-cohort active counts never exceed the cohort size."""
+    rows = QUERIES["q_retention_cohorts"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_active"] <= r["n_cohort"]
+        assert 0.0 < r["retention"] <= 1.0
+        if r["week_offset"] == 0:
+            assert r["n_active"] == r["n_cohort"]
