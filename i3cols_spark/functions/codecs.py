@@ -9,14 +9,18 @@ decodable with nothing beyond ``struct``/``zlib``/``wave``:
 - **PNG** (8-bit depth, color types 0/2/6, non-interlaced; zlib
   inflate + per-scanline unfilter incl. Paeth)
 - **WAV** (PCM via the stdlib ``wave`` module; 8/16/32-bit)
+- **JPEG** (baseline sequential DCT, grayscale / 4:4:4 — numpy DCT +
+  canonical Huffman in ``functions/jpeg.py``; lossy, so tests bound
+  PSNR instead of byte equality)
 
 Each format has an encoder too, so tests round-trip crafted media
 through encode→decode and the synthetic-fixture attach step can build
 REAL payload bytes whose structural properties (width/height/frames)
 are closed-form expressible in the DuckDB oracle.
 
-Codecs that genuinely need external libraries (JPEG, MP3, video)
-remain behind ``NotImplementedError`` — the gate is per-format, not a
+Codecs that genuinely need external libraries (MP3, video) remain
+behind ``NotImplementedError``, as do unsupported per-format features
+(progressive/subsampled JPEG) — the gate is per-feature, not a
 blanket stub.
 
 Scale note: these run inside Arrow-batched ``mapInPandas`` workers;

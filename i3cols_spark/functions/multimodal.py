@@ -3,10 +3,12 @@ metadata, with decode / feature-extract / resize / frame-sample as
 Arrow-batched ``mapInPandas`` operators (SURVEY north-star).
 
 Real formats decode for real via the pure-stdlib codecs in
-``functions/codecs.py``: BMP / PPM / PGM / PNG images and PCM WAV
-audio (encode + decode, round-trip tested).  Only codecs that
-genuinely require external libraries (JPEG via Pillow, MP3, video)
-stay behind per-format ``NotImplementedError`` gates.  The
+``functions/codecs.py`` and ``functions/jpeg.py``: BMP / PPM / PGM /
+PNG / baseline JPEG images and PCM WAV audio (encode + decode,
+round-trip tested; JPEG is lossy so its tests bound PSNR).  Only
+codecs that genuinely require external libraries (MP3, video) and
+unsupported per-format features (progressive JPEG, chroma
+subsampling) stay behind ``NotImplementedError`` gates.  The
 deterministic "fake/raw" codec (payload bytes are the samples) is
 kept for closed-form oracle arithmetic in the resize/frame-sample
 chain.
@@ -94,11 +96,14 @@ def decode_media(media_type: str, payload: bytes) -> dict:
             "n_frames": None,
             "features": [float(b) for b in payload[::8][:32]],
         }
+    from i3cols_spark.functions.jpeg import decode_jpeg
+
     image_decoders = {
         "image/bmp": codecs.decode_bmp,
         "image/x-portable-pixmap": codecs.decode_ppm,
         "image/x-portable-graymap": codecs.decode_ppm,
         "image/png": codecs.decode_png,
+        "image/jpeg": decode_jpeg,
     }
     if media_type in image_decoders:
         img = image_decoders[media_type](payload)
@@ -127,7 +132,7 @@ def decode_media(media_type: str, payload: bytes) -> dict:
     if media_type.startswith("image/"):
         raise NotImplementedError(
             f"{media_type} needs an external codec (e.g. Pillow); "
-            "stdlib formats: bmp, ppm/pgm, png"
+            "built-in formats: bmp, ppm/pgm, png, jpeg (baseline)"
         )
     if media_type.startswith(("audio/", "video/")):
         raise NotImplementedError(

@@ -166,8 +166,12 @@ def test_decode_media_dispatch_and_gates():
     assert (d["sample_rate"], d["n_frames"]) == (9000, 8)
     assert d["features"][:3] == [9000.0, 1.0, 8.0]
 
-    with pytest.raises(NotImplementedError, match="Pillow"):
+    # image/jpeg is REAL now (functions/jpeg.py) — truncated bytes are
+    # a data error, not a capability gate.
+    with pytest.raises(ValueError):
         decode_media("image/jpeg", b"\xff\xd8\xff")
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_media("image/tiff", b"II*\x00")
     with pytest.raises(NotImplementedError):
         decode_media("video/mp4", b"")
 
@@ -208,3 +212,90 @@ def test_resize_media_real_pixel_values(spark):
     exp_frames = np.frombuffer(audio.frames, dtype=np.uint8).reshape(7, 2)[::2]
     assert out_aud.frames == exp_frames.tobytes()
     assert out_aud.sample_rate == 12000
+
+
+# ----------------------------------------------------------- JPEG
+
+
+def _psnr(a, b):
+    import numpy as np
+
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+@pytest.mark.parametrize("w,h,channels", [(37, 21, 3), (16, 16, 1), (8, 8, 3), (1, 1, 3), (9, 5, 1)])
+def test_jpeg_round_trip_dims_and_quality(w, h, channels):
+    """Baseline JPEG is lossy: dims/channels round-trip exactly, pixel
+    content within quantization error (PSNR-bounded) on a smooth
+    gradient — the codec's own encode feeds its own decode through
+    genuine SOI/DQT/SOF0/DHT/SOS/EOI bytes."""
+    import numpy as np
+
+    from i3cols_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    x, y = np.meshgrid(np.arange(w), np.arange(h))
+    grad = (x * 255 // max(w - 1, 1) + y * 128 // max(h - 1, 1)) % 256
+    px = np.stack([grad] * channels, axis=-1).astype(np.uint8)
+    img = ImageData(width=w, height=h, channels=channels, pixels=px.tobytes())
+    payload = encode_jpeg(img, quality=90)
+    assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+    out = decode_jpeg(payload)
+    assert (out.width, out.height, out.channels) == (w, h, channels)
+    got = np.frombuffer(out.pixels, dtype=np.uint8).reshape(h, w, channels)
+    assert _psnr(px, got) > 30.0
+
+
+def test_jpeg_flat_block_is_exact_and_q100_checkerboard_lossless():
+    import numpy as np
+
+    from i3cols_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    flat = np.full((8, 8, 3), 77, np.uint8)
+    out = decode_jpeg(encode_jpeg(ImageData(8, 8, 3, flat.tobytes()), quality=90))
+    assert bytes(out.pixels) == flat.tobytes()
+
+    cb = (np.indices((24, 24)).sum(axis=0) % 2 * 255).astype(np.uint8)[..., None]
+    out = decode_jpeg(
+        encode_jpeg(ImageData(24, 24, 1, cb.tobytes()), quality=100)
+    )
+    assert bytes(out.pixels) == cb.tobytes()  # exercises the AC-clamp path
+
+
+def test_jpeg_gates_progressive_and_subsampled():
+    """Per-feature gates: a progressive frame marker (SOF2) and a
+    subsampled SOF0 raise NotImplementedError, truncated/invalid data
+    raises ValueError."""
+    import numpy as np
+
+    from i3cols_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    px = np.zeros((8, 8, 1), np.uint8)
+    good = encode_jpeg(ImageData(8, 8, 1, px.tobytes()), quality=85)
+    # rewrite the SOF0 marker to SOF2 (progressive)
+    sof = good.index(b"\xff\xc0")
+    prog = good[:sof] + b"\xff\xc2" + good[sof + 2 :]
+    with pytest.raises(NotImplementedError, match="progressive|SOF"):
+        decode_jpeg(prog)
+    # patch the sampling factors byte (h=2,v=2) inside SOF0
+    sub = bytearray(good)
+    sub[sof + 2 + 2 + 6 + 1] = 0x22  # first component's h/v factors
+    with pytest.raises(NotImplementedError, match="subsampling"):
+        decode_jpeg(bytes(sub))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01\x02")
+
+
+def test_jpeg_decodes_via_multimodal_dispatch():
+    """decode_media routes image/jpeg to the real decoder and derives
+    width/height from the decoded frame header."""
+    import numpy as np
+
+    from i3cols_spark.functions.jpeg import encode_jpeg
+    from i3cols_spark.functions.multimodal import decode_media
+
+    px = np.full((5, 11, 3), 120, np.uint8)
+    payload = encode_jpeg(ImageData(11, 5, 3, px.tobytes()), quality=85)
+    d = decode_media("image/jpeg", payload)
+    assert (d["width"], d["height"]) == (11, 5)
+    assert d["features"][:3] == [11.0, 5.0, 3.0]

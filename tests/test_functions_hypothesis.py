@@ -128,3 +128,28 @@ def test_wav_round_trip_random(rate, nch, sw, n, data):
         rate, nch, sw, n,
     )
     assert out.frames == frames
+
+
+@given(w=_DIM, h=_DIM, ch=st.sampled_from([1, 3]), data=st.data())
+@settings(max_examples=15, deadline=None)
+def test_jpeg_round_trip_random(w, h, ch, data):
+    """Lossy round trip on arbitrary pixel content: dims/channels are
+    exact, pixel error is bounded by the quantization step (random
+    bytes are JPEG's worst case, so the bound is loose but real —
+    and a decode must never crash on any encoder output)."""
+    import numpy as np
+
+    from i3cols_spark.functions import codecs
+    from i3cols_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    px = data.draw(
+        st.binary(min_size=w * h * ch, max_size=w * h * ch), label="pixels"
+    )
+    img = codecs.ImageData(width=w, height=h, channels=ch, pixels=px)
+    out = decode_jpeg(encode_jpeg(img, quality=95))
+    assert (out.width, out.height, out.channels) == (w, h, ch)
+    a = np.frombuffer(px, np.uint8).astype(float)
+    b = np.frombuffer(out.pixels, np.uint8).astype(float)
+    mse = float(np.mean((a - b) ** 2))
+    psnr = 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+    assert psnr > 20.0
