@@ -382,6 +382,10 @@ def _parse_jpeg(payload: bytes) -> ImageData:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"decode_jpeg: expected marker at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker id — skip them (markers are 0xFF followed by non-FF).
+        while payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

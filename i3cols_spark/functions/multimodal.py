@@ -294,8 +294,17 @@ def resize_media_real(df: DataFrame, factor: int = 2) -> DataFrame:
                     codecs.encode_wav(out), None, None,
                     out.sample_rate, out.n_frames,
                 )
-            # fake/raw and other pass-through media: byte-stride resize
-            return (bytes(payload)[::factor], None, None, None, None)
+            if mt == "fake/raw":
+                # deterministic stub codec: byte-stride resize
+                return (bytes(payload)[::factor], None, None, None, None)
+            # Real formats without a resize path here (png/ppm/jpeg…)
+            # must FAIL, not fall through: a byte-strided PNG is
+            # corrupt bytes still labeled image/png, and the crash
+            # then surfaces far downstream at the next decode.
+            raise NotImplementedError(
+                f"resize_media_real: no resize path for {mt} "
+                "(supported: image/bmp, audio/wav, fake/raw)"
+            )
 
         for pdf in batches:
             res = [

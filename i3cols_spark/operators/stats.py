@@ -473,6 +473,34 @@ def q_sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: |z| threshold shared by the batch operator and the streaming twin.
+ZSCORE_THRESHOLD = 3.0
+
+
+def zscore_stats(ev: DataFrame) -> DataFrame:
+    """Per-type (μ, σ) reference statistics for the anomaly screen —
+    rounded at 6 dp (multi-row reductions, registry discipline).
+    Shared by q_anomaly_zscore and streaming.jobs.stream_anomaly_screen
+    so the two twins can never drift apart."""
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_samp("value"), 6).alias("sigma"),
+    )
+
+
+def zscore_screen(ev: DataFrame, stats: DataFrame) -> DataFrame:
+    """Score rows against a (event_type, mu, sigma) stats frame and
+    keep |z| ≥ ZSCORE_THRESHOLD — broadcast join + per-row projection,
+    batch and streaming alike."""
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= ZSCORE_THRESHOLD)
+        .select("event_id", "event_type", "value", "z")
+    )
+
+
 @query(
     "q_anomaly_zscore",
     oracle="""
@@ -510,17 +538,7 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines.
     """
     ev = table(spark, sf_dir, "events")
-    stats = ev.groupBy("event_type").agg(
-        F.round(F.avg("value"), 6).alias("mu"),
-        F.round(F.stddev_samp("value"), 6).alias("sigma"),
-    )
-    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4)
-    return (
-        ev.join(F.broadcast(stats), "event_type")
-        .withColumn("z", z)
-        .filter(F.abs(F.col("z")) >= 3.0)
-        .select("event_id", "event_type", "value", "z")
-    )
+    return zscore_screen(ev, zscore_stats(ev))
 
 
 @query(

@@ -193,6 +193,8 @@ def stream_anomaly_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     a self-updating μ/σ would make flagging depend on arrival order
     (and is a windowed-aggregate job, not a screen).
     """
+    from i3cols_spark.operators.stats import zscore_screen, zscore_stats
+
     configure(spark)
     static_ev = normalize_events_ts(
         spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -201,20 +203,11 @@ def stream_anomaly_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference side of a screen is a fixed artifact by definition
     # (yesterday's batch agg), and inlining it as literal rows keeps
     # the streaming plan aggregate-free (a live Aggregate node would
-    # force complete output mode on a non-aggregating stream).
-    stats_rows = static_ev.groupBy("event_type").agg(
-        F.round(F.avg("value"), 6).alias("mu"),
-        F.round(F.stddev_samp("value"), 6).alias("sigma"),
-    ).collect()
-    stats = spark.createDataFrame(stats_rows)
-    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4)
-    return (
-        _event_stream(spark, sf_dir)
-        .join(F.broadcast(stats), "event_type")
-        .withColumn("z", z)
-        .filter(F.abs(F.col("z")) >= 3.0)
-        .select("event_id", "event_type", "value", "z")
-    )
+    # force complete output mode on a non-aggregating stream).  The
+    # aggregate and the score/threshold are the SAME code as the batch
+    # twin (operators/stats.py) so the two can never drift apart.
+    stats = spark.createDataFrame(zscore_stats(static_ev).collect())
+    return zscore_screen(_event_stream(spark, sf_dir), stats)
 
 
 def run_rollup_maintenance(spark: SparkSession, sf_dir: str, out_dir: str) -> None:

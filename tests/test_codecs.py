@@ -299,3 +299,38 @@ def test_jpeg_decodes_via_multimodal_dispatch():
     d = decode_media("image/jpeg", payload)
     assert (d["width"], d["height"]) == (11, 5)
     assert d["features"][:3] == [11.0, 5.0, 3.0]
+
+
+def test_jpeg_accepts_fill_bytes_before_markers():
+    """T.81 B.1.1.2: optional 0xFF fill bytes may precede any marker —
+    conforming external encoders emit them (code-review r05 finding)."""
+    import numpy as np
+
+    from i3cols_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    px = np.full((8, 8, 3), 90, np.uint8)
+    good = encode_jpeg(ImageData(8, 8, 3, px.tobytes()), quality=85)
+    # insert a fill byte before the SOF0 marker
+    sof = good.index(b"\xff\xc0")
+    padded = good[:sof] + b"\xff" + good[sof:]
+    out = decode_jpeg(padded)
+    assert (out.width, out.height) == (8, 8)
+    assert bytes(out.pixels) == px.tobytes()
+
+
+def test_resize_media_real_gates_unsupported_real_formats(spark):
+    """A PNG payload must make resize_media_real raise — the byte-
+    stride fallback would emit corrupt bytes still labeled image/png
+    (code-review r05 finding)."""
+    import pytest as _pytest
+
+    from i3cols_spark.functions.multimodal import resize_media_real
+
+    img = ImageData(width=4, height=2, channels=3, pixels=_rgb(4, 2))
+    df = spark.createDataFrame(
+        [(1, "image/png", bytearray(codecs.encode_png(img)), None, None, None, None)],
+        "media_id long, media_type string, payload binary, width int, "
+        "height int, sample_rate int, n_frames int",
+    )
+    with _pytest.raises(Exception, match="no resize path for image/png"):
+        resize_media_real(df, factor=2).collect()
