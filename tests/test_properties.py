@@ -472,3 +472,74 @@ def test_retention_cohort_baseline_is_full(spark, sf_dir):
         assert 0.0 < r["retention"] <= 1.0
         if r["week_offset"] == 0:
             assert r["n_active"] == r["n_cohort"]
+
+
+def test_scd2_intervals_tile_each_user_history(spark, sf_dir):
+    """SCD2 invariants: per user, intervals are chronologically chained
+    half-open ranges (each row's valid_to equals the next row's
+    valid_from), exactly the last row is open/is_current, and no two
+    rows overlap."""
+    rows = QUERIES["q_scd2_intervals"](spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for history in by_user.values():
+        history.sort(key=lambda r: (r["valid_from_us"], r["event_id"]))
+        for prev, cur in zip(history, history[1:]):
+            assert prev["valid_to_us"] == cur["valid_from_us"]
+            assert not prev["is_current"]
+        last = history[-1]
+        assert last["is_current"] and last["valid_to_us"] is None
+
+
+def test_funnel_walk_matches_bruteforce_on_random_sequences(spark):
+    """The codegen funnel walk must agree with a straightforward
+    Python walk on randomized event sequences — including same-µs
+    ties, out-of-window conversions, and users with no funnel events."""
+    import datetime
+    import random
+
+    from i3cols_spark.operators.stream_batch import funnel_stages
+
+    rng = random.Random(1234)
+    types = ["view", "click", "purchase", "refund", "login"]
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for user in range(40):
+        for _ in range(rng.randint(1, 12)):
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    base + datetime.timedelta(seconds=rng.randint(0, 3 * 86400)),
+                    user,
+                    rng.choice(types),
+                    1.0,
+                )
+            )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+    win = 24 * 3600 * 1_000_000
+    expected: dict[int, int] = {}
+    per_user: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r[1], r[0])):
+        per_user.setdefault(r[2], []).append(r)
+    for user, evs in per_user.items():
+        t1 = t2 = t3 = None
+        for e in evs:
+            us = int(e[1].timestamp() * 1_000_000)
+            if t1 is None and e[3] == "view":
+                t1 = us
+            elif t2 is None and t1 is not None and e[3] == "click" and t1 < us <= t1 + win:
+                t2 = us
+            elif t3 is None and t2 is not None and e[3] == "purchase" and t2 < us <= t2 + win:
+                t3 = us
+        stage = 3 if t3 else 2 if t2 else 1 if t1 else 0
+        expected[stage] = expected.get(stage, 0) + 1
+
+    got = {r["funnel_stage"]: r["n_users"] for r in funnel_stages(df).collect()}
+    assert got == expected
