@@ -27,6 +27,7 @@ from i3cols_spark.operators import physics  # noqa: E402,F401  (§2.2 completion
 from i3cols_spark.operators import stats  # noqa: E402,F401  (§2.2 completions + sampling)
 from i3cols_spark.operators import graph  # noqa: E402,F401  (§E dedup clustering)
 from i3cols_spark.operators import pipeline  # noqa: E402,F401  (§E training-data pipeline)
+from i3cols_spark.operators import timeseries  # noqa: E402,F401  (§E time-series analytics)
 
 __all__ = [
     "CONTRACT_QUERIES",

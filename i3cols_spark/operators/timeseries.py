@@ -1,0 +1,370 @@
+"""Time-series analytics over the event stream — OHLC resampling,
+Markov transition matrices, linear-interpolation fill, and snapshot
+diffing.
+
+These extend the §2.3-E analytics block with the resample/compare
+primitives a feature-engineering pipeline runs between raw events and
+a fixed-frequency model: downsample to bars (OHLC), characterize
+behaviour (transition matrix), regularize with interpolation (the
+LOCF twin of q_ts_gapfill), and diff two dataset states (the audit
+step before promoting a new snapshot).
+
+Determinism discipline (registry docstring): open/close are single
+per-row doubles (unrounded — no summation); multi-row double sums are
+rounded to 2 dp in both dialects; probability / interpolation
+arithmetic is per-row IEEE with the SAME expression tree in both
+engines, so it is bit-identical and left unrounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from i3cols_spark.operators.registry import query
+from i3cols_spark.sources.tables import table
+
+
+@query(
+    "q_ts_ohlc",
+    oracle="""
+    WITH x AS (
+        SELECT event_type, date_trunc('day', ts) AS day, value, ts, event_id
+        FROM events
+    ),
+    w AS (
+        SELECT event_type, day, value,
+               row_number() OVER (PARTITION BY event_type, day
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, day
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM x
+    ),
+    oc AS (
+        SELECT event_type, day,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close
+        FROM w GROUP BY 1, 2
+    ),
+    hl AS (
+        SELECT event_type, day,
+               max(value) AS high, min(value) AS low,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM x GROUP BY 1, 2
+    )
+    SELECT hl.event_type, epoch_us(hl.day) AS day_us,
+           oc.open, hl.high, hl.low, oc.close, hl.n_events, hl.total_value
+    FROM hl JOIN oc ON hl.event_type = oc.event_type AND hl.day = oc.day
+    """,
+)
+def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars per event type — the canonical downsampling of
+    a value stream to fixed-frequency candles (open / high / low /
+    close / volume / turnover).
+
+    Spark shape: ONE map-side-combined groupBy.  ``min_by`` /
+    ``max_by`` over a ``struct(ts, event_id)`` order key pick the
+    first/last value per bar inside the partial aggregate, so open and
+    close ride the same single shuffle as the min/max/count — no
+    window, no per-bar sort.  The oracle can't express composite
+    arg_min, so it pins the same semantics via two row_number
+    windows; the Spark plan is the scale-correct one (at 100 TB a
+    groupBy with partial aggregation beats a per-bar window sort by
+    the full event volume).  The (ts, event_id) key is total-ordered —
+    ties on ts break on the unique event_id — so first/last are
+    reproducible across engines.
+    """
+    ev = table(spark, sf_dir, "events")
+    ord_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.min_by("value", ord_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ord_key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros("day").alias("day_us"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(count(*) AS BIGINT) AS n_transitions
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_transitions,
+           n_transitions / sum(n_transitions) OVER (PARTITION BY from_type)
+               AS p_transition
+    FROM pairs
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream:
+    per-user consecutive (event_type → next event_type) pairs, counted
+    globally and normalized to per-from-type probabilities — the
+    behavioural fingerprint used for bot screening and session
+    modelling.
+
+    Shape: one lead() window per user (ts, event_id total order), one
+    map-side-combined groupBy of the pairs (output cardinality =
+    |types|², tiny), and a window over that tiny aggregate for the
+    row-sum normalization.  The expensive shuffle is the per-user
+    window; the raw stream never rides past the pair groupBy.  The
+    probability is a per-row BIGINT/BIGINT IEEE division — identical
+    bits in both engines, left unrounded (registry discipline).
+    """
+    ev = table(spark, sf_dir, "events")
+    seq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(seq).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    row = W.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (F.col("n_transitions") / F.sum("n_transitions").over(row)).alias(
+            "p_transition"
+        ),
+    )
+
+
+@query(
+    "q_ts_interpolate",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               round(sum(value), 2) AS day_value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+    spine AS (
+        SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        FROM span
+    ),
+    j AS (
+        SELECT s.user_id, s.day,
+               date_diff('day', DATE '2024-01-01', CAST(s.day AS DATE)) AS di,
+               d.day_value AS v,
+               CASE WHEN d.day_value IS NOT NULL
+                    THEN date_diff('day', DATE '2024-01-01', CAST(s.day AS DATE))
+               END AS obs_di
+        FROM spine s LEFT JOIN daily d
+          ON s.user_id = d.user_id AND s.day = d.day
+    ),
+    f AS (
+        SELECT user_id, day, di, v,
+               last_value(v IGNORE NULLS) OVER wb AS pv,
+               last_value(obs_di IGNORE NULLS) OVER wb AS pd,
+               first_value(v IGNORE NULLS) OVER wf AS nv,
+               first_value(obs_di IGNORE NULLS) OVER wf AS nd
+        FROM j
+        WINDOW wb AS (PARTITION BY user_id ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id ORDER BY day
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, epoch_us(day) AS day_us,
+           v IS NOT NULL AS is_observed,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NOT NULL AND nv IS NOT NULL
+                    THEN pv + (nv - pv) * ((di - pd) / CAST(nd - pd AS DOUBLE))
+                WHEN pv IS NOT NULL THEN pv
+                ELSE nv END AS interp_value
+    FROM f
+    """,
+)
+def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation on the dense daily spine — the smooth twin
+    of q_ts_gapfill's LOCF: interior gaps take the straight line
+    between the bracketing observations, leading/trailing gaps fall
+    back to nearest-observation fill.
+
+    Shape mirrors q_ts_gapfill (sparse daily agg → span → exploded
+    calendar spine → left join), then TWO frames over the same
+    user-day order — backward last(ignorenulls) for the previous
+    observation, forward first(ignorenulls) for the next — carrying
+    both the value and its day index so the slope is computable
+    per-row.  Both windows ride the user_id hash partitioning the
+    join already established: one effective exchange end to end.  The
+    interpolation arithmetic is per-row IEEE with an identical
+    expression tree in the oracle — bit-identical, unrounded.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("day_value"))
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    di = F.datediff(F.col("day").cast("date"), F.lit("2024-01-01").cast("date"))
+    j = spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        di.alias("di"),
+        F.col("day_value").alias("v"),
+        F.when(F.col("day_value").isNotNull(), di).alias("obs_di"),
+    )
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    f = j.select(
+        "user_id",
+        "day",
+        "di",
+        "v",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last("obs_di", ignorenulls=True).over(wb).alias("pd"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first("obs_di", ignorenulls=True).over(wf).alias("nd"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (
+                (F.col("di") - F.col("pd"))
+                / (F.col("nd") - F.col("pd")).cast("double")
+            ),
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+    )
+    return f.select(
+        "user_id",
+        F.unix_micros("day").alias("day_us"),
+        F.col("v").isNotNull().alias("is_observed"),
+        interp.alias("interp_value"),
+    )
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+    WITH c AS (
+        SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS cut FROM events
+    ),
+    agg AS (
+        SELECT e.user_id,
+               CAST(sum(CASE WHEN epoch_us(e.ts) <= c.cut THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_before,
+               CAST(sum(CASE WHEN epoch_us(e.ts) >  c.cut THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_after,
+               round(sum(CASE WHEN epoch_us(e.ts) <= c.cut
+                              THEN e.value ELSE 0 END), 2) AS value_before,
+               round(sum(CASE WHEN epoch_us(e.ts) > c.cut
+                              THEN e.value ELSE 0 END), 2) AS value_after
+        FROM events e, c
+        GROUP BY e.user_id
+    )
+    SELECT user_id, n_before, n_after, value_before, value_after,
+           CASE WHEN n_before = 0 THEN 'added'
+                WHEN n_after = 0 THEN 'churned'
+                WHEN n_before <> n_after THEN 'changed'
+                ELSE 'stable' END AS diff_status
+    FROM agg
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: compare per-user activity between the first and
+    second half of the event timeline (split at the midpoint of the
+    observed range) and classify each user added / churned / changed /
+    stable — the audit a pipeline runs before promoting a new data
+    snapshot.
+
+    Scale shape: a naive diff is two scans + a full outer join on
+    user_id; this plan is ONE conditional aggregation over a single
+    scan (the period flag is a per-row comparison against a broadcast
+    1-row scalar), so the only shuffle is the map-side-combined
+    groupBy.  The cutoff scalar comes from a min/max agg — satisfied
+    from parquet row-group statistics, not a second full read — and
+    joins in as a broadcast nested loop of one row.  The midpoint is
+    INTEGER microsecond arithmetic (``div 2``) in both engines: no
+    float rounding at the boundary.
+    """
+    ev = table(spark, sf_dir, "events")
+    cut = ev.agg(
+        F.expr(
+            "(min(unix_micros(ts)) + max(unix_micros(ts))) div 2"
+        ).alias("cut")
+    )
+    us = F.unix_micros("ts")
+    before = us <= F.col("cut")
+    agg = (
+        ev.select("user_id", us.alias("us"), "value")
+        .crossJoin(F.broadcast(cut))
+        .withColumn("is_before", F.col("us") <= F.col("cut"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("is_before"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_before"),
+            F.sum(F.when(~F.col("is_before"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_after"),
+            F.round(
+                F.sum(F.when(F.col("is_before"), F.col("value")).otherwise(0.0)), 2
+            ).alias("value_before"),
+            F.round(
+                F.sum(F.when(~F.col("is_before"), F.col("value")).otherwise(0.0)), 2
+            ).alias("value_after"),
+        )
+    )
+    status = (
+        F.when(F.col("n_before") == 0, "added")
+        .when(F.col("n_after") == 0, "churned")
+        .when(F.col("n_before") != F.col("n_after"), "changed")
+        .otherwise("stable")
+    )
+    return agg.select(
+        "user_id",
+        "n_before",
+        "n_after",
+        "value_before",
+        "value_after",
+        status.alias("diff_status"),
+    )
