@@ -298,3 +298,92 @@ def q_join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+#: Bloom prefilter geometry: m bits across 64-bit words, k probe
+#: hashes.  Correctness never depends on these (an exact semi-join
+#: runs after the prefilter); they only set the false-positive rate
+#: that determines how many non-matching rows still pay the shuffle.
+_BLOOM_M = 1 << 14
+_BLOOM_K = 3
+
+
+def _bloom_probe(key: str, bloom: str = "bloom", m: int = _BLOOM_M, k: int = _BLOOM_K):
+    """AND of k bit-tests of column ``key`` against the word-index→mask
+    map column ``bloom``.  Built as a SQL expr because ``shiftleft``
+    only accepts a column shift amount in its SQL form — still pure
+    codegen arithmetic, no UDF anywhere in the probe."""
+    tests = []
+    for seed in range(k):
+        pos = f"pmod(xxhash64({key}, {seed}), {m})"
+        tests.append(
+            f"(coalesce(element_at({bloom}, CAST({pos} DIV 64 AS INT)),"
+            f" CAST(0 AS BIGINT))"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST({pos} % 64 AS INT))) != 0"
+        )
+    return F.expr(" AND ".join(tests))
+
+
+@query(
+    "q_join_bloom_prefilter",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (
+        SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    )
+    """,
+)
+def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join accelerated by a hand-built Bloom prefilter — the
+    runtime-filter technique Spark applies to shuffle joins
+    (spark.sql.optimizer.runtime.bloomFilter), expressed explicitly so
+    the mechanism itself is on the tested surface.
+
+    Build side: the filtered customer keys hash into an m-bit bitmap
+    held as ONE row — explode k seeds per key, bucket bits into 64-bit
+    words with a map-side-combined ``bit_or`` groupBy (≤ m/64 = 256
+    rows), then fold the words into a word→mask map.  No driver
+    collect: the 1-row bitmap broadcasts as a nested-loop join, so the
+    build stays declarative end to end.  Probe side: every orders row
+    tests k bits with pure column arithmetic (xxhash64 + shift/AND —
+    whole-stage codegen, no UDF).  Rows failing ANY bit — the vast
+    majority when the build side is selective — are dropped BEFORE the
+    exact left-semi join, so at 100 TB the shuffle moves only probable
+    matches plus the small false-positive tail; the semi join then
+    removes the false positives, which is why the oracle is the plain
+    IN-subquery: the prefilter is invisible in the result, only in the
+    plan.
+    """
+    keys = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey")
+    )
+    positions = keys.select(
+        F.explode(
+            F.array(*[
+                F.pmod(F.xxhash64("c_custkey", F.lit(s)), F.lit(_BLOOM_M))
+                for s in range(_BLOOM_K)
+            ])
+        ).alias("pos")
+    )
+    words = positions.groupBy(
+        F.expr("CAST(pos DIV 64 AS INT)").alias("word")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+        ).alias("mask")
+    )
+    bloom = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "mask"))).alias("bloom")
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    prefiltered = orders.crossJoin(F.broadcast(bloom)).filter(
+        _bloom_probe("o_custkey")
+    )
+    return prefiltered.join(
+        keys, prefiltered.o_custkey == keys.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")

@@ -744,3 +744,73 @@ def q_similarity_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("knn_rank") <= k)
         .select("qid", "knn_rank", "vec_id", "cos_sim")
     )
+
+
+@query(
+    "q_embedding_kmeans_assign",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    c AS (
+        SELECT vec_id AS cid, v AS cv FROM e
+        WHERE vec_id % 25 = 0 ORDER BY vec_id LIMIT 8
+    ),
+    d AS (
+        SELECT e.vec_id, c.cid, round(list_distance(e.v, c.cv), 6) AS dist
+        FROM e, c
+    ),
+    a AS (
+        SELECT vec_id, cid, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d
+    )
+    SELECT cid AS centroid_id, CAST(count(*) AS BIGINT) AS n_members,
+           round(avg(dist), 4) AS mean_dist
+    FROM a WHERE rn = 1 GROUP BY cid
+    """,
+)
+def q_embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means assignment step over the embedding corpus: every vector
+    to its nearest of k=8 deterministic centroids (stride-sampled by
+    vec_id, the same seeding the IVF index uses — similarity.py
+    build_ivf_index), reporting per-cluster population and mean L2
+    distance — the E-step a clustering / quantization pipeline runs
+    per iteration, and exactly the computation behind IVF cell
+    assignment and embedding-codebook training.
+
+    Shape: the k-row centroid side broadcasts into a nested-loop
+    expansion (n×k rows, never materialized past the argmin), distance
+    is codegen'd array arithmetic (zip_with + aggregate + sqrt — no
+    UDF), and the argmin is ``min(struct(dist, cid))`` — an ordinary
+    map-side-combinable aggregate, NOT a window: at 100 TB the per-row
+    argmin folds inside the scan's partial aggregation, so the only
+    shuffle carries one row per vector, then |k| rows to the final
+    rollup.  Distances round to 6 dp in both engines before the
+    argmin (registry discipline) so FP summation differences cannot
+    flip an assignment; ties break on centroid id.
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    cent = (
+        emb.filter(F.col("vec_id") % 25 == 0)
+        .orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    diff2 = F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y))
+    dist = F.round(
+        F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)), 6
+    )
+    best = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", F.struct(dist.alias("dist"), F.col("cid")).alias("dc"))
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("best"))
+    )
+    return best.groupBy(F.col("best.cid").alias("centroid_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.avg("best.dist"), 4).alias("mean_dist"),
+    )
