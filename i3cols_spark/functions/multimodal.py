@@ -359,3 +359,100 @@ def frame_sample(df: DataFrame, every_n: int = 4) -> DataFrame:
             yield out
 
     return df.mapInPandas(op, schema=df.schema)
+
+
+def attach_synthetic_video(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fixture helper that builds REAL video payloads: each document
+    becomes an MJPEG AVI (functions/avi.py) of 16×16 grayscale
+    baseline-JPEG frames.  Every structural property is closed-form in
+    the text byte length ``n`` and ``doc_id`` so a SQL oracle can
+    predict what the real container parser + JPEG decoder must
+    recover:
+
+    - n_frames = n % 9 + 2,  fps = n % 4 + 1
+    - frame i is FLAT gray level (doc_id*31 + i*17) % 256, encoded at
+      quality 100 — flat blocks are bit-exact through the JPEG round
+      trip (tests/test_codecs.py), so decoded luma == the formula.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from i3cols_spark.functions import codecs, jpeg
+        from i3cols_spark.functions.avi import VideoData, encode_mjpeg_avi
+
+        for pdf in batches:
+            rows: dict[str, list] = {"media_id": [], "payload": []}
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                n = len(str(text).encode("utf-8"))
+                nf, fps = n % 9 + 2, n % 4 + 1
+                frames = []
+                for i in range(nf):
+                    level = (int(doc_id) * 31 + i * 17) % 256
+                    img = codecs.ImageData(
+                        width=16, height=16, channels=1,
+                        pixels=bytes([level]) * 256,
+                    )
+                    frames.append(jpeg.encode_jpeg(img, quality=100))
+                rows["media_id"].append(doc_id)
+                rows["payload"].append(
+                    encode_mjpeg_avi(
+                        VideoData(width=16, height=16, fps=fps, frames=frames)
+                    )
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        op, schema="media_id long, payload binary"
+    )
+
+
+def extract_video_features(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Decode video payloads and featurize a strided frame sample:
+    parse the AVI container, decode every ``every_n``-th frame's JPEG,
+    and report container metadata plus the mean luma of the sampled
+    frames — ALL re-derived from the actual bytes (avih/strh headers,
+    entropy-decoded pixels), never from side metadata.
+
+    Runs as one Arrow-batched ``mapInPandas`` pass: embarrassingly
+    parallel over the scan, per-task memory bounded by one batch of
+    payloads plus a single decoded 16×16 frame at a time."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from i3cols_spark.functions.avi import decode_mjpeg_avi
+        from i3cols_spark.functions.jpeg import decode_jpeg
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": list(pdf["media_id"]),
+                "width": [], "height": [], "fps": [],
+                "n_frames": [], "n_sampled": [], "mean_luma": [],
+            }
+            for p in pdf["payload"]:
+                vid = decode_mjpeg_avi(bytes(p))
+                lumas = []
+                for jf in vid.frames[::every_n]:
+                    img = decode_jpeg(jf)
+                    if (img.width, img.height) != (vid.width, vid.height):
+                        raise ValueError(
+                            "frame dims disagree with container header"
+                        )
+                    px = np.frombuffer(img.pixels, dtype=np.uint8)
+                    lumas.append(float(px.mean()))
+                out["width"].append(vid.width)
+                out["height"].append(vid.height)
+                out["fps"].append(vid.fps)
+                out["n_frames"].append(len(vid.frames))
+                out["n_sampled"].append(len(lumas))
+                out["mean_luma"].append(float(np.mean(lumas)))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        op,
+        schema=(
+            "media_id long, width int, height int, fps int, "
+            "n_frames int, n_sampled long, mean_luma double"
+        ),
+    )

@@ -23,7 +23,9 @@ from pyspark.sql import functions as F
 from i3cols_spark.functions.multimodal import (
     attach_fake_media,
     attach_synthetic_media,
+    attach_synthetic_video,
     extract_features,
+    extract_video_features,
 )
 from i3cols_spark.operators.registry import query
 from i3cols_spark.sources.tables import table
@@ -210,3 +212,45 @@ def q_multimodal_real_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_rate",
         "n_frames",
     )
+
+
+@query(
+    "q_multimodal_video_frames",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+        WHERE doc_id % 5 = 0
+    ),
+    p AS (SELECT doc_id, n % 9 + 2 AS nf, n % 4 + 1 AS fps FROM t),
+    s AS (
+        SELECT doc_id, nf, fps, unnest(generate_series(0, nf - 1, 2)) AS i
+        FROM p
+    )
+    SELECT doc_id AS media_id,
+           CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           CAST(fps AS INT) AS fps, CAST(nf AS INT) AS n_frames,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           avg(CAST((doc_id * 31 + i * 17) % 256 AS DOUBLE)) AS mean_luma
+    FROM s GROUP BY doc_id, nf, fps
+    """,
+)
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video path: documents (a deterministic 1-in-5 subset)
+    become genuine MJPEG AVI payloads — a RIFF container of
+    quality-100 grayscale baseline JPEGs (functions/avi.py +
+    functions/jpeg.py) — then one ``mapInPandas`` pass parses the
+    container, strides every 2nd frame, entropy-decodes each sampled
+    JPEG, and reports container dims / fps / frame count plus the mean
+    decoded luma.
+
+    Every output is re-derived FROM THE BYTES (avih + strh headers,
+    decoded pixel data) while the oracle predicts them in closed form
+    from text length and doc_id — flat frames are bit-exact through
+    the JPEG round trip, so a single wrong pixel anywhere in the DCT /
+    Huffman / container chain breaks the hash.  At scale the chain is
+    embarrassingly parallel over the scan; payloads never leave the
+    task that decoded them and only the tiny feature row shuffles.
+    """
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    video = attach_synthetic_video(docs)
+    return extract_video_features(video, every_n=2)

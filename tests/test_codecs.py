@@ -334,3 +334,76 @@ def test_resize_media_real_gates_unsupported_real_formats(spark):
     )
     with _pytest.raises(Exception, match="no resize path for image/png"):
         resize_media_real(df, factor=2).collect()
+
+
+# ------------------------------------------------------------- AVI/MJPEG
+
+def test_avi_mjpeg_round_trip_bit_exact_flat_frames():
+    import numpy as np
+
+    from i3cols_spark.functions.avi import (
+        VideoData, decode_mjpeg_avi, encode_mjpeg_avi,
+    )
+    from i3cols_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    levels = [0, 17, 100, 200, 255]
+    frames = [
+        encode_jpeg(
+            ImageData(width=16, height=16, channels=1, pixels=bytes([v]) * 256),
+            quality=100,
+        )
+        for v in levels
+    ]
+    payload = encode_mjpeg_avi(
+        VideoData(width=16, height=16, fps=5, frames=frames)
+    )
+    vid = decode_mjpeg_avi(payload)
+    assert (vid.width, vid.height, vid.fps) == (16, 16, 5)
+    assert len(vid.frames) == len(levels)
+    for v, jf in zip(levels, vid.frames):
+        img = decode_jpeg(jf)
+        px = np.frombuffer(img.pixels, dtype=np.uint8)
+        assert (img.width, img.height, img.channels) == (16, 16, 1)
+        assert (px == v).all()
+
+
+def test_avi_odd_sized_frames_pad_to_even():
+    from i3cols_spark.functions.avi import (
+        VideoData, decode_mjpeg_avi, encode_mjpeg_avi,
+    )
+
+    # Hand-rolled odd-length "frames" exercise RIFF even-byte padding;
+    # the parser must return the unpadded payloads verbatim.
+    frames = [b"\xff\xd8odd", b"\xff\xd8even!", b"x"]
+    payload = encode_mjpeg_avi(
+        VideoData(width=4, height=4, fps=1, frames=frames)
+    )
+    vid = decode_mjpeg_avi(payload)
+    assert vid.frames == frames
+
+
+def test_avi_gates_and_errors():
+    from i3cols_spark.functions.avi import (
+        VideoData, decode_mjpeg_avi, encode_mjpeg_avi,
+    )
+
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        decode_mjpeg_avi(b"RIFX????AVI ")
+    # non-MJPG codec gate: patch the strh handler fourcc
+    ok = bytearray(
+        encode_mjpeg_avi(VideoData(width=4, height=4, fps=1, frames=[b"ab"]))
+    )
+    i = ok.find(b"vids") + 4
+    ok[i : i + 4] = b"H264"
+    with pytest.raises(NotImplementedError, match="MJPG only"):
+        decode_mjpeg_avi(bytes(ok))
+    # frame-count mismatch: corrupt the declared count
+    bad = bytearray(
+        encode_mjpeg_avi(
+            VideoData(width=4, height=4, fps=1, frames=[b"ab", b"cd"])
+        )
+    )
+    k = bad.find(b"avih") + 8 + 16  # dwTotalFrames field
+    bad[k : k + 4] = struct.pack("<I", 9)
+    with pytest.raises(ValueError, match="declares 9 frames"):
+        decode_mjpeg_avi(bytes(bad))
