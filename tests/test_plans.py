@@ -466,3 +466,49 @@ def test_knn_batch_ranks_candidates_not_corpus(spark, sf_dir):
     assert "MapInPandas" in plan, plan
     assert "Window" in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_ohlc_is_partial_aggregate_without_window(spark, sf_dir):
+    """Open/close ride min_by/max_by inside a map-side-combinable
+    groupBy — a per-bar Window sort over raw events would be the
+    100 TB anti-pattern."""
+    df = QUERIES["q_ts_ohlc"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "Window" not in plan
+    # struct-ordered min_by buffers aren't hash-aggregable, so the
+    # combine is a SortAggregate — what matters is the partial phase
+    # (map-side combine) and a single exchange of pre-folded bars.
+    assert "partial_min_by" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_kmeans_argmin_is_aggregate_not_window(spark, sf_dir):
+    """The per-vector argmin folds into min(struct) partial
+    aggregation; centroids broadcast (nested-loop of k rows)."""
+    df = QUERIES["q_embedding_kmeans_assign"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bloom_probe_is_codegen_prefilter_before_semi_join(spark, sf_dir):
+    """The k bit-tests are pure column arithmetic (no Python eval) in
+    a Filter that runs BEFORE the exact semi join, and the 1-row
+    bitmap arrives by broadcast."""
+    df = QUERIES["q_join_bloom_prefilter"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "xxhash64" in plan and "shiftleft" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row bloom bitmap
+    assert "LeftSemi" in plan
+
+
+def test_snapshot_diff_is_conditional_agg_not_outer_join(spark, sf_dir):
+    """One conditional aggregation replaces the naive two-scan full
+    outer join; the cutoff scalar joins as a broadcast single row."""
+    df = QUERIES["q_snapshot_diff"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "FullOuter" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row cutoff scalar
