@@ -479,7 +479,9 @@ def test_ohlc_is_partial_aggregate_without_window(spark, sf_dir):
     # combine is a SortAggregate — what matters is the partial phase
     # (map-side combine) and a single exchange of pre-folded bars.
     assert "partial_min_by" in plan, plan
-    assert plan.count("Exchange") == 1, plan
+    # formatted mode lists each node twice (tree + detail header):
+    # one physical Exchange of pre-folded bars.
+    assert plan.count("Exchange (") == 1, plan
 
 
 def test_kmeans_argmin_is_aggregate_not_window(spark, sf_dir):
