@@ -403,3 +403,48 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("b_id").alias("vec_id"))
         .agg(F.min("a_id").alias("rep_id"))
     )
+
+
+@query(
+    "q_dedup_incremental",
+    oracle="""
+    WITH corpus AS (
+        SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 0
+    ),
+    batch AS (
+        SELECT doc_id, source, md5(text) AS h FROM documents
+        WHERE doc_id % 10 = 0
+    )
+    SELECT b.doc_id, b.source
+    FROM batch b LEFT JOIN corpus c ON b.h = c.h
+    WHERE c.h IS NULL
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: screen an incoming batch (a 1-in-10
+    deterministic slice standing in for today's crawl) against the
+    EXISTING corpus and admit only content-novel documents — the
+    steady-state form of dedup in a production pipeline, where
+    yesterday's corpus is fixed and only the delta is in flight.
+
+    Shape: both sides reduce to content digests (md5 of the text —
+    16 bytes rides the exchange, never the document), the corpus side
+    collapses to distinct hashes FIRST (map-side combine; the corpus's
+    internal duplicates never multiply the join), then one
+    hash-partitioned LEFT ANTI join.  At 100 TB the corpus digest set
+    is the only reusable state — in production it would be the
+    persisted output of the previous run (sources/ingest.write_columns),
+    making each increment's cost proportional to the batch, not the
+    corpus; here both sides derive from the same fixture table so the
+    oracle can see them.
+    """
+    docs = table(spark, sf_dir, "documents")
+    corpus = (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    batch = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    return batch.join(corpus, "h", "left_anti").select("doc_id", "source")

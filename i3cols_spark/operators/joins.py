@@ -387,3 +387,46 @@ def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefiltered.join(
         keys, prefiltered.o_custkey == keys.c_custkey, "left_semi"
     ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query(
+    "q_join_salted_skew",
+    oracle="""
+    SELECT c.c_nationkey,
+           round(sum(e.value), 2) AS total_value,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+)
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant equi-join via explicit salting
+    (sources/ingest.py::salted_join): the event stream — whose user_id
+    distribution is Zipf-shaped, the classic hot-key join — salts into
+    8 sub-keys while the dimension side replicates across all salts,
+    so one hot user spreads over 8 reducers instead of pinning one.
+
+    Registered as a checked query (not just a library helper +
+    unit test) because the technique's whole claim is result
+    invariance: the oracle is the PLAIN join — salting must be
+    invisible in the values and visible only in the exchange keys
+    ((user_id, __salt) instead of user_id, pinned by
+    tests/test_plans.py::test_salted_join_matches_plain_join's plan
+    half).  AQE skew-split handles moderate skew on its own; explicit
+    salting is the fallback for single-key extremes where even a
+    split partition is one task.
+    """
+    from i3cols_spark.sources.ingest import salted_join
+
+    ev = table(spark, sf_dir, "events").select("user_id", "value")
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    return (
+        salted_join(ev, cust, "user_id", n_salts=8)
+        .groupBy("c_nationkey")
+        .agg(
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

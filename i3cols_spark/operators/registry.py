@@ -87,6 +87,8 @@ EXTRA_QUERIES: tuple[str, ...] = (
     "q_ts_ohlc", "q_event_transitions", "q_ts_interpolate",
     "q_snapshot_diff", "q_join_bloom_prefilter",
     "q_embedding_kmeans_assign", "q_multimodal_video_frames",
+    "q_join_salted_skew", "q_sample_importance", "q_dedup_incremental",
+    "q_text_bigram_lm",
     # tier 2 — stats / sampling
     "q_agg_percentile", "q_agg_approx_percentile", "q_agg_stats_corr",
     "q_agg_histogram", "q_agg_mode", "q_sample_stratified",

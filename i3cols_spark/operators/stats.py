@@ -579,3 +579,37 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mode_qty"),
         F.max("cnt").alias("mode_count"),
     )
+
+
+@query(
+    "q_sample_importance",
+    oracle="""
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE CAST((doc_id * 2654435761) % 65536 AS DOUBLE) / 65536.0 <
+          0.9 * least(1.0, n_chars / 800.0)
+    """,
+)
+def q_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted deterministic sampling: each document's
+    keep-probability scales with a per-row weight (here a length
+    proxy, ``least(1, n_chars/800)`` — longer docs are likelier kept,
+    the way data-mixing pipelines upweight higher-quality sources),
+    implemented as a hash-threshold test so the SAMPLE ITSELF is
+    reproducible and oracle-checkable row for row.
+
+    The uniform variate is a Knuth multiplicative hash of the key
+    ((doc_id · 2654435761) mod 2^16 / 2^16) — exact integer arithmetic
+    available identically in both engines, unlike xxhash64 (Spark-
+    only) or RNG sampling (partitioning-dependent).  Same nesting
+    property as q_sample_stratified: lowering the 0.9 base rate
+    yields a subset of the current sample.  Plan: pure per-row filter
+    over the scan — no shuffle, no state, any scale.
+    """
+    docs = table(spark, sf_dir, "documents")
+    u = (
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(65536)).cast("double")
+        / 65536.0
+    )
+    p = 0.9 * F.least(F.lit(1.0), F.col("n_chars") / 800.0)
+    return docs.filter(u < p).select("doc_id", "source", "n_chars")

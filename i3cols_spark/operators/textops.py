@@ -521,3 +521,80 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("scrubbed"),
         F.length(t).cast("long").alias("n_chars_in"),
     )
+
+
+@query(
+    "q_text_bigram_lm",
+    oracle="""
+    WITH t AS (
+        SELECT string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    b AS (
+        SELECT toks[i] AS w1, toks[i + 1] AS w2
+        FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+        WHERE toks[i] <> '' AND toks[i + 1] <> ''
+    ),
+    cnt AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pairs FROM b GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT w1, w2, n_pairs,
+               n_pairs / sum(n_pairs) OVER (PARTITION BY w1) AS p_next
+        FROM cnt
+    )
+    SELECT w1, w2, n_pairs, p_next
+    FROM tot
+    ORDER BY n_pairs DESC, w1, w2
+    LIMIT 50
+    """,
+)
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model statistics over the corpus: adjacent
+    token pairs counted globally, normalized to next-token conditional
+    probabilities P(w2|w1), top-50 by frequency — the count table
+    behind n-gram LM scoring, corpus-divergence tests, and the
+    "predictable continuation" repetition signal.
+
+    Shape: bigrams are built PER ROW with sequence+transform over the
+    token array (the shingle pattern of functions/text.py — no
+    self-join on position, no explode before pairing), then one
+    map-side-combined groupBy of (w1, w2); the normalization window
+    and top-k run over the aggregated pair table (vocabulary², not
+    corpus, sized).  The probability is a per-row BIGINT/BIGINT IEEE
+    division — bit-identical in both engines, unrounded.  At 100 TB
+    the only corpus-sized shuffle carries exploded bigrams, each a
+    small string pair — and a frequency cutoff would bound even that.
+    """
+    toks = tokens("text")
+    n = F.size(toks)
+    pair_idx = F.sequence(F.lit(0), n - 2)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            pair_idx,
+            lambda i: F.struct(
+                F.element_at(toks, i + 1).alias("w1"),
+                F.element_at(toks, i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array())
+    pairs = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(bigrams).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    norm = W.partitionBy("w1")
+    return (
+        pairs.select(
+            "w1",
+            "w2",
+            "n_pairs",
+            (F.col("n_pairs") / F.sum("n_pairs").over(norm)).alias("p_next"),
+        )
+        .orderBy(F.desc("n_pairs"), "w1", "w2")
+        .limit(50)
+    )
