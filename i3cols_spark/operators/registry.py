@@ -142,6 +142,19 @@ _R5_PRIORITY: tuple[str, ...] = (
 )
 
 
+#: Operators registered AFTER the round-5 rotation block was frozen
+#: (the driver budget is exactly 50, already filled by the 50
+#: never-checked names above).  These have full sim + soak evidence
+#: this round and are the round-6 rotation's first candidates.
+POST_R5_ADDITIONS: tuple[str, ...] = (
+    "q_ts_ohlc", "q_event_transitions", "q_ts_interpolate",
+    "q_snapshot_diff", "q_join_bloom_prefilter",
+    "q_embedding_kmeans_assign", "q_multimodal_video_frames",
+    "q_join_salted_skew", "q_sample_importance", "q_dedup_incremental",
+    "q_text_bigram_lm",
+)
+
+
 def surface_order() -> list[str]:
     """Driver-facing ordering: the round-5 evidence-rotation block
     first (see ``_R5_PRIORITY``), the remaining contract + extras in

