@@ -362,3 +362,96 @@ def q_dedup_cluster_sizes(spark, sf_dir: str) -> DataFrame:
         .groupBy(F.col("sz").cast("long").alias("cluster_size"))
         .agg(F.count("*").alias("n_clusters"))
     )
+
+
+@query(
+    "q_graph_pagerank",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+        SELECT cust AS src, supp + 10000000 AS dst FROM pairs
+        UNION ALL
+        SELECT supp + 10000000 AS src, cust AS dst FROM pairs
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM deg),
+    r1 AS (
+        SELECT e.dst AS node,
+               round(0.15 / n.n_nodes
+                     + 0.85 * sum((1.0 / n.n_nodes) / deg.d), 12) AS r
+        FROM edges e JOIN deg ON e.src = deg.src, n
+        GROUP BY e.dst, n.n_nodes
+    ),
+    r2 AS (
+        SELECT e.dst AS node,
+               round(0.15 / n.n_nodes + 0.85 * sum(r1.r / deg.d), 6) AS rank
+        FROM edges e
+        JOIN deg ON e.src = deg.src
+        JOIN r1  ON e.src = r1.node, n
+        GROUP BY e.dst, n.n_nodes
+    )
+    SELECT node, rank FROM r2
+    ORDER BY rank DESC, node
+    LIMIT 20
+    """,
+)
+def q_graph_pagerank(spark, sf_dir: str) -> DataFrame:
+    """Two unrolled PageRank iterations (d=0.85) over the
+    customer↔supplier trading graph (distinct pairs from
+    orders ⋈ lineitem; supplier ids offset into their own node-id
+    range), top-20 nodes — the influence-ranking companion to
+    q_dedup_clusters' connected components, and the canonical
+    iterative-join workload.
+
+    Shape per iteration: ranks ⋈ out-degrees ⋈ edges, then a
+    map-side-combined sum per destination — the SAME
+    hash-partitioning on the join key carries through both
+    iterations, so each round is one shuffle of |E| contribution
+    rows.  Unrolled to a fixed 2 iterations to stay SQL-expressible
+    for the oracle; the open-ended fixpoint form reuses the
+    localCheckpoint loop machinery of ``_cc_loop`` (this file).
+    Cross-engine FP discipline: per-node contribution sums are
+    order-nondeterministic, so iteration 1 rounds at 12 dp and the
+    final rank at 6 dp in BOTH engines — rounding between iterations
+    prevents error compounding across the unroll.
+    """
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + 10_000_000).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).unionAll(
+        pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    n = deg.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
+
+    def iterate(ranks: DataFrame, dp: int, out_col: str) -> DataFrame:
+        """ranks(node, r) -> next ranks at dst, rounded to dp."""
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .crossJoin(F.broadcast(n))
+        )
+        return contrib.groupBy(F.col("dst").alias("node"), "n_nodes").agg(
+            F.round(
+                0.15 / F.col("n_nodes")
+                + 0.85 * F.sum(F.col("r") / F.col("d")),
+                dp,
+            ).alias(out_col)
+        ).select("node", F.col(out_col))
+
+    r0 = deg.crossJoin(F.broadcast(n)).select(
+        F.col("src").alias("node"), (1.0 / F.col("n_nodes")).alias("r")
+    )
+    r1 = iterate(r0, 12, "r")
+    r2 = iterate(r1, 6, "rank")
+    return r2.orderBy(F.desc("rank"), "node").limit(20)

@@ -300,3 +300,37 @@ def stream_user_peaks_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_ts_ohlc: daily OHLC bars per event type as
+    a watermarked tumbling-window aggregate.  ``min_by``/``max_by``
+    over the struct(ts, event_id) order key are ordinary declarative
+    aggregates, so they fold into streaming state exactly as they fold
+    into the batch partial aggregate — per-bar state is two (value,
+    order-key) extrema plus the min/max/count/sum scalars, regardless
+    of event volume."""
+    ev = _event_stream(spark, sf_dir)
+    ord_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", ord_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ord_key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros("w.start").alias("day_us"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -20,6 +20,7 @@ def _rows(df):
     "stream_fn,batch_name",
     [
         (jobs.stream_tumbling_counts, "q_stream_tumbling"),
+        (jobs.stream_ohlc_bars, "q_ts_ohlc"),
         (jobs.stream_sliding_counts, "q_stream_sliding"),
         (jobs.stream_session_windows, "q_stream_session"),
         (jobs.stream_view_purchase_join, "q_stream_join"),
