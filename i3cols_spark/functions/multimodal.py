@@ -115,6 +115,24 @@ def decode_media(media_type: str, payload: bytes) -> dict:
             "features": [float(img.width), float(img.height), float(img.channels)]
             + _stride_sample(img.pixels),
         }
+    if media_type == "image/gif":
+        # GIF is frame-structured: treat it like the video path — the
+        # first frame supplies image dims/features, n_frames counts
+        # the animation.
+        from i3cols_spark.functions.gif import decode_gif
+
+        gif = decode_gif(payload)
+        first = gif.frames[0]
+        return {
+            "width": gif.width,
+            "height": gif.height,
+            "sample_rate": None,
+            "n_frames": len(gif.frames),
+            "features": [
+                float(gif.width), float(gif.height), float(first.channels),
+            ]
+            + _stride_sample(first.pixels),
+        }
     if media_type in ("audio/wav", "audio/x-wav"):
         audio = codecs.decode_wav(payload)
         return {
@@ -132,7 +150,7 @@ def decode_media(media_type: str, payload: bytes) -> dict:
     if media_type.startswith("image/"):
         raise NotImplementedError(
             f"{media_type} needs an external codec (e.g. Pillow); "
-            "built-in formats: bmp, ppm/pgm, png, jpeg (baseline)"
+            "built-in formats: bmp, ppm/pgm, png, jpeg (baseline), gif"
         )
     if media_type.startswith(("audio/", "video/")):
         raise NotImplementedError(
@@ -454,5 +472,89 @@ def extract_video_features(df: DataFrame, every_n: int = 2) -> DataFrame:
         schema=(
             "media_id long, width int, height int, fps int, "
             "n_frames int, n_sampled long, mean_luma double"
+        ),
+    )
+
+
+def attach_synthetic_gif(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fixture helper for the GIF path: each document becomes an
+    ANIMATED 16×16 grayscale GIF (functions/gif.py) with closed-form
+    structure — LZW is lossless, so unlike JPEG frames the pixel
+    formula survives the round trip exactly:
+
+    - n_frames = n % 6 + 2,  delay_cs[i] = (n + i) % 20 + 5
+    - frame i is FLAT gray level (doc_id*13 + i*29) % 256
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from i3cols_spark.functions import codecs
+        from i3cols_spark.functions.gif import GifData, encode_gif
+
+        for pdf in batches:
+            rows: dict[str, list] = {"media_id": [], "payload": []}
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                n = len(str(text).encode("utf-8"))
+                nf = n % 6 + 2
+                frames = [
+                    codecs.ImageData(
+                        width=16, height=16, channels=1,
+                        pixels=bytes([(int(doc_id) * 13 + i * 29) % 256]) * 256,
+                    )
+                    for i in range(nf)
+                ]
+                delays = [(n + i) % 20 + 5 for i in range(nf)]
+                rows["media_id"].append(doc_id)
+                rows["payload"].append(
+                    encode_gif(
+                        GifData(width=16, height=16, frames=frames,
+                                delays_cs=delays)
+                    )
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        op, schema="media_id long, payload binary"
+    )
+
+
+def extract_gif_features(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Decode animated GIFs and featurize a strided frame sample:
+    dims from the logical screen descriptor, total duration from the
+    per-frame graphic-control delays, mean gray of every
+    ``every_n``-th LZW-decoded frame — all from the actual bytes."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from i3cols_spark.functions.gif import decode_gif
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": list(pdf["media_id"]),
+                "width": [], "height": [], "n_frames": [],
+                "duration_cs": [], "n_sampled": [], "mean_gray": [],
+            }
+            for p in pdf["payload"]:
+                gif = decode_gif(bytes(p))
+                sampled = gif.frames[::every_n]
+                grays = [
+                    float(np.frombuffer(fr.pixels, dtype=np.uint8).mean())
+                    for fr in sampled
+                ]
+                out["width"].append(gif.width)
+                out["height"].append(gif.height)
+                out["n_frames"].append(len(gif.frames))
+                out["duration_cs"].append(sum(gif.delays_cs))
+                out["n_sampled"].append(len(grays))
+                out["mean_gray"].append(float(np.mean(grays)))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        op,
+        schema=(
+            "media_id long, width int, height int, n_frames int, "
+            "duration_cs long, n_sampled long, mean_gray double"
         ),
     )

@@ -23,8 +23,10 @@ from pyspark.sql import functions as F
 from i3cols_spark.functions.multimodal import (
     attach_fake_media,
     attach_synthetic_media,
+    attach_synthetic_gif,
     attach_synthetic_video,
     extract_features,
+    extract_gif_features,
     extract_video_features,
 )
 from i3cols_spark.operators.registry import query
@@ -254,3 +256,55 @@ def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     video = attach_synthetic_video(docs)
     return extract_video_features(video, every_n=2)
+
+
+@query(
+    "q_multimodal_gif_anim",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+        WHERE doc_id % 5 = 1
+    ),
+    p AS (SELECT doc_id, n, n % 6 + 2 AS nf FROM t),
+    d AS (  -- total animation duration: sum of per-frame delays
+        SELECT doc_id, nf,
+               CAST(sum((n + i) % 20 + 5) AS BIGINT) AS duration_cs
+        FROM p, unnest(generate_series(0, nf - 1)) AS u(i)
+        GROUP BY doc_id, nf
+    ),
+    s AS (  -- strided sample: frames 0, 2, ...
+        SELECT p.doc_id, p.nf, unnest(generate_series(0, p.nf - 1, 2)) AS i
+        FROM p
+    ),
+    m AS (
+        SELECT doc_id, nf,
+               avg(CAST((doc_id * 13 + i * 29) % 256 AS DOUBLE)) AS mean_gray,
+               CAST(count(*) AS BIGINT) AS n_sampled
+        FROM s GROUP BY doc_id, nf
+    )
+    SELECT m.doc_id AS media_id,
+           CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           CAST(m.nf AS INT) AS n_frames, d.duration_cs,
+           m.n_sampled, m.mean_gray
+    FROM m JOIN d ON m.doc_id = d.doc_id
+    """,
+)
+def q_multimodal_gif_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF path: a deterministic 1-in-5 document slice
+    (disjoint from the MJPEG-AVI slice) becomes genuine GIF89a
+    animations — grayscale global palette, per-frame graphic-control
+    delays, variable-width LZW frame data (functions/gif.py) — then
+    one ``mapInPandas`` pass walks the block stream, LZW-decodes every
+    2nd frame, and reports screen dims / frame count / total duration
+    / mean sampled gray.
+
+    LZW is lossless, so the closed-form pixel formula survives the
+    round trip EXACTLY — the oracle pins encoder and decoder down to
+    the bit-level code stream (an off-by-one in the variable-width
+    logic shifts every later pixel).  Same scale shape as the other
+    media ops: embarrassingly parallel decode over the scan, only the
+    feature row shuffles.
+    """
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 1)
+    gifs = attach_synthetic_gif(docs)
+    return extract_gif_features(gifs, every_n=2)

@@ -407,3 +407,84 @@ def test_avi_gates_and_errors():
     bad[k : k + 4] = struct.pack("<I", 9)
     with pytest.raises(ValueError, match="declares 9 frames"):
         decode_mjpeg_avi(bytes(bad))
+
+
+# ------------------------------------------------------------------ GIF
+
+def test_gif_lzw_round_trips_across_width_boundaries():
+    import random
+
+    from i3cols_spark.functions.gif import _lzw_decode, _lzw_encode
+
+    rng = random.Random(7)
+    for n in (1, 2, 255, 256, 511, 512, 1000, 5000, 20000):
+        data = bytes(rng.randrange(256) for _ in range(n))
+        assert _lzw_decode(_lzw_encode(data, 8), 8) == data, n
+        rep = (b"abcab" * (n // 5 + 1))[:n]  # dictionary-heavy path
+        assert _lzw_decode(_lzw_encode(rep, 8), 8) == rep, n
+
+
+def test_gif_animation_round_trip_lossless():
+    from i3cols_spark.functions.gif import GifData, decode_gif, encode_gif
+
+    frames = [
+        ImageData(16, 16, 1, bytes((i * 17 + j) % 256 for j in range(256)))
+        for i in range(4)
+    ]
+    g = GifData(width=16, height=16, frames=frames, delays_cs=[10, 20, 30, 40])
+    back = decode_gif(encode_gif(g))
+    assert (back.width, back.height) == (16, 16)
+    assert back.delays_cs == [10, 20, 30, 40]
+    for a, b in zip(frames, back.frames):
+        assert b.channels == 1 and a.pixels == b.pixels
+
+
+def test_gif_decodes_external_spec_fixture():
+    """The canonical 1×1 black GIF89a (produced by standard encoders,
+    byte-identical across tools) — pins OUR decoder against external
+    ground truth so a matched encode/decode bug pair cannot
+    self-certify."""
+    from i3cols_spark.functions.gif import decode_gif
+
+    onepx = bytes.fromhex(
+        "474946383961010001008000000000"
+        "00ffffff21f90400000000002c0000"
+        "0000010001000002024401003b"
+    )
+    d = decode_gif(onepx)
+    assert (d.width, d.height, len(d.frames)) == (1, 1, 1)
+    assert d.frames[0].pixels[:1] == b"\x00"  # palette entry 0 = black
+
+
+def test_gif_gates_and_errors():
+    from i3cols_spark.functions.gif import GifData, decode_gif, encode_gif
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"NOTGIF" + b"\x00" * 10)
+    with pytest.raises(NotImplementedError, match="grayscale"):
+        encode_gif(
+            GifData(2, 2, [ImageData(2, 2, 3, bytes(12))], [0])
+        )
+    # interlace flag gate
+    ok = bytearray(
+        encode_gif(GifData(2, 2, [ImageData(2, 2, 1, bytes(4))], [0]))
+    )
+    # image descriptor sits after the 13-byte header, 768-byte
+    # palette, and 8-byte GCE; search past the palette so a 0x2c
+    # palette byte can't be mistaken for the descriptor
+    i = ok.index(0x2C, 13 + 768)
+    ok[i + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_gif(bytes(ok))
+
+
+def test_gif_via_multimodal_dispatch():
+    from i3cols_spark.functions.gif import GifData, encode_gif
+    from i3cols_spark.functions.multimodal import decode_media
+
+    payload = encode_gif(
+        GifData(4, 2, [ImageData(4, 2, 1, bytes(range(8)))] * 3, [5, 5, 5])
+    )
+    d = decode_media("image/gif", payload)
+    assert (d["width"], d["height"], d["n_frames"]) == (4, 2, 3)
+    assert d["features"][:3] == [4.0, 2.0, 1.0]
