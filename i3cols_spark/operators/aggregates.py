@@ -219,3 +219,73 @@ def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sum_qty") > 2000)
     )
+
+
+@query(
+    "q_agg_moments",
+    oracle="""
+    WITH m AS (
+        SELECT event_type, round(avg(value), 6) AS mu
+        FROM events GROUP BY event_type
+    ),
+    c AS (
+        SELECT e.event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               m.mu,
+               round(avg((e.value - m.mu) * (e.value - m.mu)), 6) AS m2,
+               round(avg((e.value - m.mu) * (e.value - m.mu)
+                         * (e.value - m.mu)), 6) AS m3,
+               round(avg((e.value - m.mu) * (e.value - m.mu)
+                         * (e.value - m.mu) * (e.value - m.mu)), 6) AS m4
+        FROM events e JOIN m ON e.event_type = m.event_type
+        GROUP BY e.event_type, m.mu
+    )
+    SELECT event_type, n, mu AS mean,
+           round(m3 / (m2 * sqrt(m2)), 6)  AS skewness,
+           round(m4 / (m2 * m2) - 3.0, 6)  AS excess_kurtosis,
+           m2 AS variance_pop
+    FROM c
+    """,
+)
+def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape profiling per event type: population
+    variance, skewness, and excess kurtosis from explicit central
+    moments.  Built from raw columns instead of the engines' built-in
+    skewness/kurtosis because those DISAGREE across engines (sample vs
+    population estimators, bias corrections) — the moment formula is
+    the portable ground truth, and the cross-engine discipline is the
+    point of the exercise.
+
+    Two-pass shape: pass 1 is the per-group mean (map-side-combined,
+    |types| rows, broadcast back); pass 2 averages centered powers.
+    Centering BEFORE the power sums avoids the catastrophic
+    cancellation of the raw-moment (E[x⁴]-based) single-pass form,
+    whose 1e-15 relative summation noise on ~1e12-scale sums would
+    blow past any rounding precision; centered, every sum is
+    well-conditioned and 6 dp rounding in both engines absorbs
+    reduction-order noise.  The rounded mean is part of the contract
+    (both engines center on the identical 6 dp value).
+    """
+    ev = table(spark, sf_dir, "events")
+    mu = ev.groupBy("event_type").agg(F.round(F.avg("value"), 6).alias("mu"))
+    d = F.col("value") - F.col("mu")
+    c = (
+        ev.join(F.broadcast(mu), "event_type")
+        .groupBy("event_type", "mu")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(d * d), 6).alias("m2"),
+            F.round(F.avg(d * d * d), 6).alias("m3"),
+            F.round(F.avg(d * d * d * d), 6).alias("m4"),
+        )
+    )
+    return c.select(
+        "event_type",
+        "n",
+        F.col("mu").alias("mean"),
+        F.round(F.col("m3") / (F.col("m2") * F.sqrt("m2")), 6).alias("skewness"),
+        F.round(F.col("m4") / (F.col("m2") * F.col("m2")) - 3.0, 6).alias(
+            "excess_kurtosis"
+        ),
+        F.col("m2").alias("variance_pop"),
+    )

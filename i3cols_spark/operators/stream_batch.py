@@ -623,3 +623,83 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cohort",
         (F.col("n_active").cast("double") / F.col("n_cohort")).alias("retention"),
     )
+
+
+@query(
+    "q_join_point_in_time",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_id AS ver_id, value AS attr_value,
+               epoch_us(ts) AS f,
+               lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS t
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, event_id, epoch_us(ts) AS click_us
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT c.user_id, c.event_id, c.click_us, iv.ver_id, iv.attr_value
+    FROM c LEFT JOIN iv
+      ON c.user_id = iv.user_id
+     AND c.click_us >= iv.f AND (iv.t IS NULL OR c.click_us < iv.t)
+    """,
+)
+def q_join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join — the feature-store correctness
+    primitive: each fact row (clicks) reads the dimension version
+    (q_scd2_intervals' purchase history) that was valid AT ITS OWN
+    timestamp, never a later one (no feature leakage).
+
+    The oracle states it relationally as an interval BETWEEN join; the
+    engine NEVER builds intervals or joins — version rows and probe
+    rows UNION into one stream, one window per user ordered by
+    (ts, kind, event_id) carries the latest version forward with
+    ``last(ignorenulls)``, and probes read it in place.  That's a
+    single hash-partition shuffle with O(1) frame state; the interval
+    join would re-buffer each user's history per probe.  Tie
+    discipline: a probe at exactly a version's timestamp sees THAT
+    version (dim rows sort before probes at equal ts — half-open
+    [from, to) semantics), and equal-µs versions resolve by event_id,
+    matching the SCD2 interval build.
+    """
+    ev = table(spark, sf_dir, "events")
+    dim = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.lit(0).alias("kind"),
+        "event_id",
+        F.col("value").alias("attr_value"),
+    )
+    probe = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.lit(None).cast("double").alias("attr_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    is_dim = F.col("kind") == 0
+    carried = dim.unionByName(probe).select(
+        "user_id",
+        "event_id",
+        "us",
+        "kind",
+        F.last(F.when(is_dim, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("ver_id"),
+        F.last(F.when(is_dim, F.col("attr_value")), ignorenulls=True)
+        .over(w)
+        .alias("attr_value"),
+    )
+    return carried.filter(F.col("kind") == 1).select(
+        "user_id",
+        "event_id",
+        F.col("us").alias("click_us"),
+        "ver_id",
+        "attr_value",
+    )
