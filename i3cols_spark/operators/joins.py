@@ -430,3 +430,113 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+def _bucketed_mirror(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write-once bucketed mirror of (lineitem, orders) hash-bucketed
+    on the join key — the pay-the-shuffle-once layout of
+    sources/ingest.write_bucketed, cached per dataset CONTENT exactly
+    like the IVF index (fingerprint sidecar, warehouse-dir home,
+    atomic marker), and re-REGISTERED in a fresh session's catalog via
+    bucketed-DDL over the existing files, so the mirror survives
+    across driver sessions the way a real warehouse table does.
+
+    Returns the two catalog table names.
+    """
+    import hashlib
+    import json
+    import os
+
+    from i3cols_spark.operators.similarity import _data_fingerprint, _index_root
+
+    fp = _data_fingerprint(os.path.join(sf_dir, "lineitem.parquet"))
+    fp = hashlib.md5(
+        (fp + _data_fingerprint(os.path.join(sf_dir, "orders.parquet"))).encode()
+    ).hexdigest()
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(os.path.dirname(_index_root(spark)), "bucketed_mirror")
+    specs = {
+        f"bm_lineitem_{tag}": (
+            "lineitem",
+            ("l_orderkey", "l_extendedprice", "l_discount"),
+            "l_orderkey bigint, l_extendedprice double, l_discount double",
+            "l_orderkey",
+        ),
+        f"bm_orders_{tag}": (
+            "orders",
+            ("o_orderkey", "o_orderstatus"),
+            "o_orderkey bigint, o_orderstatus string",
+            "o_orderkey",
+        ),
+    }
+    for tname, (src, cols, ddl_cols, key) in specs.items():
+        loc = os.path.join(root, tname)
+        marker = os.path.join(loc, "_BUCKETS.json")
+        fresh = False
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                fresh = json.load(fh).get("fingerprint") == fp
+        if not fresh:
+            spark.sql(f"DROP TABLE IF EXISTS {tname}")
+            (
+                table(spark, sf_dir, src)
+                .select(*cols)
+                .write.mode("overwrite")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .option("path", loc)
+                .format("parquet")
+                .saveAsTable(tname)
+            )
+            tmp = marker + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"fingerprint": fp}, fh)
+            os.replace(tmp, marker)
+        elif not spark.catalog.tableExists(tname):
+            # files are current but this session's catalog is fresh:
+            # re-register the SAME bucket spec over the existing files
+            spark.sql(
+                f"CREATE TABLE {tname} ({ddl_cols}) USING parquet "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO 8 BUCKETS "
+                f"LOCATION '{loc}'"
+            )
+    return tuple(specs)
+
+
+@query(
+    "q_join_bucketed",
+    oracle="""
+    SELECT o.o_orderstatus,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join over the write-once BUCKETED mirror: both sides
+    pre-hashed into 8 co-located buckets on the join key, so the join
+    itself plans with ZERO exchanges (tests/test_plans.py asserts it)
+    — the shuffle was paid once at layout time, the way a 100 TB
+    warehouse keeps its biggest fact tables joinable every hour
+    without re-shuffling 100 TB every hour.
+
+    The oracle is the plain join over the raw parquet: identical
+    values, different physical life.  The ``merge`` hint pins SMJ at
+    fixture scale (Catalyst would broadcast the small side and the
+    plan wouldn't demonstrate co-location; at real scale SMJ is what
+    AQE picks anyway).
+    """
+    bl_name, bo_name = _bucketed_mirror(spark, sf_dir)
+    bl = spark.table(bl_name).hint("merge")
+    bo = spark.table(bo_name)
+    return (
+        bl.join(bo, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

@@ -514,3 +514,24 @@ def test_snapshot_diff_is_conditional_agg_not_outer_join(spark, sf_dir):
     assert "FullOuter" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row cutoff scalar
+
+
+def test_registered_bucketed_join_is_exchange_free(spark, sf_dir):
+    """q_join_bucketed's mirror tables co-locate both join sides: the
+    join subplan is a SortMergeJoin with ZERO shuffle exchanges (the
+    full query's only exchange belongs to the final groupBy)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from i3cols_spark.operators.joins import _bucketed_mirror
+
+    bl_name, bo_name = _bucketed_mirror(spark, sf_dir)
+    bl, bo = spark.table(bl_name).hint("merge"), spark.table(bo_name)
+    joined = bl.join(bo, F.col("l_orderkey") == F.col("o_orderkey"))
+    plan = explain_str(joined)
+    assert "SortMergeJoin" in plan
+    assert not re.search(r"\(\d+\) Exchange\b", plan), plan
+    # and the registered query's full plan has exactly the agg exchange
+    full = explain_str(QUERIES["q_join_bucketed"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange\b", full)) == 1, full
