@@ -448,3 +448,71 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.md5("text").alias("h")
     )
     return batch.join(corpus, "h", "left_anti").select("doc_id", "source")
+
+
+@query(
+    "q_dedup_containment",
+    oracle="""
+    WITH d AS (
+        SELECT min(doc_id) AS rep, lang,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(string_split_regex(norm,
+                       '\\s+')) - 2, 1)),
+                   i -> concat_ws(' ',
+                        string_split_regex(norm, '\\s+')[i],
+                        string_split_regex(norm, '\\s+')[i+1],
+                        string_split_regex(norm, '\\s+')[i+2])
+               )) AS sh
+        FROM (SELECT doc_id, lang, lower(trim(text)) AS norm FROM documents)
+        GROUP BY lang, norm
+    )
+    SELECT a.rep AS doc_sub, b.rep AS doc_super,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+               AS containment
+    FROM d a JOIN d b ON a.lang = b.lang AND a.rep <> b.rep
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.6
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle CONTAINMENT ≥ 0.6 between distinct texts
+    (lang-blocked): C(a→b) = |sh(a) ∩ sh(b)| / |sh(a)| — the
+    asymmetric companion to q_dedup_ngram_jaccard that Jaccard
+    misses: a short document quoted inside a long one scores near
+    containment 1 but tiny Jaccard (union is dominated by the long
+    side).  This is how pipelines catch boilerplate inclusion,
+    quote-expansion dups, and benchmark text embedded in larger pages.
+
+    Same scale shape as the Jaccard op (its docstring carries the
+    measurements): exact-dup collapse first, inverted-index equi-join
+    on hashed shingles over one representative per distinct text —
+    pairs sharing zero shingles never exist, |sh(a)| rides the
+    exploded rows.  Containment = int/int per-row division —
+    bit-identical, unrounded.  Output stays at the representative
+    level: the member expansion is q_dedup_ngram_jaccard's job; this
+    query is the subset-detector over distinct content.
+    """
+    docs0 = spread(table(spark, sf_dir, "documents"), spark)
+    grp = (
+        docs0.groupBy("lang", F.xxhash64(normalize("text")).alias("th"))
+        .agg(F.min("doc_id").alias("rep"), F.first("text").alias("text"))
+        .select("lang", "rep", shingle_hashes("text").alias("sh"))
+    )
+    sh_rows = grp.select(
+        "lang", "rep", F.size("sh").alias("n"), F.explode("sh").alias("shingle")
+    )
+    a, b = sh_rows.alias("a"), sh_rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.rep") != F.col("b.rep")),
+        )
+        .groupBy(F.col("a.rep").alias("doc_sub"), F.col("b.rep").alias("doc_super"))
+        .agg(F.count(F.lit(1)).alias("common"), F.first("a.n").alias("n_sub"))
+        .withColumn(
+            "containment", F.col("common").cast("double") / F.col("n_sub")
+        )
+        .filter(F.col("containment") >= 0.6)
+        .select("doc_sub", "doc_super", "containment")
+    )
