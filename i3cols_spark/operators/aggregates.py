@@ -289,3 +289,31 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("m2").alias("variance_pop"),
     )
+
+
+@query(
+    "q_agg_string_agg",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(c_name, ',' ORDER BY c_name) AS names,
+           CAST(count(*) AS BIGINT) AS n
+    FROM customer WHERE c_acctbal > 9500
+    GROUP BY c_nationkey
+    """,
+)
+def q_agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg): comma-joined
+    alphabetical names of high-balance customers per nation.  Spark
+    has no ordered string_agg; ``concat_ws(sort_array(collect_list))``
+    states the identical deterministic result — collect_list's arrival
+    order is partition-dependent, so the sort_array is CORRECTNESS,
+    not cosmetics (the partition soak runs this at local[3]/7 to
+    prove it).  The filter bounds per-group state; unbounded listagg
+    over a hot group would be the same collect_list skew discussed at
+    q_funnel_conversion.
+    """
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9500)
+    return cust.groupBy("c_nationkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("c_name"))).alias("names"),
+        F.count(F.lit(1)).alias("n"),
+    )

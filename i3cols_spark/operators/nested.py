@@ -276,3 +276,36 @@ def q_udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d, LATERAL tokenize_udtf(d.text) t
         """
     )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS value
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS value
+    FROM orders
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-order metrics to long (key, metric,
+    value) rows — the inverse of q_pivot and the standard reshape
+    before a generic metric pipeline.  Uses the native ``unpivot``
+    operator (Spark 3.4+ Expand node — one pass, each input row fans
+    to |metrics| rows map-side, NO shuffle or union-of-scans); the
+    oracle states the same result as the classic UNION ALL, which
+    scans the table once per metric — the exact cost the Expand form
+    avoids at 100 TB.
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    )
+    return orders.unpivot(
+        ids="o_orderkey",
+        values=["totalprice", "custkey"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
