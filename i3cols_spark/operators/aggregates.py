@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from i3cols_spark.functions.rounding import round_half_up
 from i3cols_spark.operators.registry import query
@@ -316,4 +317,49 @@ def q_agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.groupBy("c_nationkey").agg(
         F.concat_ws(",", F.sort_array(F.collect_list("c_name"))).alias("names"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_agg_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT user_id, event_type, n,
+               n / sum(n) OVER (PARTITION BY user_id) AS p
+        FROM c
+    )
+    SELECT user_id,
+           round(-sum(p * ln(p)), 6) AS entropy,
+           CAST(count(*) AS BIGINT) AS n_types
+    FROM t GROUP BY user_id
+    """,
+)
+def q_agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    behavioural-diversity score used in bot screening (near-zero
+    entropy = single-action automation) and in data-mixing quality
+    gates.
+
+    Shape: one map-side-combined (user, type) count, a window over
+    that small aggregate for the probabilities (|users|·|types| rows,
+    not events), and a second tiny aggregate for −Σ p·ln p.  The
+    probability is exact int/int IEEE division; the ln() terms sum
+    over ≤ |types| rows in nondeterministic order, so the entropy
+    rounds at 6 dp in both engines (registry discipline — also
+    absorbs any sub-ulp libm ln() disagreement between JVM and C
+    runtimes).
+    """
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    wu = Window.partitionBy("user_id")
+    t = c.select(
+        "user_id", (F.col("n") / F.sum("n").over(wu)).alias("p")
+    )
+    return t.groupBy("user_id").agg(
+        F.round(-F.sum(F.col("p") * F.log("p")), 6).alias("entropy"),
+        F.count(F.lit(1)).alias("n_types"),
     )
