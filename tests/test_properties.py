@@ -648,3 +648,114 @@ def test_bloom_prefilter_has_no_false_negatives(spark, sf_dir):
         .collect()
     }
     assert pre >= exact
+
+
+def test_point_in_time_never_leaks_future_versions(spark, sf_dir):
+    """Feature-store correctness: every matched version's valid_from
+    must be ≤ the probe's timestamp (no future leakage), and the
+    matched version must be the LATEST such version."""
+    from pyspark.sql import functions as F
+
+    pit = {
+        (r["user_id"], r["event_id"]): (r["ver_id"], r["click_us"])
+        for r in QUERIES["q_join_point_in_time"](spark, sf_dir).collect()
+    }
+    dims = {}
+    for r in (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", F.unix_micros("ts").alias("us"))
+        .collect()
+    ):
+        dims.setdefault(r["user_id"], []).append((r["us"], r["event_id"]))
+    for (uid, _eid), (ver_id, click_us) in pit.items():
+        versions = sorted(dims.get(uid, []))
+        eligible = [(us, vid) for us, vid in versions if us <= click_us]
+        if ver_id is None:
+            assert not eligible, (uid, click_us)
+        else:
+            assert eligible and eligible[-1][1] == ver_id, (uid, click_us)
+
+
+def test_containment_bounds_and_directionality(spark, sf_dir):
+    """Containment lies in (0, 1], pairs are directional (sub ≠
+    super), and no pair is reported twice."""
+    rows = QUERIES["q_dedup_containment"](spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert 0.0 < r["containment"] <= 1.0
+        assert r["doc_sub"] != r["doc_super"]
+        key = (r["doc_sub"], r["doc_super"])
+        assert key not in seen
+        seen.add(key)
+
+
+def test_sessionid_islands_respect_gap_rule(spark, sf_dir):
+    """Within a session, consecutive gaps are ≤ 30 min; across a
+    session boundary the gap is > 30 min; ids start at 0 and are
+    contiguous per user."""
+    rows = QUERIES["q_window_sessionid"](spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    gap = 1_800_000_000
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: (r["us"], r["event_id"]))
+        assert rs[0]["session_id"] == 0, uid
+        for prev, cur in zip(rs, rs[1:]):
+            delta = cur["us"] - prev["us"]
+            if cur["session_id"] == prev["session_id"]:
+                assert delta <= gap, uid
+            else:
+                assert cur["session_id"] == prev["session_id"] + 1, uid
+                assert delta > gap, uid
+
+
+def test_entropy_bounds(spark, sf_dir):
+    """0 ≤ H ≤ ln(n_types), with H = 0 iff a single type."""
+    import math
+
+    rows = QUERIES["q_agg_entropy"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r["entropy"] <= math.log(r["n_types"]) + 1e-6, r
+        if r["n_types"] == 1:
+            assert r["entropy"] == 0.0
+
+
+def test_fuzzy_join_blocked_matches_unblocked_within_block_keys(spark, sf_dir):
+    """The blocked fuzzy join must equal the brute-force cross join
+    restricted to equal blocking keys — i.e. blocking loses ONLY
+    cross-block pairs, never an in-block match."""
+    from pyspark.sql import functions as F
+
+    got = {
+        (r["c_custkey"], r["s_suppkey"], r["edit_dist"])
+        for r in QUERIES["q_join_fuzzy_names"](spark, sf_dir).collect()
+    }
+    cust = [
+        (r["c_custkey"], r["c_name"][9:18])
+        for r in table(spark, sf_dir, "customer").collect()
+    ]
+    supp = [
+        (r["s_suppkey"], r["s_name"][9:18])
+        for r in table(spark, sf_dir, "supplier").collect()
+    ]
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (ck, sk, lev(cs, ss))
+        for ck, cs in cust
+        for sk, ss in supp
+        if cs[:6] == ss[:6] and lev(cs, ss) <= 1
+    }
+    assert got == want
