@@ -334,3 +334,48 @@ def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+def stream_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_join_point_in_time: live click events
+    enriched with the dimension version valid at their own timestamp.
+
+    The batch form uses the union-window as-of trick; streaming
+    windows can't look across rows, so this twin states the SAME
+    semantics as a stream-static join against the PRE-BUILT SCD2
+    interval table (q_scd2_intervals' shape): equi on user_id plus the
+    interval residual — exactly how a feature store serves
+    point-in-time features online (static = the nightly-refreshed
+    history snapshot; correctness pinned by the availableNow ≡ batch
+    test).  The static side is interval-partitioned by user_id, so the
+    equi key drives the join and the residual prunes per row."""
+    from pyspark.sql.window import Window
+
+    ev_static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from i3cols_spark.sources.tables import normalize_events_ts
+
+    ev_static = normalize_events_ts(ev_static)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev_static.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("ver_id"),
+            F.col("value").alias("attr_value"),
+            F.unix_micros("ts").alias("f"),
+            F.lead(F.unix_micros("ts")).over(w).alias("t"),
+        )
+    )
+    clicks = _event_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    ).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("click_us")
+    )
+    cond = (
+        (clicks.user_id == dim.user_id)
+        & (F.col("click_us") >= F.col("f"))
+        & (F.col("t").isNull() | (F.col("click_us") < F.col("t")))
+    )
+    return clicks.join(dim, cond, "left").select(
+        clicks.user_id, clicks.event_id, "click_us", "ver_id", "attr_value"
+    )
