@@ -28,6 +28,7 @@ from i3cols_spark.operators import stats  # noqa: E402,F401  (§2.2 completions 
 from i3cols_spark.operators import graph  # noqa: E402,F401  (§E dedup clustering)
 from i3cols_spark.operators import pipeline  # noqa: E402,F401  (§E training-data pipeline)
 from i3cols_spark.operators import timeseries  # noqa: E402,F401  (§E time-series analytics)
+from i3cols_spark.operators import layout  # noqa: E402,F401  (§E data layout)
 
 __all__ = [
     "CONTRACT_QUERIES",

@@ -535,3 +535,56 @@ def test_registered_bucketed_join_is_exchange_free(spark, sf_dir):
     # and the registered query's full plan has exactly the agg exchange
     full = explain_str(QUERIES["q_join_bucketed"](spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Exchange\b", full)) == 1, full
+
+
+def test_zorder_layout_prunes_2d_box_better_than_linear(spark, sf_dir):
+    """The claim behind q_scan_zorder, measured: over the same events,
+    the fraction of layout units (files) whose (user_id, us) min-max
+    stats overlap the query's 2-D box is strictly smaller for the
+    Morton layout than for the single-key sort — i.e. a stats-pruning
+    reader skips more of the z-ordered table.  The linear layout prunes
+    the user dimension perfectly but must read EVERY file for the time
+    slice of the kept users; z-order prunes both at once."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from i3cols_spark.operators.layout import zorder_mirror
+
+    lo_u, hi_u = 3, 75
+    lo_us, hi_us = 1_704_672_000_000_000, 1_705_276_800_000_000
+
+    def rows_fetched(path: str) -> tuple[int, int]:
+        """Rows inside files whose stats overlap the box — the bytes a
+        stats-pruning reader must actually fetch.  (Raw file COUNTS
+        aren't comparable across layouts: the two mirrors may pack
+        different row counts per file.)"""
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        hit = total = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            total += md.num_rows
+            for rg in range(md.num_row_groups):
+                cols = {
+                    md.row_group(rg).column(i).path_in_schema:
+                    md.row_group(rg).column(i).statistics
+                    for i in range(md.row_group(rg).num_columns)
+                }
+                su, st = cols["user_id"], cols["us"]
+                if (
+                    su.min <= hi_u and su.max >= lo_u
+                    and st.min < hi_us and st.max >= lo_us
+                ):
+                    hit += md.num_rows
+                    break  # file-level: any overlapping row group counts
+        assert len(files) > 1
+        return hit, total
+
+    z_hit, z_total = rows_fetched(zorder_mirror(spark, sf_dir, "z"))
+    l_hit, l_total = rows_fetched(zorder_mirror(spark, sf_dir, "linear"))
+    assert z_total == l_total  # same data, different layout
+    assert z_hit < l_hit, (
+        f"z-order must fetch fewer rows: z {z_hit}/{z_total} "
+        f"vs linear {l_hit}/{l_total}"
+    )
