@@ -159,6 +159,11 @@ def _sub_blocks(payload: bytes) -> bytes:
 def encode_gif(gif: GifData) -> bytes:
     """Serialize frames (all channels=1, full-size) as an animated
     GIF89a with a 256-entry grayscale global palette."""
+    if len(gif.frames) != len(gif.delays_cs):
+        raise ValueError(
+            f"encode_gif: {len(gif.frames)} frames but "
+            f"{len(gif.delays_cs)} delays"
+        )
     for fr in gif.frames:
         if fr.channels != 1:
             raise NotImplementedError(
@@ -173,8 +178,7 @@ def encode_gif(gif: GifData) -> bytes:
     out += _GRAY_PALETTE
     if len(gif.frames) > 1:
         # NETSCAPE2.0 infinite-loop application extension
-        out += b"\x21\xff\x0bNETSCAPE2.0" + _sub_blocks(b"\x01\x00\x00")[:-1]
-        out += b"\x00"
+        out += b"\x21\xff\x0bNETSCAPE2.0" + _sub_blocks(b"\x01\x00\x00")
     for fr, delay in zip(gif.frames, gif.delays_cs):
         out += b"\x21\xf9" + bytes([4]) + struct.pack("<BHB", 0, delay, 0) + b"\x00"
         out += b"\x2c" + struct.pack("<HHHHB", 0, 0, fr.width, fr.height, 0)

@@ -122,6 +122,8 @@ def decode_media(media_type: str, payload: bytes) -> dict:
         from i3cols_spark.functions.gif import decode_gif
 
         gif = decode_gif(payload)
+        if not gif.frames:
+            raise ValueError("GIF payload contains no image frames")
         first = gif.frames[0]
         return {
             "width": gif.width,

@@ -372,9 +372,9 @@ def q_dedup_cluster_sizes(spark, sf_dir: str) -> DataFrame:
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     ),
     edges AS (
-        SELECT cust AS src, supp + 10000000 AS dst FROM pairs
+        SELECT cust AS src, supp + 1099511627776 AS dst FROM pairs
         UNION ALL
-        SELECT supp + 10000000 AS src, cust AS dst FROM pairs
+        SELECT supp + 1099511627776 AS src, cust AS dst FROM pairs
     ),
     deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
     n AS (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM deg),
@@ -401,8 +401,9 @@ def q_dedup_cluster_sizes(spark, sf_dir: str) -> DataFrame:
 def q_graph_pagerank(spark, sf_dir: str) -> DataFrame:
     """Two unrolled PageRank iterations (d=0.85) over the
     customer↔supplier trading graph (distinct pairs from
-    orders ⋈ lineitem; supplier ids offset into their own node-id
-    range), top-20 nodes — the influence-ranking companion to
+    orders ⋈ lineitem; supplier ids offset by 2^40 into their own node-id
+    range — disjoint from customer keys at any plausible scale
+    factor, not just the fixture's), top-20 nodes — the influence-ranking companion to
     q_dedup_clusters' connected components, and the canonical
     iterative-join workload.
 
@@ -424,7 +425,7 @@ def q_graph_pagerank(spark, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
             F.col("o_custkey").alias("cust"),
-            (F.col("l_suppkey") + 10_000_000).alias("supp"),
+            (F.col("l_suppkey") + (1 << 40)).alias("supp"),
         )
         .distinct()
     )

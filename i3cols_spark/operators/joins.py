@@ -443,18 +443,15 @@ def _bucketed_mirror(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
     Returns the two catalog table names.
     """
-    import hashlib
-    import json
     import os
 
-    from i3cols_spark.operators.similarity import _data_fingerprint, _index_root
+    from i3cols_spark.sources.mirrors import dataset_tag, write_once
 
-    fp = _data_fingerprint(os.path.join(sf_dir, "lineitem.parquet"))
-    fp = hashlib.md5(
-        (fp + _data_fingerprint(os.path.join(sf_dir, "orders.parquet"))).encode()
-    ).hexdigest()
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    root = os.path.join(os.path.dirname(_index_root(spark)), "bucketed_mirror")
+    tag = dataset_tag(sf_dir)
+    srcs = [
+        os.path.join(sf_dir, "lineitem.parquet"),
+        os.path.join(sf_dir, "orders.parquet"),
+    ]
     specs = {
         f"bm_lineitem_{tag}": (
             "lineitem",
@@ -470,13 +467,8 @@ def _bucketed_mirror(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         ),
     }
     for tname, (src, cols, ddl_cols, key) in specs.items():
-        loc = os.path.join(root, tname)
-        marker = os.path.join(loc, "_BUCKETS.json")
-        fresh = False
-        if os.path.exists(marker):
-            with open(marker) as fh:
-                fresh = json.load(fh).get("fingerprint") == fp
-        if not fresh:
+
+        def build(out: str, tname=tname, src=src, cols=cols, key=key) -> None:
             spark.sql(f"DROP TABLE IF EXISTS {tname}")
             (
                 table(spark, sf_dir, src)
@@ -484,15 +476,20 @@ def _bucketed_mirror(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
                 .write.mode("overwrite")
                 .bucketBy(8, key)
                 .sortBy(key)
-                .option("path", loc)
+                .option("path", out)
                 .format("parquet")
                 .saveAsTable(tname)
             )
-            tmp = marker + ".tmp"
-            with open(tmp, "w") as fh:
-                json.dump({"fingerprint": fp}, fh)
-            os.replace(tmp, marker)
-        elif not spark.catalog.tableExists(tname):
+
+        loc, rebuilt = write_once(
+            spark,
+            "bucketed_mirror",
+            tname,
+            srcs,
+            build,
+            {"n_buckets": 8, "key": key},
+        )
+        if not rebuilt and not spark.catalog.tableExists(tname):
             # files are current but this session's catalog is fresh:
             # re-register the SAME bucket spec over the existing files
             spark.sql(

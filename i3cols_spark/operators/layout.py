@@ -37,15 +37,26 @@ _EPOCH = "2024-01-01"
 
 
 def zvalue(user: Column, day_idx: Column, bits: int = 16) -> Column:
-    """Morton code: interleave the low ``bits`` bits of two
-    non-negative ints (user even positions, day odd) — pure codegen
-    shift/mask arithmetic, no UDF."""
+    """Morton code: interleave the low ``bits`` bits of two ints
+    (user even positions, day odd) — pure codegen shift/mask
+    arithmetic, no UDF.
+
+    Inputs are clamped to [0, 2^bits): a day before the layout epoch
+    clamps to 0 (its sign bits would otherwise scramble the curve),
+    and ids ≥ 2^bits wrap — beyond that range the curve stops
+    clustering, so a deployment whose keys outgrow ``bits`` raises
+    ``bits`` and rewrites the mirror (the layout marker records
+    ``bits``, so a code-level change rebuilds instead of serving the
+    stale curve)."""
+    mask = (1 << bits) - 1
+    u = F.greatest(user.cast("long"), F.lit(0)).bitwiseAND(mask)
+    d = F.greatest(day_idx.cast("long"), F.lit(0)).bitwiseAND(mask)
     z = F.lit(0).cast("long")
     for i in range(bits):
         z = (
             z
-            + F.shiftleft(F.shiftrightunsigned(user.cast("long"), i).bitwiseAND(1), 2 * i)
-            + F.shiftleft(F.shiftrightunsigned(day_idx.cast("long"), i).bitwiseAND(1), 2 * i + 1)
+            + F.shiftleft(F.shiftrightunsigned(u, i).bitwiseAND(1), 2 * i)
+            + F.shiftleft(F.shiftrightunsigned(d, i).bitwiseAND(1), 2 * i + 1)
         )
     return z
 
@@ -69,46 +80,43 @@ def zorder_mirror(spark: SparkSession, sf_dir: str, order: str = "z") -> str:
     - ``"linear"`` — the control layout, sorted by user_id alone (what
                      a naive single-key sort produces).
 
-    Returns the mirror path.  Cached per dataset content via the same
-    fingerprint-sidecar protocol as the IVF index.
+    Returns the mirror path.  Cached per dataset content AND layout
+    parameters via sources/mirrors.write_once (the shared
+    fingerprint-sidecar protocol): changing the Morton ``bits`` or
+    file count rebuilds the mirror the same way a fixture
+    regeneration does.
     """
-    import json
     import os
 
-    from i3cols_spark.operators.similarity import _data_fingerprint, _index_root
+    from i3cols_spark.sources.mirrors import dataset_tag, write_once
 
-    fp = _data_fingerprint(os.path.join(sf_dir, "events.parquet"))
-    import hashlib
-
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    out = os.path.join(
-        os.path.dirname(_index_root(spark)), "zorder_mirror", f"{order}_{tag}"
-    )
-    marker = os.path.join(out, "_LAYOUT.json")
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            if json.load(fh).get("fingerprint") == fp:
-                return out
-    df = _events_projection(spark, sf_dir)
     if order == "z":
         key = zvalue(F.col("user_id"), F.col("day_idx"))
     elif order == "linear":
         key = F.col("user_id")
     else:
         raise ValueError(f"unknown layout order: {order}")
-    (
-        df.withColumn("__k", key)
-        .repartitionByRange(_N_FILES, "__k")
-        .sortWithinPartitions("__k")
-        .drop("__k")
-        .write.mode("overwrite")
-        .parquet(out)
+
+    def build(out: str) -> None:
+        (
+            _events_projection(spark, sf_dir)
+            .withColumn("__k", key)
+            .repartitionByRange(_N_FILES, "__k")
+            .sortWithinPartitions("__k")
+            .drop("__k")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+
+    path, _ = write_once(
+        spark,
+        "zorder_mirror",
+        f"{order}_{dataset_tag(sf_dir)}",
+        [os.path.join(sf_dir, "events.parquet")],
+        build,
+        {"order": order, "bits": 16, "n_files": _N_FILES, "version": 2},
     )
-    tmp = marker + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"fingerprint": fp, "order": order}, fh)
-    os.replace(tmp, marker)
-    return out
+    return path
 
 
 @query(

@@ -333,7 +333,6 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cut")
     )
     us = F.unix_micros("ts")
-    before = us <= F.col("cut")
     agg = (
         ev.select("user_id", us.alias("us"), "value")
         .crossJoin(F.broadcast(cut))

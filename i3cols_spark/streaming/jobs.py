@@ -351,10 +351,12 @@ def stream_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame
     equi key drives the join and the residual prunes per row."""
     from pyspark.sql.window import Window
 
-    ev_static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    from i3cols_spark.sources.tables import normalize_events_ts
+    from i3cols_spark.sources.tables import table
 
-    ev_static = normalize_events_ts(ev_static)
+    # table() runs configure() + ts normalization + the schema
+    # tripwire — reading the parquet directly would break on the
+    # nanos-flavor fixture in a session no other job has configured.
+    ev_static = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     dim = (
         ev_static.filter(F.col("event_type") == "purchase")
