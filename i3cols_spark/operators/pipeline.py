@@ -616,3 +616,98 @@ def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(chunk).cast("long").alias("chunk_len"),
         )
     )
+
+
+@query(
+    "q_embedding_covariance",
+    oracle="""
+    WITH e AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+    m AS (
+        SELECT i.i, round(avg(v[i.i]), 6) AS mu
+        FROM e, idx i GROUP BY i.i
+    ),
+    p AS (SELECT a.i AS i, b.i AS j FROM idx a, idx b WHERE a.i <= b.i),
+    c AS (
+        SELECT p.i, p.j,
+               round(avg((e.v[p.i] - ma.mu) * (e.v[p.j] - mb.mu)), 6) AS cov
+        FROM e, p
+        JOIN m ma ON ma.i = p.i
+        JOIN m mb ON mb.i = p.j
+        GROUP BY p.i, p.j
+    )
+    SELECT CAST(i - 1 AS INT) AS dim_i, CAST(j - 1 AS INT) AS dim_j, cov
+    FROM c
+    ORDER BY abs(cov) DESC, i, j
+    LIMIT 30
+    """,
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding covariance structure: the top-30 |cov| entries of the
+    64×64 covariance matrix (upper triangle) — the aggregation half of
+    PCA / whitening / feature-correlation audits, and the statistic a
+    quantizer consults before choosing a codebook.
+
+    Scale shape: one tiny pass for the per-dimension means (posexplode
+    → 64-row aggregate; means round at 6 dp in BOTH engines and ride
+    to the executors in the closure — centering before the product
+    sums avoids the raw-E[xy] cancellation, same discipline as
+    q_agg_moments), then ONE ``mapInPandas`` pass computes each Arrow
+    batch's centered Gram partial (a single 64×64 float64 GEMM per
+    batch) and emits 2,080 (i, j, partial_sum, n) rows PER BATCH — the
+    shuffle carries partials proportional to batch count, never to
+    rows, and the final groupBy folds them.  The oracle states the
+    same statistic relationally (rows × pairs); the engine's plan is
+    the one that survives 100 TB.  Output rounds at 6 dp; top-30
+    selection orders on the rounded value with (i, j) tie-break.
+    """
+    import numpy as np
+
+    from i3cols_spark.functions.vectors import as_double
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        as_double("embedding").alias("v")
+    )
+    means = (
+        emb.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.round(F.avg("x"), 6).alias("mu"))
+        .collect()
+    )
+    mu = np.zeros(64, dtype=np.float64)
+    for r in means:
+        mu[r["i"]] = r["mu"]
+    iu, ju = np.triu_indices(64)
+
+    def gram(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["v"].tolist(), dtype=np.float64) - mu
+            g = x.T @ x
+            yield pd.DataFrame(
+                {
+                    "i": iu,
+                    "j": ju,
+                    "s": g[iu, ju],
+                    "n": np.full(len(iu), len(x), dtype=np.int64),
+                }
+            )
+
+    partials = emb.mapInPandas(gram, "i int, j int, s double, n long")
+    cov = (
+        partials.groupBy("i", "j")
+        .agg(F.round(F.sum("s") / F.sum("n"), 6).alias("cov"))
+    )
+    return (
+        cov.select(
+            F.col("i").alias("dim_i"), F.col("j").alias("dim_j"), "cov"
+        )
+        .orderBy(F.abs(F.col("cov")).desc(), "dim_i", "dim_j")
+        .limit(30)
+    )
