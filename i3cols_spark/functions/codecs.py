@@ -280,3 +280,113 @@ def pcm_samples(audio: AudioData) -> list[int]:
         struct.unpack_from(fmt, audio.frames, i)[0]
         for i in range(0, len(audio.frames) - sw + 1, sw)
     ]
+
+
+# ---------------------------------------------------------------- TIFF
+
+#: Baseline TIFF tags used by the encoder/decoder.
+_TIFF_TAGS = {
+    256: "width", 257: "height", 258: "bits_per_sample",
+    259: "compression", 262: "photometric", 273: "strip_offsets",
+    277: "samples_per_pixel", 278: "rows_per_strip",
+    279: "strip_byte_counts",
+}
+
+
+def encode_tiff(img: ImageData) -> bytes:
+    """Baseline little-endian TIFF: uncompressed 8-bit grayscale
+    (channels=1) or RGB (channels=3), single strip, one IFD."""
+    if img.channels not in (1, 3):
+        raise NotImplementedError("encode_tiff: channels must be 1 or 3")
+    data = img.pixels
+    # layout: 8-byte header, pixel data, then the IFD
+    data_off = 8
+    ifd_off = data_off + len(data)
+    photometric = 1 if img.channels == 1 else 2  # BlackIsZero / RGB
+
+    entries = []
+
+    def entry(tag: int, typ: int, count: int, value: int) -> None:
+        entries.append(struct.pack("<HHI", tag, typ, count) + struct.pack("<I", value))
+
+    # SHORT=3, LONG=4.  bits_per_sample for RGB needs 3 shorts — store
+    # them after the IFD and point at them.
+    bits_off = ifd_off + 2 + 12 * 9 + 4
+    entry(256, 4, 1, img.width)
+    entry(257, 4, 1, img.height)
+    if img.channels == 1:
+        entry(258, 3, 1, 8)
+    else:
+        entry(258, 3, 3, bits_off)
+    entry(259, 3, 1, 1)          # no compression
+    entry(262, 3, 1, photometric)
+    entry(273, 4, 1, data_off)   # single strip
+    entry(277, 3, 1, img.channels)
+    entry(278, 4, 1, img.height)
+    entry(279, 4, 1, len(data))
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    out += data
+    out += struct.pack("<H", len(entries)) + b"".join(entries)
+    out += struct.pack("<I", 0)  # next-IFD pointer: none
+    if img.channels == 3:
+        out += struct.pack("<HHH", 8, 8, 8)
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> ImageData:
+    """Parse a baseline TIFF (little- or big-endian, uncompressed
+    8-bit, strip-organized).  Gated per-feature: compressed,
+    tiled, non-8-bit, and palette TIFFs raise NotImplementedError."""
+    if payload[:4] == b"II*\x00":
+        bo = "<"
+    elif payload[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    (n_entries,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    type_size = {1: 1, 3: 2, 4: 4}
+    tags: dict[int, list[int]] = {}
+    for k in range(n_entries):
+        tag, typ, count = struct.unpack_from(
+            bo + "HHI", payload, ifd_off + 2 + 12 * k
+        )
+        if typ not in type_size:
+            continue  # RATIONAL etc. — not needed for baseline decode
+        sz = type_size[typ] * count
+        voff = ifd_off + 2 + 12 * k + 8
+        if sz > 4:
+            (voff,) = struct.unpack_from(bo + "I", payload, voff)
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(
+            struct.unpack_from(bo + str(count) + fmt, payload, voff)
+        )
+    try:
+        width, height = tags[256][0], tags[257][0]
+        strip_offsets = tags[273]
+        strip_counts = tags[279]
+    except KeyError as exc:
+        raise ValueError(f"TIFF missing required tag: {exc}") from exc
+    compression = tags.get(259, [1])[0]
+    if compression != 1:
+        raise NotImplementedError(
+            f"TIFF compression {compression} not supported (uncompressed only)"
+        )
+    bits = tags.get(258, [8])
+    if any(b != 8 for b in bits):
+        raise NotImplementedError("TIFF bit depths other than 8 not supported")
+    photometric = tags.get(262, [1])[0]
+    if photometric == 3:
+        raise NotImplementedError("palette TIFF not supported")
+    channels = tags.get(277, [1])[0]
+    if channels not in (1, 3):
+        raise NotImplementedError(f"TIFF samples_per_pixel {channels}")
+    data = b"".join(
+        payload[o : o + c] for o, c in zip(strip_offsets, strip_counts)
+    )
+    expected = width * height * channels
+    if len(data) != expected:
+        raise ValueError(
+            f"TIFF strips hold {len(data)} bytes, expected {expected}"
+        )
+    return ImageData(width=width, height=height, channels=channels, pixels=data)

@@ -99,6 +99,7 @@ def decode_media(media_type: str, payload: bytes) -> dict:
     from i3cols_spark.functions.jpeg import decode_jpeg
 
     image_decoders = {
+        "image/tiff": codecs.decode_tiff,
         "image/bmp": codecs.decode_bmp,
         "image/x-portable-pixmap": codecs.decode_ppm,
         "image/x-portable-graymap": codecs.decode_ppm,
@@ -152,7 +153,7 @@ def decode_media(media_type: str, payload: bytes) -> dict:
     if media_type.startswith("image/"):
         raise NotImplementedError(
             f"{media_type} needs an external codec (e.g. Pillow); "
-            "built-in formats: bmp, ppm/pgm, png, jpeg (baseline), gif"
+            "built-in formats: bmp, ppm/pgm, png, jpeg (baseline), gif, tiff"
         )
     if media_type.startswith(("audio/", "video/")):
         raise NotImplementedError(

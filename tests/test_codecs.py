@@ -171,7 +171,7 @@ def test_decode_media_dispatch_and_gates():
     with pytest.raises(ValueError):
         decode_media("image/jpeg", b"\xff\xd8\xff")
     with pytest.raises(NotImplementedError, match="Pillow"):
-        decode_media("image/tiff", b"II*\x00")
+        decode_media("image/webp", b"RIFF")
     with pytest.raises(NotImplementedError):
         decode_media("video/mp4", b"")
 
@@ -488,3 +488,55 @@ def test_gif_via_multimodal_dispatch():
     d = decode_media("image/gif", payload)
     assert (d["width"], d["height"], d["n_frames"]) == (4, 2, 3)
     assert d["features"][:3] == [4.0, 2.0, 1.0]
+
+
+# ----------------------------------------------------------------- TIFF
+
+@pytest.mark.parametrize("w,h,ch", [(1, 1, 1), (5, 4, 3), (13, 7, 1)])
+def test_tiff_round_trip(w, h, ch):
+    px = bytes((x * 7 + 11) % 256 for x in range(w * h * ch))
+    out = codecs.decode_tiff(codecs.encode_tiff(ImageData(w, h, ch, px)))
+    assert (out.width, out.height, out.channels) == (w, h, ch)
+    assert out.pixels == px
+
+
+def test_tiff_big_endian_and_gates():
+    # hand-built big-endian (MM) 2×1 grayscale file: SHORT IFD values
+    # are left-justified in the 4-byte value field
+    data = b"\x10\x20"
+    ifd_off = 8 + len(data)
+    ents = []
+
+    def e(tag, typ, cnt, val):
+        ents.append(
+            struct.pack(">HHII", tag, typ, cnt, val if typ == 4 else val << 16)
+        )
+
+    e(256, 4, 1, 2); e(257, 4, 1, 1); e(258, 3, 1, 8)
+    e(259, 3, 1, 1); e(262, 3, 1, 1); e(273, 4, 1, 8)
+    e(277, 3, 1, 1); e(278, 4, 1, 1); e(279, 4, 1, 2)
+    mm = (
+        b"MM\x00*" + struct.pack(">I", ifd_off) + data
+        + struct.pack(">H", len(ents)) + b"".join(ents)
+        + struct.pack(">I", 0)
+    )
+    out = codecs.decode_tiff(mm)
+    assert (out.width, out.height, out.channels, out.pixels) == (2, 1, 1, data)
+
+    with pytest.raises(ValueError, match="not a TIFF"):
+        codecs.decode_tiff(b"XX*\x00")
+    lzw = bytearray(codecs.encode_tiff(ImageData(2, 1, 1, b"ab")))
+    # flip the compression tag (259) value to 5 (LZW) — gated
+    i = bytes(lzw).find(struct.pack("<HHI", 259, 3, 1))
+    lzw[i + 8] = 5
+    with pytest.raises(NotImplementedError, match="compression 5"):
+        codecs.decode_tiff(bytes(lzw))
+
+
+def test_tiff_via_multimodal_dispatch():
+    from i3cols_spark.functions.multimodal import decode_media
+
+    img = ImageData(4, 2, 3, _rgb(4, 2))
+    d = decode_media("image/tiff", codecs.encode_tiff(img))
+    assert (d["width"], d["height"]) == (4, 2)
+    assert d["features"][:3] == [4.0, 2.0, 3.0]
