@@ -429,3 +429,88 @@ def q_window_sessionid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "us",
         F.sum("is_new").over(run).cast("long").alias("session_id"),
     )
+
+
+@query(
+    "q_ts_ewma",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               round(sum(value), 2) AS day_value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT user_id, day, day_value,
+               list(day_value) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+               ) AS arr
+        FROM daily
+    )
+    SELECT user_id, epoch_us(day) AS day_us, day_value,
+           round(
+               list_sum(list_transform(arr,
+                   (x, i) -> x * pow(0.7, len(arr) - i)))
+               / list_sum(list_transform(arr,
+                   (x, i) -> pow(0.7, len(arr) - i))), 6) AS ewma
+    FROM w
+    """,
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of each user's daily
+    purchase series — the smoothing step behind trend features and
+    anomaly baselines; decay 0.7 per observed day over a 10-day
+    history window (truncated-EWMA form: weights (1-α)^lag normalized
+    within the frame, so the statistic is well-defined from the first
+    observation — no unbounded recursion, which neither engine's
+    window grammar can express).
+
+    Shape: the sparse daily aggregate (map-side combined), ONE
+    ordered window per user collecting the ≤10-element frame — frame
+    contents follow the window's ORDER BY, so the array is
+    deterministic under any partitioning — then per-row HOF
+    arithmetic (zip_with + aggregate in Spark, indexed list_transform
+    in DuckDB: the SAME left-to-right summation over ≤10 elements).
+    pow() is libm territory, so the result rounds at 6 dp in both
+    engines.  At 100 TB this is one shuffle of the DAILY aggregate,
+    never of raw events, and O(10) state per row.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("day_value"))
+    frame = (
+        W.partitionBy("user_id").orderBy("day").rowsBetween(-9, 0)
+    )
+    arr = F.collect_list("day_value").over(frame)
+    w = daily.select(
+        "user_id",
+        F.unix_micros("day").alias("day_us"),
+        "day_value",
+        arr.alias("arr"),
+    )
+    m = F.size("arr")
+    num = F.aggregate(
+        F.zip_with(
+            "arr",
+            F.sequence(F.lit(1), m),
+            lambda x, p: x * F.pow(F.lit(0.7), (m - p).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda p: F.pow(F.lit(0.7), (m - p).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return w.select(
+        "user_id",
+        "day_us",
+        "day_value",
+        F.round(num / den, 6).alias("ewma"),
+    )
