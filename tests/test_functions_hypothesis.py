@@ -153,3 +153,59 @@ def test_jpeg_round_trip_random(w, h, ch, data):
     mse = float(np.mean((a - b) ** 2))
     psnr = 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
     assert psnr > 20.0
+
+
+@given(w=_DIM, h=_DIM, ch=st.sampled_from([1, 3]), data=st.data())
+@settings(max_examples=20, deadline=None)
+def test_tiff_round_trip_random(w, h, ch, data):
+    from i3cols_spark.functions import codecs
+
+    px = data.draw(
+        st.binary(min_size=w * h * ch, max_size=w * h * ch), label="pixels"
+    )
+    img = codecs.ImageData(width=w, height=h, channels=ch, pixels=px)
+    out = codecs.decode_tiff(codecs.encode_tiff(img))
+    assert (out.width, out.height, out.channels, out.pixels) == (w, h, ch, px)
+
+
+@given(
+    w=_DIM,
+    h=_DIM,
+    nframes=st.integers(min_value=1, max_value=4),
+    data=st.data(),
+)
+@settings(max_examples=20, deadline=None)
+def test_gif_animation_round_trip_random(w, h, nframes, data):
+    """Arbitrary pixel content through the full GIF container + LZW
+    round trip — lossless, any palette index pattern."""
+    from i3cols_spark.functions import codecs
+    from i3cols_spark.functions.gif import GifData, decode_gif, encode_gif
+
+    frames = [
+        codecs.ImageData(
+            width=w, height=h, channels=1,
+            pixels=data.draw(
+                st.binary(min_size=w * h, max_size=w * h), label=f"frame{k}"
+            ),
+        )
+        for k in range(nframes)
+    ]
+    delays = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=65535),
+            min_size=nframes, max_size=nframes,
+        ),
+        label="delays",
+    )
+    back = decode_gif(encode_gif(GifData(w, h, frames, delays)))
+    assert back.delays_cs == delays
+    assert [f.pixels for f in back.frames] == [f.pixels for f in frames]
+
+
+@given(data=st.binary(min_size=0, max_size=4096), mcs=st.integers(2, 8))
+@settings(max_examples=30, deadline=None)
+def test_gif_lzw_round_trip_random(data, mcs):
+    from i3cols_spark.functions.gif import _lzw_decode, _lzw_encode
+
+    capped = bytes(b % (1 << mcs) for b in data)  # symbols within alphabet
+    assert _lzw_decode(_lzw_encode(capped, mcs), mcs) == capped
