@@ -29,6 +29,7 @@ from i3cols_spark.operators import graph  # noqa: E402,F401  (§E dedup clusteri
 from i3cols_spark.operators import pipeline  # noqa: E402,F401  (§E training-data pipeline)
 from i3cols_spark.operators import timeseries  # noqa: E402,F401  (§E time-series analytics)
 from i3cols_spark.operators import layout  # noqa: E402,F401  (§E data layout)
+from i3cols_spark.operators import quality  # noqa: E402,F401  (§E data quality + sources)
 
 __all__ = [
     "CONTRACT_QUERIES",

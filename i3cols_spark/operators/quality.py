@@ -1,0 +1,243 @@
+"""Data-quality auditing and source round-trip queries.
+
+The validation layer a production pipeline runs BEFORE promoting a
+snapshot: declarative rule checks (null / range / referential /
+freshness) aggregated into one violation report, plus a concentration
+statistic (Gini) for imbalance monitoring — and registered round-trip
+scans through the engine's non-parquet sources (JSON-lines, CSV), so
+format fidelity itself is on the oracle-checked surface.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from i3cols_spark.operators.registry import query
+from i3cols_spark.sources.mirrors import dataset_tag, write_once
+from i3cols_spark.sources.tables import table
+
+
+@query(
+    "q_quality_rules",
+    oracle="""
+    SELECT 'lineitem_qty_range' AS rule,
+           CAST(count(*) AS BIGINT) AS n_checked,
+           CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_bounds',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.5
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_nonneg_total',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_custkey_resolves',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'events_ts_in_window',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN ts < TIMESTAMP '2023-01-01'
+                          OR ts >= TIMESTAMP '2026-01-01'
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events
+    """,
+)
+def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit — the Great-Expectations-style
+    gate run before a snapshot promotes: range rules (quantity,
+    discount, price), a referential rule (every order's customer
+    resolves — expressed as a LEFT-join null count, which Catalyst
+    executes as one shuffle, not per-row lookups), and a freshness
+    window on event timestamps.  One row per rule with checked /
+    violation counts, so the report is tiny whatever the data volume.
+
+    Scale shape: each per-table rule family is ONE conditional
+    aggregation over that table's scan (all range rules on lineitem
+    share a single pass); the referential rule is the only join.  At
+    100 TB the audit costs one scan per audited table plus one
+    key-partitioned join per FK rule — and the rule rows union
+    map-side (no shuffle for the final assembly).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    ev = table(spark, sf_dir, "events")
+
+    def rule(df: DataFrame, name: str, bad) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("rule"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("n_violations"),
+        ).select("rule", "n_checked", "n_violations")
+
+    qty = rule(
+        li, "lineitem_qty_range",
+        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+    )
+    disc = rule(
+        li, "lineitem_discount_bounds",
+        (F.col("l_discount") < 0) | (F.col("l_discount") > 0.5),
+    )
+    total = rule(orders, "orders_nonneg_total", F.col("o_totalprice") < 0)
+    fk = rule(
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left"),
+        "orders_custkey_resolves",
+        F.col("c_custkey").isNull(),
+    )
+    fresh = rule(
+        ev, "events_ts_in_window",
+        (F.col("ts") < F.lit("2023-01-01").cast("timestamp"))
+        | (F.col("ts") >= F.lit("2026-01-01").cast("timestamp")),
+    )
+    return qty.unionAll(disc).unionAll(total).unionAll(fk).unionAll(fresh)
+
+
+@query(
+    "q_agg_gini",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT revenue,
+               row_number() OVER (ORDER BY revenue, o_custkey) AS rk,
+               count(*) OVER () AS n
+        FROM per_cust
+    )
+    SELECT round(
+               2.0 * sum(rk * revenue) / (n * sum(revenue))
+               - (n + 1.0) / n, 6) AS gini,
+           CAST(n AS BIGINT) AS n_customers
+    FROM ranked GROUP BY n
+    """,
+)
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers —
+    the imbalance statistic data-mixing pipelines watch (is one
+    source/customer dominating the corpus?), via the rank formula
+    G = 2·Σ(rank·x) / (n·Σx) − (n+1)/n over ascending revenue.
+
+    Shape: one map-side-combined per-customer aggregate, a single
+    global-order window over the |customers|-sized aggregate (the
+    only total sort — of aggregates, never of facts; ties break on
+    custkey so ranks are reproducible), and a 1-row rollup.  The
+    revenue sums round at 2 dp before ranking in both engines, the
+    final statistic at 6 dp.
+    """
+    per_cust = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    wr = W.orderBy("revenue", "o_custkey")
+    ranked = per_cust.select(
+        "revenue",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    return ranked.groupBy("n").agg(
+        F.round(
+            2.0 * F.sum(F.col("rk") * F.col("revenue"))
+            / (F.col("n") * F.sum("revenue"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+        F.col("n").cast("long").alias("n_customers"),
+    ).select("gini", "n_customers")
+
+
+def _format_mirror(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """Write-once JSONL/CSV mirror of the orders table — the engine's
+    non-parquet source fidelity under the shared mirror protocol."""
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        # o_orderdate arrives TIMESTAMP_NTZ in some fixture flavors;
+        # the UTC-pinned session makes the cast lossless (tables.py).
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_date_us"),
+    )
+
+    def build(out: str) -> None:
+        w = src.coalesce(4).write.mode("overwrite")
+        if fmt == "json":
+            w.json(out)
+        else:
+            w.option("header", True).csv(out)
+
+    path, _ = write_once(
+        spark,
+        f"{fmt}_mirror",
+        f"orders_{dataset_tag(sf_dir)}",
+        [os.path.join(sf_dir, "orders.parquet")],
+        build,
+        {"format": fmt, "version": 1},
+    )
+    return path
+
+
+_ORDERS_MIRROR_SCHEMA = (
+    "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+    "o_totalprice double, o_date_us bigint"
+)
+
+_SOURCE_ORACLE = """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total,
+           CAST(min(epoch_us(o_orderdate)) AS BIGINT) AS first_date_us
+    FROM orders
+    GROUP BY o_orderstatus
+"""
+
+
+def _source_scan(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    path = _format_mirror(spark, sf_dir, fmt)
+    reader = spark.read.schema(_ORDERS_MIRROR_SCHEMA)
+    df = (
+        reader.json(path)
+        if fmt == "json"
+        else reader.option("header", True).csv(path)
+    )
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.min("o_date_us").alias("first_date_us"),
+    )
+
+
+@query("q_source_jsonl_scan", oracle=_SOURCE_ORACLE)
+def q_source_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source fidelity on the checked surface: orders
+    round-trip through a write-once JSONL mirror
+    (sources/ingest.extract_jsonl's read path with an EXPLICIT
+    schema — schema inference would cost a second scan of 100 TB and
+    is the classic JSONL anti-pattern), then aggregate; the oracle
+    reads the ORIGINAL parquet, so any serialization loss (float
+    text round-trip, timestamp flattening, null handling) breaks the
+    hash.  Timestamps travel as epoch-µs BIGINT — the portable JSONL
+    convention this engine's ingest layer uses."""
+    return _source_scan(spark, sf_dir, "json")
+
+
+@query("q_source_csv_scan", oracle=_SOURCE_ORACLE)
+def q_source_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source fidelity, same contract as q_source_jsonl_scan
+    (headered CSV, explicit schema, epoch-µs timestamps): the oracle
+    reads the original parquet, pinning the full text round trip."""
+    return _source_scan(spark, sf_dir, "csv")
