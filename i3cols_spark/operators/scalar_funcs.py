@@ -263,3 +263,47 @@ def q_string_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("a_name", "b_name").alias("edit_dist"),
         )
     )
+
+
+@query(
+    "q_udtf_arrow",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT)
+               AS n_e
+    FROM documents
+    """,
+)
+def q_udtf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native batch UDF surface (``mapInArrow``): per-document
+    character count and 'e'-occurrence count computed with
+    ``pyarrow.compute`` kernels directly on the Arrow buffers — the
+    zero-copy tier below Pandas UDFs (no pandas materialization, no
+    object boxing), the right shape for string-heavy featurization
+    where pandas conversion would dominate.
+
+    The oracle restates both statistics relationally, so the Arrow
+    kernel semantics (UTF-8 character vs byte length, substring
+    counting) are hash-pinned against the SQL engine's.  Scale: same
+    embarrassingly-parallel profile as every mapInPandas operator,
+    minus the Arrow→pandas→Arrow double conversion.
+    """
+
+    def op(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            text = batch.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(pc.count_substring(text, "e"), pa.int64()),
+                ],
+                names=["doc_id", "n_chars", "n_e"],
+            )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(op, "doc_id long, n_chars long, n_e long")

@@ -814,3 +814,87 @@ def q_embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.round(F.avg("best.dist"), 4).alias("mean_dist"),
     )
+
+
+@query(
+    "q_join_radius_2d",
+    oracle="""
+    WITH p AS (
+        SELECT vec_id,
+               CAST(embedding[1] AS DOUBLE) AS x,
+               CAST(embedding[2] AS DOUBLE) AS y
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(sqrt((a.x - b.x) * (a.x - b.x)
+                      + (a.y - b.y) * (a.y - b.y)), 6) AS dist
+    FROM p a JOIN p b ON a.vec_id < b.vec_id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 0.0025
+    """,
+)
+def q_join_radius_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (distance) self-join in 2-D — all point pairs within
+    r = 0.05 of each other in the embedding's first-two-dimension
+    projection: the spatial-join primitive behind geo joins,
+    collision detection, and density estimation.
+
+    The oracle states the O(n²) cross-join semantics; the engine
+    GRID-BLOCKS instead: each point hashes to an ⌊x/r⌋,⌊y/r⌋ cell,
+    the LEFT side explodes over its 3×3 cell neighborhood (9 rows —
+    constant fan-out), and an ordinary equi-join on the cell key
+    brings together exactly the pairs that CAN be within r (any pair
+    within r differs by ≤1 cell per axis, so each qualifying pair
+    meets exactly once, at the offset matching b's true cell).  The
+    distance test compares SQUARED distance against r² — exact
+    per-row IEEE in both engines, no sqrt on the filter path — and
+    only the reported distance rounds at 6 dp.  At 100 TB this is
+    one hash-partitioned equi-join whose key is the grid cell:
+    shuffle ∝ 9n, pair work ∝ occupied-cell density, never n².
+    """
+    r = 0.05
+    pts = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    cx = F.floor(F.col("x") / r)
+    cy = F.floor(F.col("y") / r)
+    b = pts.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        cx.alias("cellx"),
+        cy.alias("celly"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    a = (
+        pts.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("x").alias("ax"),
+            F.col("y").alias("ay"),
+            cx.alias("acx"),
+            cy.alias("acy"),
+            F.explode(offsets).alias("o"),
+        )
+        .select(
+            "id_a",
+            "ax",
+            "ay",
+            (F.col("acx") + F.col("o.dx")).alias("cellx"),
+            (F.col("acy") + F.col("o.dy")).alias("celly"),
+        )
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    return (
+        a.join(b, ["cellx", "celly"])
+        .filter((F.col("id_a") < F.col("id_b")) & (d2 <= r * r))
+        .select("id_a", "id_b", F.round(F.sqrt(d2), 6).alias("dist"))
+    )
