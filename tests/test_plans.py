@@ -588,3 +588,45 @@ def test_zorder_layout_prunes_2d_box_better_than_linear(spark, sf_dir):
         f"z-order must fetch fewer rows: z {z_hit}/{z_total} "
         f"vs linear {l_hit}/{l_total}"
     )
+
+
+def test_write_once_mirror_rebuilds_on_source_mutation(spark, tmp_path):
+    """The shared mirror protocol (sources/mirrors.write_once): an
+    in-place source mutation — same path, same size, new bytes — must
+    trigger a rebuild (footer-sample fingerprint), while an untouched
+    source must be served from cache; a layout-parameter change must
+    also rebuild."""
+    import os
+    import shutil
+
+    from i3cols_spark.sources.mirrors import write_once
+
+    src = tmp_path / "src.parquet"
+    shutil.copy("/root/testdata/sf0.001/orders.parquet", src)
+    calls = []
+
+    def build(out: str) -> None:
+        os.makedirs(out, exist_ok=True)
+        calls.append(out)
+
+    args = (spark, "test_mirror", "m1", [str(src)], build)
+    p1, r1 = write_once(*args, {"v": 1})
+    p2, r2 = write_once(*args, {"v": 1})
+    assert r1 and not r2 and p1 == p2 and len(calls) == 1
+
+    # same-size in-place byte mutation IN THE SAMPLED TAIL (a parquet
+    # rewrite always changes the footer), mtime preserved — the
+    # rsync-a/tar-p restore class the footer sample exists to catch.
+    # A mid-file-only flip with identical size+mtime+footer is the
+    # protocol's documented blind spot.
+    st = os.stat(src)
+    data = bytearray(src.read_bytes())
+    data[-100] ^= 0xFF
+    src.write_bytes(bytes(data))
+    os.utime(src, ns=(st.st_atime_ns, st.st_mtime_ns))
+    _, r3 = write_once(*args, {"v": 1})
+    assert r3 and len(calls) == 2
+
+    # layout-parameter change alone must rebuild too
+    _, r4 = write_once(*args, {"v": 2})
+    assert r4 and len(calls) == 3
