@@ -94,7 +94,7 @@ EXTRA_QUERIES: tuple[str, ...] = (
     "q_join_fuzzy_names", "q_scan_zorder", "q_embedding_covariance",
     "q_ts_ewma", "q_quality_rules", "q_agg_gini",
     "q_source_jsonl_scan", "q_source_csv_scan", "q_join_radius_2d",
-    "q_udtf_arrow",
+    "q_udtf_arrow", "q_feature_scale",
     # tier 2 — stats / sampling
     "q_agg_percentile", "q_agg_approx_percentile", "q_agg_stats_corr",
     "q_agg_histogram", "q_agg_mode", "q_sample_stratified",
@@ -164,6 +164,7 @@ POST_R5_ADDITIONS: tuple[str, ...] = (
     "q_scan_zorder", "q_embedding_covariance", "q_ts_ewma",
     "q_quality_rules", "q_agg_gini", "q_source_jsonl_scan",
     "q_source_csv_scan", "q_join_radius_2d", "q_udtf_arrow",
+    "q_feature_scale",
 )
 
 

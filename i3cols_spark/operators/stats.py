@@ -613,3 +613,62 @@ def q_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = 0.9 * F.least(F.lit(1.0), F.col("n_chars") / 800.0)
     return docs.filter(u < p).select("doc_id", "source", "n_chars")
+
+
+@query(
+    "q_feature_scale",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               round(min(value), 6) AS vmin,
+               round(max(value), 6) AS vmax,
+               round(avg(value), 6) AS mu,
+               round(stddev_pop(value), 6) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           CASE WHEN s.vmax > s.vmin
+                THEN (e.value - s.vmin) / (s.vmax - s.vmin) END AS minmax,
+           CASE WHEN s.sigma > 0
+                THEN (e.value - s.mu) / s.sigma END AS zscore
+    FROM events e JOIN s ON e.event_type = s.event_type
+    """,
+)
+def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature normalization — every event value rescaled two ways
+    within its type: min-max to [0, 1] and z-score — the fit+transform
+    step feature pipelines run before any model sees raw magnitudes,
+    with degenerate groups (constant value) yielding NULL rather than
+    a division blow-up.
+
+    Two-pass fit/transform shape: the per-type statistics are ONE
+    map-side-combined aggregate (|types| rows — the "fitted scaler"),
+    broadcast back onto the stream so the transform is a per-row
+    broadcast-hash join + arithmetic, no second shuffle of events.
+    The statistics round at 6 dp in BOTH engines (multi-row
+    reductions; stddev_pop via Spark's ``stddev_pop`` and DuckDB's
+    agree on the population formula), and the scaled outputs are
+    per-row IEEE over those rounded inputs — identical expression
+    tree, unrounded.
+    """
+    ev = table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.round(F.min("value"), 6).alias("vmin"),
+        F.round(F.max("value"), 6).alias("vmax"),
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_pop("value"), 6).alias("sigma"),
+    )
+    j = ev.join(F.broadcast(stats), "event_type")
+    minmax = F.when(
+        F.col("vmax") > F.col("vmin"),
+        (F.col("value") - F.col("vmin")) / (F.col("vmax") - F.col("vmin")),
+    )
+    zscore = F.when(
+        F.col("sigma") > 0, (F.col("value") - F.col("mu")) / F.col("sigma")
+    )
+    return j.select(
+        "event_id",
+        "event_type",
+        minmax.alias("minmax"),
+        zscore.alias("zscore"),
+    )
