@@ -137,10 +137,14 @@ def decode_mjpeg_avi(payload: bytes) -> VideoData:
             if fourcc == b"LIST":
                 walk(body_lo + 4, body_hi)  # skip the list-type fourcc
             elif fourcc == b"avih":
+                if size < 56:
+                    raise ValueError("truncated AVI header chunk")
                 fields = struct.unpack("<14I", payload[body_lo : body_lo + 56])
                 n_declared = fields[4]
                 width, height = fields[8], fields[9]
             elif fourcc == b"strh":
+                if size < 28:
+                    raise ValueError("truncated AVI header chunk")
                 if payload[body_lo : body_lo + 4] == b"vids":
                     handler = payload[body_lo + 4 : body_lo + 8]
                     if handler not in (b"MJPG", b"mjpg"):

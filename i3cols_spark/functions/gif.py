@@ -254,6 +254,8 @@ def decode_gif(payload: bytes) -> GifData:
                 raise ValueError(
                     f"GIF frame decodes to {len(idx)} px, expected {fw * fh}"
                 )
+            if not pal:
+                raise ValueError("GIF frame has no color table")
             gray = all(
                 pal[3 * i] == pal[3 * i + 1] == pal[3 * i + 2]
                 for i in range(len(pal) // 3)

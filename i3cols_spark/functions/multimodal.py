@@ -5,10 +5,12 @@ Arrow-batched ``mapInPandas`` operators (SURVEY north-star).
 Real formats decode for real via the pure-stdlib codecs in
 ``functions/codecs.py`` and ``functions/jpeg.py``: BMP / PPM / PGM /
 PNG / baseline JPEG images and PCM WAV audio (encode + decode,
-round-trip tested; JPEG is lossy so its tests bound PSNR).  Only
-codecs that genuinely require external libraries (MP3, video) and
-unsupported per-format features (progressive JPEG, chroma
-subsampling) stay behind ``NotImplementedError`` gates.  The
+round-trip tested; JPEG is lossy so its tests bound PSNR), MJPEG-AVI
+video, animated GIF, and MPEG-1 audio (frame walk for Layers I–III +
+Layer I subband decode; PCM synthesis gated on the ISO Annex B window
+table — functions/mpeg_audio.py).  Only unsupported per-format
+features (progressive JPEG, chroma subsampling, Layer II/III payload
+bits) stay behind ``NotImplementedError`` gates.  The
 deterministic "fake/raw" codec (payload bytes are the samples) is
 kept for closed-form oracle arithmetic in the resize/frame-sample
 chain.
@@ -150,6 +152,33 @@ def decode_media(media_type: str, payload: bytes) -> dict:
             ]
             + _stride_sample(codecs.pcm_samples(audio)),
         }
+    if media_type in ("audio/mpeg", "audio/mp3"):
+        # Real frame walk for Layers I–III; Layer I additionally
+        # contributes a stride sample of dequantized subband values
+        # (PCM synthesis stays gated — mpeg_audio module docstring).
+        from i3cols_spark.functions import mpeg_audio
+
+        info = mpeg_audio.stream_info(payload)
+        feats = [
+            float(info["sample_rate"]),
+            float(info["channels"]),
+            float(info["n_frames"]),
+        ]
+        if info["layer"] == 1:
+            import numpy as np
+
+            frames = mpeg_audio.decode_layer1(payload)
+            vals = np.concatenate(
+                [fr.subbands[:, fr.allocated] for fr in frames], axis=None
+            )
+            feats += _stride_sample(vals)
+        return {
+            "width": None,
+            "height": None,
+            "sample_rate": info["sample_rate"],
+            "n_frames": info["n_frames"],
+            "features": feats,
+        }
     if media_type.startswith("image/"):
         raise NotImplementedError(
             f"{media_type} needs an external codec (e.g. Pillow); "
@@ -157,7 +186,8 @@ def decode_media(media_type: str, payload: bytes) -> dict:
         )
     if media_type.startswith(("audio/", "video/")):
         raise NotImplementedError(
-            f"{media_type} needs an external codec; stdlib format: wav"
+            f"{media_type} needs an external codec; "
+            "stdlib formats: wav, mpeg (Layer I)"
         )
     raise NotImplementedError(f"unknown media_type: {media_type}")
 
@@ -453,6 +483,8 @@ def extract_video_features(df: DataFrame, every_n: int = 2) -> DataFrame:
             }
             for p in pdf["payload"]:
                 vid = decode_mjpeg_avi(bytes(p))
+                if not vid.frames:
+                    raise ValueError("video payload has no frames")
                 lumas = []
                 for jf in vid.frames[::every_n]:
                     img = decode_jpeg(jf)
@@ -559,5 +591,105 @@ def extract_gif_features(df: DataFrame, every_n: int = 2) -> DataFrame:
         schema=(
             "media_id long, width int, height int, n_frames int, "
             "duration_cs long, n_sampled long, mean_gray double"
+        ),
+    )
+
+
+def attach_synthetic_mpeg(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fixture helper for the MPEG-audio path: each document becomes a
+    genuine MPEG-1 Layer I mono stream (functions/mpeg_audio.py) with
+    closed-form structure, n = utf-8 byte length, i = doc_id:
+
+    - sample_rate  = [44100, 48000, 32000][n % 3]
+    - bitrate_kbps = 32 * (n % 3 + 2)        (index n%3+2 of table B)
+    - n_frames     = n % 7 + 2
+    - frame f carries ONE active subband (i + f) % 32 at
+      nb = n % 6 + 2 bits, scalefactor index (n + f) % 63, with all
+      12 samples the code (i*7 + f*3) % 2^nb.
+
+    Requantization is exact arithmetic, so the dequantized subband
+    value 2·2^(−scf/3) · (c·2^(1−nb) − 1 + 2^(1−nb)) · 2^nb/(2^nb−1)
+    survives the bitstream round trip bit-for-bit — a SQL oracle can
+    predict it in closed form, the GIF/LZW pattern applied to audio.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from i3cols_spark.functions import mpeg_audio
+
+        for pdf in batches:
+            rows: dict[str, list] = {"media_id": [], "payload": []}
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                i = int(doc_id)
+                n = len(str(text).encode("utf-8"))
+                nf = n % 7 + 2
+                nb = n % 6 + 2
+                specs = [
+                    {
+                        (i + f) % 32: (
+                            nb,
+                            (n + f) % 63,
+                            [(i * 7 + f * 3) % (1 << nb)] * 12,
+                        )
+                    }
+                    for f in range(nf)
+                ]
+                rows["media_id"].append(doc_id)
+                rows["payload"].append(
+                    mpeg_audio.encode_layer1(
+                        specs, rate_idx=n % 3, bitrate_idx=n % 3 + 2
+                    )
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        op, schema="media_id long, payload binary"
+    )
+
+
+def extract_mpeg_audio_features(df: DataFrame) -> DataFrame:
+    """Parse and Layer-I-decode MPEG audio payloads: stream metadata
+    from the real frame walk, mean dequantized amplitude over the
+    ALLOCATED subband samples (the bit-allocation mask, not a nonzero
+    test — a code can legally dequantize to exactly 0.0)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from i3cols_spark.functions import mpeg_audio
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": list(pdf["media_id"]),
+                "layer": [], "sample_rate": [], "bitrate_kbps": [],
+                "channels": [], "n_frames": [], "n_samples": [],
+                "duration_ms": [], "mean_subband_amp": [],
+            }
+            for p in pdf["payload"]:
+                payload = bytes(p)
+                info = mpeg_audio.stream_info(payload)
+                frames = mpeg_audio.decode_layer1(payload)
+                vals = np.concatenate(
+                    [fr.subbands[:, fr.allocated] for fr in frames], axis=None
+                )
+                if vals.size == 0:
+                    raise ValueError("mpeg payload allocated no subband bits")
+                out["layer"].append(info["layer"])
+                out["sample_rate"].append(info["sample_rate"])
+                out["bitrate_kbps"].append(info["bitrate_kbps"])
+                out["channels"].append(info["channels"])
+                out["n_frames"].append(info["n_frames"])
+                out["n_samples"].append(info["n_samples"])
+                out["duration_ms"].append(round(info["duration_ms"], 3))
+                out["mean_subband_amp"].append(round(float(np.mean(vals)), 6))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        op,
+        schema=(
+            "media_id long, layer int, sample_rate int, bitrate_kbps int, "
+            "channels int, n_frames int, n_samples long, "
+            "duration_ms double, mean_subband_amp double"
         ),
     )

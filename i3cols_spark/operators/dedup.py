@@ -516,3 +516,161 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment") >= 0.6)
         .select("doc_sub", "doc_super", "containment")
     )
+
+
+@query(
+    "q_dedup_url_canon",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               CASE doc_id % 4
+                   WHEN 0 THEN 'https://www.' || source || '.example.com/doc/'
+                               || CAST(doc_id % 97 AS VARCHAR)
+                   WHEN 1 THEN 'HTTP://' || source || '.EXAMPLE.COM/doc/'
+                               || CAST(doc_id % 97 AS VARCHAR) || '/'
+                   WHEN 2 THEN 'https://' || source || '.example.com/doc/'
+                               || CAST(doc_id % 97 AS VARCHAR)
+                               || '?utm_source=x&ref=y'
+                   ELSE 'https://www.' || source || '.example.com/doc/'
+                               || CAST(doc_id % 97 AS VARCHAR) || '#frag'
+               END AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(lower(url), '^https?://', ''),
+                           '^www\.', ''),
+                       '[?#].*$', ''),
+                   '/+$', '') AS canon_url
+        FROM raw
+    )
+    SELECT canon_url,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           min(doc_id)              AS keeper_doc_id
+    FROM canon GROUP BY canon_url
+    """,
+)
+def q_dedup_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the fetch-layer twin of text
+    dedup: the same page arrives under scheme/case/www/trailing-slash/
+    tracking-param variants, and the crawler must collapse them BEFORE
+    any content fetch or text dedup runs.
+
+    The fixture synthesizes four deterministic variants per document
+    (scheme case, www prefix, trailing slash, ?utm tracking + #fragment)
+    so the canonicalizer provably collapses every class; canonical form
+    = lowercase, scheme stripped, leading www. stripped, query/fragment
+    stripped, trailing slashes stripped.
+
+    Scale shape: the canonicalizer is a chain of anchored regexp_replace
+    projections — whole-stage codegen, zero Python — followed by ONE
+    hash-groupBy on the canonical string (the identical plan to
+    q_dedup_exact, whose 16-byte-digest trick applies verbatim if the
+    canonical URL is long).  Anchored patterns match at most once, so
+    Spark's replace-all and DuckDB's replace-first semantics agree.
+    """
+    docs = table(spark, sf_dir, "documents")
+    path = (F.col("doc_id") % 97).cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("https://www."), F.col("source"),
+                     F.lit(".example.com/doc/"), path),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("HTTP://"), F.col("source"),
+                     F.lit(".EXAMPLE.COM/doc/"), path, F.lit("/")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://"), F.col("source"),
+                     F.lit(".example.com/doc/"), path,
+                     F.lit("?utm_source=x&ref=y")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://www."), F.col("source"),
+                     F.lit(".example.com/doc/"), path, F.lit("#frag")),
+        )
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(url), r"^https?://", ""),
+                r"^www\.", ""),
+            r"[?#].*$", ""),
+        r"/+$", "")
+    return (
+        docs.select("doc_id", canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+#: Permutation count for the oracle-checkable md5 MinHash signature.
+_SIG_PERMS = 8
+
+
+@query(
+    "q_text_minhash_signature",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               list_transform(
+                   range(0, greatest(len(toks) - 3, 0) + 1),
+                   i -> array_to_string(toks[i+1:i+3], ' ')
+               ) AS sh
+        FROM t
+    )
+    SELECT doc_id,
+           {", ".join(
+               f"list_min(list_transform(sh, x -> md5('{j}:' || x))) AS sig{j}"
+               for j in range(_SIG_PERMS)
+           )}
+    FROM s
+    """,
+)
+def q_text_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature with a CROSS-ENGINE hash family — md5 over
+    salted word-3-gram shingles, min taken LEXICOGRAPHICALLY on the
+    hex digest (identical lowercase hex in both engines), one column
+    per permutation.
+
+    q_dedup_near_minhash is the production path (xxhash64 → bigint,
+    rows-only evidence because DuckDB has no xxhash64); THIS query
+    pins the minhash construction itself — shingling window, salt
+    scheme, min-reduce — under a full value-hash oracle, so the
+    rows-only twin's structure is no longer unverifiable.
+
+    Scale shape: per-row ``transform``+``array_min`` over the shingle
+    array — all whole-stage codegen, zero shuffle, zero Python.  The
+    shingle array is materialized in a separate projection so each
+    permutation's min-reduce re-reads the array rather than re-running
+    tokenize+slice 8× (Catalyst keeps non-cheap multiply-referenced
+    projections un-collapsed).
+    """
+    from i3cols_spark.functions.text import shingles
+
+    docs = table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", shingles("text").alias("sh"))
+
+    # The lambda MUST stay unary: pyspark binds a 2-param lambda as
+    # (element, index), so a `j=j` default capture would be silently
+    # overwritten by the array index.
+    def salted_min(j: int):
+        return F.array_min(
+            F.transform("sh", lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
+        ).alias(f"sig{j}")
+
+    return staged.select("doc_id", *[salted_min(j) for j in range(_SIG_PERMS)])

@@ -589,3 +589,83 @@ def q_join_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("int").alias("edit_dist"),
         )
     )
+
+
+@query(
+    "q_join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+        SELECT o.o_orderkey, o.o_totalprice,
+               o.o_orderdate AS iv_start, max(l.l_shipdate) AS iv_end
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey, o.o_totalprice, o.o_orderdate
+    ),
+    win AS (
+        SELECT CAST(m AS BIGINT) AS month_idx,
+               TIMESTAMP '1994-01-01' + to_months(CAST(m AS INT)) AS w_start,
+               TIMESTAMP '1994-01-01' + to_months(CAST(m + 1 AS INT)) AS w_end
+        FROM unnest(generate_series(0, 23)) AS g(m)
+    )
+    SELECT w.month_idx, epoch_us(w.w_start) AS window_start_us,
+           CAST(count(*) AS BIGINT)         AS n_orders,
+           round(sum(iv.o_totalprice), 2)   AS total_price
+    FROM iv JOIN win w
+      ON iv.iv_start < w.w_end AND w.w_start <= iv.iv_end
+    GROUP BY w.month_idx, w.w_start
+    """,
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: each order's fulfillment interval
+    [o_orderdate, max(l_shipdate)] against 24 monthly calendar windows
+    — "which orders were in flight during month m" — the temporal-
+    overlap primitive behind campaign attribution, capacity planning,
+    and SCD-interval auditing (q_scd2_intervals builds the intervals;
+    this query JOINS on them).
+
+    Overlap is half-open vs closed: interval [s, e] overlaps window
+    [ws, we) iff s < we AND ws <= e.  An order spanning k month
+    boundaries lands in k+1 windows — deliberately n:m, which is what
+    distinguishes this from q_join_asof (latest-before) and
+    q_join_theta_range (band predicate on scalars).
+
+    Scale shape: intervals come from ONE join+groupBy on o_orderkey
+    (orders⋈lineitem co-partition on the key; at 100 TB bucket both on
+    orderkey — q_join_bucketed pins that layout).  The calendar side
+    is 24 rows → explicit ``broadcast``; Catalyst plans the overlap as
+    BroadcastNestedLoopJoin, which is exactly right for a tiny
+    window dimension.  When BOTH interval sides are large, the plan
+    switches to the grid trick (explode each interval to the months it
+    touches, equi-join on month, re-check the exact predicate) —
+    q_join_radius_2d pins that pattern in 2-D; the fixture keeps the
+    dimension side small so the oracle stays quadratic-free.
+    """
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    iv = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("iv_end"))
+        .select(
+            F.col("o_totalprice"),
+            F.col("o_orderdate").alias("iv_start"),
+            "iv_end",
+        )
+    )
+    win = spark.range(0, 24).select(
+        F.col("id").cast("long").alias("month_idx"),
+        F.add_months(F.lit("1994-01-01").cast("timestamp"), F.col("id").cast("int"))
+        .cast("timestamp").alias("w_start"),
+        F.add_months(F.lit("1994-01-01").cast("timestamp"), F.col("id").cast("int") + 1)
+        .cast("timestamp").alias("w_end"),
+    )
+    return (
+        iv.join(
+            F.broadcast(win),
+            (iv.iv_start < win.w_end) & (win.w_start <= iv.iv_end),
+        )
+        .groupBy("month_idx", F.unix_micros("w_start").alias("window_start_us"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )

@@ -308,3 +308,77 @@ def q_multimodal_gif_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 1)
     gifs = attach_synthetic_gif(docs)
     return extract_gif_features(gifs, every_n=2)
+
+
+@query(
+    "q_multimodal_audio_feats",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+        WHERE doc_id % 5 = 2
+    ),
+    p AS (
+        SELECT doc_id, n,
+               CASE n % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                          ELSE 32000 END AS rate,
+               32 * (n % 3 + 2) AS kbps,
+               n % 7 + 2 AS nf,
+               n % 6 + 2 AS nb
+        FROM t
+    ),
+    f AS (
+        SELECT doc_id, n, rate, kbps, nf, nb,
+               unnest(generate_series(0, nf - 1)) AS fr
+        FROM p
+    ),
+    amp AS (
+        SELECT doc_id, rate, kbps, nf,
+               2.0 * pow(2.0, -CAST((n + fr) % 63 AS DOUBLE) / 3.0)
+               * ( CAST((doc_id * 7 + fr * 3) % CAST(pow(2, nb) AS BIGINT)
+                        AS DOUBLE)
+                   * pow(2.0, CAST(1 - nb AS DOUBLE)) - 1.0
+                   + pow(2.0, CAST(1 - nb AS DOUBLE)) )
+               * pow(2.0, CAST(nb AS DOUBLE))
+               / (pow(2.0, CAST(nb AS DOUBLE)) - 1.0) AS a
+        FROM f
+    )
+    SELECT doc_id AS media_id,
+           CAST(1 AS INT) AS layer,
+           CAST(rate AS INT) AS sample_rate,
+           CAST(kbps AS INT) AS bitrate_kbps,
+           CAST(1 AS INT) AS channels,
+           CAST(nf AS INT) AS n_frames,
+           CAST(nf * 384 AS BIGINT) AS n_samples,
+           round(nf * 384 * 1000.0 / rate, 3) AS duration_ms,
+           round(avg(a), 6) AS mean_subband_amp
+    FROM amp GROUP BY doc_id, rate, kbps, nf
+    """,
+)
+def q_multimodal_audio_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-1 audio path: a deterministic 1-in-5 document slice
+    (disjoint from the AVI %5==0 and GIF %5==1 slices) becomes genuine
+    Layer I mono bitstreams — 32-bit headers, 4-bit allocation table,
+    6-bit scalefactor indices, 12 interleaved nb-bit sample codes
+    (functions/mpeg_audio.py) — then one ``mapInPandas`` pass re-walks
+    the frame stream, decodes allocations + scalefactors, requantizes
+    every coded sample, and reports rate / bitrate / frame count /
+    duration plus the mean dequantized subband amplitude.
+
+    Requantization is EXACT arithmetic (unlike JPEG's lossy DCT), so
+    the oracle pins the full bitstream round trip to closed form: a
+    single mis-read bit anywhere — header field, allocation nibble,
+    scalefactor, sample code, bit-reader position — shifts an
+    amplitude and breaks the hash.  PCM synthesis past the subband
+    domain stays gated (the ISO window table is data, not math —
+    module docstring); every emitted column derives from bits that
+    really decoded.  Scale shape: embarrassingly parallel decode over
+    the scan, only the 9-column feature row shuffles.
+    """
+    from i3cols_spark.functions.multimodal import (
+        attach_synthetic_mpeg,
+        extract_mpeg_audio_features,
+    )
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 2)
+    audio = attach_synthetic_mpeg(docs)
+    return extract_mpeg_audio_features(audio)

@@ -168,15 +168,48 @@ POST_R5_ADDITIONS: tuple[str, ...] = (
 )
 
 
+#: Round-6 rotation (VERDICT r05 item 1).  The driver's CORRECTNESS
+#: budget is the FIRST 50 surface names; after round 5 the only
+#: registered queries without an official green row are the 32
+#: ``POST_R5_ADDITIONS`` (frozen out of the full r5 window) plus
+#: ``q_udaf_grouped``, whose newest official row is the r03 fixture
+#: crash (its r2 row and every sim since are green).  Those 33 lead.
+#: The remaining 17 slots go to the stalest evidence: the 3 names last
+#: checked in round 1, the 9 D-block names last checked in round 3,
+#: and 5 round-6-new operators (zero evidence anywhere yet).  Names
+#: squeezed out (r4/r5-checked) keep their official rows and stay
+#: covered by the full-surface sim.
+_R6_PRIORITY: tuple[str, ...] = (
+    # 32 POST_R5_ADDITIONS — sim-green in r5, never driver-checked
+    *POST_R5_ADDITIONS,
+    # stale: last official row is the r03 crash (green r2 + sims)
+    "q_udaf_grouped",
+    # stale: last checked round 1
+    "q_source_npy_scan", "q_udtf_python", "q_window_distribution",
+    # stale: last checked round 3
+    "q_array_collect", "q_array_explode", "q_array_hof",
+    "q_case_when", "q_json_extract", "q_map_funcs",
+    "q_struct_nested", "q_udf_scalar", "q_udtf_expand",
+    # new in round 6 — no evidence anywhere yet
+    "q_multimodal_audio_feats", "q_text_minhash_signature",
+    "q_join_interval_overlap", "q_ts_resample_agg", "q_dedup_url_canon",
+)
+
+#: Round-6-new names (the tail of ``_R6_PRIORITY``): registered this
+#: round, so they ride the official window immediately instead of
+#: waiting a round like the POST_R5 block had to.
+R6_NEW: tuple[str, ...] = _R6_PRIORITY[-5:]
+
+
 def surface_order() -> list[str]:
-    """Driver-facing ordering: the round-5 evidence-rotation block
-    first (see ``_R5_PRIORITY``), the remaining contract + extras in
+    """Driver-facing ordering: the round-6 evidence-rotation block
+    first (see ``_R6_PRIORITY``), the remaining contract + extras in
     §-order after, then any registered name the tuples don't know
     about (fail-open so a new operator is never silently dropped from
     the surface)."""
-    prio = set(_R5_PRIORITY)
+    prio = set(_R6_PRIORITY)
     rest = [q for q in (*CONTRACT_QUERIES, *EXTRA_QUERIES) if q not in prio]
-    known = list(_R5_PRIORITY) + rest
+    known = list(_R6_PRIORITY) + rest
     missing = [k for k in known if k not in QUERIES]
     if missing:
         raise KeyError(f"surface_order: unregistered contract/extra names: {missing}")

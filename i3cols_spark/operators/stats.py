@@ -586,7 +586,7 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id, source, n_chars
     FROM documents
-    WHERE CAST((doc_id * 2654435761) % 65536 AS DOUBLE) / 65536.0 <
+    WHERE CAST((doc_id % 65536 * 2654435761) % 65536 AS DOUBLE) / 65536.0 <
           0.9 * least(1.0, n_chars / 800.0)
     """,
 )
@@ -599,7 +599,8 @@ def q_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible and oracle-checkable row for row.
 
     The uniform variate is a Knuth multiplicative hash of the key
-    ((doc_id · 2654435761) mod 2^16 / 2^16) — exact integer arithmetic
+    ((doc_id mod 2^16 · 2654435761) mod 2^16 / 2^16, overflow-safe for
+    any id range) — exact integer arithmetic
     available identically in both engines, unlike xxhash64 (Spark-
     only) or RNG sampling (partitioning-dependent).  Same nesting
     property as q_sample_stratified: lowering the 0.9 base rate
@@ -607,8 +608,16 @@ def q_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the scan — no shuffle, no state, any scale.
     """
     docs = table(spark, sf_dir, "documents")
+    # Reduce doc_id mod 2^16 BEFORE the Knuth multiply: mathematically
+    # identical ((a mod m)·k mod m ≡ a·k mod m), but the product stays
+    # < 2^48 for ANY doc_id, where the raw multiply overflows int64 at
+    # doc_id ≈ 3.5e9 (Spark wraps / ANSI-errors, DuckDB promotes to
+    # HUGEINT — cross-engine divergence at large key ranges).
     u = (
-        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(65536)).cast("double")
+        F.pmod(
+            F.pmod(F.col("doc_id"), F.lit(65536)) * F.lit(2654435761),
+            F.lit(65536),
+        ).cast("double")
         / 65536.0
     )
     p = 0.9 * F.least(F.lit(1.0), F.col("n_chars") / 800.0)

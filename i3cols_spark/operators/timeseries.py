@@ -514,3 +514,63 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_value",
         F.round(num / den, 6).alias("ewma"),
     )
+
+
+#: 6-hour resample bucket width in microseconds.
+_RESAMPLE_US = 21_600_000_000
+
+
+@query(
+    "q_ts_resample_agg",
+    oracle=f"""
+    WITH x AS (
+        SELECT event_type,
+               epoch_us(ts) - epoch_us(ts) % {_RESAMPLE_US} AS bucket_us,
+               value, user_id
+        FROM events
+    )
+    SELECT event_type, CAST(bucket_us AS BIGINT) AS bucket_us,
+           CAST(count(*) AS BIGINT)              AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(sum(value), 2)                  AS total_value,
+           min(value)                            AS min_value,
+           max(value)                            AS max_value
+    FROM x GROUP BY 1, 2
+    """,
+)
+def q_ts_resample_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-frequency resampling of the event stream: 6-hour buckets
+    per event type with volume, distinct-user reach, and value
+    envelope — the downsample-to-grid step between raw events and any
+    fixed-frequency feature matrix (the coarser, distinct-counting
+    sibling of q_ts_ohlc's daily bars).
+
+    Bucketing is pure integer arithmetic on epoch microseconds
+    (``ep - ep % width``), identical in both engines for the
+    non-negative timestamps the fixture guarantees — no engine-specific
+    time_bucket/window-origin semantics to diverge on.
+
+    Scale shape: ONE map-side-combined groupBy on (event_type,
+    bucket).  count(DISTINCT user_id) is the only expensive member —
+    Spark plans it as a two-phase expand+partial-agg, still a single
+    shuffle family; at 100 TB swap in approx_count_distinct when ±2%
+    reach is acceptable (q_agg_approx_distinct pins that path).
+    min/max/sum are per-row doubles folded in the partial aggregate;
+    the multi-row float sum rounds to 2 dp in BOTH dialects.
+    """
+    ev = table(spark, sf_dir, "events")
+    ep = F.unix_micros("ts")
+    bucket = (ep - ep % F.lit(_RESAMPLE_US)).cast("long")
+    return (
+        ev.select(
+            "event_type", bucket.alias("bucket_us"), "value", "user_id"
+        )
+        .groupBy("event_type", "bucket_us")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )

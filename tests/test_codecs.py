@@ -540,3 +540,184 @@ def test_tiff_via_multimodal_dispatch():
     d = decode_media("image/tiff", codecs.encode_tiff(img))
     assert (d["width"], d["height"]) == (4, 2)
     assert d["features"][:3] == [4.0, 2.0, 3.0]
+
+
+# ---------------------------------------------------------------- MPEG audio
+
+
+def _l1_stream(i=7, n=157):
+    from i3cols_spark.functions import mpeg_audio
+
+    nf, nb = n % 7 + 2, n % 6 + 2
+    specs = [
+        {(i + f) % 32: (nb, (n + f) % 63, [(i * 7 + f * 3) % (1 << nb)] * 12)}
+        for f in range(nf)
+    ]
+    return mpeg_audio.encode_layer1(specs, rate_idx=n % 3, bitrate_idx=n % 3 + 2), specs
+
+
+def test_mpeg_layer1_round_trip_exact():
+    """Encode→decode recovers the closed-form requantized amplitude for
+    every coded sample — the bitstream (header, allocation nibbles,
+    scalefactors, interleaved nb-bit codes) is walked for real."""
+    import numpy as np
+
+    from i3cols_spark.functions import mpeg_audio
+
+    payload, specs = _l1_stream()
+    frames = mpeg_audio.decode_layer1(payload)
+    assert len(frames) == len(specs)
+    for fr, spec in zip(frames, specs):
+        (sb, (nb, scf_idx, codes)), = spec.items()
+        mask = np.zeros((32, 1), dtype=bool)
+        mask[sb, 0] = True
+        assert (fr.allocated == mask).all()
+        expect = (
+            2.0 * 2.0 ** (-scf_idx / 3.0)
+            * ((codes[0] * 2.0 ** (1 - nb) - 1.0 + 2.0 ** (1 - nb))
+               * (2.0 ** nb / (2.0 ** nb - 1.0)))
+        )
+        got = fr.subbands[:, sb, 0]
+        assert np.allclose(got, expect, rtol=0, atol=1e-15)
+        # non-allocated subbands are exactly silent
+        others = fr.subbands[:, [s for s in range(32) if s != sb], 0]
+        assert (others == 0.0).all()
+
+
+@pytest.mark.parametrize("rate_idx,bitrate_idx", [(0, 2), (1, 3), (2, 4), (0, 14)])
+def test_mpeg_header_fields_round_trip(rate_idx, bitrate_idx):
+    from i3cols_spark.functions import mpeg_audio
+
+    payload, _ = (
+        mpeg_audio.encode_layer1(
+            [{0: (3, 10, [1] * 12)}], rate_idx=rate_idx, bitrate_idx=bitrate_idx
+        ),
+        None,
+    )
+    info = mpeg_audio.stream_info(payload)
+    assert info["sample_rate"] == mpeg_audio.SAMPLE_RATES[rate_idx]
+    assert info["bitrate_kbps"] == mpeg_audio.BITRATES[1][bitrate_idx]
+    assert info["layer"] == 1 and info["channels"] == 1
+    assert info["n_frames"] == 1 and info["n_samples"] == 384
+
+
+def test_mpeg_hypothesis_round_trip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from i3cols_spark.functions import mpeg_audio
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(0, 2),       # rate_idx
+        st.integers(2, 6),       # bitrate_idx (roomy frames)
+        st.integers(2, 10),      # nb
+        st.integers(0, 62),      # scf_idx
+        st.integers(0, 31),      # subband
+        st.data(),
+    )
+    def check(rate_idx, bitrate_idx, nb, scf_idx, sb, data):
+        import numpy as np
+
+        codes = data.draw(
+            st.lists(st.integers(0, (1 << nb) - 1), min_size=12, max_size=12)
+        )
+        payload = mpeg_audio.encode_layer1(
+            [{sb: (nb, scf_idx, codes)}], rate_idx=rate_idx, bitrate_idx=bitrate_idx
+        )
+        (fr,) = mpeg_audio.decode_layer1(payload)
+        scf = 2.0 * 2.0 ** (-scf_idx / 3.0)
+        for s in range(12):
+            expect = scf * (
+                (codes[s] * 2.0 ** (1 - nb) - 1.0 + 2.0 ** (1 - nb))
+                * (2.0 ** nb / (2.0 ** nb - 1.0))
+            )
+            assert abs(fr.subbands[s, sb, 0] - expect) < 1e-14
+
+    check()
+
+
+def test_mpeg_gates_and_errors():
+    import pytest as _pytest
+
+    from i3cols_spark.functions import mpeg_audio
+
+    payload, _ = _l1_stream()
+    # truncated frame
+    with _pytest.raises(ValueError, match="truncated"):
+        mpeg_audio.parse_frames(payload[:-1])
+    # bad sync
+    with _pytest.raises(ValueError, match="sync"):
+        mpeg_audio.parse_header(b"\x00\x00\x00\x00")
+    # MPEG-2 gated per-version
+    b = bytearray(payload)
+    b[1] = (b[1] & ~0x18) | 0x10  # version bits 10 = MPEG-2
+    with _pytest.raises(NotImplementedError, match="MPEG-1"):
+        mpeg_audio.parse_header(bytes(b))
+    # forbidden bitrate index
+    b = bytearray(payload)
+    b[2] |= 0xF0
+    with _pytest.raises(ValueError, match="bitrate"):
+        mpeg_audio.parse_header(bytes(b))
+    # Layer III frames parse (framing) but payload decode is gated
+    hdr = bytes([0xFF, 0xE0 | 0x18 | 0x02 | 0x01, (1 << 4) | (0 << 2), 0x3 << 6])
+    l3 = hdr + b"\x00" * (144 * 32000 // 44100 - 4)
+    assert mpeg_audio.stream_info(l3)["layer"] == 3
+    with _pytest.raises(NotImplementedError, match="Layer"):
+        mpeg_audio.decode_layer1(l3)
+    # PCM synthesis is gated on the ISO window table
+    frames = mpeg_audio.decode_layer1(payload)
+    with _pytest.raises(NotImplementedError, match="window"):
+        mpeg_audio.synthesize_pcm(frames)
+    # scalefactor index range
+    with _pytest.raises(ValueError):
+        mpeg_audio.scalefactor(63)
+
+
+def test_mpeg_via_multimodal_dispatch():
+    from i3cols_spark.functions.multimodal import decode_media
+
+    payload, specs = _l1_stream()
+    d = decode_media("audio/mpeg", payload)
+    assert d["sample_rate"] == 48000
+    assert d["n_frames"] == len(specs)
+    assert d["features"][0] == 48000.0 and d["features"][1] == 1.0
+    assert len(d["features"]) > 3  # Layer I contributes subband samples
+
+
+# ------------------------------------------------- ADVICE r05 error contracts
+
+
+def test_gif_frame_without_color_table_raises_value_error():
+    """A frame with neither global nor local palette must hit the
+    module's ValueError contract, not IndexError (ADVICE r05)."""
+    from i3cols_spark.functions.gif import decode_gif
+
+    # Header + logical screen descriptor WITHOUT global color table
+    # (flags 0x00), one image descriptor without local table, 2-bit LZW.
+    payload = (
+        b"GIF89a" + struct.pack("<HHBBB", 1, 1, 0x00, 0, 0)
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 1, 0x00)
+        + b"\x02\x02\x44\x01\x00"  # min code size 2, data, terminator
+        + b"\x3b"
+    )
+    with pytest.raises(ValueError, match="color table"):
+        decode_gif(payload)
+
+
+def test_avi_truncated_header_chunks_raise_value_error():
+    """avih/strh chunks whose declared size is too small for their
+    fixed fields must raise ValueError, not struct.error (ADVICE r05)."""
+    from i3cols_spark.functions.avi import decode_mjpeg_avi
+
+    def riff(*chunks: bytes) -> bytes:
+        body = b"AVI " + b"".join(chunks)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    short_avih = b"avih" + struct.pack("<I", 8) + b"\x00" * 8
+    with pytest.raises(ValueError, match="truncated AVI header"):
+        decode_mjpeg_avi(riff(short_avih))
+
+    short_strh = b"strh" + struct.pack("<I", 8) + b"vids" + b"\x00" * 4
+    with pytest.raises(ValueError, match="truncated AVI header"):
+        decode_mjpeg_avi(riff(short_strh))

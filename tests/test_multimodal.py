@@ -80,3 +80,25 @@ def test_resize_halves_payload_and_metadata(spark, sf_dir):
     for r in rows:
         assert r["n1"] == (r["n0"] + 1) // 2
         assert r["width"] == 320 and r["height"] == 240
+
+
+def test_video_with_zero_frames_raises_value_error(spark):
+    """An AVI whose movi list holds no frames must produce a clear
+    per-payload ValueError, not a NaN mean_luma (ADVICE r05)."""
+    import struct
+
+    from i3cols_spark.functions.multimodal import extract_video_features
+
+    avih = b"avih" + struct.pack("<I", 56) + struct.pack(
+        "<14I", 0, 0, 0, 0, 0, 0, 0, 0, 16, 16, 0, 0, 0, 0
+    )
+    strh = (
+        b"strh" + struct.pack("<I", 28)
+        + b"vids" + b"MJPG" + b"\x00" * 12 + struct.pack("<II", 1, 10)
+    )
+    body = b"AVI " + avih + strh
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    df = spark.createDataFrame([(1, bytearray(payload))], "media_id long, payload binary")
+    with pytest.raises(Exception, match="no frames"):
+        extract_video_features(df).collect()

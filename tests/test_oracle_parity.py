@@ -50,44 +50,49 @@ def test_entry_smoke(spark):
     assert set(df.columns) == {"n_name", "revenue", "n_items"}
 
 
-def test_surface_order_round5_rotation():
+def test_surface_order_round6_rotation():
     """The driver consumes queries() in dict order under a 50-row
-    budget.  Round 5 leads with the evidence-rotation block (VERDICT
-    r04 item 1 / ADVICE r04 item 4): the 37 names with NO official
-    CORRECTNESS row in rounds 1–4 plus the 13 stalest, pinned here by
-    recomputing the never-checked set from the committed artifacts so
-    a drifted rotation fails loudly."""
+    budget.  Round 6 leads with the evidence-rotation block (VERDICT
+    r05 item 1): every name with NO official CORRECTNESS row after
+    rounds 1–5 (the 32 POST_R5_ADDITIONS plus round-6-new operators),
+    then q_udaf_grouped (newest official row = the r03 crash) and the
+    stalest r1/r3 names — pinned here by recomputing the checked set
+    from the committed artifacts so a drifted rotation fails loudly."""
     import json
     import pathlib
 
     import __spark_entry__ as entrymod
     from i3cols_spark.operators import CONTRACT_QUERIES, EXTRA_QUERIES
-    from i3cols_spark.operators.registry import _R5_PRIORITY, POST_R5_ADDITIONS
+    from i3cols_spark.operators.registry import _R6_PRIORITY, POST_R5_ADDITIONS, R6_NEW
 
     order = list(entrymod.queries())
     assert len(CONTRACT_QUERIES) == 60
-    assert len(_R5_PRIORITY) == 50
-    assert len(set(_R5_PRIORITY)) == 50
-    assert order[:50] == list(_R5_PRIORITY)
+    assert len(_R6_PRIORITY) == 50
+    assert len(set(_R6_PRIORITY)) == 50
+    assert order[:50] == list(_R6_PRIORITY)
     assert sorted(order) == sorted(QUERIES)
 
     repo = pathlib.Path(__file__).resolve().parent.parent
     checked: set[str] = set()
-    for r in (1, 2, 3, 4):
+    for r in (1, 2, 3, 4, 5):
         art = repo / f"CORRECTNESS_r0{r}.json"
         if art.exists():
             checked |= set(json.loads(art.read_text()))
-    registered = set(CONTRACT_QUERIES) | set(EXTRA_QUERIES)
-    # Operators added AFTER the rotation was frozen can't fit in the
-    # already-full 50-slot window; they're pinned as the round-6
-    # rotation's first candidates instead.
-    never = registered - checked - set(POST_R5_ADDITIONS)
-    # All never-officially-checked pre-rotation names must sit inside
-    # the priority block (the budget window), so round 5 closes the
-    # evidence gap.
-    assert never <= set(_R5_PRIORITY), sorted(never - set(_R5_PRIORITY))
-    assert set(POST_R5_ADDITIONS) <= registered
-    assert not set(POST_R5_ADDITIONS) & set(_R5_PRIORITY)
+    # Every registered name with no official row from any round must
+    # sit inside the round-6 window, so the evidence gap closes.
+    never = set(QUERIES) - checked
+    assert never <= set(_R6_PRIORITY), sorted(never - set(_R6_PRIORITY))
+    assert set(POST_R5_ADDITIONS) <= set(_R6_PRIORITY)
+    assert set(R6_NEW) <= set(_R6_PRIORITY)
+    # Stale-evidence backfill: the r1/r3-checked names + the udaf whose
+    # newest official row was a crash.
+    stale = {
+        "q_udaf_grouped", "q_source_npy_scan", "q_udtf_python",
+        "q_window_distribution", "q_array_collect", "q_array_explode",
+        "q_array_hof", "q_case_when", "q_json_extract", "q_map_funcs",
+        "q_struct_nested", "q_udf_scalar", "q_udtf_expand",
+    }
+    assert stale <= set(_R6_PRIORITY)
 
     # Every contract query has an oracle entry except the declared
     # weak-by-design ones (SURVEY §2.3: approx_distinct + minhash).
