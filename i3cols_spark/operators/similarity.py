@@ -509,6 +509,9 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, refine_iters: int = 0) -> 
 
     emb = table(spark, sf_dir, "embeddings")
     stride = max(1, -(-emb.count() // _IVF_NLIST))
+    # Bounded collect: the stride filter keeps ≤ _IVF_NLIST rows (stride
+    # = ceil(count/nlist)), and Catalyst pushes it below the orderBy, so
+    # the sort ranks ~nlist rows — never the corpus.
     cents = (
         emb.filter(F.col("vec_id") % stride == 1)
         .select("vec_id", as_double("embedding").alias("v"))
@@ -651,6 +654,14 @@ def ivf_topk(
 _KNN_BATCH_K = 5
 _KNN_QUERY_MOD = 125
 
+#: Max query vectors collected/broadcast per tile of the batch-kNN
+#: outer loop.  Driver + broadcast memory is bounded by
+#: _KNN_TILE × dim × 8 B regardless of corpus size (the r05 weak
+#: finding was the un-tiled collect growing WITH the corpus).  Tests
+#: monkeypatch this down to force multi-tile execution at fixture
+#: scale.
+_KNN_TILE = 4096
+
 
 @query(
     "q_similarity_knn_batch",
@@ -682,62 +693,95 @@ def q_similarity_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 query = 1 scan; N embedding-lookup queries must amortize to one
     scan or the serving job rereads the corpus N times).
 
-    Shape: the query matrix is tiny by contract (|corpus|/125 rows —
-    collected driver-side and closed over, the same bounded-collect
-    pattern as the IVF centroid sidecar) and rides into ONE
-    ``mapInPandas`` GEMM over the corpus: each Arrow batch scores
-    batch × queries in a single float64 matmul and emits only its
-    LOCAL top-k per query — ≤ tasks × |Q| × k candidate rows ever
-    leave the scan stage, so the final exact rank (one window over the
-    candidate frame) shuffles thousands of rows, not |corpus| × |Q|.
-    Local pruning is exact: candidates are selected by the same total
-    order (rounded cos desc, vec_id asc) the final window ranks by,
-    and the global top-k under a total order is contained in the union
-    of per-partition top-k.  At 100 TB this is scan-bound with
-    near-zero shuffle; for query sets too large to broadcast, the same
-    plan tiles the query side (an outer loop of broadcast batches) or
-    falls back to the IVF index path.
+    Shape: the query side runs as an OUTER LOOP OF BOUNDED TILES —
+    each tile collects at most ``_KNN_TILE`` query vectors (tile t =
+    queries with floor(vec_id/mod) ≡ t (mod n_tiles), a pure scan
+    filter), broadcasts them into one ``mapInPandas`` GEMM over the
+    corpus, and each Arrow batch scores batch × tile in a single
+    float64 matmul, emitting only its LOCAL top-k per query — ≤
+    tasks × |tile| × k candidate rows ever leave a scan, so the final
+    exact rank (one window over the unioned candidate frame) shuffles
+    thousands of rows, not |corpus| × |Q|.  Local pruning is exact:
+    candidates are selected by the same total order (rounded cos desc,
+    vec_id asc) the final window ranks by, and the global top-k under
+    a total order is contained in the union of per-partition top-k.
+
+    Scale: driver/broadcast memory is bounded by the TILE size —
+    independent of corpus size (the query set here is a corpus stride,
+    so the r05-flagged single collect grew linearly with the corpus
+    and would eventually OOM the driver).  Cost is one corpus scan per
+    tile; when ceil(|Q|/_KNN_TILE) scans exceed the scan budget, the
+    IVF index path (q_similarity_ann_ivf) is the right tool instead.
+    The fixture's |Q| fits one tile, so the plan — and the oracle —
+    are unchanged from the single-pass form; tests force multi-tile
+    execution by shrinking the tile size and assert identical results.
     """
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
-    qrows = emb.filter(F.col("vec_id") % _KNN_QUERY_MOD == 0).collect()
-    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    qmat = np.array([r["v"] for r in qrows], dtype=np.float64)
-    qnorm = np.linalg.norm(qmat, axis=1)
-    qnorm[qnorm == 0] = np.inf
     k = _KNN_BATCH_K
+    is_query = F.col("vec_id") % _KNN_QUERY_MOD == 0
+    n_queries = emb.filter(is_query).count()
+    n_tiles = max(1, -(-n_queries // _KNN_TILE))
 
-    def local_topk(batches):
-        import numpy as np
-        import pandas as pd
+    def tile_topk(qids: np.ndarray, qmat: np.ndarray):
+        qnorm = np.linalg.norm(qmat, axis=1)
+        qnorm[qnorm == 0] = np.inf
 
-        for pdf in batches:
-            ids = pdf["vec_id"].to_numpy(np.int64)
-            mat = np.array(list(pdf["v"]), dtype=np.float64)
-            vn = np.linalg.norm(mat, axis=1)
-            vn[vn == 0] = np.inf
-            sims = np.round((mat @ qmat.T) / np.outer(vn, qnorm), 6)
-            out_q, out_i, out_s = [], [], []
-            for j in range(len(qids)):
-                s = sims[:, j].copy()
-                s[ids == qids[j]] = -np.inf  # exclude self
-                top = np.lexsort((ids, -s))[:k]
-                top = top[np.isfinite(s[top])]
-                out_q.append(np.full(len(top), qids[j]))
-                out_i.append(ids[top])
-                out_s.append(s[top])
-            yield pd.DataFrame(
-                {
-                    "qid": np.concatenate(out_q) if out_q else [],
-                    "vec_id": np.concatenate(out_i) if out_i else [],
-                    "cos_sim": np.concatenate(out_s) if out_s else [],
-                }
+        def local_topk(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                ids = pdf["vec_id"].to_numpy(np.int64)
+                mat = np.array(list(pdf["v"]), dtype=np.float64)
+                vn = np.linalg.norm(mat, axis=1)
+                vn[vn == 0] = np.inf
+                sims = np.round((mat @ qmat.T) / np.outer(vn, qnorm), 6)
+                out_q, out_i, out_s = [], [], []
+                for j in range(len(qids)):
+                    s = sims[:, j].copy()
+                    s[ids == qids[j]] = -np.inf  # exclude self
+                    top = np.lexsort((ids, -s))[:k]
+                    top = top[np.isfinite(s[top])]
+                    out_q.append(np.full(len(top), qids[j]))
+                    out_i.append(ids[top])
+                    out_s.append(s[top])
+                yield pd.DataFrame(
+                    {
+                        "qid": np.concatenate(out_q) if out_q else [],
+                        "vec_id": np.concatenate(out_i) if out_i else [],
+                        "cos_sim": np.concatenate(out_s) if out_s else [],
+                    }
+                )
+
+        return local_topk
+
+    parts = []
+    for t in range(n_tiles):
+        tile_cond = is_query & (
+            F.pmod(F.floor(F.col("vec_id") / _KNN_QUERY_MOD), F.lit(n_tiles)) == t
+        )
+        qrows = emb.filter(tile_cond).collect()
+        if not qrows:
+            continue
+        qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+        qmat = np.array([r["v"] for r in qrows], dtype=np.float64)
+        parts.append(
+            emb.mapInPandas(
+                tile_topk(qids, qmat), "qid bigint, vec_id bigint, cos_sim double"
             )
+        )
+
+    from functools import reduce
 
     from pyspark.sql.window import Window
 
-    cand = emb.mapInPandas(local_topk, "qid bigint, vec_id bigint, cos_sim double")
+    if not parts:
+        return spark.createDataFrame(
+            [], "qid bigint, knn_rank int, vec_id bigint, cos_sim double"
+        )
+    cand = reduce(DataFrame.unionAll, parts)
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
         cand.withColumn("knn_rank", F.row_number().over(w))

@@ -630,3 +630,21 @@ def test_write_once_mirror_rebuilds_on_source_mutation(spark, tmp_path):
     # layout-parameter change alone must rebuild too
     _, r4 = write_once(*args, {"v": 2})
     assert r4 and len(calls) == 3
+
+
+def test_knn_batch_tiles_bound_the_query_collect(spark, sf_dir, monkeypatch):
+    """The batch-kNN query side must run as bounded tiles: forcing a
+    tile size of 2 (fixture has 4 queries → 2 tiles, two corpus scans,
+    two bounded collects) must reproduce the single-tile result
+    EXACTLY — the r05 weak finding was one unbounded collect growing
+    with the corpus."""
+    from i3cols_spark.operators import similarity
+
+    def run():
+        rows = QUERIES["q_similarity_knn_batch"](spark, sf_dir).collect()
+        return sorted(tuple(r) for r in rows)
+
+    baseline = run()
+    assert len(baseline) > 0
+    monkeypatch.setattr(similarity, "_KNN_TILE", 2)
+    assert run() == baseline
