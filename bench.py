@@ -40,6 +40,13 @@ HEADLINE = [
     "q_source_npy_scan",
     "q_stream_tumbling",
     "q_stream_session",
+    # Round-6 breadth (VERDICT r05 item 7): the heaviest post-r5
+    # operators, so regressions in the expensive tail stay visible
+    # round-over-round.  Their first-inclusion baselines are recorded
+    # in BASELINE.md §round-6.
+    "q_multimodal_video_frames",
+    "q_text_bigram_lm",
+    "q_dedup_clusters",
 ]
 
 

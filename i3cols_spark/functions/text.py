@@ -27,13 +27,21 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     Built with sequence+transform over the token array — per-row,
     no explode/shuffle.  Documents shorter than ``n`` words yield
     their full token join as a single shingle.
+
+    The token array is bound as a lambda VARIABLE (same trick as
+    ``shingle_hashes``): referencing the split() expression from
+    inside the slice lambda would make Catalyst inline and re-run
+    tokenization once per shingle position — O(n²) per document.
     """
-    toks = tokens(text)
-    ngrams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
-    return F.array_distinct(ngrams)
+
+    def build(tkv: Column) -> Column:
+        ngrams = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(tkv) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(tkv, i + 1, n), " "),
+        )
+        return F.array_distinct(ngrams)
+
+    return F.get(F.transform(F.array(tokens(text)), build), 0)
 
 
 def shingle_hashes(text: Column | str, n: int = 3) -> Column:

@@ -571,19 +571,24 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row BIGINT/BIGINT IEEE division — bit-identical in both
     engines, unrounded.
     """
-    toks = tokens("text")
-    n = F.size(toks)
-    pair_idx = F.sequence(F.lit(0), n - 2)
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            pair_idx,
-            lambda i: F.struct(
-                F.element_at(toks, i + 1).alias("w1"),
-                F.element_at(toks, i + 2).alias("w2"),
+    # Bind the token array as a lambda VARIABLE (the shingle_hashes
+    # trick, functions/text.py): referencing the split() expression
+    # from inside the transform lambda makes Catalyst inline and
+    # re-run tokenization for EVERY element_at — O(n²) per document;
+    # measured 5.7 s → 0.6 s warm at the sf0.1 bench for this query.
+    def build(tk: F.Column) -> F.Column:
+        return F.when(
+            F.size(tk) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - 2),
+                lambda i: F.struct(
+                    F.element_at(tk, i + 1).alias("w1"),
+                    F.element_at(tk, i + 2).alias("w2"),
+                ),
             ),
-        ),
-    ).otherwise(F.array())
+        ).otherwise(F.array())
+
+    bigrams = F.get(F.transform(F.array(tokens("text")), build), 0)
     distinct_texts = (
         table(spark, sf_dir, "documents")
         .groupBy(F.xxhash64("text").alias("th"))
