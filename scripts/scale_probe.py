@@ -11,6 +11,19 @@ Usage:
                                                   # embeddings, pair-
                                                   # family plans only
     python scripts/scale_probe.py 10 q_agg_groupby ...   # subset
+    python scripts/scale_probe.py 10 distinct [q_...]    # DISTINCT-
+                                                  # value growth (sf1
+                                                  # stand-in): texts
+                                                  # mutated per copy,
+                                                  # embeddings
+                                                  # perturbed — the
+                                                  # collapse-first
+                                                  # passes gain
+                                                  # nothing, so the
+                                                  # probe measures the
+                                                  # real downstream
+                                                  # cost (VERDICT r05
+                                                  # item 4)
 """
 
 from __future__ import annotations
@@ -29,7 +42,8 @@ from i3cols_spark.sources.tables import TABLES, table
 
 SRC = "/root/testdata/sf0.1"
 COPIES = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-DST = f"/tmp/i3cols_scale/x{COPIES}"
+DISTINCT = "distinct" in sys.argv[2:3]
+DST = f"/tmp/i3cols_scale/{'d' if DISTINCT else 'x'}{COPIES}"
 KEY_OFFSET = 10_000_000
 
 # Heavy-output probes LAST: the session is shared, and GC pressure from
@@ -68,6 +82,25 @@ PAIR_FAMILY = [
     "q_similarity_pairs_threshold",
 ]
 
+# Distinct-value mode replicates only documents + embeddings, so the
+# default probe set is the heaviest document/embedding plans — the
+# ones whose collapse-first stage is a no-op when every text/vector
+# is distinct.
+DISTINCT_PROBES = [
+    "q_dedup_exact",
+    "q_dedup_simhash",
+    "q_tfidf_topterms",
+    "q_text_bigram_lm",
+    "q_text_minhash_signature",
+    "q_dedup_embedding",
+    "q_similarity_ann_lsh",
+    "q_similarity_ann_ivf",
+    "q_similarity_pairs_threshold",
+    "q_dedup_near_minhash",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_clusters",
+]
+
 
 def build(spark) -> None:
     os.makedirs(DST, exist_ok=True)
@@ -81,6 +114,55 @@ def build(spark) -> None:
                 df = df.withColumn(col, F.col(col) + k * KEY_OFFSET)
             out = df if out is None else out.unionByName(df)
         out.write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
+
+    if DISTINCT:
+        # sf1 stand-in: every copy's CONTENT is distinct, not just its
+        # keys.  Texts: rotate the word order by k and append a unique
+        # copy tag — all 50 k texts distinct (exact-collapse gains
+        # nothing) while ~99% of shingles stay shared, so copies are
+        # genuine NEAR-duplicates and the LSH/verify paths do real
+        # work.  Embeddings: per-dimension deterministic perturbation
+        # (direction depends on (k, dim)), so vectors are distinct
+        # under cosine too (a pure scaling would collapse).
+        base_docs = spark.read.parquet(f"{SRC}/documents.parquet")
+        out = None
+        for k in range(COPIES):
+            toks = F.split(F.col("text"), " ")
+            rot = F.pmod(F.lit(k), F.greatest(F.size(toks), F.lit(1)))
+            rotated = F.concat(
+                F.slice(toks, rot + 1, F.size(toks) - rot),
+                F.slice(toks, 1, rot),
+            )
+            df = base_docs.withColumn(
+                "doc_id", F.col("doc_id") + k * KEY_OFFSET
+            ).withColumn(
+                "text",
+                F.concat(
+                    F.array_join(rotated, " "),
+                    F.lit(f" uniqtag{k}c"),
+                    (F.col("doc_id") % 101).cast("string"),
+                ),
+            ).withColumn("n_chars", F.length("text").cast("long"))
+            out = df if out is None else out.unionByName(df)
+        out.write.mode("overwrite").parquet(f"{DST}/documents.parquet")
+
+        def perturb(k: int):
+            # binary (element, index) lambda — pyspark dispatches on
+            # arity, so the copy index must be closed over, not a
+            # third parameter.
+            return lambda x, i: (
+                x + 0.01 * (F.pmod(F.lit(k) * 31 + i, F.lit(7)) - 3)
+            ).cast("float")
+
+        base_emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+        out = None
+        for k in range(COPIES):
+            df = base_emb.withColumn(
+                "vec_id", F.col("vec_id") + k * KEY_OFFSET
+            ).withColumn("embedding", F.transform("embedding", perturb(k)))
+            out = df if out is None else out.unionByName(df)
+        out.write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
+        return
 
     replicate("documents", ["doc_id"])     # texts repeat → real dups
     replicate("embeddings", ["vec_id"])
@@ -112,7 +194,11 @@ def main() -> None:
         QUERIES[name](spark, sf).write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
 
-    probes = sys.argv[2:] or (PROBES if COPIES <= 10 else PAIR_FAMILY)
+    extra = [a for a in sys.argv[2:] if a != "distinct"]
+    if DISTINCT:
+        probes = extra or DISTINCT_PROBES
+    else:
+        probes = extra or (PROBES if COPIES <= 10 else PAIR_FAMILY)
     print(f"{'query':32s} {'sf0.1':>8s} {f'x{COPIES}':>8s} {'ratio':>6s}")
     for name in probes:
         # Warm ×2 PER SIDE then min-of-2: wide-join codegen takes ~3
