@@ -35,10 +35,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.3.
 
     The driver consumes this dict in insertion order under a finite
-    (50-row) budget, so ordering is evidence strategy: round 5 leads
-    with the rotation block — exactly the 50 names with no official
-    CORRECTNESS row in rounds 1–4 (see registry._R5_PRIORITY) — then
-    the remaining contract + extras in §-order.
+    (50-row) budget, so ordering is evidence strategy: round 7 leads
+    with the rotation block — exactly the 50 names whose newest
+    official CORRECTNESS row is round 4, the oldest evidence on the
+    surface (see registry._R7_PRIORITY) — then the remaining contract
+    + extras in §-order.
     """
     return {name: QUERIES[name] for name in surface_order()}
 

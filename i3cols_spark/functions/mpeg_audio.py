@@ -110,13 +110,40 @@ def parse_header(payload: bytes, offset: int = 0) -> FrameHeader:
     )
 
 
+def _skip_leading_junk(payload: bytes) -> int:
+    """Real-world streams rarely start at the first frame: ID3v2 tags
+    and ripper junk precede it.  Skip ID3v2 via its declared syncsafe
+    size (ISO-adjacent but ubiquitous), then scan forward to the first
+    0xFFEx sync pattern — the standard decoder behaviour (ISO 11172-3
+    §2.4.1.3 defines frames BY the syncword, not by file offset)."""
+    off = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        size = 0
+        for b in payload[6:10]:
+            if b & 0x80:
+                raise ValueError("mpeg: malformed ID3v2 syncsafe size")
+            size = (size << 7) | b
+        off = 10 + size
+    while off + 4 <= len(payload):
+        if payload[off] == 0xFF and (payload[off + 1] & 0xE0) == 0xE0:
+            try:  # false syncs inside junk must not derail the scan
+                parse_header(payload, off)
+                return off
+            except ValueError:
+                pass
+        off += 1
+    raise ValueError("mpeg: no frame syncword found in payload")
+
+
 def parse_frames(payload: bytes) -> list[FrameHeader]:
-    """Walk the whole stream header-to-header.  Every frame must lie
-    fully inside the payload; anything else is a malformed stream."""
+    """Walk the whole stream header-to-header, starting at the first
+    syncword (leading junk / ID3v2 skipped — ADVICE r06).  From the
+    first frame on, frames must be back-to-back and fully inside the
+    payload; anything else is a malformed stream."""
     if len(payload) < 4:
         raise ValueError("mpeg: payload too short for a frame header")
     frames: list[FrameHeader] = []
-    off = 0
+    off = _skip_leading_junk(payload)
     while off < len(payload):
         hdr = parse_header(payload, off)
         if off + hdr.frame_bytes > len(payload):

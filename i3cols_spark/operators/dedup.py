@@ -520,7 +520,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_dedup_url_canon",
-    oracle="""
+    oracle=r"""
     WITH raw AS (
         SELECT doc_id,
                CASE doc_id % 4

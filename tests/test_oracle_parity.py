@@ -50,49 +50,51 @@ def test_entry_smoke(spark):
     assert set(df.columns) == {"n_name", "revenue", "n_items"}
 
 
-def test_surface_order_round6_rotation():
+def test_surface_order_round7_rotation():
     """The driver consumes queries() in dict order under a 50-row
-    budget.  Round 6 leads with the evidence-rotation block (VERDICT
-    r05 item 1): every name with NO official CORRECTNESS row after
-    rounds 1–5 (the 32 POST_R5_ADDITIONS plus round-6-new operators),
-    then q_udaf_grouped (newest official row = the r03 crash) and the
-    stalest r1/r3 names — pinned here by recomputing the checked set
-    from the committed artifacts so a drifted rotation fails loudly."""
+    budget.  After round 6 every registered name has an official green
+    row and the ages split 50 (r6) / 50 (r5) / 50 (r4); round 7's
+    window is exactly the 50 OLDEST-evidence names (VERDICT r06
+    item 1) — pinned here by recomputing each name's newest official
+    round from the committed artifacts so a drifted rotation fails
+    loudly.  Operators registered in round 7 itself
+    (POST_R7_ADDITIONS) wait for the r8 window, the POST_R5
+    precedent."""
     import json
     import pathlib
 
     import __spark_entry__ as entrymod
     from i3cols_spark.operators import CONTRACT_QUERIES, EXTRA_QUERIES
-    from i3cols_spark.operators.registry import _R6_PRIORITY, POST_R5_ADDITIONS, R6_NEW
+    from i3cols_spark.operators.registry import _R7_PRIORITY, POST_R7_ADDITIONS
 
     order = list(entrymod.queries())
     assert len(CONTRACT_QUERIES) == 60
-    assert len(_R6_PRIORITY) == 50
-    assert len(set(_R6_PRIORITY)) == 50
-    assert order[:50] == list(_R6_PRIORITY)
+    assert len(_R7_PRIORITY) == 50
+    assert len(set(_R7_PRIORITY)) == 50
+    assert order[:50] == list(_R7_PRIORITY)
     assert sorted(order) == sorted(QUERIES)
 
     repo = pathlib.Path(__file__).resolve().parent.parent
-    checked: set[str] = set()
-    for r in (1, 2, 3, 4, 5):
+    newest: dict[str, int] = {}
+    for r in (1, 2, 3, 4, 5, 6):
         art = repo / f"CORRECTNESS_r0{r}.json"
         if art.exists():
-            checked |= set(json.loads(art.read_text()))
-    # Every registered name with no official row from any round must
-    # sit inside the round-6 window, so the evidence gap closes.
-    never = set(QUERIES) - checked
-    assert never <= set(_R6_PRIORITY), sorted(never - set(_R6_PRIORITY))
-    assert set(POST_R5_ADDITIONS) <= set(_R6_PRIORITY)
-    assert set(R6_NEW) <= set(_R6_PRIORITY)
-    # Stale-evidence backfill: the r1/r3-checked names + the udaf whose
-    # newest official row was a crash.
-    stale = {
-        "q_udaf_grouped", "q_source_npy_scan", "q_udtf_python",
-        "q_window_distribution", "q_array_collect", "q_array_explode",
-        "q_array_hof", "q_case_when", "q_json_extract", "q_map_funcs",
-        "q_struct_nested", "q_udf_scalar", "q_udtf_expand",
-    }
-    assert stale <= set(_R6_PRIORITY)
+            for name in json.loads(art.read_text()):
+                newest[name] = r
+    # Round-7-new operators have no official row yet by construction;
+    # everything older must be covered, oldest first.
+    pre_r7 = set(QUERIES) - set(POST_R7_ADDITIONS)
+    unchecked = pre_r7 - set(newest)
+    assert not unchecked, f"pre-r7 names with no official row: {sorted(unchecked)}"
+    oldest_50 = set(sorted(pre_r7, key=lambda n: (newest[n], n))[:50])
+    assert set(_R7_PRIORITY) == oldest_50, (
+        sorted(oldest_50 - set(_R7_PRIORITY)),
+        sorted(set(_R7_PRIORITY) - oldest_50),
+    )
+    # The window must be strictly staler than everything outside it.
+    max_in = max(newest[n] for n in _R7_PRIORITY)
+    min_out = min(newest[n] for n in pre_r7 - set(_R7_PRIORITY))
+    assert max_in <= min_out
 
     # Every contract query has an oracle entry except the declared
     # weak-by-design ones (SURVEY §2.3: approx_distinct + minhash).
