@@ -693,3 +693,59 @@ def extract_mpeg_audio_features(df: DataFrame) -> DataFrame:
             "duration_ms double, mean_subband_amp double"
         ),
     )
+
+
+def extract_mpeg_pcm_features(df: DataFrame) -> DataFrame:
+    """Layer-I-decode MPEG audio payloads and run the REAL subband→PCM
+    synthesis filterbank (functions/mpeg_audio.synthesize_pcm — the
+    embedded near-PR prototype window, ISO §A.2 flowchart), then
+    compute waveform-domain features no bitstream walk can produce:
+    RMS, peak, zero-crossing rate, and the dominant subband measured
+    FROM THE PCM by re-analysis (§C.1.3 filterbank), closing the
+    encode→decode→synthesize→re-analyze loop per row.
+
+    Scale: one ``mapInPandas`` pass, embarrassingly parallel, only
+    6 scalar feature columns shuffle; the PCM itself never leaves the
+    task.  Values are rounded to 6dp — the filterbank is deterministic
+    float64 numpy, but cross-BLAS reduction order is not contractual.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from i3cols_spark.functions import mpeg_audio
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": list(pdf["media_id"]),
+                "n_pcm": [], "pcm_rms": [], "pcm_peak": [],
+                "zcr": [], "dominant_band": [],
+            }
+            for p in pdf["payload"]:
+                frames = mpeg_audio.decode_layer1(bytes(p))
+                pcm = mpeg_audio.synthesize_pcm(frames)  # [n, nch]
+                mono = pcm.mean(axis=1)
+                n = len(mono)
+                signs = np.sign(mono)
+                nz = signs != 0
+                crossings = int(
+                    np.count_nonzero(np.diff(signs[nz]) != 0)
+                ) if np.count_nonzero(nz) > 1 else 0
+                sb = mpeg_audio.analyze_pcm(
+                    np.concatenate([mono, np.zeros(512 - n % 512 if n % 512 else 0)])
+                )
+                band_energy = (sb**2).sum(axis=0)
+                out["n_pcm"].append(n)
+                out["pcm_rms"].append(round(float(np.sqrt((mono**2).mean())), 6))
+                out["pcm_peak"].append(round(float(np.abs(mono).max()), 6))
+                out["zcr"].append(round(crossings / max(n - 1, 1), 6))
+                out["dominant_band"].append(int(np.argmax(band_energy)))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        op,
+        schema=(
+            "media_id long, n_pcm long, pcm_rms double, pcm_peak double, "
+            "zcr double, dominant_band int"
+        ),
+    )

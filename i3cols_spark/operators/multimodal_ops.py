@@ -368,11 +368,10 @@ def q_multimodal_audio_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle pins the full bitstream round trip to closed form: a
     single mis-read bit anywhere — header field, allocation nibble,
     scalefactor, sample code, bit-reader position — shifts an
-    amplitude and breaks the hash.  PCM synthesis past the subband
-    domain stays gated (the ISO window table is data, not math —
-    module docstring); every emitted column derives from bits that
-    really decoded.  Scale shape: embarrassingly parallel decode over
-    the scan, only the 9-column feature row shuffles.
+    amplitude and breaks the hash.  Every emitted column derives from
+    bits that really decoded; the waveform-domain continuation is
+    q_multimodal_audio_pcm.  Scale shape: embarrassingly parallel
+    decode over the scan, only the 9-column feature row shuffles.
     """
     from i3cols_spark.functions.multimodal import (
         attach_synthetic_mpeg,
@@ -382,3 +381,34 @@ def q_multimodal_audio_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 2)
     audio = attach_synthetic_mpeg(docs)
     return extract_mpeg_audio_features(audio)
+
+
+@query("q_multimodal_audio_pcm")
+def q_multimodal_audio_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG-1 Layer I all the way to the WAVEFORM: the same synthetic
+    bitstream slice as q_multimodal_audio_feats, but after the exact
+    subband decode each stream runs the REAL ISO §A.2 polyphase
+    synthesis filterbank (functions/mpeg_audio.synthesize_pcm, the
+    embedded near-perfect-reconstruction prototype window — round-trip
+    SNR ≈ 78 dB) and reports PCM-domain features: RMS, peak,
+    zero-crossing rate, and the dominant subband RE-MEASURED from the
+    waveform by the §C.1.3 analysis filterbank.
+
+    Rows-only by design: a 512-tap polyphase filterbank is not
+    SQL-expressible, so there is no DuckDB twin — correctness is
+    pinned instead by tests/test_codecs.py's filterbank round-trip
+    suite (noise/sine SNR floors, unity gain, exact 481-sample delay)
+    plus the deterministic fixture: tests assert the dominant band
+    re-measured from PCM matches the single subband the encoder
+    actually wrote, which fails if synthesis places energy in the
+    wrong band.  Scale shape: embarrassingly parallel mapInPandas
+    decode, PCM never leaves the task, 6 scalar columns shuffle.
+    """
+    from i3cols_spark.functions.multimodal import (
+        attach_synthetic_mpeg,
+        extract_mpeg_pcm_features,
+    )
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 2)
+    audio = attach_synthetic_mpeg(docs)
+    return extract_mpeg_pcm_features(audio)

@@ -95,6 +95,10 @@ EXTRA_QUERIES: tuple[str, ...] = (
     "q_ts_ewma", "q_quality_rules", "q_agg_gini",
     "q_source_jsonl_scan", "q_source_csv_scan", "q_join_radius_2d",
     "q_udtf_arrow", "q_feature_scale",
+    # round-6 additions (R6_NEW), kept in tier 1 now that their
+    # rotation round is over
+    "q_multimodal_audio_feats", "q_text_minhash_signature",
+    "q_join_interval_overlap", "q_ts_resample_agg", "q_dedup_url_canon",
     # tier 2 — stats / sampling
     "q_agg_percentile", "q_agg_approx_percentile", "q_agg_stats_corr",
     "q_agg_histogram", "q_agg_mode", "q_sample_stratified",
@@ -241,7 +245,9 @@ _R7_PRIORITY: tuple[str, ...] = (
 #: Operators registered in round 7, after the r7 window was frozen at
 #: the 50 r4-stale names: first candidates for the round-8 rotation,
 #: sim + soak covered meanwhile.
-POST_R7_ADDITIONS: tuple[str, ...] = ()
+POST_R7_ADDITIONS: tuple[str, ...] = (
+    "q_multimodal_audio_pcm",
+)
 
 
 def surface_order() -> list[str]:
