@@ -247,6 +247,8 @@ _R7_PRIORITY: tuple[str, ...] = (
 #: sim + soak covered meanwhile.
 POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_multimodal_audio_pcm",
+    "q_dedup_ngram_cluster_rep",
+    "q_dedup_minhash_cluster_rep",
 )
 
 

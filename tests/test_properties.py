@@ -106,6 +106,44 @@ def test_minhash_candidates_superset_of_high_jaccard(spark, sf_dir):
     assert missed.count() == 0
 
 
+def test_cluster_rep_modes_are_valid_clusterings(spark, sf_dir):
+    """q_dedup_{ngram,minhash}_cluster_rep (VERDICT r06 item 6): each
+    must emit exactly one row per document, rep_id must be the MIN
+    doc_id of its own cluster (so reps are self-mapped), and the rep
+    mapping must be consistent with the corresponding pair emitter:
+    every emitted pair's two docs share a rep (pairs are edges inside
+    clusters), and every exact-duplicate group is monochromatic."""
+    n_docs = table(spark, sf_dir, "documents").count()
+    for rep_q, pair_q in (
+        ("q_dedup_ngram_cluster_rep", "q_dedup_ngram_jaccard"),
+        ("q_dedup_minhash_cluster_rep", "q_dedup_near_minhash"),
+    ):
+        rep = QUERIES[rep_q](spark, sf_dir)
+        rows = {r["doc_id"]: r["rep_id"] for r in rep.collect()}
+        assert len(rows) == n_docs, rep_q
+        # rep_id is the min member of its cluster → self-mapped reps
+        by_cluster: dict[int, list[int]] = {}
+        for d, c in rows.items():
+            by_cluster.setdefault(c, []).append(d)
+        for c, members in by_cluster.items():
+            assert min(members) == c, (rep_q, c, sorted(members)[:5])
+        # pair emitter edges never cross clusters
+        pairs = QUERIES[pair_q](spark, sf_dir).select("doc_a", "doc_b").collect()
+        for p in pairs:
+            assert rows[p["doc_a"]] == rows[p["doc_b"]], (rep_q, tuple(p))
+        # identical texts land in one cluster
+        dup_groups = (
+            table(spark, sf_dir, "documents")
+            .groupBy(F.md5(F.lower(F.trim("text"))).alias("h"))
+            .agg(F.collect_list("doc_id").alias("ids"))
+            .filter(F.size("ids") >= 2)
+            .collect()
+        )
+        for g in dup_groups:
+            reps = {rows[d] for d in g["ids"]}
+            assert len(reps) == 1, (rep_q, g["ids"][:5])
+
+
 def test_simhash_deterministic_and_identical_for_dup_text(spark, sf_dir):
     out1 = QUERIES["q_dedup_simhash"](spark, sf_dir)
     out2 = QUERIES["q_dedup_simhash"](spark, sf_dir)
