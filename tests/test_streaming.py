@@ -157,3 +157,197 @@ def test_stream_anomaly_screen_matches_batch(spark, sf_dir):
         for r in QUERIES["q_anomaly_zscore"](spark, sf_dir).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+# ------------------- multi-micro-batch state eviction (VERDICT r06 item 3)
+
+
+def _write_event_file(path, rows, seq=0):
+    """One parquet file = one micro-batch under maxFilesPerTrigger=1.
+    The file source orders files by MODIFICATION TIME, and same-ms
+    writes tie nondeterministically — pin mtime to a strictly
+    increasing sequence so batch order is the write order."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+                "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            }
+        ),
+        str(path),
+    )
+    t = 1_700_000_000 + seq * 10
+    os.utime(path, (t, t))
+
+
+def _drain_in_file_batches(spark, sdf, name):
+    """availableNow + maxFilesPerTrigger=1 drains one file per
+    micro-batch; returns the per-batch progress dicts."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    return [p for p in (q.recentProgress or []) if p["numInputRows"] > 0]
+
+
+def test_dedup_state_evicts_across_micro_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must GC state as the watermark
+    advances ACROSS micro-batches — every prior streaming test drained
+    a single availableNow batch, which never exercises eviction.
+
+    Four files → four micro-batches (maxFilesPerTrigger=1).  The
+    watermark a batch runs with comes from the PREVIOUS batch's max
+    event time, and expired entries are removed at batch END — so
+    eviction lags arrival by one batch:
+      b0 (00:00h): users 0..9 + an in-batch duplicate of user 0;
+      b1 (06:00h): users 10..14 — runs under b0's watermark, so b0
+          state still alive (total 15);
+      b2 (12:00h): users 15..16 — runs under b1's watermark (~04:10),
+          which is past every b0 entry's expiry (event + 2 h): the 10
+          b0 rows are REMOVED this batch;
+      b3 (18:00h): users 0..4 AGAIN — b0 state is gone, so these are
+          re-emitted (the behavioural proof of eviction), while b1's
+          5 rows expire under b2's watermark.
+    Assertions: per-batch numRowsTotal tracks surviving keys only,
+    numRowsRemoved records both evictions, and the sink holds exactly
+    10 + 5 + 2 + 5 rows with users 0..4 appearing twice."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    indir = tmp_path / "evict_dedup"
+    indir.mkdir()
+    b0 = [(u, "click", base + dt.timedelta(minutes=u)) for u in range(10)]
+    b0.append((0, "click", base + dt.timedelta(minutes=5)))  # in-batch dup
+    _write_event_file(indir / "b0.parquet", b0, seq=0)
+    _write_event_file(
+        indir / "b1.parquet",
+        [(u, "click", base + dt.timedelta(hours=6, minutes=u)) for u in range(10, 15)],
+        seq=1,
+    )
+    _write_event_file(
+        indir / "b2.parquet",
+        [(u, "click", base + dt.timedelta(hours=12, minutes=u)) for u in range(15, 17)],
+        seq=2,
+    )
+    _write_event_file(
+        indir / "b3.parquet",
+        [(u, "click", base + dt.timedelta(hours=18, minutes=u)) for u in range(5)],
+        seq=3,
+    )
+
+    sdf = (
+        spark.readStream.schema("user_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .format("parquet")
+        .load(str(indir))
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    progress = _drain_in_file_batches(spark, sdf, "mem_evict_dedup")
+    assert len(progress) == 4, [p["numInputRows"] for p in progress]
+
+    state = [p["stateOperators"][0] for p in progress]
+    totals = [s["numRowsTotal"] for s in state]
+    removed = [s.get("numRowsRemoved", 0) for s in state]
+    # b0: 10 live.  b1: +5, nothing expired yet (lagging watermark).
+    # b2: b0's 10 removed, +2 → 7.  b3: b1's 5 removed, +5 → 7.
+    assert totals == [10, 15, 7, 7], (totals, removed)
+    assert removed == [0, 0, 10, 5], (totals, removed)
+
+    out = spark.table("mem_evict_dedup")
+    assert out.count() == 22
+    twice = (
+        out.groupBy("user_id")
+        .count()
+        .filter(F.col("count") == 2)
+        .select("user_id")
+        .collect()
+    )
+    assert sorted(r["user_id"] for r in twice) == [0, 1, 2, 3, 4]
+
+
+def test_session_window_state_evicts_and_finalizes_across_batches(spark, tmp_path):
+    """Session-window aggregation state must finalize + evict as the
+    watermark crosses session ends: sessions from earlier batches are
+    EMITTED (append mode) once a later batch advances the watermark,
+    and their state rows are removed; the final batch's sessions stay
+    open and unemitted when the stream drains."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    indir = tmp_path / "evict_sess"
+    indir.mkdir()
+    # Two 2-event sessions (users 1, 2) in b0; one session (user 3) in
+    # b1 six hours later; one session (user 1 again) in b2.
+    _write_event_file(
+        indir / "b0.parquet",
+        [
+            (1, "view", base),
+            (1, "view", base + dt.timedelta(minutes=10)),
+            (2, "view", base + dt.timedelta(minutes=3)),
+        ],
+        seq=0,
+    )
+    _write_event_file(
+        indir / "b1.parquet",
+        [(3, "view", base + dt.timedelta(hours=6))],
+        seq=1,
+    )
+    _write_event_file(
+        indir / "b2.parquet",
+        [(1, "view", base + dt.timedelta(hours=12))],
+        seq=2,
+    )
+    _write_event_file(
+        indir / "b3.parquet",
+        [(4, "view", base + dt.timedelta(hours=18))],
+        seq=3,
+    )
+
+    from pyspark.sql import functions as F
+
+    sdf = (
+        spark.readStream.schema("user_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .format("parquet")
+        .load(str(indir))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", "n_events", F.col("w.start").alias("session_start"))
+    )
+    progress = _drain_in_file_batches(spark, sdf, "mem_evict_sess")
+    assert len(progress) == 4, [p["numInputRows"] for p in progress]
+
+    state = [p["stateOperators"][0] for p in progress]
+    removed = [s.get("numRowsRemoved", 0) for s in state]
+    # Watermark lags one batch: b0's two sessions finalize under b1's
+    # watermark DURING b2; b1's session finalizes during b3.
+    assert sum(removed) >= 3, (removed, state)
+    # only b3's still-open session (+ bookkeeping) survives at the end
+    finals = [s["numRowsTotal"] for s in state]
+    assert finals[-1] < finals[1] + 2, (finals, removed)
+
+    rows = {
+        (r["user_id"], r["n_events"])
+        for r in spark.table("mem_evict_sess").collect()
+    }
+    # b0's two sessions finalize under b1's watermark (during b2),
+    # b1's and b2's under later watermarks; b3's session is still open
+    # when the stream drains → not emitted in append mode.
+    assert rows == {(1, 2), (2, 1), (3, 1), (1, 1)}
