@@ -47,6 +47,12 @@ HEADLINE = [
     "q_multimodal_video_frames",
     "q_text_bigram_lm",
     "q_dedup_clusters",
+    # Round-7 additions: the production near-dup output mode (linear
+    # rep mapping instead of quadratic pairs) and the completed audio
+    # path (real polyphase PCM synthesis).  First-inclusion baselines
+    # in BASELINE.md §round-7.
+    "q_dedup_ngram_cluster_rep",
+    "q_multimodal_audio_pcm",
 ]
 
 
