@@ -485,6 +485,16 @@ def q_dedup_ngram_cluster_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure over doc-level pairs — quadratic in component size, fine
     at oracle SF, which is exactly the asymmetry that makes the rep
     mode the production path.
+
+    Density ceiling (measured, BASELINE.md §round-7): EXACT Jaccard
+    over every true pair costs O(Σ|posting|²) in the inverted-index
+    join — at the d100 probe (every text has 99 near-partners) that
+    is ~10^10 intermediate rows, a real-cluster-sized job that an
+    8 GiB local JVM cannot finish.  At high near-dup density the
+    production route is q_dedup_minhash_cluster_rep: LSH banding
+    bounds the candidate space to colliding pairs (d100: 42 s,
+    linear output), with exact-Jaccard verification of candidates
+    preserving precision.
     """
     from i3cols_spark.operators.graph import connected_components
 

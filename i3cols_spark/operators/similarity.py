@@ -736,6 +736,44 @@ def q_similarity_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_batch_impl(spark, sf_dir)
 
 
+@query(
+    "q_similarity_knn_batch_ivf",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % {_KNN_QUERY_MOD} = 0),
+    sims AS (
+        SELECT q.qid, e.vec_id,
+               round(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim
+        FROM e, q WHERE e.vec_id <> q.qid
+    ),
+    ranked AS (
+        SELECT qid, vec_id, cos_sim,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY cos_sim DESC, vec_id
+               ) AS knn_rank
+        FROM sims
+    )
+    SELECT qid, knn_rank, vec_id, cos_sim
+    FROM ranked WHERE knn_rank <= {_KNN_BATCH_K}
+    """,
+)
+def q_similarity_knn_batch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF route of batch kNN run EXHAUSTIVELY (nprobe = nlist) —
+    same result contract as q_similarity_knn_batch, same oracle, but
+    the plan is the serving-scale shape: per-query cell probes against
+    the write-once cell-partitioned index, ONE pruned scan + ONE join
+    (see _knn_batch_ivf), instead of per-tile corpus scans.  With the
+    full probe the route is exact, so the oracle hash pins the IVF
+    join/window machinery itself; production uses the default
+    _IVF_NPROBE for the standard recall-for-cost trade (the routing
+    threshold in q_similarity_knn_batch flips to this path
+    automatically past 8 tiles)."""
+    return _knn_batch_impl(spark, sf_dir, route_tiles=0, nprobe=10**9)
+
+
 def _knn_batch_impl(
     spark: SparkSession,
     sf_dir: str,

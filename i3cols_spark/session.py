@@ -54,6 +54,17 @@ def configure(spark: SparkSession) -> SparkSession:
             spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 8)))
     except Exception:
         pass
+    # NOT set here: spark.sql.adaptive.coalescePartitions.
+    # initialPartitionNum.  Starting every shuffle wide looks like the
+    # scale-safe default, but the round-7 A/B measured it at +60% on
+    # the d10 ngram posting-list join (16.3 s vs 10.2 s min-of-2) and
+    # it still did not save the d100 run from heap exhaustion — the
+    # O(Σ|posting|²) intermediate there (~10^10 rows) simply exceeds
+    # one 8 GiB JVM whatever the reducer count.  On a real cluster the
+    # user sizes shuffle.partitions to total cores and the same plans
+    # distribute; locally the density ceiling is documented on the
+    # exact-Jaccard family (operators/dedup.py) with the LSH route as
+    # the high-density escape.
     return spark
 
 

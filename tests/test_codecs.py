@@ -783,6 +783,30 @@ def test_synthesize_pcm_places_energy_in_encoded_band():
         assert int(np.argmax(band_energy)) == sb
 
 
+def test_filterbank_window_is_swappable():
+    """The docstring claims dropping in the bit-exact ISO Annex B.3
+    table is a one-constant change: both filterbank directions must
+    accept an explicit ``window=`` and actually use it (a scaled
+    window must scale the output, and analysis/synthesis must accept
+    the same array)."""
+    import numpy as np
+
+    from i3cols_spark.functions import mpeg_audio
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(32 * 60)
+    h = mpeg_audio.prototype_window()
+    default = mpeg_audio.synthesize_subbands(mpeg_audio.analyze_pcm(x))
+    explicit = mpeg_audio.synthesize_subbands(
+        mpeg_audio.analyze_pcm(x, window=h), window=h
+    )
+    assert np.array_equal(default, explicit)
+    halved = mpeg_audio.synthesize_subbands(
+        mpeg_audio.analyze_pcm(x, window=h), window=0.5 * h
+    )
+    assert np.allclose(halved, 0.5 * explicit)
+
+
 def test_filterbank_window_embedding_stable():
     """The embedded prototype decodes to the same 512 float64 values
     every time (guards the base85 blob against accidental edits)."""
