@@ -482,13 +482,15 @@ def analyze_pcm(x: np.ndarray, window: np.ndarray | None = None) -> np.ndarray:
         raise ValueError("mpeg: analyze_pcm needs 1-D PCM, length % 32 == 0")
     C = _signed(prototype_window() if window is None else window)
     ngr = len(x) // 32
-    X = np.zeros(512)
-    S = np.empty((ngr, 32))
-    for g in range(ngr):
-        X[32:] = X[:-32]
-        X[:32] = x[g * 32 : (g + 1) * 32][::-1]
-        S[g] = _MMAT @ (C * X).reshape(8, 64).sum(axis=0)
-    return S
+    # Vectorized form of the flowchart's rolling X buffer: at group g,
+    # X[i] = x(32g + 31 − i)  ⇒  X_g = reverse(xp[32g : 32g+512]) with
+    # xp zero-padded by 480 on the left.  One strided view + one
+    # einsum replaces the per-group Python loop (the loop was the
+    # bench hot spot at 1000 docs/task — round 7).
+    xp = np.concatenate([np.zeros(480), x])
+    X = np.lib.stride_tricks.sliding_window_view(xp, 512)[::32][:ngr, ::-1]
+    Y = (X * C).reshape(ngr, 8, 64).sum(axis=1)
+    return Y @ _MMAT.T
 
 
 def synthesize_subbands(
@@ -503,17 +505,20 @@ def synthesize_subbands(
         raise ValueError("mpeg: synthesize_subbands needs [n_groups, 32]")
     D = 128.0 * _signed(prototype_window() if window is None else window)
     ngr = S.shape[0]
-    V = np.zeros(1024)
-    out = np.empty(ngr * 32)
-    U = np.empty(512)
-    for g in range(ngr):
-        V[64:] = V[:-64]
-        V[:64] = _NMAT @ S[g]
-        for i in range(8):
-            U[64 * i : 64 * i + 32] = V[128 * i : 128 * i + 32]
-            U[64 * i + 32 : 64 * i + 64] = V[128 * i + 96 : 128 * i + 128]
-        out[g * 32 : (g + 1) * 32] = (U * D).reshape(16, 32).sum(axis=0)
-    return out
+    # Vectorized form of the flowchart's rolling V buffer.  The
+    # matrixed block at group g is VB[g] = N·S[g]; the V buffer at
+    # group g holds blocks [g, g−1, …, g−15] (newest first), and the
+    # U extraction picks U[64i+j] = block(g−2i)[j],
+    # U[64i+32+j] = block(g−2i−1)[32+j] — 16 slice assignments over
+    # [G, 32] views replace the per-group Python loop.
+    VB = S @ _NMAT.T                      # [G, 64]
+    VBp = np.vstack([np.zeros((16, 64)), VB])  # index g−b → VBp[16+g−b]
+    g_idx = np.arange(ngr)
+    U = np.empty((ngr, 512))
+    for i in range(8):
+        U[:, 64 * i : 64 * i + 32] = VBp[16 + g_idx - 2 * i, 0:32]
+        U[:, 64 * i + 32 : 64 * i + 64] = VBp[16 + g_idx - 2 * i - 1, 32:64]
+    return (U * D).reshape(ngr, 16, 32).sum(axis=1).reshape(-1)
 
 
 def synthesize_pcm(frames: list[Layer1Frame]) -> np.ndarray:

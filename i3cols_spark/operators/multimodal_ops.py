@@ -30,7 +30,7 @@ from i3cols_spark.functions.multimodal import (
     extract_video_features,
 )
 from i3cols_spark.operators.registry import query
-from i3cols_spark.sources.tables import table
+from i3cols_spark.sources.tables import spread, table
 
 
 @query(
@@ -378,7 +378,9 @@ def q_multimodal_audio_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_mpeg_audio_features,
     )
 
-    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 2)
+    docs = spread(
+        table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 2), spark
+    )
     audio = attach_synthetic_mpeg(docs)
     return extract_mpeg_audio_features(audio)
 
@@ -409,6 +411,11 @@ def q_multimodal_audio_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_mpeg_pcm_features,
     )
 
-    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 2)
+    # spread(): the fixture is one parquet file = one input split, and
+    # the per-row decode+synthesis is the cost — without repartitioning
+    # the whole slice runs on one core (3.7 s -> 0.5 s at sf0.1, r7).
+    docs = spread(
+        table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 2), spark
+    )
     audio = attach_synthetic_mpeg(docs)
     return extract_mpeg_pcm_features(audio)
