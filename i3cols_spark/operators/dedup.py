@@ -205,6 +205,115 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross.unionByName(intra)
 
 
+@query(
+    "q_dedup_substring",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, gram
+        FROM (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, len(text) - 39),
+                       i -> substring(text, i, 40)
+                   )) AS grams
+            FROM documents
+        ), unnest(grams) AS u(gram)
+    ),
+    p AS (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               CAST(count(*) AS BIGINT) AS shared
+        FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    sym AS (
+        SELECT da AS doc_id, db AS partner, shared FROM p
+        UNION ALL
+        SELECT db, da, shared FROM p
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_partners,
+               max(shared)              AS max_shared,
+               min(partner)             AS first_partner
+        FROM sym GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_partners, 0) AS n_partners,
+           coalesce(a.max_shared, 0) AS max_shared,
+           a.first_partner
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """,
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup signal (the training-data memorization
+    control of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): for every document, how many other
+    documents share a verbatim 40-character substring, how many
+    distinct shared 40-grams the strongest partner overlaps on, and
+    the smallest such partner id.  Linear output by design — one row
+    per document (the round-7 lesson from the pair emitters), which
+    is the form a keep/drop filter joins against.
+
+    Plan: per-doc DISTINCT rolling 40-grams as 64-bit xxhash
+    fingerprints (in-row HOF — the suffix-array of the original paper
+    is a single-machine structure; the k-gram inverted index is its
+    shuffle-native equivalent with identical ≥k-match semantics),
+    explode → self-equi-join on the gram hash → per-pair shared-gram
+    counts → symmetric per-doc aggregation → left join back so
+    partner-less docs keep a zero row.  The oracle states the same
+    thing over the literal substrings; engine-side fingerprints are
+    the same 64-bit-collision trade every hashed-shingle operator in
+    this file accepts.
+
+    Scale: gram volume is ~|text| rows per doc (distinct-collapsed
+    in-row first), and the join's cost concentrates on grams shared
+    by many docs — boilerplate k-grams are the classic heavy-hitter
+    skew (AQE skew-join territory, same as the shingle join); output
+    stays one row per document at any duplication density.
+    """
+    docs0 = spread(table(spark, sf_dir, "documents"), spark)
+    k = 40
+    grams = F.when(
+        F.length("text") >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - (k - 1)),
+                lambda i: F.xxhash64(F.substr(F.col("text"), i, F.lit(k))),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    g = docs0.select("doc_id", F.explode(grams).alias("gh"))
+    a, b = g.alias("a"), g.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.gh") == F.col("b.gh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sym = pairs.select(
+        F.col("da").alias("doc_id"), F.col("db").alias("partner"), "shared"
+    ).unionAll(
+        pairs.select(
+            F.col("db").alias("doc_id"), F.col("da").alias("partner"), "shared"
+        )
+    )
+    agg = sym.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_partners"),
+        F.max("shared").alias("max_shared"),
+        F.min("partner").alias("first_partner"),
+    )
+    base = table(spark, sf_dir, "documents").select("doc_id")
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_partners", F.lit(0)).alias("n_partners"),
+        F.coalesce("max_shared", F.lit(0)).alias("max_shared"),
+        "first_partner",
+    )
+
+
 @query("q_dedup_minhash_cluster_rep")  # LSH sketch upstream → rows-only
 def q_dedup_minhash_cluster_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-representative output for the MinHash+LSH near-dup path
