@@ -251,6 +251,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_dedup_minhash_cluster_rep",
     "q_similarity_knn_batch_ivf",
     "q_dedup_substring",
+    "q_text_perplexity",
 )
 
 

@@ -524,6 +524,106 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_text_perplexity",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+        WHERE toks[i] <> '' AND toks[i + 1] <> ''
+    ),
+    cnt AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pairs FROM b GROUP BY 1, 2
+    ),
+    lm AS (
+        SELECT w1, w2,
+               n_pairs / sum(n_pairs) OVER (PARTITION BY w1) AS p_next
+        FROM cnt
+    ),
+    scored AS (
+        SELECT b.doc_id,
+               CAST(count(*) AS BIGINT)   AS n_bigrams,
+               round(avg(ln(lm.p_next)), 6) AS avg_logp
+        FROM b JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
+        GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(s.n_bigrams, 0) AS n_bigrams,
+           s.avg_logp
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """,
+)
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM score — the data-quality filter that
+    composes q_text_bigram_lm's count table with each document: mean
+    log-probability of the doc's adjacent token pairs under the
+    corpus-wide conditional P(w2|w1).  Low avg_logp = improbable
+    token sequences (boilerplate mangling, OCR noise, wrong-language
+    fragments) — the classic perplexity-style keep/drop signal, one
+    row per document.
+
+    Plan: doc bigrams built per row with the sequence+transform
+    lambda-bind pattern (no O(n²) re-tokenization — functions/text.py
+    discipline); the LM side aggregates the SAME exploded bigram
+    stream (vocabulary²-sized), gets its window normalization, and
+    broadcast-or-shuffle joins back on (w1, w2).  Per-pair p_next is
+    exact BIGINT/BIGINT IEEE division; the per-doc mean of ln() terms
+    is order-nondeterministic and rounds at 6 dp in both engines
+    (registry discipline).  Left join back to documents keeps
+    bigram-less docs (n_bigrams = 0, NULL score).
+
+    Scale: bigram volume is linear in corpus tokens; the LM join key
+    (w1, w2) concentrates on frequent pairs — AQE skew-join
+    territory like every vocabulary join in this file.
+    """
+
+    def build(tk: F.Column) -> F.Column:
+        return F.when(
+            F.size(tk) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - 2),
+                lambda i: F.struct(
+                    F.element_at(tk, i + 1).alias("w1"),
+                    F.element_at(tk, i + 2).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array())
+
+    bigrams = F.get(F.transform(F.array(tokens("text")), build), 0)
+    docs0 = spread(table(spark, sf_dir, "documents"), spark)
+    b = (
+        docs0.select("doc_id", F.explode(bigrams).alias("bg"))
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    cnt = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pairs"))
+    lm = cnt.select(
+        "w1",
+        "w2",
+        (F.col("n_pairs") / F.sum("n_pairs").over(W.partitionBy("w1"))).alias(
+            "p_next"
+        ),
+    )
+    scored = (
+        b.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log("p_next")), 6).alias("avg_logp"),
+        )
+    )
+    base = table(spark, sf_dir, "documents").select("doc_id")
+    return base.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        "avg_logp",
+    )
+
+
+@query(
     "q_text_bigram_lm",
     oracle="""
     WITH t AS (
