@@ -705,6 +705,112 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_incremental_near",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(toks) - 2, 1)),
+                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+               )) AS sh
+        FROM (SELECT doc_id, lang,
+                     string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents)
+    ),
+    hits AS (
+        SELECT b.doc_id,
+               c.doc_id AS best_match,
+               CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(b.sh, c.sh))) AS jaccard,
+               row_number() OVER (
+                   PARTITION BY b.doc_id
+                   ORDER BY CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+                            / len(list_distinct(list_concat(b.sh, c.sh)))
+                            DESC, c.doc_id
+               ) AS rn
+        FROM sh b JOIN sh c
+          ON b.lang = c.lang AND b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+        WHERE CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(b.sh, c.sh))) >= 0.5
+    )
+    SELECT d.doc_id,
+           h.best_match,
+           h.jaccard AS best_jaccard,
+           h.best_match IS NOT NULL AS is_near_dup
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+    LEFT JOIN (SELECT * FROM hits WHERE rn = 1) h ON d.doc_id = h.doc_id
+    """,
+)
+def q_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dedup: screen an incoming batch (the 1-in-10
+    slice, as q_dedup_incremental) against the existing corpus for
+    3-gram Jaccard ≥ 0.5 — the crawl-ingest gate that rejects
+    near-rewrites, not just byte-identical copies.  One row per batch
+    document: its best corpus partner (highest jaccard, smallest id
+    tiebreak) or NULL.
+
+    Plan: the corpus side builds the SAME collapse-first inverted
+    shingle index as the full pair engine, but the probe side is only
+    the batch — cost is |batch| × (shared-shingle postings), not
+    corpus², and the corpus index is exactly the reusable state a
+    production pipeline persists between increments.  The top-1 window
+    runs over batch-sized candidate rows.  Jaccard is int/int IEEE
+    division (bit-identical cross-engine, unrounded); the rank's
+    (jaccard DESC, id) total order makes top-1 deterministic.
+    """
+    docs0 = spread(table(spark, sf_dir, "documents"), spark)
+    is_batch = F.col("doc_id") % 10 == 0
+    sh = docs0.select(
+        "doc_id", "lang", is_batch.alias("in_batch"),
+        shingle_hashes("text").alias("sh"),
+    )
+    sh_rows = sh.select(
+        "doc_id", "lang", "in_batch",
+        F.size("sh").alias("n"), F.explode("sh").alias("shingle"),
+    )
+    b, c = sh_rows.alias("b"), sh_rows.alias("c")
+    jac = F.col("common").cast("double") / (
+        F.col("n_b") + F.col("n_c") - F.col("common")
+    )
+    cand = (
+        b.join(
+            c,
+            (F.col("b.lang") == F.col("c.lang"))
+            & (F.col("b.shingle") == F.col("c.shingle"))
+            & F.col("b.in_batch")
+            & ~F.col("c.in_batch"),
+        )
+        .groupBy(F.col("b.doc_id").alias("bid"), F.col("c.doc_id").alias("cid"))
+        .agg(
+            F.count("*").alias("common"),
+            F.first("b.n").alias("n_b"),
+            F.first("c.n").alias("n_c"),
+        )
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("bid").orderBy(F.desc("jaccard"), F.asc("cid"))
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("bid").alias("doc_id"),
+            F.col("cid").alias("best_match"),
+            F.col("jaccard").alias("best_jaccard"),
+        )
+    )
+    base = table(spark, sf_dir, "documents").filter(is_batch).select("doc_id")
+    return base.join(best, "doc_id", "left").select(
+        "doc_id",
+        "best_match",
+        "best_jaccard",
+        F.col("best_match").isNotNull().alias("is_near_dup"),
+    )
+
+
+@query(
     "q_dedup_containment",
     oracle="""
     WITH d AS (

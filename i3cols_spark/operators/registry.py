@@ -252,6 +252,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_similarity_knn_batch_ivf",
     "q_dedup_substring",
     "q_text_perplexity",
+    "q_dedup_incremental_near",
 )
 
 
