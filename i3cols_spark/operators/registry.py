@@ -253,6 +253,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_dedup_substring",
     "q_text_perplexity",
     "q_dedup_incremental_near",
+    "q_similarity_ann_ivfpq",
 )
 
 

@@ -648,6 +648,130 @@ def ivf_topk(
     )
 
 
+@query("q_similarity_ann_ivfpq")  # PQ codes have no SQL twin → rows-only
+def q_similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-5 — the FAISS-style memory-scale path
+    the plain IVF probe lacks: inside the probed cells, candidates are
+    scored from 8-byte PRODUCT-QUANTIZATION codes (8 subspaces × 16
+    codewords over the L2-normalized vectors) via an asymmetric
+    distance table, and only the PQ shortlist is re-ranked with exact
+    cosine.  At serving scale the scan reads 8-byte codes instead of
+    dim × 4-byte floats — a 32× byte reduction on the candidate scan —
+    and the exact math touches ``_PQ_SHORTLIST`` rows, not the cell.
+
+    Determinism: codebooks are a stride sample of the corpus's
+    normalized subvectors (the IVF seed-centroid pattern — no k-means
+    iterations), so results are reproducible and the recall property
+    test (tests/test_properties.py) can pin them against the exact
+    top-5.  Re-ranking is exact cosine, so every EMITTED similarity is
+    true — PQ only decides which candidates reach the re-ranker (the
+    standard IVF-PQ contract).  Rows-only by design: a PQ code path
+    is not SQL-expressible.
+    """
+    import json
+    import os
+
+    idx = build_ivf_index(spark, sf_dir)
+    with open(os.path.join(idx, "_CENTROIDS.json")) as fh:
+        meta = json.load(fh)
+    cid = np.array(meta["cid"], dtype=np.int64)
+    cmat = np.array(meta["cmat"], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0] = np.inf
+
+    emb = table(spark, sf_dir, "embeddings")
+    qrow = (
+        emb.filter(F.col("vec_id") == 0).select(as_double("embedding")).head()
+    )
+    qv = np.asarray(qrow[0], dtype=np.float64)
+    qnorm = np.linalg.norm(qv) or np.inf
+    qhat = qv / qnorm
+
+    qsim = np.round((cmat @ qv) / (cnorm * qnorm), 6)
+    order = np.lexsort((cid, -qsim))
+    probed = [int(x) for x in cid[order[:_IVF_NPROBE]]]
+
+    # Deterministic codebooks: the _PQ_K smallest vec_ids' normalized
+    # subvectors (metadata-sized collect, like the IVF seed sample).
+    sample = (
+        emb.select("vec_id", as_double("embedding").alias("v"))
+        .orderBy("vec_id")
+        .limit(_PQ_K)
+        .collect()
+    )
+    smat = np.array([r["v"] for r in sample], dtype=np.float64)
+    snorm = np.linalg.norm(smat, axis=1)
+    snorm[snorm == 0] = 1.0
+    smat = smat / snorm[:, None]
+    dim = smat.shape[1]
+    d_sub = dim // _PQ_M
+    # codebooks[s]: [_PQ_K, d_sub]; LUT[s][j] = <q̂_s, codeword j>
+    codebooks = [smat[:, s * d_sub : (s + 1) * d_sub] for s in range(_PQ_M)]
+    lut = np.stack(
+        [codebooks[s] @ qhat[s * d_sub : (s + 1) * d_sub] for s in range(_PQ_M)]
+    )  # [_PQ_M, _PQ_K]
+
+    def pq_score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf["v"]), dtype=np.float64)
+            nrm = np.linalg.norm(mat, axis=1)
+            nrm[nrm == 0] = np.inf
+            mat = mat / nrm[:, None]
+            score = np.zeros(len(pdf))
+            for s in range(_PQ_M):
+                sub = mat[:, s * d_sub : (s + 1) * d_sub]
+                # encode: nearest codeword by L2 on normalized subvectors
+                d2 = (
+                    (sub**2).sum(1)[:, None]
+                    - 2.0 * (sub @ codebooks[s].T)
+                    + (codebooks[s] ** 2).sum(1)[None, :]
+                )
+                codes = np.argmin(d2, axis=1)
+                score += lut[s][codes]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": pdf["cell"],
+                    "approx": np.round(score, 6),
+                }
+            )
+
+    pruned = (
+        spark.read.parquet(idx)
+        .filter((F.col("vec_id") != 0) & F.col("cell").isin(probed))
+        .select("vec_id", F.col("cell").cast("long").alias("cell"), "v")
+    )
+    shortlist = (
+        pruned.mapInPandas(pq_score, "vec_id bigint, cell bigint, approx double")
+        .orderBy(F.desc("approx"), F.asc("vec_id"))
+        .limit(_PQ_SHORTLIST)
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    cos_sim = F.round(
+        dot("v", qlit)
+        / (F.nullif(norm_l2("v"), F.lit(0.0)) * F.lit(float(qnorm))),
+        6,
+    )
+    return (
+        pruned.join(shortlist.select("vec_id"), "vec_id")
+        .select("vec_id", "cell", cos_sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+#: IVF-PQ geometry: 8 subspaces × 16 codewords (8-byte codes), exact
+#: re-rank of the top-20 PQ candidates.
+_PQ_M = 8
+_PQ_K = 16
+_PQ_SHORTLIST = 20
+
+
 #: Batch-kNN geometry shared by the Spark plan and the oracle: every
 #: vec_id ≡ 0 (mod 125) is a query (4 queries at the 500-vector
 #: fixtures, 16 at sf0.1), k = 5 neighbors each.

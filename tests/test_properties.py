@@ -797,3 +797,24 @@ def test_fuzzy_join_blocked_matches_unblocked_within_block_keys(spark, sf_dir):
         if cs[:6] == ss[:6] and lev(cs, ss) <= 1
     }
     assert got == want
+
+
+def test_ivfpq_rerank_is_exact_and_recalls_ivf_top5(spark, sf_dir):
+    """IVF-PQ contract: emitted similarities are EXACT (the re-rank),
+    and the PQ shortlist recovers the plain-IVF top-5 on the fixture
+    (measured 5/5 at sf0.001 and sf0.01; floor 4 leaves noise room).
+    Both run the same probed cells, so this isolates the PQ
+    shortlist's recall."""
+    pq = {
+        r["vec_id"]: r["cos_sim"]
+        for r in QUERIES["q_similarity_ann_ivfpq"](spark, sf_dir).collect()
+    }
+    ivf = {
+        r["vec_id"]: r["cos_sim"]
+        for r in QUERIES["q_similarity_ann_ivf"](spark, sf_dir).collect()
+    }
+    assert len(pq) == 5
+    shared = set(pq) & set(ivf)
+    assert len(shared) >= 4, (sorted(pq), sorted(ivf))
+    for v in shared:
+        assert pq[v] == ivf[v], (v, pq[v], ivf[v])
