@@ -592,6 +592,121 @@ def q_join_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_interval_grid",
+    oracle="""
+    WITH iv AS (
+        SELECT o_orderkey, o_orderpriority,
+               least(d0, d1) AS s, greatest(d0, d1) AS e
+        FROM (
+            SELECT o.o_orderkey, o.o_orderpriority,
+                   CAST(epoch(o.o_orderdate) / 86400 AS BIGINT)     AS d0,
+                   CAST(epoch(max(l.l_shipdate)) / 86400 AS BIGINT) AS d1
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+        )
+    )
+    SELECT a.o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(max(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT)
+               AS max_overlap_days
+    FROM iv a JOIN iv b
+      ON a.o_orderpriority = b.o_orderpriority
+     AND a.o_orderkey < b.o_orderkey
+     AND a.s <= b.e AND b.s <= a.e
+    GROUP BY a.o_orderpriority
+    """,
+)
+def q_join_interval_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LARGE × LARGE interval-overlap join via GRID BINNING — the
+    escape hatch q_join_interval_overlap's docstring promises for the
+    case where neither side is broadcastable: per order-priority
+    class, count pairs of order activity intervals
+    [orderdate, max shipdate] that overlap, plus the widest overlap.
+
+    The grid trick, outside-in: (1) every interval explodes to the
+    28-day grid cells it covers (intervals span months → a handful of
+    cells each); (2) candidate pairs meet through an ordinary
+    EQUI-join on (priority, cell) — shuffle-partitionable, no
+    broadcast, no BroadcastNestedLoopJoin, no O(|A|·|B|) comparison;
+    (3) the exact overlap predicate filters same-cell non-overlaps;
+    (4) each surviving pair is counted EXACTLY ONCE by the
+    assign-to-one-cell rule cell = floor(max(s_a, s_b)/W) — if two
+    intervals overlap, the cell holding the later start is covered by
+    both (max start ≤ min end), and it is unique, so no distinct/
+    dedup shuffle is ever needed.  Cost is Σ_cell |A_cell|·|B_cell|
+    — data-adaptive like a spatial join, never the cross product;
+    heavy cells (seasonal spikes) are AQE skew-join territory.
+
+    The oracle states the same join as a plain range self-join —
+    O(block²) comparisons DuckDB can afford at oracle SF, which is
+    the very asymmetry the grid removes.  Day arithmetic is integer
+    (epoch-days), so counts and max-overlap are exact cross-engine.
+    """
+    # Grid width ≈ the typical interval length: candidate volume is
+    # Σ_cell n² ≈ N²(L+W)²/(T·W), minimized at W ≈ L (the fixture's
+    # activity intervals average ~700 days; measured volumes at
+    # sf0.01: 535M candidates at W=28 vs 64M at W=730 against 16.8M
+    # true pairs — a 4× candidate overhead).  Intervals arrive with
+    # either endpoint first in this synthetic data; least/greatest
+    # normalizes BOTH dialects (Spark's sequence() would otherwise
+    # silently DESCEND for reversed intervals while DuckDB's
+    # generate_series returns empty — divergent semantics).
+    W = 730
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    epoch_days = lambda c: (F.unix_timestamp(c) / 86400).cast("long")  # noqa: E731
+    iv = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("ship_end"))
+        .select(
+            "o_orderkey",
+            F.col("o_orderpriority").alias("priority"),
+            F.least(
+                epoch_days(F.col("o_orderdate")), epoch_days(F.col("ship_end"))
+            ).alias("s"),
+            F.greatest(
+                epoch_days(F.col("o_orderdate")), epoch_days(F.col("ship_end"))
+            ).alias("e"),
+        )
+    )
+    cells = iv.select(
+        "o_orderkey",
+        "priority",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(F.floor(F.col("s") / W), F.floor(F.col("e") / W))
+        ).alias("cell"),
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.priority") == F.col("b.priority"))
+        & (F.col("a.cell") == F.col("b.cell"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+    ).filter(
+        (F.col("a.s") <= F.col("b.e"))
+        & (F.col("b.s") <= F.col("a.e"))
+        # one-cell assignment: count the pair only in the cell that
+        # holds the LATER start — covered by both sides iff overlap.
+        & (
+            F.col("a.cell")
+            == F.floor(F.greatest(F.col("a.s"), F.col("b.s")) / W)
+        )
+    )
+    return pairs.groupBy(F.col("a.priority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.max(
+            F.least(F.col("a.e"), F.col("b.e"))
+            - F.greatest(F.col("a.s"), F.col("b.s"))
+        ).alias("max_overlap_days"),
+    )
+
+
+@query(
     "q_join_interval_overlap",
     oracle="""
     WITH iv AS (

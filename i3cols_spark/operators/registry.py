@@ -254,6 +254,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_text_perplexity",
     "q_dedup_incremental_near",
     "q_similarity_ann_ivfpq",
+    "q_join_interval_grid",
 )
 
 
