@@ -255,6 +255,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_dedup_incremental_near",
     "q_similarity_ann_ivfpq",
     "q_join_interval_grid",
+    "q_anomaly_mad",
 )
 
 

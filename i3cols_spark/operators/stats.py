@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from i3cols_spark.functions.rounding import round_half_up
 from i3cols_spark.operators.registry import query
 from i3cols_spark.sources.tables import table
 
@@ -498,6 +499,70 @@ def zscore_screen(ev: DataFrame, stats: DataFrame) -> DataFrame:
         .withColumn("z", z)
         .filter(F.abs(F.col("z")) >= ZSCORE_THRESHOLD)
         .select("event_id", "event_type", "value", "z")
+    )
+
+
+@query(
+    "q_anomaly_mad",
+    oracle="""
+    WITH m AS (
+        SELECT event_type, round(quantile_cont(value, 0.5), 6) AS md
+        FROM events GROUP BY event_type
+    ),
+    d AS (
+        SELECT e.event_id, e.event_type, e.value, m.md,
+               abs(e.value - m.md) AS ad
+        FROM events e JOIN m USING (event_type)
+    ),
+    s AS (
+        SELECT event_type, round(quantile_cont(ad, 0.5), 6) AS mad
+        FROM d GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, d.value,
+           floor((0.6745 * (d.value - d.md) / s.mad) * 10000 + 0.5)
+               / 10000.0 AS rz
+    FROM d JOIN s USING (event_type)
+    WHERE abs(floor((0.6745 * (d.value - d.md) / s.mad) * 10000 + 0.5)
+              / 10000.0) >= 3.5
+    """,
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier screen — the companion to
+    q_anomaly_zscore that doesn't let the outliers poison their own
+    threshold: modified z-score 0.6745·(x − median)/MAD, flag ≥ 3.5
+    (the Iglewicz–Hoaglin rule).  μ/σ move with every extreme value;
+    median and MAD have a 50% breakdown point, so a burst of garbage
+    readings can't mask itself.
+
+    Both medians come from ``exact_percentiles`` — the distinct-value
+    histogram + cumsum construction, NOT Spark's ``median`` aggregate
+    (which buffers every raw value of a group on one reducer; measured
+    7.9× at a 10× probe) — so per-group state is |distinct values|
+    at both aggregation levels.  The two tiny stats frames broadcast
+    back onto the event scan; scoring is a pure projection.  Stats
+    round at 6 dp and the score at 4 dp in both engines (registry
+    discipline: interpolated doubles feed further arithmetic).
+    """
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    m = exact_percentiles(ev, "event_type", "value", {"md": 0.5}).select(
+        "event_type", F.round("md", 6).alias("md")
+    )
+    d = ev.join(F.broadcast(m), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("md"))
+    )
+    s = exact_percentiles(d, "event_type", "ad", {"mad": 0.5}).select(
+        "event_type", F.round("mad", 6).alias("mad")
+    )
+    # HALF_UP, not round(): the fixture's 2-dp values make the score a
+    # rational that can land exactly on a 4-dp .5 boundary — one sf0.1
+    # row measured 3.85225 rounding 3.8522 (DuckDB half-even) vs
+    # 3.8523 (Spark HALF_UP) before this (functions/rounding.py).
+    rz = round_half_up(0.6745 * (F.col("value") - F.col("md")) / F.col("mad"), 4)
+    return (
+        d.join(F.broadcast(s), "event_type")
+        .withColumn("rz", rz)
+        .filter(F.abs(F.col("rz")) >= 3.5)
+        .select("event_id", "event_type", "value", "rz")
     )
 
 
