@@ -641,6 +641,14 @@ def q_join_interval_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(block²) comparisons DuckDB can afford at oracle SF, which is
     the very asymmetry the grid removes.  Day arithmetic is integer
     (epoch-days), so counts and max-overlap are exact cross-engine.
+
+    Density note: the fixture keeps its ~6-year time span fixed while
+    rows grow, so the TRUE overlap-pair count scales ~N² (16.8M at
+    sf0.01) — inherent to the overlap-count semantics, like any
+    self-similarity measure on densifying data.  The grid's candidate
+    overhead stays a small constant (~4×) over that floor; real
+    deployments with growing time ranges keep density, and therefore
+    per-cell cost, bounded.
     """
     # Grid width ≈ the typical interval length: candidate volume is
     # Σ_cell n² ≈ N²(L+W)²/(T·W), minimized at W ≈ L (the fixture's
