@@ -753,3 +753,62 @@ def test_knn_batch_tile_bound_is_exact_for_strided_ids(spark, sf_dir):
     }
     assert all(n <= 3 for n in sizes.values())
     assert sorted(sizes) == list(range(len(sizes)))
+
+
+def test_interval_grid_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The grid trick's whole point: the interval overlap must run as
+    a shuffle-partitionable EQUI join on (priority, cell) — never a
+    BroadcastNestedLoopJoin or cartesian product (the shapes the
+    broadcast-side q_join_interval_overlap is allowed and this one
+    exists to avoid)."""
+    from i3cols_spark.plans.checks import explain_str
+
+    plan = explain_str(QUERIES["q_join_interval_grid"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_substring_dedup_joins_on_gram_hash_only(spark, sf_dir):
+    """q_dedup_substring's candidate space is the gram-hash inverted
+    index — the plan must contain no nested-loop/cartesian fallback,
+    and the final left join keeps every document (zero-partner rows
+    included)."""
+    from i3cols_spark.plans.checks import explain_str
+    from i3cols_spark.sources.tables import table
+
+    df = QUERIES["q_dedup_substring"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert df.count() == table(spark, sf_dir, "documents").count()
+
+
+def test_ivfpq_scans_partition_pruned_index(spark, sf_dir):
+    """IVF-PQ must read the cell-partitioned index with the probe
+    filter bound to the partition column — the pruned-scan contract it
+    shares with q_similarity_ann_ivf."""
+    from i3cols_spark.plans.checks import explain_str
+
+    plan = explain_str(QUERIES["q_similarity_ann_ivfpq"](spark, sf_dir))
+    assert "ivf_" in plan
+    assert "PartitionFilters" in plan
+
+
+def test_incremental_near_probe_side_is_batch_only(spark, sf_dir):
+    """The incremental near-dedup join must meet batch shingles with
+    corpus shingles through the equi key — and emit exactly one row
+    per BATCH document (cost ∝ batch, the operator's contract)."""
+    from pyspark.sql import functions as F
+
+    from i3cols_spark.sources.tables import table
+
+    df = QUERIES["q_dedup_incremental_near"](spark, sf_dir)
+    n_batch = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .count()
+    )
+    assert df.count() == n_batch
