@@ -251,6 +251,89 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_asof_tolerance",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+                THEN c.event_id END AS asof_click_id,
+           CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+                THEN epoch_us(p.ts) - epoch_us(c.ts) END AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (
+        SELECT user_id, ts, max(event_id) AS event_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    ) c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH A STALENESS BOUND — the serving-correct form of
+    q_join_asof: each purchase matches its latest prior click only if
+    that click is ≤ 1 hour old, else NULL (plus the exact µs gap).  A
+    feature older than the tolerance is worse than no feature — the
+    bound is what point-in-time feature stores actually enforce.
+
+    Same single-pass shape as the parent: union-tag both streams, one
+    window per user carries the last click (ts, id) forward via
+    last(ignorenulls), then the tolerance is a pure projection over
+    the carried struct — no second join, no per-row range probe.  The
+    oracle uses DuckDB's native ASOF JOIN and re-applies the bound as
+    a CASE, pinning both the nearest-prior choice and the cutoff
+    arithmetic (µs integers — exact cross-engine).  Equal-ts clicks
+    dedupe to max event_id in both engines first (ASOF's pick among
+    ties is otherwise unspecified).
+    """
+    tol_us = 3_600_000_000
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select(
+            "user_id",
+            "ts",
+            F.struct(F.unix_micros("ts").alias("cts"), F.col("click_id")).alias(
+                "click"
+            ),
+            F.lit(0).alias("kind"),
+            F.lit(None).cast("long").alias("purchase_id"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None)
+        .cast("struct<cts:bigint,click_id:bigint>")
+        .alias("click"),
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    tagged = clicks.unionByName(purchases)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind", F.col("click.click_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    gap = F.unix_micros("ts") - F.col("last_click.cts")
+    in_tol = F.col("last_click").isNotNull() & (gap <= tol_us)
+    return (
+        tagged.withColumn(
+            "last_click", F.last("click", ignorenulls=True).over(w)
+        )
+        .filter(F.col("kind") == 1)
+        .select(
+            F.col("purchase_id").alias("event_id"),
+            "user_id",
+            F.when(in_tol, F.col("last_click.click_id")).alias("asof_click_id"),
+            F.when(in_tol, gap).alias("gap_us"),
+        )
+    )
+
+
+@query(
     "q_join_multiway_star",
     oracle="""
     SELECT n.n_name,

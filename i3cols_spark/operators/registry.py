@@ -256,6 +256,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_similarity_ann_ivfpq",
     "q_join_interval_grid",
     "q_anomaly_mad",
+    "q_join_asof_tolerance",
 )
 
 
