@@ -502,6 +502,41 @@ def zscore_screen(ev: DataFrame, stats: DataFrame) -> DataFrame:
     )
 
 
+def mad_stats(ev: DataFrame) -> DataFrame:
+    """Per-type (median, MAD) reference stats, 6-dp rounded.  Shared by
+    q_anomaly_mad and streaming.jobs.stream_anomaly_mad_screen so the
+    batch and streaming twins can never drift apart (the zscore_stats
+    pattern); both medians ride the distinct-value-histogram engine
+    (exact_percentiles), never Spark's value-buffering median."""
+    m = exact_percentiles(ev, "event_type", "value", {"md": 0.5}).select(
+        "event_type", F.round("md", 6).alias("md")
+    )
+    d = ev.join(F.broadcast(m), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("md"))
+    )
+    s = exact_percentiles(d, "event_type", "ad", {"mad": 0.5}).select(
+        "event_type", F.round("mad", 6).alias("mad")
+    )
+    return m.join(s, "event_type")
+
+
+def mad_screen(ev: DataFrame, stats: DataFrame) -> DataFrame:
+    """Score rows against a (event_type, md, mad) stats frame and keep
+    |modified z| ≥ 3.5 — broadcast join + projection, batch and
+    streaming alike.  HALF_UP at 4 dp, not round(): the fixture's
+    2-dp values make the score a rational that can land exactly on a
+    4-dp .5 boundary — one sf0.1 row measured 3.85225, rounding
+    3.8522 (DuckDB half-even) vs 3.8523 (Spark HALF_UP) before this
+    (functions/rounding.py)."""
+    rz = round_half_up(0.6745 * (F.col("value") - F.col("md")) / F.col("mad"), 4)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("rz", rz)
+        .filter(F.abs(F.col("rz")) >= 3.5)
+        .select("event_id", "event_type", "value", "rz")
+    )
+
+
 @query(
     "q_anomaly_mad",
     oracle="""
@@ -544,26 +579,7 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline: interpolated doubles feed further arithmetic).
     """
     ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    m = exact_percentiles(ev, "event_type", "value", {"md": 0.5}).select(
-        "event_type", F.round("md", 6).alias("md")
-    )
-    d = ev.join(F.broadcast(m), "event_type").withColumn(
-        "ad", F.abs(F.col("value") - F.col("md"))
-    )
-    s = exact_percentiles(d, "event_type", "ad", {"mad": 0.5}).select(
-        "event_type", F.round("mad", 6).alias("mad")
-    )
-    # HALF_UP, not round(): the fixture's 2-dp values make the score a
-    # rational that can land exactly on a 4-dp .5 boundary — one sf0.1
-    # row measured 3.85225 rounding 3.8522 (DuckDB half-even) vs
-    # 3.8523 (Spark HALF_UP) before this (functions/rounding.py).
-    rz = round_half_up(0.6745 * (F.col("value") - F.col("md")) / F.col("mad"), 4)
-    return (
-        d.join(F.broadcast(s), "event_type")
-        .withColumn("rz", rz)
-        .filter(F.abs(F.col("rz")) >= 3.5)
-        .select("event_id", "event_type", "value", "rz")
-    )
+    return mad_screen(ev, mad_stats(ev))
 
 
 @query(

@@ -210,6 +210,30 @@ def stream_anomaly_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zscore_screen(_event_stream(spark, sf_dir), stats)
 
 
+def stream_anomaly_mad_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ROBUST (median/MAD) anomaly screen — the
+    stream-static twin of q_anomaly_mad, exactly as
+    ``stream_anomaly_screen`` twins q_anomaly_zscore: per-type
+    (median, MAD) reference stats are a STATIC snapshot (yesterday's
+    batch artifact, inlined as literal rows so the streaming plan
+    stays aggregate-free), today's events are scored live with the
+    SAME mad_screen code as the batch twin.  Robust stats matter more
+    here than in batch: a live incident is exactly when extreme
+    values flood in, and μ/σ computed over them would suppress their
+    own alarms — median/MAD reference frames don't move."""
+    from i3cols_spark.operators.stats import mad_screen, mad_stats
+
+    configure(spark)
+    static_ev = normalize_events_ts(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).select("event_id", "event_type", "value")
+    stats = spark.createDataFrame(mad_stats(static_ev).collect())
+    return mad_screen(
+        _event_stream(spark, sf_dir).select("event_id", "event_type", "value"),
+        stats,
+    )
+
+
 def run_rollup_maintenance(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     """Continuously-maintained 1-hour rollup: the streaming tumbling
     aggregate upserted into a window-partitioned Parquet table via

@@ -351,3 +351,19 @@ def test_session_window_state_evicts_and_finalizes_across_batches(spark, tmp_pat
     # b1's and b2's under later watermarks; b3's session is still open
     # when the stream drains → not emitted in append mode.
     assert rows == {(1, 2), (2, 1), (3, 1), (1, 1)}
+
+
+def test_stream_mad_screen_matches_batch(spark, sf_dir):
+    """The stream-static MAD screen must flag exactly the rows the
+    batch q_anomaly_mad flags, with identical modified z-scores."""
+    sdf = jobs.stream_anomaly_mad_screen(spark, sf_dir)
+    jobs.run_to_memory(sdf, "mem_anomaly_mad")
+    streamed = {
+        (r["event_id"], r["rz"])
+        for r in spark.table("mem_anomaly_mad").collect()
+    }
+    batch = {
+        (r["event_id"], r["rz"])
+        for r in QUERIES["q_anomaly_mad"](spark, sf_dir).collect()
+    }
+    assert streamed == batch and len(batch) > 0
