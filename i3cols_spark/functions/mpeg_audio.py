@@ -310,44 +310,57 @@ def encode_layer1(
     frame_specs: list[dict[int, tuple[int, int, list[int]]]],
     rate_idx: int,
     bitrate_idx: int,
+    frame_specs_ch2: list[dict[int, tuple[int, int, list[int]]]] | None = None,
 ) -> bytes:
-    """Fixture encoder: one MONO Layer I frame per spec entry.  Each
-    spec maps subband → (nb, scf_idx, 12 codes); unlisted subbands get
-    allocation 0.  Emits genuine header + bit-allocation + scalefactor
-    + sample layout, zero-padded to the exact frame length."""
+    """Fixture encoder: one Layer I frame per spec entry.  Each spec
+    maps subband → (nb, scf_idx, 12 codes); unlisted subbands get
+    allocation 0.  Mono by default; passing ``frame_specs_ch2``
+    (parallel list, second channel) emits STEREO frames in the spec
+    layout — allocation nibbles interleaved (sb-major, channel-minor),
+    then scalefactors, then the 12 sample groups sb-major
+    channel-minor.  Emits genuine header + payload, zero-padded to the
+    exact frame length."""
     kbps = BITRATES[1][bitrate_idx]
     rate = SAMPLE_RATES[rate_idx]
+    nch = 1 if frame_specs_ch2 is None else 2
+    if frame_specs_ch2 is not None and len(frame_specs_ch2) != len(frame_specs):
+        raise ValueError("mpeg encode: channel spec lists must align")
     frame_bytes = (12 * kbps * 1000 // rate) * 4
     out = bytearray()
-    for spec in frame_specs:
-        for sb, (nb, scf_idx, codes) in spec.items():
-            if not 2 <= nb <= 15:
-                raise ValueError(f"mpeg encode: nb={nb} outside 2..15")
-            if not 0 <= scf_idx <= 62:
-                raise ValueError(f"mpeg encode: scf_idx={scf_idx}")
-            if len(codes) != 12:
-                raise ValueError("mpeg encode: need 12 codes per subband")
-            if not 0 <= sb < 32:
-                raise ValueError(f"mpeg encode: subband {sb}")
+    for f, spec in enumerate(frame_specs):
+        chans = [spec] if nch == 1 else [spec, frame_specs_ch2[f]]
+        for ch_spec in chans:
+            for sb, (nb, scf_idx, codes) in ch_spec.items():
+                if not 2 <= nb <= 15:
+                    raise ValueError(f"mpeg encode: nb={nb} outside 2..15")
+                if not 0 <= scf_idx <= 62:
+                    raise ValueError(f"mpeg encode: scf_idx={scf_idx}")
+                if len(codes) != 12:
+                    raise ValueError("mpeg encode: need 12 codes per subband")
+                if not 0 <= sb < 32:
+                    raise ValueError(f"mpeg encode: subband {sb}")
         hdr = bytes(
             [
                 0xFF,
                 0xE0 | (0x3 << 3) | (0x3 << 1) | 0x1,  # MPEG-1, Layer I, no CRC
                 (bitrate_idx << 4) | (rate_idx << 2),
-                0x3 << 6,  # single channel
+                (0x3 if nch == 1 else 0x0) << 6,  # single channel / stereo
             ]
         )
         bw = _BitWriter()
         for sb in range(32):
-            bw.write(spec[sb][0] - 1 if sb in spec else 0, 4)
+            for ch_spec in chans:
+                bw.write(ch_spec[sb][0] - 1 if sb in ch_spec else 0, 4)
         for sb in range(32):
-            if sb in spec:
-                bw.write(spec[sb][1], 6)
+            for ch_spec in chans:
+                if sb in ch_spec:
+                    bw.write(ch_spec[sb][1], 6)
         for s in range(12):
             for sb in range(32):
-                if sb in spec:
-                    nb, _, codes = spec[sb]
-                    bw.write(codes[s], nb)
+                for ch_spec in chans:
+                    if sb in ch_spec:
+                        nb, _, codes = ch_spec[sb]
+                        bw.write(codes[s], nb)
         out += hdr + bw.pad_to(frame_bytes - 4)
     return bytes(out)
 

@@ -177,6 +177,8 @@ def _format_mirror(spark: SparkSession, sf_dir: str, fmt: str) -> str:
         w = src.coalesce(4).write.mode("overwrite")
         if fmt == "json":
             w.json(out)
+        elif fmt == "orc":
+            w.orc(out)
         else:
             w.option("header", True).csv(out)
 
@@ -209,11 +211,12 @@ _SOURCE_ORACLE = """
 def _source_scan(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     path = _format_mirror(spark, sf_dir, fmt)
     reader = spark.read.schema(_ORDERS_MIRROR_SCHEMA)
-    df = (
-        reader.json(path)
-        if fmt == "json"
-        else reader.option("header", True).csv(path)
-    )
+    if fmt == "json":
+        df = reader.json(path)
+    elif fmt == "orc":
+        df = reader.orc(path)
+    else:
+        df = reader.option("header", True).csv(path)
     return df.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
@@ -233,6 +236,20 @@ def q_source_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash.  Timestamps travel as epoch-µs BIGINT — the portable JSONL
     convention this engine's ingest layer uses."""
     return _source_scan(spark, sf_dir, "json")
+
+
+@query("q_source_orc_scan", oracle=_SOURCE_ORACLE)
+def q_source_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source fidelity, same contract as q_source_jsonl_scan: the
+    engine's THIRD columnar-adjacent format behind the shared
+    write-once mirror protocol.  ORC is the other big-data columnar
+    standard a migrating warehouse actually holds; Spark's native
+    reader gives predicate pushdown and column pruning like parquet.
+    DuckDB does not read ORC, so — exactly as with the text formats —
+    the oracle reads the ORIGINAL parquet and the hash pins the full
+    binary round trip (type widths, timestamp µs convention, nulls).
+    """
+    return _source_scan(spark, sf_dir, "orc")
 
 
 @query("q_source_csv_scan", oracle=_SOURCE_ORACLE)

@@ -257,6 +257,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_join_interval_grid",
     "q_anomaly_mad",
     "q_join_asof_tolerance",
+    "q_source_orc_scan",
 )
 
 

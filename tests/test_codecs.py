@@ -869,3 +869,32 @@ def test_avi_truncated_header_chunks_raise_value_error():
     short_strh = b"strh" + struct.pack("<I", 8) + b"vids" + b"\x00" * 4
     with pytest.raises(ValueError, match="truncated AVI header"):
         decode_mjpeg_avi(riff(short_strh))
+
+
+def test_mpeg_stereo_encode_decode_synthesize():
+    """Stereo Layer I: the spec's interleaved allocation/scalefactor/
+    sample layout round-trips per channel (left carries sb 3, right
+    sb 9, never crossed), dequantized values stay closed-form exact,
+    and PCM synthesis emits [n, 2] with each channel's energy in ITS
+    encoded band."""
+    import numpy as np
+
+    from i3cols_spark.functions import mpeg_audio
+
+    wave = [220, 128, 36, 128] * 3
+    specL = [{3: (8, 6, wave)} for _ in range(6)]
+    specR = [{9: (8, 6, wave)} for _ in range(6)]
+    blob = mpeg_audio.encode_layer1(specL, 1, 4, frame_specs_ch2=specR)
+    info = mpeg_audio.stream_info(blob)
+    assert info["channels"] == 2 and info["n_frames"] == 6
+    frames = mpeg_audio.decode_layer1(blob)
+    for fr in frames:
+        assert fr.allocated[3, 0] and fr.allocated[9, 1]
+        assert not fr.allocated[3, 1] and not fr.allocated[9, 0]
+        # channels carry IDENTICAL code streams → identical dequant
+        assert np.array_equal(fr.subbands[:, 3, 0], fr.subbands[:, 9, 1])
+    pcm = mpeg_audio.synthesize_pcm(frames)
+    assert pcm.shape == (6 * 384, 2)
+    for ch, sb in ((0, 3), (1, 9)):
+        back = mpeg_audio.analyze_pcm(pcm[:, ch])
+        assert int(np.argmax((back**2).sum(axis=0))) == sb
