@@ -7,6 +7,8 @@ Subcommand mapping:
   combine   ≙ combine_runs            (union datasets, run-partitioned)
   compact   ≙ compress/decompress     (rewrite with codec/file sizing)
   query     — run a registered SURVEY §2.3 query by name
+  index     — build/refresh the write-once IVF ANN index
+              (operators/similarity.build_ivf_index, fingerprinted)
   bench     — the bench.py headline suite
   import-npy / export-npy — bridge the reference's native npy
               column-dir layout (sources/npy_cols.py DataSource)
@@ -68,6 +70,15 @@ def main(argv: list[str] | None = None) -> int:
     sq.add_argument("--explain", action="store_true")
     sq.add_argument("--out", default=None, help="write full result as parquet instead of showing")
 
+    ix = sub.add_parser(
+        "index", help="build/refresh the write-once IVF ANN index"
+    )
+    ix.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ix.add_argument(
+        "--refine-iters", type=int, default=0,
+        help="Lloyd refinement iterations (0 = deterministic seed index)",
+    )
+
     sub.add_parser("list", help="list registered queries")
     sub.add_parser("bench", help="run the headline bench (one JSON line)")
 
@@ -114,6 +125,20 @@ def main(argv: list[str] | None = None) -> int:
             df, args.out, partition_by=part, mode="overwrite" if args.overwrite else "error"
         )
         print(json.dumps({"written": args.out, "rows": spark.read.parquet(args.out).count()}))
+    elif args.cmd == "index":
+        import json as _json
+        import os as _os
+
+        from i3cols_spark.operators.similarity import build_ivf_index
+
+        idx = build_ivf_index(spark, args.sf_dir, refine_iters=args.refine_iters)
+        with open(_os.path.join(idx, "_CENTROIDS.json")) as fh:
+            meta = _json.load(fh)
+        print(json.dumps({
+            "index": idx,
+            "nlist": len(meta["cid"]),
+            "refine_iters": args.refine_iters,
+        }))
     elif args.cmd == "combine":
         from i3cols_spark.sources.ingest import combine
 

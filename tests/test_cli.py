@@ -107,3 +107,18 @@ def test_cli_sql_over_dataset_views(tmp_path, capsys):
     assert rc == 0
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert payload["written"] == out and payload["rows"] == 5
+
+
+def test_cli_index_builds_and_is_idempotent(spark, sf_dir, capsys):
+    """`index` must build the fingerprinted IVF index and print its
+    location + nlist; a second call hits the cache (same path)."""
+    import json
+
+    from i3cols_spark.cli import main
+
+    assert main(["--cpus", "4", "index", "--sf-dir", sf_dir]) in (0, None)
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["nlist"] > 0
+    assert main(["--cpus", "4", "index", "--sf-dir", sf_dir]) in (0, None)
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["index"] == out1["index"]
