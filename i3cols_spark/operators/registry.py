@@ -258,6 +258,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_anomaly_mad",
     "q_join_asof_tolerance",
     "q_source_orc_scan",
+    "q_sample_weighted",
 )
 
 

@@ -623,6 +623,62 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sample_weighted",
+    oracle="""
+    WITH keyed AS (
+        SELECT event_type, event_id, value,
+               ln((CAST((event_id % 65536 * 2654435761) % 65536 AS DOUBLE)
+                   + 1.0) / 65537.0) / value AS lk
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, event_id, value,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY lk DESC, event_id
+               ) AS pick_rank
+        FROM keyed
+    )
+    SELECT event_type, CAST(pick_rank AS INT) AS pick_rank, event_id, value
+    FROM ranked WHERE pick_rank <= 10
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, 10 per event type, via
+    the Efraimidis–Spirakis A-Res key: rank by u^(1/w) (equivalently
+    ln(u)/w — heavier-weighted rows float up in probability exactly
+    proportional to weight).  This completes the sampling family:
+    stratified/fixed-n are uniform, importance is WITH-replacement-
+    style acceptance — A-Res is the distributed answer to "give me k
+    rows per group, weighted, each row at most once", one scan + one
+    per-group top-k, no sequential reservoir state.
+
+    Determinism: u is the same Knuth multiplicative hash of event_id
+    both engines compute bit-identically ((id % 65536)·2654435761
+    % 65536, shifted into (0,1)); the A-Res key itself is never
+    emitted — only the selection — and u-collisions (ids ≡ mod 65536)
+    break ties by event_id in the rank order.  Weights are the
+    fixture's strictly-positive ``value``.
+
+    Scale: the window is a per-group top-k over the scan, the same
+    rank-k shape as q_window_topk_pergroup — at 100 TB this is a
+    map-side partial TakeOrdered per partition, never a global sort
+    of the corpus.
+    """
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    u = (
+        (F.pmod(F.pmod(F.col("event_id"), F.lit(65536)) * F.lit(2654435761), F.lit(65536))).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(65537.0)
+    keyed = ev.withColumn("lk", F.log(u) / F.col("value"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("lk"), F.asc("event_id"))
+    return (
+        keyed.withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= 10)
+        .select("event_type", "pick_rank", "event_id", "value")
+    )
+
+
+@query(
     "q_agg_mode",
     oracle="""
     WITH counts AS (
