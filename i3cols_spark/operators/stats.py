@@ -628,7 +628,7 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH keyed AS (
         SELECT event_type, event_id, value,
                ln((CAST((event_id % 65536 * 2654435761) % 65536 AS DOUBLE)
-                   + 1.0) / 65537.0) / value AS lk
+                   + 1.0) / 65537.0) / greatest(value, 0.01) AS lk
         FROM events
     ),
     ranked AS (
@@ -656,8 +656,9 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines compute bit-identically ((id % 65536)·2654435761
     % 65536, shifted into (0,1)); the A-Res key itself is never
     emitted — only the selection — and u-collisions (ids ≡ mod 65536)
-    break ties by event_id in the rank order.  Weights are the
-    fixture's strictly-positive ``value``.
+    break ties by event_id in the rank order.  Weights are
+    ``greatest(value, 0.01)`` — the sf0.1 fixture carries zero-valued
+    rows, and a zero weight is degenerate for A-Res.
 
     Scale: the window is a per-group top-k over the scan, the same
     rank-k shape as q_window_topk_pergroup — at 100 TB this is a
@@ -669,7 +670,10 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.pmod(F.pmod(F.col("event_id"), F.lit(65536)) * F.lit(2654435761), F.lit(65536))).cast("double")
         + F.lit(1.0)
     ) / F.lit(65537.0)
-    keyed = ev.withColumn("lk", F.log(u) / F.col("value"))
+    # weight floor: sf0.1 carries value = 0.0 rows, and w = 0 is both
+    # a division-by-zero (ANSI) and a degenerate weight — clamp in
+    # BOTH dialects.
+    keyed = ev.withColumn("lk", F.log(u) / F.greatest(F.col("value"), F.lit(0.01)))
     w = Window.partitionBy("event_type").orderBy(F.desc("lk"), F.asc("event_id"))
     return (
         keyed.withColumn("pick_rank", F.row_number().over(w))
