@@ -314,6 +314,78 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dedup_text_report",
+    oracle=r"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, lang, sh
+        FROM (
+            SELECT doc_id, lang,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                   )) AS sh
+            FROM (SELECT doc_id, lang,
+                         string_split_regex(lower(trim(text)), '\s+') AS toks
+                  FROM documents)
+        )
+    ),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+    ),
+    edges AS (
+        SELECT a_id AS a, b_id AS b FROM pairs
+        UNION ALL
+        SELECT b_id, a_id FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (
+        SELECT src AS doc_id, min(dst) AS rep_id FROM reach GROUP BY src
+    ),
+    sizes AS (
+        SELECT rep_id, CAST(count(*) AS BIGINT) AS sz FROM comp GROUP BY rep_id
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY sz
+    """,
+)
+def q_dedup_text_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup REPORT for the text corpus — the summary every
+    curation run publishes: how many near-dup clusters of each size
+    exist and how many documents they hold (retention ratio =
+    Σ n_clusters / Σ n_docs; singletons = unique content).  The text
+    twin of q_dedup_cluster_sizes (which reports the embedding
+    clustering).
+
+    Two tiny aggregations over q_dedup_ngram_cluster_rep's linear
+    (doc_id, rep_id) mapping — cluster sizes, then the size histogram
+    — shuffling rows proportional to |clusters| and |distinct sizes|,
+    negligible next to the clustering itself.
+    """
+    rep = q_dedup_ngram_cluster_rep(spark, sf_dir)
+    return (
+        rep.groupBy("rep_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .groupBy(F.col("sz").cast("long").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+    )
+
+
 @query("q_dedup_minhash_cluster_rep")  # LSH sketch upstream → rows-only
 def q_dedup_minhash_cluster_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-representative output for the MinHash+LSH near-dup path

@@ -259,6 +259,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_join_asof_tolerance",
     "q_source_orc_scan",
     "q_sample_weighted",
+    "q_dedup_text_report",
 )
 
 
