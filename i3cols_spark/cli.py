@@ -108,8 +108,15 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{name}\t{kind}")
         return 0
 
+    from pyspark.sql import SparkSession
+
     from i3cols_spark.session import get_spark
 
+    # In-process callers (tests, notebooks) may already own the
+    # singleton session — getOrCreate hands it back to us, and stopping
+    # it on exit would kill the caller's context out from under every
+    # later fixture.  Only stop what this invocation itself created.
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark("i3cols-cli", cpus=args.cpus or None)
 
     if args.cmd == "extract":
@@ -192,7 +199,8 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"written": args.out, "rows": spark.read.parquet(args.out).count()}))
         else:
             df.show(args.limit, truncate=False)
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 

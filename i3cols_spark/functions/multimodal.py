@@ -749,3 +749,48 @@ def extract_mpeg_pcm_features(df: DataFrame) -> DataFrame:
             "zcr double, dominant_band int"
         ),
     )
+
+
+def ahash_bits(width: int, height: int, pixels: bytes, grid: int = 4) -> int:
+    """Integer-exact average hash of one decoded RGB image: gray each
+    sampled pixel as (r+g+b)//3 on a nearest-neighbor grid×grid lattice
+    (row i = (r*h)//grid, col j = (c*w)//grid), bit k set iff
+    grid²·gray_k > Σ grays — the mean comparison cleared of division so
+    independent engines agree bit-for-bit.  Channel-order agnostic
+    (the gray sum commutes), so BGR-decoded BMPs hash identically."""
+    grays = []
+    for r in range(grid):
+        i = (r * height) // grid
+        for c in range(grid):
+            j = (c * width) // grid
+            p = 3 * (i * width + j)
+            grays.append((pixels[p] + pixels[p + 1] + pixels[p + 2]) // 3)
+    s = sum(grays)
+    nbits = grid * grid
+    a = 0
+    for k, g in enumerate(grays):
+        if nbits * g > s:
+            a |= 1 << k
+    return a
+
+
+def image_ahash(df: DataFrame) -> DataFrame:
+    """(media_id, payload) → (media_id, ahash): decode the real BMP
+    bytes and average-hash the pixels, one Arrow-batched mapInPandas
+    pass — payloads never leave the task, only 16 bits per image
+    shuffle downstream."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from i3cols_spark.functions import codecs
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = codecs.decode_bmp(bytes(payload))
+                ids.append(mid)
+                hashes.append(ahash_bits(img.width, img.height, img.pixels))
+            yield pd.DataFrame({"media_id": ids, "ahash": hashes})
+
+    return df.select("media_id", "payload").mapInPandas(
+        op, "media_id long, ahash long"
+    )

@@ -456,3 +456,146 @@ def q_graph_pagerank(spark, sf_dir: str) -> DataFrame:
     r1 = iterate(r0, 12, "r")
     r2 = iterate(r1, 6, "rank")
     return r2.orderBy(F.desc("rank"), "node").limit(20)
+
+
+@query(
+    "q_graph_triangles",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    und AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    ),
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        GROUP BY node
+    ),
+    ed AS (
+        SELECT und.u, und.v, du.d AS du, dv.d AS dv
+        FROM und
+        JOIN deg du ON und.u = du.node
+        JOIN deg dv ON und.v = dv.node
+    ),
+    oriented AS (
+        SELECT CASE WHEN (du, u) < (dv, v) THEN u ELSE v END AS src,
+               CASE WHEN (du, u) < (dv, v) THEN v ELSE u END AS dst,
+               CASE WHEN (du, u) < (dv, v) THEN dv ELSE du END AS dd
+        FROM ed
+    ),
+    wedges AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM oriented e1
+        JOIN oriented e2
+          ON e1.src = e2.src AND (e1.dd, e1.dst) < (e2.dd, e2.dst)
+    ),
+    tris AS (
+        SELECT a, b, c
+        FROM wedges JOIN oriented o ON wedges.b = o.src AND wedges.c = o.dst
+    ),
+    corners AS (
+        SELECT a AS node FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY node
+    ORDER BY n_triangles DESC, node
+    LIMIT 20
+    """,
+)
+def q_graph_triangles(spark, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (top-20) over the part co-purchase
+    graph (parts sharing an order, distinct undirected edges) — the
+    clustering-coefficient / community-density companion to
+    q_graph_pagerank, and the classic "curse of the last reducer"
+    workload (Suri & Vassilvitskii, WWW'11).
+
+    The naive wedge enumeration is Σ deg(v)² — a hub part in every
+    order makes one reducer quadratic.  The fix is DEGREE ORIENTATION
+    (Schank-Wagner / the MR node-iterator++): rank nodes by
+    (degree, id), point every undirected edge at its HIGHER-ranked
+    endpoint, and enumerate wedges only from each node's out-edges.
+    Out-degree is then ≤ √(2m), wedge count O(m^{3/2}) — a worst-case
+    bound that no skew can break, which is the whole 100 TB story.
+    Each triangle {x,y,z} (ranked x<y<z) is found exactly once as the
+    wedge (x→y, x→z) closed by the oriented edge y→z.
+
+    Plan shape: one self-join of the oriented edge list on src
+    (wedges), one equi-join of wedges against the edge list on the
+    closing pair — both plain hash joins Catalyst can AQE-plan — then
+    a corner-union groupBy whose map-side combine collapses counts
+    before the final |V|-sized shuffle.  No global window, no rank
+    over a single partition: the (deg, id) total order is evaluated
+    as a lexicographic comparison inside the join conditions, so the
+    orientation costs two broadcast-or-shuffle joins against the
+    |V|-row degree table instead of a driver-side sort.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.distinct()
+    und = (
+        op.alias("a")
+        .join(
+            op.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        und.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    lt = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(lt, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lt, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(lt, F.col("dv")).otherwise(F.col("du")).alias("dd"),
+    )
+    wedges = (
+        oriented.alias("e1")
+        .join(
+            oriented.alias("e2"),
+            (F.col("e1.src") == F.col("e2.src"))
+            & (
+                (F.col("e1.dd") < F.col("e2.dd"))
+                | (
+                    (F.col("e1.dd") == F.col("e2.dd"))
+                    & (F.col("e1.dst") < F.col("e2.dst"))
+                )
+            ),
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    tris = wedges.join(
+        oriented.select(F.col("src").alias("b"), F.col("dst").alias("c")),
+        ["b", "c"],
+    )
+    corners = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+    )
+    return (
+        corners.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), "node")
+        .limit(20)
+    )

@@ -419,3 +419,71 @@ def q_multimodal_audio_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     audio = attach_synthetic_mpeg(docs)
     return extract_mpeg_pcm_features(audio)
+
+
+@query(
+    "q_multimodal_phash_dedup",
+    oracle="""
+    WITH img AS (
+        SELECT doc_id, text,
+               CAST(length(text) AS BIGINT) AS n,
+               length(text) % 13 + 1 AS w,
+               length(text) % 7 + 1 AS h
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    grays AS (
+        SELECT doc_id,
+               list_transform(range(16), k ->
+                   ( ascii(substr(text, CAST( (3*((((k // 4) * h) // 4) * w + ((k % 4) * w) // 4)    ) % n AS INTEGER) + 1, 1))
+                   + ascii(substr(text, CAST( (3*((((k // 4) * h) // 4) * w + ((k % 4) * w) // 4) + 1) % n AS INTEGER) + 1, 1))
+                   + ascii(substr(text, CAST( (3*((((k // 4) * h) // 4) * w + ((k % 4) * w) // 4) + 2) % n AS INTEGER) + 1, 1))
+                   ) // 3
+               ) AS g
+        FROM img
+    ),
+    hashed AS (
+        SELECT doc_id AS media_id,
+               CAST(list_sum(list_transform(range(16), k ->
+                   CASE WHEN 16 * g[k + 1] > list_sum(g) THEN 1 << k ELSE 0 END
+               )) AS BIGINT) AS ahash
+        FROM grays
+    )
+    SELECT ahash,
+           CAST(count(*) AS BIGINT) AS n_images,
+           min(media_id) AS rep_id
+    FROM hashed GROUP BY ahash
+    """,
+)
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup grouping for IMAGES — the visual twin
+    of q_dedup_exact: re-encoded or renamed copies of the same picture
+    share an average-hash even when their container bytes differ.
+
+    The aHash here is integer-exact by construction (so two engines
+    can agree bit-for-bit): decode the real BMP bytes, gray each pixel
+    as (r+g+b)//3, nearest-neighbor sample a 4x4 grid (row i = (r*h)//4,
+    col j = (c*w)//4), then bit k = [16*gray_k > sum(grays)] — the
+    mean comparison cleared of division.  The DuckDB oracle never sees
+    the payload: it re-derives every sampled gray from the closed-form
+    pixel synthesis (byte p of the cycled UTF-8 text, ASCII-verified
+    fixture), so the hash pins the BMP encoder, the decoder, AND the
+    sampling arithmetic end-to-end.
+
+    Scale shape: decode + hash is one embarrassingly parallel
+    mapInPandas pass (payloads never leave the task); the dedup is a
+    map-side-combined groupBy on a 16-bit key — at 100 TB the shuffle
+    carries one (ahash, count, min_id) partial per task, not images.
+    Production tuning is only the hash width (64-bit on an 8x8 grid)
+    and banding the hash for Hamming-distance buckets, both of which
+    reuse this exact plan.
+    """
+    from i3cols_spark.functions.multimodal import image_ahash
+
+    media = attach_synthetic_media(table(spark, sf_dir, "documents")).where(
+        F.col("media_type") == "image/bmp"
+    )
+    hashed = image_ahash(media)
+    return hashed.groupBy("ahash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.min("media_id").alias("rep_id"),
+    )

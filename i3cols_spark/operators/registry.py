@@ -260,6 +260,8 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_source_orc_scan",
     "q_sample_weighted",
     "q_dedup_text_report",
+    "q_graph_triangles",
+    "q_multimodal_phash_dedup",
 )
 
 

@@ -102,3 +102,37 @@ def test_video_with_zero_frames_raises_value_error(spark):
     df = spark.createDataFrame([(1, bytearray(payload))], "media_id long, payload binary")
     with pytest.raises(Exception, match="no frames"):
         extract_video_features(df).collect()
+
+
+def test_ahash_bits_closed_form():
+    """Pure-Python aHash pins: a uniform image has NO bits set (no
+    sample strictly exceeds the mean), and a half-black/half-white
+    image sets exactly the bright half's bits."""
+    from i3cols_spark.functions.multimodal import ahash_bits
+
+    uniform = bytes([7, 7, 7]) * (8 * 8)
+    assert ahash_bits(8, 8, uniform) == 0
+
+    # top 4 rows black, bottom 4 rows white (8x8 RGB): grid rows 0-1
+    # sample rows 0,2 (black), grid rows 2-3 sample rows 4,6 (white).
+    px = bytes([0, 0, 0]) * (8 * 4) + bytes([255, 255, 255]) * (8 * 4)
+    h = ahash_bits(8, 8, px)
+    assert h == sum(1 << k for k in range(8, 16))
+
+
+def test_image_ahash_duplicates_collide_and_distinct_split(spark):
+    """The dedup claim itself: identical pixel content under different
+    media ids produces the SAME ahash; clearly different content does
+    not — through the real BMP encode→decode→hash path."""
+    from i3cols_spark.functions.codecs import ImageData, encode_bmp
+    from i3cols_spark.functions.multimodal import image_ahash
+
+    def bmp(seed: int) -> bytearray:
+        px = bytes((seed * 31 + 7 * i) % 256 for i in range(6 * 4 * 3))
+        return bytearray(encode_bmp(ImageData(width=6, height=4, channels=3, pixels=px)))
+
+    rows = [(0, bmp(1)), (2, bmp(1)), (4, bmp(2)), (6, bmp(200))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r["ahash"] for r in image_ahash(df).collect()}
+    assert got[0] == got[2]
+    assert len({got[0], got[4], got[6]}) == 3
