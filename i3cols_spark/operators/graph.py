@@ -546,6 +546,10 @@ def q_graph_triangles(spark, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
         )
         .distinct()
+        # |E| rows feed FIVE downstream consumers (two degree scans,
+        # the orientation join, both wedge sides via oriented) — without
+        # truncation Catalyst replays the distinct self-join for each.
+        .localCheckpoint()
     )
     deg = (
         und.select(F.col("u").alias("node"))
@@ -564,7 +568,7 @@ def q_graph_triangles(spark, sf_dir: str) -> DataFrame:
         F.when(lt, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lt, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(lt, F.col("dv")).otherwise(F.col("du")).alias("dd"),
-    )
+    ).localCheckpoint()  # consumed 3× (both wedge sides + the closing join)
     wedges = (
         oriented.alias("e1")
         .join(
