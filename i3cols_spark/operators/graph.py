@@ -603,3 +603,91 @@ def q_graph_triangles(spark, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), "node")
         .limit(20)
     )
+
+
+@query(
+    "q_graph_cooccurrence",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    pc AS (
+        SELECT a.p AS part_a, b.p AS part_b,
+               CAST(count(*) AS BIGINT) AS common_orders
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p
+        HAVING count(*) >= 2
+    ),
+    nc AS (
+        SELECT p, CAST(count(*) AS BIGINT) AS n FROM op GROUP BY p
+    )
+    SELECT part_a, part_b, common_orders,
+           floor(CAST(common_orders AS DOUBLE)
+                 / (na.n + nb.n - common_orders) * 1000000 + 0.5) / 1000000.0
+               AS jaccard
+    FROM pc
+    JOIN nc na ON pc.part_a = na.p
+    JOIN nc nb ON pc.part_b = nb.p
+    ORDER BY jaccard DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def q_graph_cooccurrence(spark, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence similarity over the order/part bipartite
+    graph — the collaborative-filtering primitive ("parts bought
+    together"): Jaccard of the two parts' order sets, support-filtered,
+    top-20.
+
+    The scale insight is that the BIPARTITE projection sidesteps the
+    Σdeg² wedge explosion a unipartite common-neighbor count pays:
+    common orders come straight from the per-order pair expansion
+    (Σ_orders C(parts_per_order, 2) rows — bounded by the small order
+    width, NOT by part popularity), map-side-combined into per-pair
+    support before anything wide shuffles.  A hub part in a million
+    orders costs a million wedge CENTERS in the naive formulation but
+    only its per-order pair rows here.  The support filter (HAVING ≥2)
+    is pushed into the aggregate, so the jaccard join only sees
+    recurring pairs.  Jaccard = c/(n_a+n_b-c) is a multi-row integer
+    ratio → HALF_UP at 6 dp in both dialects (functions/rounding.py),
+    and the top-20 orders on the ROUNDED value so both engines rank
+    identically.
+    """
+    from i3cols_spark.functions.rounding import round_half_up
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.distinct()
+    pc = (
+        op.alias("a")
+        .join(
+            op.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("common_orders"))
+        .where(F.col("common_orders") >= 2)
+    )
+    nc = op.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    joined = (
+        pc.join(nc.select(F.col("p").alias("part_a"), F.col("n").alias("na")), "part_a")
+        .join(nc.select(F.col("p").alias("part_b"), F.col("n").alias("nb")), "part_b")
+    )
+    return (
+        joined.select(
+            "part_a",
+            "part_b",
+            "common_orders",
+            round_half_up(
+                F.col("common_orders").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common_orders")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "part_a", "part_b")
+        .limit(20)
+    )

@@ -262,6 +262,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_dedup_text_report",
     "q_graph_triangles",
     "q_multimodal_phash_dedup",
+    "q_graph_cooccurrence",
 )
 
 
