@@ -53,6 +53,10 @@ HEADLINE = [
     # in BASELINE.md §round-7.
     "q_dedup_ngram_cluster_rep",
     "q_multimodal_audio_pcm",
+    # Round-7 seventh wave: the heaviest plan in the engine (41M
+    # oriented wedges at sf0.1) — the graph-join tail stays
+    # regression-visible.  First-inclusion baseline in BASELINE.md.
+    "q_graph_triangles",
 ]
 
 
