@@ -794,3 +794,43 @@ def image_ahash(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(
         op, "media_id long, ahash long"
     )
+
+
+def audio_delta_fingerprint(samples: list[int], nbits: int = 16) -> int:
+    """Integer-exact delta-sign acoustic fingerprint: sample nbits+1
+    grid points across the clip (idx_k = (k·(n-1))//nbits), bit k set
+    iff the waveform RISES between consecutive grid points — the
+    Haitsma-Kalker-style sign-of-difference sketch reduced to pure
+    integer comparisons so independent engines agree bit-for-bit.
+    Single-sample clips (no deltas) fingerprint to 0."""
+    n = len(samples)
+    if n == 0:
+        return 0
+    idx = [(k * (n - 1)) // nbits for k in range(nbits + 1)]
+    fp = 0
+    for k in range(nbits):
+        if samples[idx[k + 1]] > samples[idx[k]]:
+            fp |= 1 << k
+    return fp
+
+
+def audio_fingerprints(df: DataFrame) -> DataFrame:
+    """(media_id, payload) → (media_id, afp): decode real WAV bytes to
+    PCM and delta-sign fingerprint the waveform, one Arrow-batched
+    mapInPandas pass — 16 bits per clip shuffle downstream, never the
+    audio."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from i3cols_spark.functions import codecs
+
+        for pdf in batches:
+            ids, fps = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                audio = codecs.decode_wav(bytes(payload))
+                ids.append(mid)
+                fps.append(audio_delta_fingerprint(codecs.pcm_samples(audio)))
+            yield pd.DataFrame({"media_id": ids, "afp": fps})
+
+    return df.select("media_id", "payload").mapInPandas(
+        op, "media_id long, afp long"
+    )

@@ -487,3 +487,74 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_images"),
         F.min("media_id").alias("rep_id"),
     )
+
+
+@query(
+    "q_multimodal_audio_fingerprint",
+    oracle="""
+    WITH clip AS (
+        SELECT doc_id, text,
+               CAST(length(text) AS BIGINT) AS n,
+               length(text) % 50 + 1 AS frames
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    pcm AS (
+        SELECT doc_id, frames,
+               list_transform(range(17), k ->
+                   CAST(
+                     ascii(substr(text, CAST( (2 * ((k * (frames - 1)) // 16)    ) % n AS INTEGER) + 1, 1))
+                   + ascii(substr(text, CAST( (2 * ((k * (frames - 1)) // 16) + 1) % n AS INTEGER) + 1, 1)) * 256
+                   AS BIGINT)
+               ) AS raw
+        FROM clip
+    ),
+    signedpcm AS (
+        SELECT doc_id,
+               list_transform(raw, v ->
+                   v - CASE WHEN v >= 32768 THEN 65536 ELSE 0 END) AS s
+        FROM pcm
+    ),
+    fps AS (
+        SELECT doc_id AS media_id,
+               CAST(list_sum(list_transform(range(16), k ->
+                   CASE WHEN s[k + 2] > s[k + 1] THEN 1 << k ELSE 0 END
+               )) AS BIGINT) AS afp
+        FROM signedpcm
+    )
+    SELECT afp,
+           CAST(count(*) AS BIGINT) AS n_clips,
+           min(media_id) AS rep_id
+    FROM fps GROUP BY afp
+    """,
+)
+def q_multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic-fingerprint near-dup grouping for AUDIO — the third
+    modality's dedup twin (text: q_dedup_exact family, image:
+    q_multimodal_phash_dedup): re-containered or renamed copies of the
+    same recording share a delta-sign fingerprint even when their WAV
+    headers differ.
+
+    The fingerprint is the Haitsma-Kalker sign-of-difference sketch
+    made integer-exact (functions/multimodal.py:audio_delta_fingerprint):
+    17 grid samples across the real decoded PCM, bit k = [sample
+    rises between grid points k, k+1] — pure int16 comparisons, no
+    filterbank, no floats.  The DuckDB oracle never parses a RIFF
+    chunk: it re-derives each sampled int16 (lo + hi·256, two's
+    complement) from the closed-form PCM synthesis (cycled UTF-8 text
+    bytes), so WAV encoder, stdlib decoder, sample reassembly AND the
+    grid arithmetic are pinned end-to-end.
+
+    Scale shape identical to the image twin: embarrassingly parallel
+    mapInPandas decode (audio never leaves the task), then a map-side-
+    combined groupBy on a 16-bit key — the shuffle carries one (afp,
+    count, min_id) partial per task at any corpus size.
+    """
+    from i3cols_spark.functions.multimodal import audio_fingerprints
+
+    media = attach_synthetic_media(table(spark, sf_dir, "documents")).where(
+        F.col("media_type") == "audio/wav"
+    )
+    return audio_fingerprints(media).groupBy("afp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clips"),
+        F.min("media_id").alias("rep_id"),
+    )

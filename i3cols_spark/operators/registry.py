@@ -263,6 +263,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_graph_triangles",
     "q_multimodal_phash_dedup",
     "q_graph_cooccurrence",
+    "q_multimodal_audio_fingerprint",
 )
 
 

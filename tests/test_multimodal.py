@@ -136,3 +136,38 @@ def test_image_ahash_duplicates_collide_and_distinct_split(spark):
     got = {r["media_id"]: r["ahash"] for r in image_ahash(df).collect()}
     assert got[0] == got[2]
     assert len({got[0], got[4], got[6]}) == 3
+
+
+def test_audio_delta_fingerprint_closed_form():
+    """Pure-Python fingerprint pins: monotone-rising PCM sets every
+    bit, constant PCM none, and a single-sample clip fingerprints 0."""
+    from i3cols_spark.functions.multimodal import audio_delta_fingerprint
+
+    assert audio_delta_fingerprint(list(range(100))) == 0xFFFF
+    assert audio_delta_fingerprint([5] * 100) == 0
+    assert audio_delta_fingerprint([42]) == 0
+    # one falling step in an otherwise rising ramp clears exactly the
+    # bits whose grid interval spans the drop
+    samples = list(range(8)) + [0] + list(range(9, 17))  # 17 samples
+    fp = audio_delta_fingerprint(samples)  # grid = every sample (n-1=16)
+    assert fp == 0xFFFF - (1 << 7)  # the k=7→8 step (7→0) is the one drop
+
+
+def test_audio_fingerprints_duplicates_collide(spark):
+    """Identical PCM under different media ids fingerprints identically
+    through the real WAV encode→decode path; different content splits."""
+    from i3cols_spark.functions.codecs import AudioData, encode_wav
+    from i3cols_spark.functions.multimodal import audio_fingerprints
+
+    def wav(seed: int) -> bytearray:
+        frames = bytes((seed * 37 + 11 * i) % 256 for i in range(40))
+        return bytearray(encode_wav(AudioData(
+            sample_rate=8000, channels=1, sample_width=2,
+            n_frames=20, frames=frames,
+        )))
+
+    rows = [(1, wav(3)), (3, wav(3)), (5, wav(8))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r["afp"] for r in audio_fingerprints(df).collect()}
+    assert got[1] == got[3]
+    assert got[5] != got[1]
