@@ -812,3 +812,46 @@ def test_incremental_near_probe_side_is_batch_only(spark, sf_dir):
         .count()
     )
     assert df.count() == n_batch
+
+
+def test_triangles_joins_are_equi_with_partial_agg(spark, sf_dir):
+    """Degree-oriented triangle counting must run on hash-partitionable
+    EQUI joins (the orientation's total order lives in filter
+    conditions, not a cartesian) and the corner count must map-side
+    combine (partial HashAggregate) before the |V|-sized shuffle."""
+    from i3cols_spark.plans.checks import explain_str
+
+    plan = explain_str(QUERIES["q_graph_triangles"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan  # map-side combine on the corner agg
+
+
+def test_cooccurrence_support_filter_precedes_jaccard_join(spark, sf_dir):
+    """The HAVING >= 2 support filter must apply to the aggregated
+    pair counts BEFORE the two per-part count joins — the jaccard join
+    may only see recurring pairs, and no nested-loop shape appears."""
+    import re
+
+    from i3cols_spark.plans.checks import explain_str
+
+    plan = explain_str(QUERIES["q_graph_cooccurrence"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"common_orders.* >= 2", plan) or ">= 2" in plan
+
+
+def test_media_hash_dedups_shuffle_only_scalars(spark, sf_dir):
+    """Image aHash / audio fingerprint dedup: exactly ONE exchange in
+    the plan (the 16-bit-key groupBy), placed AFTER the mapInPandas
+    decode — payload bytes must never shuffle."""
+    import re
+
+    from i3cols_spark.plans.checks import explain_str
+
+    for name in ("q_multimodal_phash_dedup", "q_multimodal_audio_fingerprint"):
+        plan = explain_str(QUERIES[name](spark, sf_dir))
+        exchanges = re.findall(r"\(\d+\) Exchange\b", plan)
+        assert len(exchanges) == 1, f"{name}: {len(exchanges)} exchanges"
+        assert "payload" not in plan.split("Exchange", 1)[1].split("\n")[0]
+        assert "MapInPandas" in plan
