@@ -558,3 +558,106 @@ def q_multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).cast("long").alias("n_clips"),
         F.min("media_id").alias("rep_id"),
     )
+
+
+
+@query(
+    "q_dedup_phash_hamming",
+    oracle="""
+    WITH img AS (
+        SELECT doc_id, text,
+               CAST(length(text) AS BIGINT) AS n,
+               length(text) % 13 + 1 AS w,
+               length(text) % 7 + 1 AS h
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    grays AS (
+        SELECT doc_id,
+               list_transform(range(16), k ->
+                   ( ascii(substr(text, CAST( (3*((((k // 4) * h) // 4) * w + ((k % 4) * w) // 4)    ) % n AS INTEGER) + 1, 1))
+                   + ascii(substr(text, CAST( (3*((((k // 4) * h) // 4) * w + ((k % 4) * w) // 4) + 1) % n AS INTEGER) + 1, 1))
+                   + ascii(substr(text, CAST( (3*((((k // 4) * h) // 4) * w + ((k % 4) * w) // 4) + 2) % n AS INTEGER) + 1, 1))
+                   ) // 3
+               ) AS g
+        FROM img
+    ),
+    hashed AS (
+        SELECT doc_id AS media_id,
+               CAST(list_sum(list_transform(range(16), k ->
+                   CASE WHEN 16 * g[k + 1] > list_sum(g) THEN 1 << k ELSE 0 END
+               )) AS BIGINT) AS ahash
+        FROM grays
+    )
+    SELECT a.media_id AS a_id, b.media_id AS b_id,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+    FROM hashed a JOIN hashed b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 2
+    """,
+)
+def q_dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate image pairs in Hamming space — q_multimodal_
+    phash_dedup finds exact aHash collisions; this finds images whose
+    hashes differ in ≤2 of 16 bits (small crops / brightness nudges)
+    WITHOUT the all-pairs comparison the oracle runs.
+
+    LSH banding with an exactness proof: the 16-bit hash splits into
+    3 bands (6/5/5 bits); a pair differing in ≤2 bits can touch at
+    most 2 bands, so by pigeonhole it collides in ≥1 band — the
+    band-bucket self-join therefore has PERFECT recall, and the exact
+    bit_count(xor) verify trims false candidates.  Identical plan
+    family as the MinHash LSH path (dedup.py): explode to (band, key),
+    shuffle on the band key, candidate pairs ∝ bucket occupancy² —
+    never |images|².  The brute-force SQL oracle proves the banding
+    loses nothing: both sides emit the identical pair set.
+
+    At 100 TB: widen the hash to 64 bits / r bands of b bits chosen by
+    the target Hamming radius (r > radius keeps perfect recall); the
+    band join key becomes (band_idx, band_val) exactly as here.
+    """
+    from i3cols_spark.functions.multimodal import image_ahash
+
+    media = attach_synthetic_media(table(spark, sf_dir, "documents")).where(
+        F.col("media_type") == "image/bmp"
+    )
+    hashed = image_ahash(media).localCheckpoint()  # decode once, 2 join sides
+    bands = hashed.select(
+        "media_id",
+        "ahash",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band_idx"),
+                    F.col("ahash").bitwiseAND(F.lit(63)).alias("band_val"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band_idx"),
+                    F.shiftright("ahash", 6).bitwiseAND(F.lit(31)).alias("band_val"),
+                ),
+                F.struct(
+                    F.lit(2).alias("band_idx"),
+                    F.shiftright("ahash", 11).bitwiseAND(F.lit(31)).alias("band_val"),
+                ),
+            )
+        ).alias("band"),
+    ).select("media_id", "ahash", "band.band_idx", "band.band_val")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("a_id"),
+            F.col("b.media_id").alias("b_id"),
+            F.col("a.ahash").alias("ha"),
+            F.col("b.ahash").alias("hb"),
+        )
+        .distinct()  # a pair may collide in several bands
+    )
+    return cand.select(
+        "a_id",
+        "b_id",
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long").alias("hamming"),
+    ).where(F.col("hamming") <= 2)

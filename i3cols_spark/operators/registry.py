@@ -264,6 +264,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_multimodal_phash_dedup",
     "q_graph_cooccurrence",
     "q_multimodal_audio_fingerprint",
+    "q_dedup_phash_hamming",
 )
 
 

@@ -405,3 +405,32 @@ def stream_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame
     return clicks.join(dim, cond, "left").select(
         clicks.user_id, clicks.event_id, "click_us", "ver_id", "attr_value"
     )
+
+
+def stream_media_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_multimodal_audio_fingerprint: binary media
+    payloads are synthesized, DECODED (real WAV parse) and delta-sign
+    fingerprinted INSIDE each micro-batch via the same Arrow-batched
+    mapInPandas kernels as the batch query — proving the multimodal
+    layer composes with Structured Streaming unchanged.  The running
+    (afp → n_clips, rep_id) aggregate is complete-mode state bounded
+    by the 16-bit fingerprint space, never by clip count; payloads die
+    with their micro-batch."""
+    from i3cols_spark.functions.multimodal import (
+        attach_synthetic_media,
+        audio_fingerprints,
+    )
+
+    configure(spark)
+    batch_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    docs = (
+        spark.readStream.schema(batch_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    media = attach_synthetic_media(docs).where(F.col("media_type") == "audio/wav")
+    return audio_fingerprints(media).groupBy("afp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clips"),
+        F.min("media_id").alias("rep_id"),
+    )

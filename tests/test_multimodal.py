@@ -171,3 +171,24 @@ def test_audio_fingerprints_duplicates_collide(spark):
     got = {r["media_id"]: r["afp"] for r in audio_fingerprints(df).collect()}
     assert got[1] == got[3]
     assert got[5] != got[1]
+
+
+def test_hamming_band_split_has_perfect_recall():
+    """The 6/5/5 band split's pigeonhole guarantee, exhaustively: for
+    EVERY 16-bit xor pattern with ≤2 set bits, at least one band is
+    all-zero (so the banded self-join cannot miss a ≤2-distance pair)."""
+    import itertools
+
+    def bands(x: int) -> tuple[int, int, int]:
+        return (x & 63, (x >> 6) & 31, (x >> 11) & 31)
+
+    patterns = [0] + [1 << i for i in range(16)] + [
+        (1 << i) | (1 << j) for i, j in itertools.combinations(range(16), 2)
+    ]
+    for p in patterns:
+        assert 0 in bands(p), f"xor pattern {p:#06x} escapes every band"
+    # and the guarantee is TIGHT: some 3-bit pattern escapes all bands
+    assert any(
+        0 not in bands((1 << a) | (1 << b) | (1 << c))
+        for a, b, c in itertools.combinations(range(16), 3)
+    )

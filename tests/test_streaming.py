@@ -21,6 +21,7 @@ def _rows(df):
     [
         (jobs.stream_tumbling_counts, "q_stream_tumbling"),
         (jobs.stream_ohlc_bars, "q_ts_ohlc"),
+        (jobs.stream_media_fingerprints, "q_multimodal_audio_fingerprint"),
         (jobs.stream_point_in_time_features, "q_join_point_in_time"),
         (jobs.stream_sliding_counts, "q_stream_sliding"),
         (jobs.stream_session_windows, "q_stream_session"),
