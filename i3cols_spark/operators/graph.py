@@ -458,81 +458,14 @@ def q_graph_pagerank(spark, sf_dir: str) -> DataFrame:
     return r2.orderBy(F.desc("rank"), "node").limit(20)
 
 
-@query(
-    "q_graph_triangles",
-    oracle="""
-    WITH op AS (
-        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
-    ),
-    und AS (
-        SELECT DISTINCT a.p AS u, b.p AS v
-        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
-    ),
-    deg AS (
-        SELECT node, CAST(count(*) AS BIGINT) AS d
-        FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
-        GROUP BY node
-    ),
-    ed AS (
-        SELECT und.u, und.v, du.d AS du, dv.d AS dv
-        FROM und
-        JOIN deg du ON und.u = du.node
-        JOIN deg dv ON und.v = dv.node
-    ),
-    oriented AS (
-        SELECT CASE WHEN (du, u) < (dv, v) THEN u ELSE v END AS src,
-               CASE WHEN (du, u) < (dv, v) THEN v ELSE u END AS dst,
-               CASE WHEN (du, u) < (dv, v) THEN dv ELSE du END AS dd
-        FROM ed
-    ),
-    wedges AS (
-        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
-        FROM oriented e1
-        JOIN oriented e2
-          ON e1.src = e2.src AND (e1.dd, e1.dst) < (e2.dd, e2.dst)
-    ),
-    tris AS (
-        SELECT a, b, c
-        FROM wedges JOIN oriented o ON wedges.b = o.src AND wedges.c = o.dst
-    ),
-    corners AS (
-        SELECT a AS node FROM tris
-        UNION ALL SELECT b FROM tris
-        UNION ALL SELECT c FROM tris
-    )
-    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
-    FROM corners GROUP BY node
-    ORDER BY n_triangles DESC, node
-    LIMIT 20
-    """,
-)
-def q_graph_triangles(spark, sf_dir: str) -> DataFrame:
-    """Per-node triangle counts (top-20) over the part co-purchase
-    graph (parts sharing an order, distinct undirected edges) — the
-    clustering-coefficient / community-density companion to
-    q_graph_pagerank, and the classic "curse of the last reducer"
-    workload (Suri & Vassilvitskii, WWW'11).
-
-    The naive wedge enumeration is Σ deg(v)² — a hub part in every
-    order makes one reducer quadratic.  The fix is DEGREE ORIENTATION
-    (Schank-Wagner / the MR node-iterator++): rank nodes by
-    (degree, id), point every undirected edge at its HIGHER-ranked
-    endpoint, and enumerate wedges only from each node's out-edges.
-    Out-degree is then ≤ √(2m), wedge count O(m^{3/2}) — a worst-case
-    bound that no skew can break, which is the whole 100 TB story.
-    Each triangle {x,y,z} (ranked x<y<z) is found exactly once as the
-    wedge (x→y, x→z) closed by the oriented edge y→z.
-
-    Plan shape: one self-join of the oriented edge list on src
-    (wedges), one equi-join of wedges against the edge list on the
-    closing pair — both plain hash joins Catalyst can AQE-plan — then
-    a corner-union groupBy whose map-side combine collapses counts
-    before the final |V|-sized shuffle.  No global window, no rank
-    over a single partition: the (deg, id) total order is evaluated
-    as a lexicographic comparison inside the join conditions, so the
-    orientation costs two broadcast-or-shuffle joins against the
-    |V|-row degree table instead of a driver-side sort.
-    """
+def _copurchase_triangle_counts(spark, sf_dir: str):
+    """Shared engine for the triangle family: build the part
+    co-purchase graph, degree-orient it, enumerate-and-close wedges,
+    and return ``(deg, counts)`` — the |V|-row degree table and the
+    per-node triangle counts (nodes in no triangle absent).  See
+    q_graph_triangles for the algorithm and plan-shape discussion;
+    q_graph_clustering_coef composes the same frames into the ratio
+    metric, so both queries provably run one plan."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     op = li.distinct()
     und = (
@@ -616,10 +549,184 @@ def q_graph_triangles(spark, sf_dir: str) -> DataFrame:
         .unionAll(tris.select(F.col("b").alias("node")))
         .unionAll(tris.select(F.col("c").alias("node")))
     )
+    counts = corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    return deg, counts
+
+
+@query(
+    "q_graph_triangles",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    und AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    ),
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        GROUP BY node
+    ),
+    ed AS (
+        SELECT und.u, und.v, du.d AS du, dv.d AS dv
+        FROM und
+        JOIN deg du ON und.u = du.node
+        JOIN deg dv ON und.v = dv.node
+    ),
+    oriented AS (
+        SELECT CASE WHEN (du, u) < (dv, v) THEN u ELSE v END AS src,
+               CASE WHEN (du, u) < (dv, v) THEN v ELSE u END AS dst,
+               CASE WHEN (du, u) < (dv, v) THEN dv ELSE du END AS dd
+        FROM ed
+    ),
+    wedges AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM oriented e1
+        JOIN oriented e2
+          ON e1.src = e2.src AND (e1.dd, e1.dst) < (e2.dd, e2.dst)
+    ),
+    tris AS (
+        SELECT a, b, c
+        FROM wedges JOIN oriented o ON wedges.b = o.src AND wedges.c = o.dst
+    ),
+    corners AS (
+        SELECT a AS node FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY node
+    ORDER BY n_triangles DESC, node
+    LIMIT 20
+    """,
+)
+def q_graph_triangles(spark, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (top-20) over the part co-purchase
+    graph (parts sharing an order, distinct undirected edges) — the
+    clustering-coefficient / community-density companion to
+    q_graph_pagerank, and the classic "curse of the last reducer"
+    workload (Suri & Vassilvitskii, WWW'11).
+
+    The naive wedge enumeration is Σ deg(v)² — a hub part in every
+    order makes one reducer quadratic.  The fix is DEGREE ORIENTATION
+    (Schank-Wagner / the MR node-iterator++): rank nodes by
+    (degree, id), point every undirected edge at its HIGHER-ranked
+    endpoint, and enumerate wedges only from each node's out-edges.
+    Out-degree is then ≤ √(2m), wedge count O(m^{3/2}) — a worst-case
+    bound that no skew can break, which is the whole 100 TB story.
+    Each triangle {x,y,z} (ranked x<y<z) is found exactly once as the
+    wedge (x→y, x→z) closed by the oriented edge y→z.
+
+    Plan shape: one self-join of the oriented edge list on src
+    (wedges), one equi-join of wedges against the edge list on the
+    closing pair — both plain hash joins Catalyst can AQE-plan — then
+    a corner-union groupBy whose map-side combine collapses counts
+    before the final |V|-sized shuffle.  No global window, no rank
+    over a single partition: the (deg, id) total order is evaluated
+    as a lexicographic comparison inside the join conditions, so the
+    orientation costs two broadcast-or-shuffle joins against the
+    |V|-row degree table instead of a driver-side sort.
+    """
+    _deg, counts = _copurchase_triangle_counts(spark, sf_dir)
+    return counts.orderBy(F.desc("n_triangles"), "node").limit(20)
+
+
+@query(
+    "q_graph_clustering_coef",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    und AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    ),
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        GROUP BY node
+    ),
+    ed AS (
+        SELECT und.u, und.v, du.d AS du, dv.d AS dv
+        FROM und
+        JOIN deg du ON und.u = du.node
+        JOIN deg dv ON und.v = dv.node
+    ),
+    oriented AS (
+        SELECT CASE WHEN (du, u) < (dv, v) THEN u ELSE v END AS src,
+               CASE WHEN (du, u) < (dv, v) THEN v ELSE u END AS dst,
+               CASE WHEN (du, u) < (dv, v) THEN dv ELSE du END AS dd
+        FROM ed
+    ),
+    wedges AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM oriented e1
+        JOIN oriented e2
+          ON e1.src = e2.src AND (e1.dd, e1.dst) < (e2.dd, e2.dst)
+    ),
+    tris AS (
+        SELECT a, b, c
+        FROM wedges JOIN oriented o ON wedges.b = o.src AND wedges.c = o.dst
+    ),
+    corners AS (
+        SELECT a AS node FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris
+    ),
+    counts AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM corners GROUP BY node
+    )
+    SELECT deg.node,
+           COALESCE(counts.n_triangles, 0) AS n_triangles,
+           deg.d AS degree,
+           floor(2.0 * COALESCE(counts.n_triangles, 0)
+                 / (deg.d * (deg.d - 1)) * 1000000 + 0.5) / 1000000.0
+               AS clustering_coef
+    FROM deg LEFT JOIN counts ON deg.node = counts.node
+    WHERE deg.d >= 2
+    ORDER BY clustering_coef DESC, deg.node
+    LIMIT 20
+    """,
+)
+def q_graph_clustering_coef(spark, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (Watts-Strogatz) per node, top-20:
+    cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) — how close each part's
+    co-purchase neighborhood is to a clique, the standard community-
+    density metric on top of the triangle counts.
+
+    Composes _copurchase_triangle_counts (the SAME degree-oriented
+    wedge plan as q_graph_triangles — shared engine, so both queries
+    provably run identical graph work) with one left join of the
+    |V|-row degree table against the triangle counts: nodes in no
+    triangle keep cc = 0 via the left join, degree-1 nodes (undefined
+    denominator) are excluded.  The ratio is a multi-row integer
+    quotient → HALF_UP at 6 dp in both dialects, top-20 ranked on the
+    rounded value (registry cross-engine discipline).
+    """
+    from i3cols_spark.functions.rounding import round_half_up
+
+    deg, counts = _copurchase_triangle_counts(spark, sf_dir)
     return (
-        corners.groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
-        .orderBy(F.desc("n_triangles"), "node")
+        deg.where(F.col("d") >= 2)
+        .join(counts, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            F.col("d").cast("long").alias("degree"),
+            round_half_up(
+                2.0
+                * F.coalesce(F.col("n_triangles"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("clustering_coef"),
+        )
+        .orderBy(F.desc("clustering_coef"), "node")
         .limit(20)
     )
 

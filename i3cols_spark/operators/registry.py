@@ -265,6 +265,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_graph_cooccurrence",
     "q_multimodal_audio_fingerprint",
     "q_dedup_phash_hamming",
+    "q_graph_clustering_coef",
 )
 
 

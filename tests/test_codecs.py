@@ -898,3 +898,50 @@ def test_mpeg_stereo_encode_decode_synthesize():
     for ch, sb in ((0, 3), (1, 9)):
         back = mpeg_audio.analyze_pcm(pcm[:, ch])
         assert int(np.argmax((back**2).sum(axis=0))) == sb
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=13),
+    h=st.integers(min_value=1, max_value=7),
+    seed=st.integers(min_value=0, max_value=255),
+)
+def test_bmp_roundtrip_preserves_ahash(w, h, seed):
+    """encode_bmp → decode_bmp must preserve the perceptual hash for
+    ANY fixture-range geometry — row padding or channel-order bugs in
+    either codec would flip bits (the gray sum is channel-order
+    invariant, so only REAL byte corruption can break this)."""
+    from i3cols_spark.functions.multimodal import ahash_bits
+
+    px = bytes((seed + 7 * i) % 256 for i in range(w * h * 3))
+    img = ImageData(width=w, height=h, channels=3, pixels=px)
+    out = codecs.decode_bmp(codecs.encode_bmp(img))
+    assert (out.width, out.height) == (w, h)
+    assert ahash_bits(out.width, out.height, out.pixels) == ahash_bits(w, h, px)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    frames=st.integers(min_value=1, max_value=50),
+    seed=st.integers(min_value=0, max_value=255),
+)
+def test_wav_roundtrip_preserves_fingerprint(frames, seed):
+    """encode_wav → decode_wav → pcm_samples must preserve the
+    delta-sign fingerprint for any fixture-range clip length — a
+    sample-width, endianness, or frame-count bug shifts deltas."""
+    from i3cols_spark.functions.multimodal import audio_delta_fingerprint
+
+    raw = bytes((seed + 11 * i) % 256 for i in range(2 * frames))
+    audio = AudioData(
+        sample_rate=8000, channels=1, sample_width=2,
+        n_frames=frames, frames=raw,
+    )
+    out = codecs.decode_wav(codecs.encode_wav(audio))
+    assert out.n_frames == frames
+    got = audio_delta_fingerprint(codecs.pcm_samples(out))
+    want = audio_delta_fingerprint(codecs.pcm_samples(audio))
+    assert got == want
