@@ -179,6 +179,8 @@ def _format_mirror(spark: SparkSession, sf_dir: str, fmt: str) -> str:
             w.json(out)
         elif fmt == "orc":
             w.orc(out)
+        elif fmt == "arrowipc":
+            w.format("arrowipc").option("path", out).save()
         else:
             w.option("header", True).csv(out)
 
@@ -210,6 +212,18 @@ _SOURCE_ORACLE = """
 
 def _source_scan(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     path = _format_mirror(spark, sf_dir, fmt)
+    if fmt == "arrowipc":
+        df = (
+            spark.read.format("arrowipc")
+            .option("path", path)
+            .option("schema", _ORDERS_MIRROR_SCHEMA)
+            .load()
+        )
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.min("o_date_us").alias("first_date_us"),
+        )
     reader = spark.read.schema(_ORDERS_MIRROR_SCHEMA)
     if fmt == "json":
         df = reader.json(path)
@@ -250,6 +264,25 @@ def q_source_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary round trip (type widths, timestamp µs convention, nulls).
     """
     return _source_scan(spark, sf_dir, "orc")
+
+
+@query("q_source_arrow_scan", oracle=_SOURCE_ORACLE)
+def q_source_arrow_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC source fidelity, same contract as the JSONL/CSV/ORC
+    mirrors — but through the engine's OWN Spark-4 Python DataSource
+    (sources/arrow_ipc.py) rather than a built-in reader: the
+    write-once mirror is produced by the custom writer (per-task
+    part files + atomic manifest commit, so failed/speculative task
+    orphans are unreachable), and the scan re-reads it with one input
+    partition per manifested file, each task yielding mmap'd
+    ``pyarrow.RecordBatch`` objects straight into Spark's arrow read
+    path.  The oracle reads the ORIGINAL parquet, so the hash pins
+    the full custom-sink → custom-source binary round trip (int64
+    widths, float64 totals, epoch-µs convention)."""
+    from i3cols_spark.sources.arrow_ipc import register_arrow_ipc
+
+    register_arrow_ipc(spark)
+    return _source_scan(spark, sf_dir, "arrowipc")
 
 
 @query("q_source_csv_scan", oracle=_SOURCE_ORACLE)

@@ -266,6 +266,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_multimodal_audio_fingerprint",
     "q_dedup_phash_hamming",
     "q_graph_clustering_coef",
+    "q_source_arrow_scan",
 )
 
 

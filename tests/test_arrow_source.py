@@ -1,0 +1,80 @@
+"""Arrow IPC Python DataSource (sources/arrow_ipc.py): the manifest
+commit protocol and the supported-type gate — the distributed-
+correctness core a custom source must get right."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from i3cols_spark.sources.arrow_ipc import MANIFEST, register_arrow_ipc
+
+SCHEMA = "k bigint, v double, s string"
+
+
+def _write(spark, df, out, mode="append"):
+    register_arrow_ipc(spark)
+    df.write.format("arrowipc").option("path", out).mode(mode).save()
+
+
+def _read(spark, out, schema=SCHEMA):
+    register_arrow_ipc(spark)
+    r = spark.read.format("arrowipc").option("path", out)
+    if schema:
+        r = r.option("schema", schema)
+    return r.load()
+
+
+def test_roundtrip_with_nulls_and_inferred_schema(spark, tmp_path):
+    out = str(tmp_path / "a")
+    rows = [(1, 1.5, "x"), (2, None, None), (3, -0.25, "z")]
+    df = spark.createDataFrame(rows, SCHEMA)
+    _write(spark, df.repartition(2), out)
+    got = sorted(tuple(r) for r in _read(spark, out).collect())
+    assert got == sorted(rows)
+    # schema derived from the arrow file footer when not supplied
+    inferred = _read(spark, out, schema=None)
+    assert dict((f.name, f.dataType.simpleString()) for f in inferred.schema.fields) == {
+        "k": "bigint", "v": "double", "s": "string"
+    }
+    # one input partition per manifested file
+    assert inferred.rdd.getNumPartitions() == 2
+
+
+def test_orphan_part_files_are_unreachable(spark, tmp_path):
+    """A file from a failed/speculative task attempt sits in the
+    directory but not in the manifest — the reader must not see it."""
+    out = str(tmp_path / "b")
+    df = spark.createDataFrame([(1, 1.0, "a")], SCHEMA)
+    _write(spark, df.coalesce(1), out)
+    committed = json.load(open(os.path.join(out, MANIFEST)))["files"]
+    assert len(committed) == 1
+    # plant an orphan by copying the real part under a new name
+    real = os.path.join(out, committed[0])
+    orphan = os.path.join(out, "part-orphaned.arrow")
+    with open(real, "rb") as s, open(orphan, "wb") as d:
+        d.write(s.read())
+    assert _read(spark, out).count() == 1  # orphan invisible
+
+
+def test_overwrite_replaces_manifest_and_gcs_parts(spark, tmp_path):
+    out = str(tmp_path / "c")
+    df1 = spark.createDataFrame([(i, float(i), "old") for i in range(4)], SCHEMA)
+    _write(spark, df1.repartition(2), out)
+    old_parts = set(json.load(open(os.path.join(out, MANIFEST)))["files"])
+    df2 = spark.createDataFrame([(9, 9.0, "new")], SCHEMA)
+    _write(spark, df2.coalesce(1), out, mode="overwrite")
+    got = [tuple(r) for r in _read(spark, out).collect()]
+    assert got == [(9, 9.0, "new")]
+    # superseded parts were garbage-collected best-effort
+    assert not (old_parts & set(os.listdir(out)))
+
+
+def test_unsupported_type_raises_loudly(spark, tmp_path):
+    out = str(tmp_path / "d")
+    df = spark.createDataFrame([([1, 2],)], "arr array<bigint>")
+    register_arrow_ipc(spark)
+    with pytest.raises(Exception, match="unsupported Spark type"):
+        df.write.format("arrowipc").option("path", out).mode("append").save()
