@@ -363,3 +363,109 @@ def q_agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-F.sum(F.col("p") * F.log("p")), 6).alias("entropy"),
         F.count(F.lit(1)).alias("n_types"),
     )
+
+
+#: Count-min sketch geometry for q_agg_sketch_countmin: small enough
+#: that collisions are REAL at fixture scale (29/150 users overcounted
+#: at sf0.01, max overcount 120), so the oracle verifies the collision
+#: path and the min-reduce, not just a no-op identity.
+_CMS_DEPTH = 4
+_CMS_WIDTH = 128
+
+
+@query(
+    "q_agg_sketch_countmin",
+    oracle=f"""
+    WITH counts AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY user_id
+    ),
+    hashed AS (
+        SELECT user_id, cnt, d,
+               ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' ||
+                                   CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                   % {_CMS_WIDTH} AS bucket
+        FROM counts,
+             (SELECT unnest([{", ".join(str(d) for d in range(_CMS_DEPTH))}]) AS d) ds
+    ),
+    sketch AS (
+        SELECT d, bucket, CAST(sum(cnt) AS BIGINT) AS bsum
+        FROM hashed GROUP BY d, bucket
+    ),
+    est AS (
+        SELECT h.user_id, h.cnt, CAST(min(s.bsum) AS BIGINT) AS est
+        FROM hashed h JOIN sketch s USING (d, bucket)
+        GROUP BY h.user_id, h.cnt
+    )
+    SELECT user_id, cnt, est, est - cnt AS overcount
+    FROM est
+    ORDER BY est DESC, user_id
+    LIMIT 20
+    """,
+)
+def q_agg_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (Cormode & Muthukrishnan
+    2005) with a CROSS-ENGINE hash family, audited against the exact
+    counts: estimate each user's event frequency from a depth-4 ×
+    width-128 CMS grid and emit the top-20 by ESTIMATE with the true
+    count and the collision overcount alongside.  This is the sketch
+    q_agg_heavy_hitters' docstring names as the unbounded-key-domain
+    escape — here it gets its own oracle instead of staying prose.
+
+    Hash family is md5 of ``d:key`` truncated to 32 bits mod width —
+    deterministic and identical in both engines (the
+    q_text_minhash_signature convention), so the ENTIRE sketch —
+    bucket placement, row sums, min-reduce, collision overcounts — is
+    value-hash-checked by DuckDB, not just sanity-bounded.  The
+    geometry is deliberately small so collisions actually occur at
+    fixture scale (comment at _CMS_WIDTH).
+
+    Scale shape: the sketch is a FIXED d×w = 512-cell grid built by
+    one map-side-combined aggregation — partial grids per partition
+    merge by cell-wise addition exactly like production CMS state, so
+    at 100 TB the shuffle for the sketch is |tasks|·512 rows no matter
+    the key cardinality.  The estimate probe broadcasts the 512-row
+    grid back over the key set; nothing quadratic, nothing
+    key-cardinality-sized ever sits on one node.  (The exact counts
+    exist here because the query's OUTPUT audits estimate vs truth;
+    a pure-sketch deployment drops that branch and keeps the same
+    grid.)
+    """
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    hashed = counts.select(
+        "user_id",
+        "cnt",
+        F.explode(F.array([F.lit(d) for d in range(_CMS_DEPTH)])).alias("d"),
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("d").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _CMS_WIDTH,
+    )
+    sketch = hashed.groupBy("d", "bucket").agg(F.sum("cnt").alias("bsum"))
+    est = (
+        hashed.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("user_id", "cnt")
+        .agg(F.min("bsum").alias("est"))
+    )
+    return (
+        est.select(
+            "user_id", "cnt", "est", (F.col("est") - F.col("cnt")).alias("overcount")
+        )
+        .orderBy(F.desc("est"), F.asc("user_id"))
+        .limit(20)
+    )

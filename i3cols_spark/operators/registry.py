@@ -267,6 +267,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_dedup_phash_hamming",
     "q_graph_clustering_coef",
     "q_source_arrow_scan",
+    "q_agg_sketch_countmin",
 )
 
 

@@ -23,6 +23,12 @@ https://spark.apache.org/docs/latest/api/python/user_guide/sql/python_data_sourc
   raises NotImplementedError loudly rather than silently coercing —
   the repo's codec-gating convention.
 
+- STREAM: the same directory doubles as a streaming source
+  (``spark.readStream.format("arrowipc")``): append commits extend
+  the manifest in arrival order, and ArrowIPCStreamReader treats the
+  manifest position as its offset axis — exactly-once per file across
+  checkpointed restarts.
+
 At 100 TB: files are the parallelism unit exactly as with parquet;
 the manifest is one small JSON read on the driver; per-task memory is
 one record batch (reader) / one 64k-row chunk (writer).
@@ -38,6 +44,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -71,24 +78,77 @@ class _FilePartition(InputPartition):
         self.path = path
 
 
+def _manifest_files(root: str) -> list:
+    with open(os.path.join(root, MANIFEST)) as fh:
+        return json.load(fh)["files"]
+
+
+def _read_file(path: str):
+    import pyarrow as pa
+
+    with pa.memory_map(path) as src:
+        table = pa.ipc.open_file(src).read_all()
+    # Yield arrow batches directly (Spark 4 arrow read path); the
+    # memory map is closed after read_all copies out the buffers.
+    yield from table.to_batches()
+
+
 class ArrowIPCReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.root = options["path"]
 
     def partitions(self):
-        man = os.path.join(self.root, MANIFEST)
-        with open(man) as fh:
-            files = json.load(fh)["files"]
+        files = _manifest_files(self.root)
         return [_FilePartition(os.path.join(self.root, f)) for f in files]
 
     def read(self, partition: _FilePartition):
-        import pyarrow as pa
+        yield from _read_file(partition.path)
 
-        with pa.memory_map(partition.path) as src:
-            table = pa.ipc.open_file(src).read_all()
-        # Yield arrow batches directly (Spark 4 arrow read path); the
-        # memory map is closed after read_all copies out the buffers.
-        yield from table.to_batches()
+
+class ArrowIPCStreamReader(DataSourceStreamReader):
+    """Streaming tail of an arrowipc directory: the offset axis is the
+    POSITION in the manifest's file list (append commits extend it in
+    arrival order, see ArrowIPCWriter.commit), so an offset is the
+    one-int dict ``{"n": files_consumed}``.
+
+    Distributed-correctness properties this encodes:
+
+    - ``latestOffset`` is one driver-side manifest read; a micro-batch
+      (start, end] maps to manifest slice [start.n:end.n] with one
+      InputPartition per file — task parallelism identical to the
+      batch reader.
+    - The manifest is replaced atomically (os.replace), so a batch
+      planned against offset n can never see a torn file list, and
+      files orphaned by failed writer attempts are never offsets.
+    - Offsets are stored in Spark's checkpoint; after a restart the
+      engine replays from the committed ``{"n": k}``, so every
+      manifest entry is processed exactly once (test pins this with a
+      stop → append → restart cycle).
+    - ``commit(end)`` is a no-op: the source is a log, retention is
+      the writer's concern — same division of labor as Kafka.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.root = options["path"]
+
+    def initialOffset(self) -> dict:
+        return {"n": 0}
+
+    def latestOffset(self) -> dict:
+        try:
+            return {"n": len(_manifest_files(self.root))}
+        except FileNotFoundError:
+            return {"n": 0}
+
+    def partitions(self, start: dict, end: dict):
+        files = _manifest_files(self.root)[start["n"]:end["n"]]
+        return [_FilePartition(os.path.join(self.root, f)) for f in files]
+
+    def read(self, partition: _FilePartition):
+        yield from _read_file(partition.path)
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 class _Committed(WriterCommitMessage):
@@ -138,8 +198,16 @@ class ArrowIPCWriter(DataSourceWriter):
         )
 
     def commit(self, messages) -> None:
-        files = sorted(m.filename for m in messages if m is not None)
+        new = sorted(m.filename for m in messages if m is not None)
         manifest = os.path.join(self.root, MANIFEST)
+        if self.overwrite or not os.path.exists(manifest):
+            files = new
+        else:
+            # append: keep prior entries IN ORDER and add this job's
+            # files after them — arrival order is the streaming-tail
+            # offset axis (ArrowIPCStreamReader), so it must be stable.
+            with open(manifest) as fh:
+                files = json.load(fh)["files"] + new
         keep = set(files) | {MANIFEST}
         tmp = manifest + ".tmp"
         with open(tmp, "w") as fh:
@@ -198,6 +266,9 @@ class ArrowIPCDataSource(DataSource):
 
     def reader(self, schema) -> ArrowIPCReader:
         return ArrowIPCReader(self.options)
+
+    def streamReader(self, schema) -> ArrowIPCStreamReader:
+        return ArrowIPCStreamReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> ArrowIPCWriter:
         return ArrowIPCWriter(self.options, schema, overwrite)

@@ -72,6 +72,61 @@ def test_overwrite_replaces_manifest_and_gcs_parts(spark, tmp_path):
     assert not (old_parts & set(os.listdir(out)))
 
 
+def test_append_merges_manifest(spark, tmp_path):
+    """A second append job must EXTEND the manifest (prior files stay
+    readable, new files ordered after them) — the bug class where a
+    commit replaces the file list would silently drop earlier data."""
+    out = str(tmp_path / "e")
+    df1 = spark.createDataFrame([(1, 1.0, "a"), (2, 2.0, "b")], SCHEMA)
+    _write(spark, df1.coalesce(1), out)
+    first = json.load(open(os.path.join(out, MANIFEST)))["files"]
+    df2 = spark.createDataFrame([(3, 3.0, "c")], SCHEMA)
+    _write(spark, df2.coalesce(1), out)
+    merged = json.load(open(os.path.join(out, MANIFEST)))["files"]
+    assert merged[: len(first)] == first and len(merged) == len(first) + 1
+    got = sorted(tuple(r) for r in _read(spark, out).collect())
+    assert got == [(1, 1.0, "a"), (2, 2.0, "b"), (3, 3.0, "c")]
+
+
+def test_stream_tail_exactly_once_across_restart(spark, tmp_path):
+    """ArrowIPCStreamReader offset axis = manifest position: drain an
+    availableNow pass, append more files, restart from the SAME
+    checkpoint — the second pass must process only the new files
+    (exactly-once per manifest entry), and the union must equal the
+    batch read."""
+    out = str(tmp_path / "s")
+    ckpt = str(tmp_path / "ckpt")
+    register_arrow_ipc(spark)
+
+    def drain():
+        q = (
+            spark.readStream.format("arrowipc")
+            .option("path", out)
+            .option("schema", SCHEMA)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "sink"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    df1 = spark.createDataFrame([(i, float(i), "one") for i in range(5)], SCHEMA)
+    _write(spark, df1.repartition(2), out)
+    drain()
+    sunk = spark.read.schema(SCHEMA).parquet(str(tmp_path / "sink"))
+    assert sunk.count() == 5
+    df2 = spark.createDataFrame([(i, float(i), "two") for i in range(5, 8)], SCHEMA)
+    _write(spark, df2.coalesce(1), out)
+    drain()
+    sunk = spark.read.schema(SCHEMA).parquet(str(tmp_path / "sink"))
+    assert sunk.count() == 8  # 5 + 3, nothing reprocessed
+    got = sorted(tuple(r) for r in sunk.collect())
+    batch = sorted(tuple(r) for r in _read(spark, out).collect())
+    assert got == batch
+
+
 def test_unsupported_type_raises_loudly(spark, tmp_path):
     out = str(tmp_path / "d")
     df = spark.createDataFrame([([1, 2],)], "arr array<bigint>")

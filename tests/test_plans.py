@@ -855,3 +855,15 @@ def test_media_hash_dedups_shuffle_only_scalars(spark, sf_dir):
         assert len(exchanges) == 1, f"{name}: {len(exchanges)} exchanges"
         assert "payload" not in plan.split("Exchange", 1)[1].split("\n")[0]
         assert "MapInPandas" in plan
+
+
+def test_countmin_sketch_broadcasts_grid_and_partials(spark, sf_dir):
+    """q_agg_sketch_countmin: the d×w grid (512 rows) must come back
+    to the key set as a BROADCAST hash join — a shuffled join keyed on
+    (d, bucket) would funnel the whole key domain through 512 reduce
+    groups at 100 TB — and both the grid build and the count build
+    must partial-aggregate map-side."""
+    plan = explain_str(QUERIES["q_agg_sketch_countmin"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
