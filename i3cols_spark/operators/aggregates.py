@@ -469,3 +469,143 @@ def q_agg_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est"), F.asc("user_id"))
         .limit(20)
     )
+
+
+#: Partitioned-Bloom geometry for q_agg_sketch_bloom: k = 3 hash
+#: functions, each owning a 2048-bit array.  Sized so false positives
+#: REALLY occur at fixture scale (18 at sf0.01) and saturation is
+#: visible at sf0.1 (fp ≈ 0.84 — the filter honestly reports its own
+#: undersizing; production sizes m per the n·k/m fill formula).
+_BLOOM_K = 3
+_BLOOM_BITS = 2048
+
+
+@query(
+    "q_agg_sketch_bloom",
+    oracle=f"""
+    WITH members AS (
+        SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 475000
+    ),
+    hs AS (SELECT unnest([{", ".join(str(h) for h in range(_BLOOM_K))}]) AS h),
+    bits AS (
+        SELECT DISTINCT h,
+               ('0x' || substr(md5(CAST(h AS VARCHAR) || ':' ||
+                                   CAST(k AS VARCHAR)), 1, 8))::BIGINT
+                   % {_BLOOM_BITS} AS bit
+        FROM members, hs
+    ),
+    probes AS (
+        SELECT c_custkey AS k, h,
+               ('0x' || substr(md5(CAST(h AS VARCHAR) || ':' ||
+                                   CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+                   % {_BLOOM_BITS} AS bit
+        FROM customer, hs
+    ),
+    hits AS (
+        SELECT p.k FROM probes p JOIN bits b USING (h, bit)
+        GROUP BY p.k HAVING count(*) = {_BLOOM_K}
+    ),
+    stats AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM members) AS n_members,
+               (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_probes,
+               (SELECT CAST(count(*) AS BIGINT) FROM hits)     AS n_maybe
+    )
+    SELECT n_members, n_probes, n_maybe,
+           n_maybe - n_members AS n_false_pos,
+           floor((n_maybe - n_members) * 1000000.0
+                 / (n_probes - n_members) + 0.5) / 1000000.0 AS fp_rate
+    FROM stats
+    """,
+)
+def q_agg_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned Bloom filter (k hash functions, one bit array each
+    — Putze/Sanders/Singler's blocked variant) with the CROSS-ENGINE
+    md5 hash family, audited end-to-end: build the filter over the
+    custkeys holding a >475k order, probe EVERY customer, and report
+    members / maybes / false positives / fp-rate in one row.  Because
+    the hash family is deterministic in both engines, the oracle
+    value-checks the exact bit placements and the exact set of false
+    positives — not a statistical bound.  (q_join_bloom_prefilter uses
+    Spark's built-in filter inside a join; THIS query pins bloom
+    semantics itself, the same division as minhash vs its signature
+    twin.)
+
+    Membership has no false negatives by construction (every member's
+    k bits are set), so n_false_pos = n_maybe − n_members exactly.
+
+    Scale shape: the filter state is bounded by GEOMETRY, not data —
+    at most k·m = 6144 distinct (h, bit) rows regardless of member
+    cardinality — built by one map-side-combined distinct and
+    broadcast to the probe side (plan-tested), which is precisely how
+    a bloom pre-filter deploys against a 100 TB probe table.  The
+    probe side never shuffles: explode k hashes, broadcast-semi-join,
+    one partial count.  fp_rate is an exact-integer ratio → HALF_UP
+    in both dialects (registry discipline).
+    """
+    from i3cols_spark.functions.rounding import round_half_up as half_up
+
+    hs = F.array([F.lit(h) for h in range(_BLOOM_K)])
+
+    def hbit(key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("h").cast("string"),
+                            F.lit(":"),
+                            key_col.cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _BLOOM_BITS
+        )
+
+    members = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 475000)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    bits = (
+        members.select("k", F.explode(hs).alias("h"))
+        .select("h", hbit(F.col("k")).alias("bit"))
+        .distinct()
+    )
+    probes = (
+        table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("k"))
+        .select("k", F.explode(hs).alias("h"))
+        .select("k", "h", hbit(F.col("k")).alias("bit"))
+    )
+    maybe = (
+        probes.join(F.broadcast(bits), ["h", "bit"], "left_semi")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("nbits"))
+        .filter(F.col("nbits") == _BLOOM_K)
+        .agg(F.count(F.lit(1)).alias("n_maybe"))
+    )
+    n_members = members.agg(F.count(F.lit(1)).alias("n_members"))
+    n_probes = table(spark, sf_dir, "customer").agg(
+        F.count(F.lit(1)).alias("n_probes")
+    )
+    return (
+        n_members.crossJoin(n_probes)
+        .crossJoin(maybe)
+        .select(
+            "n_members",
+            "n_probes",
+            "n_maybe",
+            (F.col("n_maybe") - F.col("n_members")).alias("n_false_pos"),
+            half_up(
+                (F.col("n_maybe") - F.col("n_members"))
+                / (F.col("n_probes") - F.col("n_members")),
+                6,
+            ).alias("fp_rate"),
+        )
+    )

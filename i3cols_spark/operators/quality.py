@@ -291,3 +291,81 @@ def q_source_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (headered CSV, explicit schema, epoch-µs timestamps): the oracle
     reads the original parquet, pinning the full text round trip."""
     return _source_scan(spark, sf_dir, "csv")
+
+
+def _schema_evo_mirror(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once two-epoch parquet layout simulating schema drift:
+    epoch v1 (even order keys) was written BEFORE o_orderstatus
+    existed; epoch v2 (odd keys) carries the added column.  One
+    directory, two file generations — the normal state of any 100 TB
+    dataset that has been appended to for years."""
+
+    def build(out: str) -> None:
+        src = table(spark, sf_dir, "orders")
+        v1 = src.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        v2 = src.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+        )
+        v1.coalesce(2).write.mode("overwrite").parquet(os.path.join(out, "v1"))
+        v2.coalesce(2).write.mode("overwrite").parquet(os.path.join(out, "v2"))
+
+    path, _ = write_once(
+        spark,
+        "schema_evo_mirror",
+        f"orders_{dataset_tag(sf_dir)}",
+        [os.path.join(sf_dir, "orders.parquet")],
+        build,
+        {"format": "parquet-2epoch", "version": 1},
+    )
+    return path
+
+
+_EVO_SCHEMA = (
+    "o_orderkey bigint, o_custkey bigint, o_totalprice double, "
+    "o_orderstatus string"
+)
+
+
+@query(
+    "q_source_schema_evolution",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus
+                ELSE '<pre-evolution>' END AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: one dataset, two file generations — the
+    older files PREDATE the o_orderstatus column — scanned as a single
+    DataFrame in which pre-evolution rows surface the added column as
+    NULL.  The oracle recomputes the expected groups from the original
+    orders table, so the null-fill semantics (not just row counts) are
+    value-hash-checked.
+
+    Scale shape: the read passes the UNIFIED schema explicitly, which
+    is the 100 TB path — Spark fills absent parquet columns with null
+    per file, no ``mergeSchema`` footer sweep over millions of files
+    at planning time (a catalog owns the schema; inference is the
+    anti-pattern, same argument as q_source_jsonl_scan).  The
+    mergeSchema inference path is equivalence-tested against this
+    explicit-schema read in tests/test_ingest.py.  recursiveFileLookup
+    keeps the two generations one logical dataset without inventing
+    partition columns from the directory names.
+    """
+    path = _schema_evo_mirror(spark, sf_dir)
+    df = (
+        spark.read.schema(_EVO_SCHEMA)
+        .option("recursiveFileLookup", True)
+        .parquet(path)
+    )
+    return df.groupBy(
+        F.coalesce("o_orderstatus", F.lit("<pre-evolution>")).alias("status")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

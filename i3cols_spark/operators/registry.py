@@ -268,6 +268,8 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_graph_clustering_coef",
     "q_source_arrow_scan",
     "q_agg_sketch_countmin",
+    "q_source_schema_evolution",
+    "q_agg_sketch_bloom",
 )
 
 

@@ -202,3 +202,30 @@ def test_schema_drift_tripwire(spark, tmp_path, sf_dir):
     # both verified date flavors pass (ntz fixture is the shipped one)
     orders_ntz = table(spark, sf_dir, "orders")
     assert dict(orders_ntz.dtypes)["o_orderdate"] in ("timestamp_ntz", "timestamp")
+
+
+def test_schema_evolution_explicit_read_equals_mergeschema(spark, sf_dir):
+    """q_source_schema_evolution reads the two-epoch layout with the
+    unified schema passed EXPLICITLY (the 100 TB path — no footer
+    sweep); the mergeSchema inference read must agree row-for-row,
+    and the v1 generation must genuinely lack the evolved column."""
+    from i3cols_spark.operators.quality import _EVO_SCHEMA, _schema_evo_mirror
+
+    path = _schema_evo_mirror(spark, sf_dir)
+    v1 = spark.read.parquet(f"{path}/v1")
+    assert "o_orderstatus" not in v1.columns  # drift is real, not cosmetic
+    explicit = (
+        spark.read.schema(_EVO_SCHEMA)
+        .option("recursiveFileLookup", True)
+        .parquet(path)
+    )
+    inferred = (
+        spark.read.option("mergeSchema", True)
+        .option("recursiveFileLookup", True)
+        .parquet(path)
+    )
+    cols = sorted(explicit.columns)
+    assert sorted(inferred.columns) == cols
+    a = sorted(tuple(r) for r in explicit.select(*cols).collect())
+    b = sorted(tuple(r) for r in inferred.select(*cols).collect())
+    assert a == b and len(a) > 0

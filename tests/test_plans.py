@@ -867,3 +867,13 @@ def test_countmin_sketch_broadcasts_grid_and_partials(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_bloom_sketch_broadcasts_bits_no_probe_shuffle(spark, sf_dir):
+    """q_agg_sketch_bloom: the (h, bit) set is geometry-bounded
+    (≤ k·m = 6144 rows) and must reach the probe side as a broadcast
+    semi-join — shuffling a 100 TB probe table on (h, bit) to meet a
+    6 KB filter would be the exact inversion of why blooms exist."""
+    plan = explain_str(QUERIES["q_agg_sketch_bloom"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
