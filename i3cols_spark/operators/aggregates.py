@@ -373,6 +373,25 @@ _CMS_DEPTH = 4
 _CMS_WIDTH = 128
 
 
+def cms_bucket(key_col, d_col):
+    """Count-min cell for (key, row) under the cross-engine md5 hash
+    family: 32 bits of md5("d:key") mod the grid width.  Shared by the
+    batch sketch and its streaming twin (streaming/jobs.py) so both
+    populate the identical grid."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(d_col.cast("string"), F.lit(":"), key_col.cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _CMS_WIDTH
+    )
+
+
 @query(
     "q_agg_sketch_countmin",
     oracle=f"""
@@ -437,25 +456,7 @@ def q_agg_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "cnt",
         F.explode(F.array([F.lit(d) for d in range(_CMS_DEPTH)])).alias("d"),
-    ).withColumn(
-        "bucket",
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("d").cast("string"),
-                        F.lit(":"),
-                        F.col("user_id").cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % _CMS_WIDTH,
-    )
+    ).withColumn("bucket", cms_bucket(F.col("user_id"), F.col("d")))
     sketch = hashed.groupBy("d", "bucket").agg(F.sum("cnt").alias("bsum"))
     est = (
         hashed.join(F.broadcast(sketch), ["d", "bucket"])

@@ -163,3 +163,82 @@ def q_scan_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+def _month_partitioned_mirror(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once hive-partitioned orders mirror, one directory per
+    calendar month (the reference's category-index layout axis,
+    SURVEY §2.2 category slicing) — the layout dynamic partition
+    pruning needs to have something to prune."""
+    import os
+
+    from i3cols_spark.sources.mirrors import dataset_tag, write_once
+
+    def build(out: str) -> None:
+        src = table(spark, sf_dir, "orders").withColumn(
+            "o_month", F.date_format("o_orderdate", "yyyy-MM")
+        )
+        # one shuffle keyed on the partition column → one file per
+        # month directory instead of |tasks|·|months| small files
+        src.repartition("o_month").write.mode("overwrite").partitionBy(
+            "o_month"
+        ).parquet(out)
+
+    path, _ = write_once(
+        spark,
+        "month_part_mirror",
+        f"orders_{dataset_tag(sf_dir)}",
+        [os.path.join(sf_dir, "orders.parquet")],
+        build,
+        {"format": "parquet-hive-month", "version": 1},
+    )
+    return path
+
+
+@query(
+    "q_scan_dpp_join",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE month(o_orderdate) <= 3
+    GROUP BY 1
+    """,
+)
+def q_scan_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the month-partitioned fact mirror is
+    joined to a dim whose FILTER (first-quarter months) is only known
+    at runtime — Catalyst plants a dynamicpruningexpression in the
+    fact scan's PartitionFilters, reusing the dim's broadcast as the
+    IN-set, so the fact side READS 12/80 partition directories instead
+    of scanning everything and filtering after the join.  This is the
+    join-driven form of the reference's category-index slicing
+    (static pruning is q_scan_zorder's axis; DPP is what survives when
+    the slice comes from ANOTHER TABLE).  Plan-tested: the formatted
+    plan must carry dynamicpruning in the scan's partition filters.
+
+    At 100 TB the fact side is the 100 TB; the dim broadcast already
+    exists for the join, so pruning is free — without DPP this plan
+    degrades to a full scan, which is THE difference between touching
+    3 months and touching 7 years.  The oracle recomputes from the
+    raw table, so mirror layout, partition-column round-trip (string
+    'yyyy-MM' survives hive-style directory encoding) and the join
+    are all value-hash-checked.
+    """
+    path = _month_partitioned_mirror(spark, sf_dir)
+    fact = spark.read.parquet(path)
+    dim = (
+        table(spark, sf_dir, "orders")
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("m"))
+        .distinct()
+        .filter(F.substring("m", 6, 2).isin("01", "02", "03"))
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.o_month == dim.m)
+        .groupBy("o_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

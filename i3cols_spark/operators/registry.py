@@ -270,6 +270,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_agg_sketch_countmin",
     "q_source_schema_evolution",
     "q_agg_sketch_bloom",
+    "q_scan_dpp_join",
 )
 
 

@@ -434,3 +434,22 @@ def stream_media_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_clips"),
         F.min("media_id").alias("rep_id"),
     )
+
+
+def stream_countmin_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch: every event increments one cell per
+    depth row of the SAME d×w grid as q_agg_sketch_countmin (shared
+    cms_bucket hash), maintained in complete mode — the point being
+    that CMS state is a fixed 512-cell grid whose micro-batch partials
+    merge by cell-wise addition, so the streaming form needs ONE
+    aggregation over raw increments (no per-key pre-count, which
+    chained streaming aggs would forbid anyway).  The stream≡batch
+    test pins grid equality cell by cell."""
+    from i3cols_spark.operators.aggregates import _CMS_DEPTH, cms_bucket
+
+    ev = _event_stream(spark, sf_dir)
+    hashed = ev.select(
+        "user_id",
+        F.explode(F.array([F.lit(d) for d in range(_CMS_DEPTH)])).alias("d"),
+    ).select("d", cms_bucket(F.col("user_id"), F.col("d")).alias("bucket"))
+    return hashed.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("bsum"))

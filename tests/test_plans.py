@@ -877,3 +877,14 @@ def test_bloom_sketch_broadcasts_bits_no_probe_shuffle(spark, sf_dir):
     plan = explain_str(QUERIES["q_agg_sketch_bloom"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dpp_join_prunes_fact_partitions(spark, sf_dir):
+    """q_scan_dpp_join: the month-partitioned fact scan must carry a
+    dynamicpruningexpression in its PartitionFilters (join-driven
+    pruning — without it the plan full-scans 80 month directories to
+    keep 12's worth of rows)."""
+    df = QUERIES["q_scan_dpp_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString().lower()
+    assert "dynamicpruning" in plan
+    assert "partitionfilters" in plan

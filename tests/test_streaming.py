@@ -368,3 +368,27 @@ def test_stream_mad_screen_matches_batch(spark, sf_dir):
         for r in QUERIES["q_anomaly_mad"](spark, sf_dir).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_stream_countmin_grid_equals_batch(spark, sf_dir):
+    """The streaming CMS grid (complete mode, one agg over raw
+    increments) must equal the batch grid cell-for-cell — micro-batch
+    partials merge by cell-wise addition, the mergeability claim
+    q_agg_sketch_countmin's docstring makes for 100 TB."""
+    from i3cols_spark.operators.aggregates import _CMS_DEPTH, cms_bucket
+    from i3cols_spark.sources.tables import table
+
+    sdf = jobs.stream_countmin_grid(spark, sf_dir)
+    jobs.run_to_memory(sdf, "mem_cms_grid")
+    streamed = spark.table("mem_cms_grid")
+    batch = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.explode(F.array([F.lit(d) for d in range(_CMS_DEPTH)])).alias("d"),
+        )
+        .select("d", cms_bucket(F.col("user_id"), F.col("d")).alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("bsum"))
+    )
+    assert _rows(streamed) == _rows(batch)
