@@ -817,3 +817,90 @@ def q_graph_cooccurrence(spark, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), "part_a", "part_b")
         .limit(20)
     )
+
+
+#: Hop bound for q_graph_bfs_levels — covers the full trading-graph
+#: reach from the seed at fixture scale (level 3 still finds new
+#: suppliers) while keeping the oracle's recursive CTE bounded.
+_BFS_HOPS = 3
+
+
+@query(
+    "q_graph_bfs_levels",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+        SELECT cust AS src, supp + 1099511627776 AS dst FROM pairs
+        UNION ALL
+        SELECT supp + 1099511627776 AS src, cust AS dst FROM pairs
+    ),
+    seeds AS (SELECT min(cust) AS node FROM pairs),
+    bfs(node, level) AS (
+        SELECT node, 0 FROM seeds
+        UNION
+        SELECT e.dst, b.level + 1
+        FROM bfs b JOIN edges e ON e.src = b.node
+        WHERE b.level < {_BFS_HOPS}
+    )
+    SELECT node, CAST(min(level) AS BIGINT) AS level
+    FROM bfs GROUP BY node
+    """,
+)
+def q_graph_bfs_levels(spark, sf_dir: str) -> DataFrame:
+    """Breadth-first frontier expansion: hop distance from the
+    smallest customer over the same customer↔supplier trading graph
+    as q_graph_pagerank (supplier ids offset by 2^40), every reached
+    node with its MIN level.  This is the iterative-frontier primitive
+    (reachability, ego-networks, influence radius) that PageRank's
+    fixed-iteration unrolling and connected components' pointer
+    jumping don't exercise: per-round work is frontier-sized, not
+    graph-sized, and rounds = eccentricity, not log n.  The DuckDB
+    oracle is the textbook recursive CTE with UNION dedup, so the
+    Spark loop's visited-set semantics are value-hash-checked.
+
+    Shape per hop: frontier ⋈ edges (hash join keyed on node — the
+    same partitioning reused every round), distinct on the new
+    frontier, anti-join against the visited set so no node is
+    re-expanded — per-round shuffle is |frontier expansion|, and the
+    visited set grows monotonically to |reachable| exactly once.
+    Each frontier is lazily localCheckpointed (the _cc_loop
+    discipline): it is consumed twice (union + next hop) and the
+    plan would otherwise double per level.  At 100 TB the loop is
+    driver-side only in its CONTROL (a fixed hop bound, no
+    per-round count job); all data stays distributed.
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("cust")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("supp")
+    )
+    pairs = (
+        orders.join(li, "ok")
+        .select("cust", (F.col("supp") + F.lit(1099511627776)).alias("supp"))
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
+        .union(pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    visited = pairs.agg(F.min("cust").alias("node")).select(
+        "node", F.lit(0).cast("long").alias("level")
+    )
+    frontier = visited.select("node")
+    for lvl in range(1, _BFS_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(lvl).cast("long").alias("level"))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.union(nxt)
+        frontier = nxt.select("node")
+    return visited

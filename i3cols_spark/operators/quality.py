@@ -369,3 +369,87 @@ def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+#: Deterministic corruption injected into the bad-records mirror —
+#: three genuinely malformed JSONL lines (unquoted token, free text,
+#: truncated object).  Valid-but-sparse records are NOT here: JSON
+#: with missing fields parses to nulls and must not count as corrupt.
+_BAD_LINES = (
+    '{"o_orderkey": 17, "o_totalprice": oops}',
+    "this is not json at all",
+    '{"o_orderkey":',
+)
+
+
+def _badrecords_mirror(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once JSONL mirror of orders with a trailing part file of
+    malformed lines — the fixture for PERMISSIVE-mode ingest."""
+
+    def build(out: str) -> None:
+        src = table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+        )
+        src.coalesce(4).write.mode("overwrite").json(out)
+        with open(os.path.join(out, "part-corrupt.json"), "w") as fh:
+            fh.write("\n".join(_BAD_LINES) + "\n")
+
+    path, _ = write_once(
+        spark,
+        "badrecords_mirror",
+        f"orders_{dataset_tag(sf_dir)}",
+        [os.path.join(sf_dir, "orders.parquet")],
+        build,
+        {"format": "jsonl-corrupt", "version": 1, "n_bad": len(_BAD_LINES)},
+    )
+    return path
+
+
+@query(
+    "q_source_badrecords",
+    oracle=f"""
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT '<corrupt>', {len(_BAD_LINES)}, CAST(NULL AS DOUBLE)
+    """,
+)
+def q_source_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode ingest over a JSONL dataset with malformed
+    lines: good rows aggregate normally, corrupt lines are captured in
+    ``_corrupt_record`` and surface as their own '<corrupt>' group —
+    never silently dropped (at 100 TB a feed WILL contain garbage, and
+    the two failure modes that matter are losing good rows with it or
+    aborting the whole read; PERMISSIVE + an explicit corrupt bucket
+    is the production middle road; FAILFAST is the validation twin).
+    The oracle pins both halves: group totals from the original table
+    AND the exact injected corrupt count.
+
+    The corrupt classification is part of the same single-pass
+    aggregation (a grouping expression over ``_corrupt_record`` IS
+    NULL) — deliberately, because Spark disallows plans that
+    reference ONLY the corrupt column, and a second pass over 100 TB
+    just to count garbage would be absurd anyway.  Schema is explicit
+    (scale discipline, q_source_jsonl_scan) with the corrupt column
+    declared in it.
+    """
+    path = _badrecords_mirror(spark, sf_dir)
+    df = spark.read.schema(
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, _corrupt_record string"
+    ).json(path)
+    status = (
+        F.when(F.col("_corrupt_record").isNotNull(), F.lit("<corrupt>"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status")
+    )
+    return df.groupBy(status).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

@@ -271,6 +271,8 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_source_schema_evolution",
     "q_agg_sketch_bloom",
     "q_scan_dpp_join",
+    "q_graph_bfs_levels",
+    "q_source_badrecords",
 )
 
 

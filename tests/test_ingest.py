@@ -229,3 +229,35 @@ def test_schema_evolution_explicit_read_equals_mergeschema(spark, sf_dir):
     a = sorted(tuple(r) for r in explicit.select(*cols).collect())
     b = sorted(tuple(r) for r in inferred.select(*cols).collect())
     assert a == b and len(a) > 0
+
+
+def test_badrecords_failfast_aborts_and_permissive_keeps_rows(spark, sf_dir):
+    """The corrupt mirror's two contracted behaviors: FAILFAST aborts
+    the read (validation mode), PERMISSIVE loses no good rows and
+    buckets exactly the injected garbage."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from i3cols_spark.operators.quality import _BAD_LINES, _badrecords_mirror
+    from i3cols_spark.sources.tables import table
+
+    path = _badrecords_mirror(spark, sf_dir)
+    schema = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double"
+    )
+    with pytest.raises(Exception, match="FAILFAST|Malformed|malformed"):
+        spark.read.schema(schema).option("mode", "FAILFAST").json(path).count()
+    # Column pruning reduces a filter-then-count to corrupt-column-only
+    # references, which Spark disallows on raw JSON — cache() is the
+    # documented escape (the registered query avoids this by grouping
+    # on the corrupt flag in one pass instead of filtering).
+    parsed = spark.read.schema(schema + ", _corrupt_record string").json(path)
+    parsed.cache()
+    try:
+        good = parsed.filter(F.col("_corrupt_record").isNull())
+        n_orders = table(spark, sf_dir, "orders").count()
+        assert good.count() == n_orders  # no good row lost to the garbage
+        assert parsed.count() == n_orders + len(_BAD_LINES)
+    finally:
+        parsed.unpersist()
