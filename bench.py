@@ -57,6 +57,15 @@ HEADLINE = [
     # oriented wedges at sf0.1) — the graph-join tail stays
     # regression-visible.  First-inclusion baseline in BASELINE.md.
     "q_graph_triangles",
+    # Round-7 late waves: the sketch family (geometry-bounded state),
+    # join-driven partition pruning, and the frontier-BFS loop —
+    # cheap individually but structurally distinct plans worth
+    # regression-watching.  First-inclusion baselines in BASELINE.md
+    # §round-7 late waves.
+    "q_agg_sketch_countmin",
+    "q_agg_sketch_bloom",
+    "q_scan_dpp_join",
+    "q_graph_bfs_levels",
 ]
 
 

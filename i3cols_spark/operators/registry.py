@@ -273,6 +273,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_scan_dpp_join",
     "q_graph_bfs_levels",
     "q_source_badrecords",
+    "q_join_knn_2d",
 )
 
 
