@@ -274,6 +274,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_graph_bfs_levels",
     "q_source_badrecords",
     "q_join_knn_2d",
+    "q_agg_sketch_kmv",
 )
 
 

@@ -888,3 +888,12 @@ def test_dpp_join_prunes_fact_partitions(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString().lower()
     assert "dynamicpruning" in plan
     assert "partitionfilters" in plan
+
+
+def test_kmv_synopsis_uses_heaps_not_global_sort(spark, sf_dir):
+    """q_agg_sketch_kmv: the k smallest hashes must come from
+    TakeOrderedAndProject (per-partition heap + driver merge of k) —
+    a global Sort to pick 64 rows of a 100 TB key set would be the
+    classic limit-after-orderBy scale bug."""
+    plan = explain_str(QUERIES["q_agg_sketch_kmv"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
