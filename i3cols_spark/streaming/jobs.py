@@ -10,6 +10,17 @@ SURVEY §5.2.3 batch-equivalence property).
 Watermarks bound state: at 100 TB/day the tumbling-count state is
 |open windows| × |types|, not |events| — late data beyond 10 minutes
 is dropped deterministically.
+
+Custom stateful operators use ``applyInPandasWithState``
+(stream_user_peaks_stateful).  Spark 4's successor API,
+``transformWithStateInPandas``, was evaluated and is ENVIRONMENT-
+GATED here, not by choice: its state-server protocol imports
+``google.protobuf``, which this container does not ship (verified:
+the TWS driver worker crashes in ``transform_with_state_driver_worker
+.py`` with ``ImportError: cannot import name 'descriptor'``).  The
+applyInPandasWithState forms carry the arbitrary-state semantics; a
+protobuf-equipped deployment can port them to TWS mechanically
+(ValueState replaces the GroupState tuple, timers replace timeouts).
 """
 
 from __future__ import annotations

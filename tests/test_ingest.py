@@ -261,3 +261,40 @@ def test_badrecords_failfast_aborts_and_permissive_keeps_rows(spark, sf_dir):
         assert parsed.count() == n_orders + len(_BAD_LINES)
     finally:
         parsed.unpersist()
+
+
+def test_observe_collects_ingest_audit_metrics_in_one_pass(spark, sf_dir):
+    """`df.observe` attaches audit aggregates to the SAME job as the
+    real work — at 100 TB the difference between auditing a feed and
+    scanning it twice.  Metrics must equal the directly-computed
+    values."""
+    from pyspark.sql import Observation
+
+    from i3cols_spark.operators.quality import _BAD_LINES, _badrecords_mirror
+    from i3cols_spark.sources.tables import table
+
+    path = _badrecords_mirror(spark, sf_dir)
+    parsed = spark.read.schema(
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, _corrupt_record string"
+    ).json(path)
+    obs = Observation("ingest_audit")
+    audited = parsed.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.col("_corrupt_record").isNotNull().cast("long")
+        ).alias("n_corrupt"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+    # one action drives both the query and the metrics
+    n_statuses = audited.groupBy("o_orderstatus").count().count()
+    got = obs.get
+    n_orders = table(spark, sf_dir, "orders").count()
+    expect_total = table(spark, sf_dir, "orders").agg(
+        F.round(F.sum("o_totalprice"), 2)
+    ).collect()[0][0]
+    assert got["n_rows"] == n_orders + len(_BAD_LINES)
+    assert got["n_corrupt"] == len(_BAD_LINES)
+    assert got["total"] == expect_total
+    assert n_statuses == 4  # 3 real statuses + the corrupt-null group
