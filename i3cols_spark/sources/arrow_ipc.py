@@ -141,8 +141,20 @@ class ArrowIPCStreamReader(DataSourceStreamReader):
             return {"n": 0}
 
     def partitions(self, start: dict, end: dict):
-        files = _manifest_files(self.root)[start["n"]:end["n"]]
-        return [_FilePartition(os.path.join(self.root, f)) for f in files]
+        files = _manifest_files(self.root)
+        if len(files) < end["n"]:
+            # An overwrite shrank the manifest under a live checkpoint.
+            # A silent empty slice would report progress while losing
+            # data — fail loudly instead (the offset axis only exists
+            # for append-mode logs).
+            raise ValueError(
+                f"arrowipc stream: manifest under {self.root} has "
+                f"{len(files)} files but the checkpoint expects ≥ {end['n']} "
+                "— the directory was overwritten; restart the stream with a "
+                "fresh checkpoint"
+            )
+        batch = files[start["n"]:end["n"]]
+        return [_FilePartition(os.path.join(self.root, f)) for f in batch]
 
     def read(self, partition: _FilePartition):
         yield from _read_file(partition.path)

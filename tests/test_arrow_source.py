@@ -133,3 +133,32 @@ def test_unsupported_type_raises_loudly(spark, tmp_path):
     register_arrow_ipc(spark)
     with pytest.raises(Exception, match="unsupported Spark type"):
         df.write.format("arrowipc").option("path", out).mode("append").save()
+
+
+def test_stream_fails_loudly_when_manifest_shrinks(spark, tmp_path):
+    """An overwrite under a live streaming checkpoint must not read as
+    an empty micro-batch (silent data loss) — the reader raises."""
+    out = str(tmp_path / "shrink")
+    ckpt = str(tmp_path / "ckpt2")
+    register_arrow_ipc(spark)
+    df1 = spark.createDataFrame([(i, float(i), "a") for i in range(4)], SCHEMA)
+    _write(spark, df1.repartition(2), out)
+
+    def drain():
+        q = (
+            spark.readStream.format("arrowipc")
+            .option("path", out)
+            .option("schema", SCHEMA)
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # checkpoint now expects 2 manifest entries
+    df2 = spark.createDataFrame([(9, 9.0, "z")], SCHEMA)
+    _write(spark, df2.coalesce(1), out, mode="overwrite")  # manifest: 1 file
+    with pytest.raises(Exception, match="manifest under|overwritten"):
+        drain()
