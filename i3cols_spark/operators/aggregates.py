@@ -693,3 +693,298 @@ def q_agg_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6
         ).alias("rel_err"),
     )
+
+
+@query(
+    "q_agg_sketch_kmv_setops",
+    oracle=f"""
+    WITH keys AS (
+        SELECT o_custkey AS k,
+               max(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS in_a,
+               max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS in_b
+        FROM orders WHERE o_orderstatus IN ('P', 'F')
+        GROUP BY o_custkey
+    ),
+    hashed AS (
+        SELECT k, in_a, in_b,
+               ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT AS h
+        FROM keys
+    ),
+    kmv AS (SELECT * FROM hashed ORDER BY h, k LIMIT {_KMV_K}),
+    syn AS (
+        SELECT CAST(max(h) AS DOUBLE) AS hk,
+               CAST(count(*) AS BIGINT) AS kk,
+               CAST(sum(in_a * in_b) AS BIGINT) AS k_inter
+        FROM kmv
+    ),
+    ex AS (
+        SELECT CAST(sum(in_a) AS BIGINT) AS n_a,
+               CAST(sum(in_b) AS BIGINT) AS n_b,
+               CAST(count(*) AS BIGINT) AS n_union,
+               CAST(sum(in_a * in_b) AS BIGINT) AS n_inter
+        FROM keys
+    )
+    SELECT n_a, n_b, n_union, n_inter,
+           CAST(floor((kk - 1) * 4294967296.0 / hk) AS BIGINT) AS est_union,
+           CAST(floor(k_inter * ((kk - 1) * 4294967296.0 / hk) / kk)
+                AS BIGINT) AS est_inter,
+           floor(k_inter * 1000000.0 / kk + 0.5) / 1000000.0 AS jaccard_est,
+           floor(n_inter * 1000000.0 / n_union + 0.5) / 1000000.0
+               AS jaccard_exact
+    FROM ex, syn
+    """,
+)
+def q_agg_sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV SET ALGEBRA (Beyer et al., SIGMOD 2007): the property that
+    makes k-minimum-values more than a distinct counter is that one
+    synopsis per set answers UNION and INTERSECTION cardinalities
+    without re-scanning either set.  The k smallest hashes of A ∪ B
+    are a uniform sample of the union's hash space, so the fraction of
+    synopsis members lying in A ∩ B estimates the Jaccard similarity,
+    and est_inter = jaccard × est_union — here audited against the
+    exact sizes of two overlapping customer sets ('P'-status vs
+    'F'-status order custkeys, 92% Jaccard at sf0.01).
+
+    Everything is deterministic order statistics of the md5 hash
+    family (registry discipline), so — unlike HLL set operations —
+    estimate, Jaccard AND their exact twins are all value-hash-checked
+    by DuckDB.  Tie-break (h, k) pins the synopsis when two keys share
+    a 32-bit hash prefix.
+
+    Scale shape: ONE scan builds per-key membership flags
+    (map-side-combined groupBy), the synopsis is TakeOrderedAndProject
+    (k-element heap per partition, k rows to the driver merge), and
+    the estimates are a 1-row aggregate over 64 values.  At 100 TB
+    each set's synopsis is built independently where the data lives
+    and merged by union-keep-k-smallest — the same mergeability the
+    CMS grid and Bloom arrays rely on.
+    """
+    keys = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("P", "F"))
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.max(
+                F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    hashed = keys.select(
+        "k",
+        "in_a",
+        "in_b",
+        F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    syn = (
+        hashed.orderBy("h", "k")
+        .limit(_KMV_K)
+        .agg(
+            F.max("h").cast("double").alias("hk"),
+            F.count(F.lit(1)).alias("kk"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("k_inter"),
+        )
+    )
+    ex = keys.agg(
+        F.sum("in_a").alias("n_a"),
+        F.sum("in_b").alias("n_b"),
+        F.count(F.lit(1)).alias("n_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_inter"),
+    )
+    est_union = F.floor(
+        (F.col("kk") - 1) * F.lit(4294967296.0) / F.col("hk")
+    ).cast("bigint")
+    return ex.crossJoin(syn).select(
+        "n_a",
+        "n_b",
+        "n_union",
+        "n_inter",
+        est_union.alias("est_union"),
+        F.floor(
+            F.col("k_inter")
+            * ((F.col("kk") - 1) * F.lit(4294967296.0) / F.col("hk"))
+            / F.col("kk")
+        )
+        .cast("bigint")
+        .alias("est_inter"),
+        round_half_up(F.col("k_inter") / F.col("kk"), 6).alias("jaccard_est"),
+        round_half_up(F.col("n_inter") / F.col("n_union"), 6).alias(
+            "jaccard_exact"
+        ),
+    )
+
+
+#: Histogram-sketch geometry: 256 equi-width cells over the observed
+#: [min, max].  Like the CMS grid, the synopsis is FIXED-SIZE and
+#: merges by cell-wise addition — the mergeable-quantile analog the
+#: exact distinct-value engine (stats.exact_percentiles) is not: its
+#: state is |distinct values|, a histogram's is 256 cells forever.
+_HIST_BINS = 256
+
+#: Audited quantiles (match the exact engine's h=(n-1)p definition on
+#: the oracle side via quantile_cont).
+_HIST_QS = (0.25, 0.50, 0.75, 0.90, 0.99)
+
+
+@query(
+    "q_agg_sketch_histogram",
+    oracle=f"""
+    WITH ext AS (
+        SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders
+    ),
+    cells AS (
+        SELECT CAST(least({_HIST_BINS - 1},
+                          floor((o_totalprice - mn)
+                                / ((mx - mn) / {_HIST_BINS}.0)))
+                    AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM orders, ext GROUP BY 1
+    ),
+    cum AS (
+        SELECT bin, cnt,
+               sum(cnt) OVER (ORDER BY bin) AS cum,
+               sum(cnt) OVER (ORDER BY bin) - cnt AS cum_before
+        FROM cells
+    ),
+    est AS (
+        SELECT CAST(p.q AS DOUBLE) AS pct,
+               min(CASE WHEN cum >= p.q * ext.n
+                         AND cum_before < p.q * ext.n THEN
+                   mn + ((mx - mn) / {_HIST_BINS}.0)
+                        * (bin + (p.q * ext.n - cum_before) / cnt)
+               END) AS est
+        FROM cum, ext,
+             (VALUES (0.25), (0.50), (0.75), (0.90), (0.99))
+                 AS p(q)
+        GROUP BY 1
+    ),
+    exact AS (
+        SELECT CAST(q AS DOUBLE) AS pct,
+               CASE q WHEN 0.25 THEN q25 WHEN 0.50 THEN q50
+                      WHEN 0.75 THEN q75 WHEN 0.90 THEN q90
+                      ELSE q99 END AS exact
+        FROM (SELECT quantile_cont(o_totalprice, 0.25) q25,
+                     quantile_cont(o_totalprice, 0.50) q50,
+                     quantile_cont(o_totalprice, 0.75) q75,
+                     quantile_cont(o_totalprice, 0.90) q90,
+                     quantile_cont(o_totalprice, 0.99) q99 FROM orders),
+             (VALUES (0.25), (0.50), (0.75), (0.90), (0.99)) AS p(q)
+    )
+    SELECT est.pct,
+           round(est.est, 4) AS est_price,
+           round(exact.exact, 4) AS exact_price,
+           round(abs(est.est - exact.exact) / exact.exact, 6) AS rel_err
+    FROM est JOIN exact USING (pct)
+    """,
+)
+def q_agg_sketch_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width HISTOGRAM QUANTILE sketch — the fourth and last
+    member of the mergeable-synopsis family (CMS = frequency, Bloom =
+    membership, KMV = cardinality, histogram = QUANTILES): 256 bins
+    over [min, max] of o_totalprice, the quantile read off the
+    cumulative bin counts with linear interpolation inside the
+    bracketing bin, audited per quantile against the exact
+    quantile_cont answer (rel_err ≤ 0.2% at every audited q on the
+    fixture's near-uniform prices).
+
+    Unlike stats.exact_percentiles (whose reduction state is the
+    distinct-VALUE histogram — exact, but data-dependent in size),
+    this synopsis is 256 cells forever and merges by cell-wise ADD,
+    so partial histograms from independent shards/streams compose —
+    the same property the CMS grid ships.  The price is bounded,
+    quantifiable bias inside a bin, which the rel_err column reports
+    rather than hides.
+
+    Determinism: bin edges are IEEE doubles computed identically in
+    both engines (min/max/count are exact, the bin index is one
+    subtract-divide-floor), cumulative counts are integers, and the
+    interpolation is the same expression shape on both sides; the
+    4/6 dp rounding is the continuous-value discipline.
+
+    Scale shape: pass 1 is a 1-row min/max/count aggregate; pass 2 is
+    a map-side-combined groupBy onto ≤256 cells (the extrema row
+    broadcast into the scan, never a shuffle key); the quantile pick
+    is a window + conditional-min over 256 rows.  Two scans total —
+    at 100 TB the sketch state per task is 2 KB regardless of row
+    count, and a streaming twin would maintain the same grid
+    incrementally.
+    """
+    orders = table(spark, sf_dir, "orders").select("o_totalprice")
+    ext = orders.agg(
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(_HIST_BINS))
+    cells = (
+        orders.join(F.broadcast(ext))
+        .select(
+            F.least(
+                F.lit(_HIST_BINS - 1),
+                F.floor((F.col("o_totalprice") - F.col("mn")) / width),
+            )
+            .cast("bigint")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_before"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in _HIST_QS])).alias("pct")
+    )
+    target = F.col("pct") * F.col("n")
+    est = (
+        cum.join(F.broadcast(ext))
+        .join(F.broadcast(qs))
+        .groupBy("pct")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("cum") >= target) & (F.col("cum_before") < target),
+                    F.col("mn")
+                    + width
+                    * (
+                        F.col("bin")
+                        + (target - F.col("cum_before")) / F.col("cnt")
+                    ),
+                )
+            ).alias("est")
+        )
+    )
+    from i3cols_spark.operators.stats import exact_percentiles
+
+    exact = exact_percentiles(
+        orders.withColumn("__g", F.lit(1)),
+        "__g",
+        "o_totalprice",
+        {f"q{int(q * 100)}": q for q in _HIST_QS},
+    )
+    exact_long = exact.select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(float(q)) for q in _HIST_QS]),
+                F.array(*[F.col(f"q{int(q * 100)}") for q in _HIST_QS]),
+            )
+        ).alias("pct", "exact")
+    )
+    return est.join(exact_long, "pct").select(
+        "pct",
+        F.round("est", 4).alias("est_price"),
+        F.round("exact", 4).alias("exact_price"),
+        F.round(F.abs(F.col("est") - F.col("exact")) / F.col("exact"), 6).alias(
+            "rel_err"
+        ),
+    )

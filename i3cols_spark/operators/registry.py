@@ -275,6 +275,8 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_source_badrecords",
     "q_join_knn_2d",
     "q_agg_sketch_kmv",
+    "q_agg_sketch_kmv_setops",
+    "q_agg_sketch_histogram",
 )
 
 

@@ -897,3 +897,24 @@ def test_kmv_synopsis_uses_heaps_not_global_sort(spark, sf_dir):
     classic limit-after-orderBy scale bug."""
     plan = explain_str(QUERIES["q_agg_sketch_kmv"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_kmv_setops_synopsis_uses_heaps_not_global_sort(spark, sf_dir):
+    """q_agg_sketch_kmv_setops: same TakeOrderedAndProject discipline
+    as the base KMV — the union synopsis is a per-partition heap, and
+    the per-key membership flags come from one map-side-combined
+    aggregate (partial HashAggregate before the key shuffle)."""
+    plan = explain_str(QUERIES["q_agg_sketch_kmv_setops"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "HashAggregate" in plan
+
+
+def test_histogram_sketch_broadcasts_extrema_and_combines_cells(spark, sf_dir):
+    """q_agg_sketch_histogram: the extrema row must reach the binning
+    scan as a broadcast (a shuffle join keyed on nothing would
+    repartition the whole fact table), and the 256-cell reduction must
+    be a partial+final hash aggregate so each task ships at most 256
+    cells — the fixed-size-synopsis property the sketch exists for."""
+    plan = explain_str(QUERIES["q_agg_sketch_histogram"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("HashAggregate") >= 2
