@@ -904,3 +904,130 @@ def q_graph_bfs_levels(spark, sf_dir: str) -> DataFrame:
         visited = visited.union(nxt)
         frontier = nxt.select("node")
     return visited
+
+
+def _sssp_relax(frontier: DataFrame, edges: DataFrame) -> DataFrame:
+    """One Bellman-Ford relaxation: frontier ⋈ edges on the node key
+    (hash join — never a BNLJ), candidates min-combined per node
+    (partial+final hash aggregate, so per-task output ≤ |touched
+    nodes| before the shuffle).  Factored out so the per-round plan
+    is testable — inside q_graph_sssp every round's result is
+    localCheckpointed, which makes the loop's joins invisible in the
+    final explain."""
+    return (
+        frontier.join(edges, frontier.node == edges.src)
+        .select(F.col("dst").alias("node"), (F.col("d") + F.col("w")).alias("d"))
+        .groupBy("node")
+        .agg(F.min("d").alias("d"))
+    )
+
+
+#: Bounded-hop Bellman-Ford horizon: distances are DEFINED as the
+#: cheapest path of ≤ 4 edges (the BFS-levels discipline — the hop
+#: bound is the semantics, not a convergence heuristic, so both
+#: engines compute the identical well-defined quantity even where the
+#: unbounded shortest path would need more hops).
+_SSSP_HOPS = 4
+
+
+@query(
+    "q_graph_sssp",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT o.o_custkey AS cust, l.l_suppkey + 1099511627776 AS supp,
+               CAST(count(*) AS BIGINT) AS n_links
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT cust AS src, supp AS dst, 11 - least(n_links, 10) AS w
+        FROM pairs
+        UNION ALL
+        SELECT supp AS src, cust AS dst, 11 - least(n_links, 10) AS w
+        FROM pairs
+    ),
+    seeds AS (SELECT min(cust) AS node FROM pairs),
+    walk(node, d, hops) AS (
+        SELECT node, 0, 0 FROM seeds
+        UNION
+        SELECT e.dst, w.d + e.w, w.hops + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.hops < {_SSSP_HOPS}
+    )
+    SELECT node, CAST(min(d) AS BIGINT) AS dist
+    FROM walk GROUP BY node
+    """,
+)
+def q_graph_sssp(spark, sf_dir: str) -> DataFrame:
+    """Single-source WEIGHTED shortest paths (bounded-hop
+    Bellman-Ford) over the customer↔supplier trading graph — the
+    weighted sibling of q_graph_bfs_levels: edge cost
+    11 − min(n_links, 10) makes frequently-trading pairs cheap, so
+    the cheapest route is NOT the fewest-hop route (at sf0.01 the
+    2-hop distance spread is 10–25, far from 2× a unit cost) and a
+    plain BFS would return wrong distances.  Costs are small
+    integers, so path sums are exact in both engines and the DuckDB
+    recursive-CTE oracle (UNION-deduped (node, d, hops) states,
+    tractable precisely BECAUSE bounded weights cap the distinct-sum
+    space per node at 10·hops) value-hash-checks every node's
+    distance.
+
+    Spark loop = delta relaxation: each round joins only the frontier
+    (nodes whose tentative distance IMPROVED last round) to the edge
+    list, min-combines candidates into the running distance map, and
+    the new frontier is the anti-joined improvement set — per-round
+    shuffle is |improvements|, not |graph|, the same frontier-sized
+    property as BFS.  Each round's map is lazily localCheckpointed
+    (the _cc_loop discipline: it feeds both the next relaxation and
+    the final answer, and the lineage would otherwise double per
+    hop).  Loop control is driver-side ONLY in the fixed hop bound —
+    no per-round count job; all data stays distributed.  At 100 TB:
+    rounds = the hop horizon, per-round cost frontier ⋈ edges hash
+    join on the reused node key.
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("cust")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("supp")
+    )
+    pairs = (
+        orders.join(li, "ok")
+        .groupBy(
+            "cust", (F.col("supp") + F.lit(1099511627776)).alias("supp")
+        )
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+    w = F.lit(11) - F.least(F.col("n_links"), F.lit(10))
+    edges = (
+        pairs.select(
+            F.col("cust").alias("src"), F.col("supp").alias("dst"), w.alias("w")
+        )
+        .union(
+            pairs.select(
+                F.col("supp").alias("src"),
+                F.col("cust").alias("dst"),
+                w.alias("w"),
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    dist = (
+        pairs.agg(F.min("cust").alias("node"))
+        .select("node", F.lit(0).cast("long").alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = dist
+    for _ in range(_SSSP_HOPS):
+        cand = _sssp_relax(frontier, edges)
+        merged = (
+            dist.union(cand)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=False)
+        )
+        frontier = merged.join(dist, ["node", "d"], "left_anti").localCheckpoint(
+            eager=False
+        )
+        dist = merged
+    return dist.select("node", F.col("d").alias("dist"))

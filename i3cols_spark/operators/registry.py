@@ -277,6 +277,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_agg_sketch_kmv",
     "q_agg_sketch_kmv_setops",
     "q_agg_sketch_histogram",
+    "q_graph_sssp",
 )
 
 

@@ -918,3 +918,31 @@ def test_histogram_sketch_broadcasts_extrema_and_combines_cells(spark, sf_dir):
     plan = explain_str(QUERIES["q_agg_sketch_histogram"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_sssp_relaxation_is_hash_join_not_cartesian(spark, sf_dir):
+    """q_graph_sssp: every relaxation round must be an equi-join on
+    the node key (hash-joinable) — a BNLJ/cartesian in the loop would
+    be |frontier|×|edges| per hop at 100 TB — and the min-combine must
+    be a partial+final hash aggregate so candidate volume combines
+    map-side before the node shuffle.  The round is tested via
+    graph._sssp_relax because the query's per-round localCheckpoints
+    make the loop invisible in the final explain."""
+    from pyspark.sql import functions as F
+
+    from i3cols_spark.operators.graph import _sssp_relax
+    from i3cols_spark.sources.tables import table
+
+    li = table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_orderkey").alias("src"),
+        F.col("l_suppkey").alias("dst"),
+        F.lit(1).alias("w"),
+    )
+    frontier = li.select(
+        F.col("l_orderkey").alias("node"), F.lit(0).cast("long").alias("d")
+    ).distinct()
+    plan = explain_str(_sssp_relax(frontier, edges))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
