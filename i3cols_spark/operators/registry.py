@@ -278,6 +278,8 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_agg_sketch_kmv_setops",
     "q_agg_sketch_histogram",
     "q_graph_sssp",
+    "q_text_pmi_collocations",
+    "q_seq_pattern_match",
 )
 
 

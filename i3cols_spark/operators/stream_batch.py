@@ -703,3 +703,69 @@ def q_join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ver_id",
         "attr_value",
     )
+
+
+@query(
+    "q_seq_pattern_match",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS s,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST(len(regexp_extract_all(s, 'v[^vp]*p')) AS BIGINT)
+               AS n_conversions
+    FROM seq
+    """,
+)
+def q_seq_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex over event SEQUENCES — the MATCH_RECOGNIZE-lite primitive
+    (row-pattern matching, SQL:2016 ch. 12) that q_funnel_conversion's
+    fixed three-stage walk can't generalize to: each user's events
+    collapse to a symbol string (first letter of event_type — the five
+    fixture types have distinct initials), ordered by (ts, event_id)
+    for a total order, and a single regex counts motif occurrences —
+    here 'v[^vp]*p', a view leading to a purchase with no intervening
+    view or purchase (a direct conversion).  That pattern class is
+    deliberately ambiguity-free: at any start position the match is
+    unique, so RE2 (DuckDB) and Java's backtracking engine (Spark)
+    provably count the same non-overlapping set — verified
+    exhaustively against Python re on every fixture sequence while
+    designing the oracle.
+
+    Shape: ONE shuffle (groupBy user) collects each user's
+    (ts, event_id, symbol) structs, sorted IN-ROW by array_sort
+    (struct field order = the sort key — no global orderBy), joined
+    to a string, then regexp_count runs per row inside codegen.
+    Per-user state is the user's own event string — the same bound as
+    every sessionization query here; the regex never crosses users,
+    so the operator scales with the widest single user, not the
+    corpus.
+    """
+    ev = table(spark, sf_dir, "events")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "ts",
+                        "event_id",
+                        F.substring("event_type", 1, 1).alias("sym"),
+                    )
+                )
+            ).alias("evs"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    s = F.array_join(F.transform(F.col("evs"), lambda e: e["sym"]), "")
+    return seq.select(
+        "user_id",
+        "n_events",
+        F.regexp_count(s, F.lit(r"v[^vp]*p")).cast("bigint").alias(
+            "n_conversions"
+        ),
+    )

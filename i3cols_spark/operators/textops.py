@@ -712,3 +712,118 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_pairs"), "w1", "w2")
         .limit(50)
     )
+
+
+#: Collocation support floor: pairs seen fewer times are noise for
+#: PMI (the estimator's variance blows up as 1/n_pair).
+_PMI_MIN_SUPPORT = 20
+
+
+@query(
+    "q_text_pmi_collocations",
+    oracle=rf"""
+    WITH t AS (
+        SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents
+    ),
+    b AS (
+        SELECT toks[i] AS w1, toks[i + 1] AS w2
+        FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+        WHERE toks[i] <> '' AND toks[i + 1] <> ''
+    ),
+    cnt AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+        FROM b GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(n_pair) AS BIGINT) AS n FROM cnt),
+    lefts AS (
+        SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_left FROM cnt GROUP BY 1
+    ),
+    rights AS (
+        SELECT w2, CAST(sum(n_pair) AS BIGINT) AS n_right FROM cnt GROUP BY 1
+    )
+    SELECT w1, w2, n_pair,
+           floor(ln(CAST(n_pair AS DOUBLE) * n
+                    / (CAST(n_left AS DOUBLE) * n_right))
+                 * 1000000 + 0.5) / 1000000.0 AS pmi
+    FROM cnt JOIN lefts USING (w1) JOIN rights USING (w2), tot
+    WHERE n_pair >= {_PMI_MIN_SUPPORT}
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocations (Church & Hanks
+    1990): which adjacent token pairs co-occur MORE than their
+    marginal frequencies predict — the phrase-mining signal behind
+    tokenizer vocabulary induction and stop-phrase lists, and the
+    associational statistic q_text_bigram_lm's raw counts don't give.
+    PMI = ln(P(w1,w2) / (P(w1·)P(·w2))) over the bigram event space,
+    support-floored (n_pair ≥ 20 — below that the estimator is
+    noise), top-20 by (rounded PMI, w1, w2) so the cut is
+    deterministic.
+
+    Shape: the same collapse-first bigram stream as q_text_bigram_lm
+    (distinct texts × multiplicity, per-row sequence+transform pair
+    build — the lambda-bind discipline), ONE map-side-combined
+    weighted groupBy to the vocabulary²-sized pair table; marginals
+    are windows OVER THAT TABLE (partitioned by w1 / by w2), never a
+    second corpus pass, and the grand total joins back as a 1-row
+    broadcast.  The PMI expression is the identical
+    a·n/(b·c) shape in both dialects (integer counts, one IEEE
+    division, ln, HALF_UP 6 dp — the registry's integer-ratio
+    discipline applied through a transcendental).
+
+    Scale: everything after the bigram aggregation is
+    vocabulary-sized; the corpus-sized stages are the same two
+    (tokenize + weighted groupBy) every text operator here shares.
+    """
+
+    def build(tk: F.Column) -> F.Column:
+        return F.when(
+            F.size(tk) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - 2),
+                lambda i: F.struct(
+                    F.element_at(tk, i + 1).alias("w1"),
+                    F.element_at(tk, i + 2).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array())
+
+    bigrams = F.get(F.transform(F.array(tokens("text")), build), 0)
+    distinct_texts = (
+        spread(table(spark, sf_dir, "documents"), spark)
+        .groupBy(F.xxhash64(F.col("text")).alias("th"))
+        .agg(F.count(F.lit(1)).alias("mult"), F.first("text").alias("text"))
+    )
+    pairs = (
+        distinct_texts.select("mult", F.explode(bigrams).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"), "mult")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.sum("mult").alias("n_pair"))
+    )
+    tot = pairs.agg(F.sum("n_pair").alias("n"))
+    marg = pairs.select(
+        "w1",
+        "w2",
+        "n_pair",
+        F.sum("n_pair").over(W.partitionBy("w1")).alias("n_left"),
+        F.sum("n_pair").over(W.partitionBy("w2")).alias("n_right"),
+    )
+    pmi = round_half_up(
+        F.log(
+            F.col("n_pair").cast("double")
+            * F.col("n")
+            / (F.col("n_left").cast("double") * F.col("n_right"))
+        ),
+        6,
+    )
+    return (
+        marg.join(F.broadcast(tot))
+        .filter(F.col("n_pair") >= _PMI_MIN_SUPPORT)
+        .select("w1", "w2", "n_pair", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(20)
+    )
