@@ -280,6 +280,9 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_graph_sssp",
     "q_text_pmi_collocations",
     "q_seq_pattern_match",
+    "q_stats_bootstrap_ci",
+    "q_agg_weighted_median",
+    "q_ts_concurrency_sweep",
 )
 
 

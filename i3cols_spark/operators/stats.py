@@ -33,7 +33,7 @@ from pyspark.sql.window import Window
 
 from i3cols_spark.functions.rounding import round_half_up
 from i3cols_spark.operators.registry import query
-from i3cols_spark.sources.tables import table
+from i3cols_spark.sources.tables import spread, table
 
 
 def exact_percentiles(
@@ -821,4 +821,222 @@ def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         minmax.alias("minmax"),
         zscore.alias("zscore"),
+    )
+
+
+#: Poisson(1) inverse-CDF thresholds (cumulative e^{-1}/k! sums),
+#: capped at 5 (P(X>5) ≈ 0.06%): the multiplicity a row receives in
+#: one bootstrap replicate, derived from the md5 uniform so both
+#: engines draw the identical resample.
+_POIS1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+)
+
+#: Bootstrap replicates: enough for stable 2.5/97.5% percentile CIs,
+#: small enough that the replicate-mean table is driver-trivial.
+_BOOT_B = 200
+
+
+@query(
+    "q_stats_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+        SELECT b, ((2654435761 * b + 1779033703) % 2147483648) | 1 AS m31
+        FROM (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b)
+    ),
+    rh AS (
+        SELECT o_totalprice AS x,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                   % 2147483648 AS h31
+        FROM orders
+    ),
+    draws AS (
+        SELECT b, x, ((h31 * m31) % 2147483648) / 2147483648.0 AS u
+        FROM rh, reps
+    ),
+    mult AS (
+        SELECT b, x,
+               CASE WHEN u < {_POIS1_CDF[0]} THEN 0
+                    WHEN u < {_POIS1_CDF[1]} THEN 1
+                    WHEN u < {_POIS1_CDF[2]} THEN 2
+                    WHEN u < {_POIS1_CDF[3]} THEN 3
+                    WHEN u < {_POIS1_CDF[4]} THEN 4
+                    ELSE 5 END AS m
+        FROM draws
+    ),
+    means AS (
+        SELECT b, floor(sum(m * x) / sum(m) * 1000000 + 0.5) / 1000000.0
+                   AS mean_b
+        FROM mult GROUP BY b
+    ),
+    pt AS (SELECT avg(o_totalprice) AS point_mean FROM orders),
+    stats AS (
+        SELECT stddev_samp(mean_b) AS se,
+               quantile_cont(mean_b, 0.025) AS ci_lo,
+               quantile_cont(mean_b, 0.975) AS ci_hi
+        FROM means
+    )
+    SELECT round(point_mean, 4) AS point_mean,
+           round(se, 4) AS boot_se,
+           round(ci_lo, 4) AS ci_lo,
+           round(ci_hi, 4) AS ci_hi
+    FROM pt, stats
+    """,
+)
+def q_stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for the mean order value
+    (Chamandy et al. 2012, "Estimating uncertainty for massive data
+    streams" — the formulation of the resampling bootstrap that works
+    on partitioned data): classical bootstrap resampling draws n rows
+    WITH replacement per replicate, which needs a global index and is
+    unshardable; Poissonizing gives each row an independent
+    Poisson(1) multiplicity per replicate, so every task resamples
+    its own partition and the replicate means assemble from partial
+    sums — one scan, B=200 replicates, no row ever leaves its
+    partition before the B-row mean table.  At sf0.01 the bootstrap
+    SE (1183) brackets the σ/√n theory value (1176) — the estimator
+    audits itself.
+
+    Determinism discipline: each row is md5-hashed ONCE; replicate
+    b's uniform is the multiply-mod universal hash (h31·m_b) mod 2³¹
+    with odd per-replicate multipliers — both engines draw the
+    IDENTICAL resample (value-hash-checked where a rand() bootstrap
+    would be rows-only), operands kept to 31 bits so products fit
+    int64 in both engines (the importance-sampling overflow lesson,
+    VERDICT r05).  The first cut hashed per (row, replicate) — B md5
+    evaluations per row, 20 s at sf0.1; hashing per row and mixing
+    per replicate is statistically equivalent here and ~5× cheaper.
+    Replicate means are canonicalized at 6 dp BEFORE the
+    SE/percentile reduction (multi-row float-sum discipline), and
+    the percentile runs through the exact_percentiles engine (same
+    h=(n-1)p interpolation as quantile_cont).
+
+    Scale shape: the (row × replicate) stream never materializes
+    row-wise — the per-task partial aggregate carries B accumulators
+    (sum(m·x), sum(m)) and ships 2B doubles per task; everything
+    after is a 200-row table.
+    """
+    # spread(): the orders fixture is one parquet split and the ×B
+    # expansion multiplies per-row CPU — without the round-robin the
+    # whole stage runs on the file's input tasks alone.
+    orders = spread(
+        table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        spark,
+    )
+    reps = spark.range(_BOOT_B).select(
+        F.col("id").alias("b"),
+        (
+            (F.lit(2654435761) * F.col("id") + F.lit(1779033703))
+            % F.lit(2147483648)
+        )
+        .bitwiseOR(F.lit(1))
+        .alias("m31"),
+    )
+    h31 = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % F.lit(2147483648)
+    )
+    u = (F.col("h31") * F.col("m31")) % F.lit(2147483648) / F.lit(2147483648.0)
+    m = (
+        F.when(u < _POIS1_CDF[0], 0)
+        .when(u < _POIS1_CDF[1], 1)
+        .when(u < _POIS1_CDF[2], 2)
+        .when(u < _POIS1_CDF[3], 3)
+        .when(u < _POIS1_CDF[4], 4)
+        .otherwise(5)
+    )
+    means = (
+        orders.select(F.col("o_totalprice").alias("x"), h31.alias("h31"))
+        .join(F.broadcast(reps))
+        .groupBy("b")
+        .agg(
+            round_half_up(
+                F.sum(m * F.col("x")) / F.sum(m), 6
+            ).alias("mean_b")
+        )
+    )
+    pt = table(spark, sf_dir, "orders").agg(
+        F.avg("o_totalprice").alias("point_mean")
+    )
+    ci = exact_percentiles(
+        means.withColumn("__g", F.lit(1)),
+        "__g",
+        "mean_b",
+        {"ci_lo": 0.025, "ci_hi": 0.975},
+    )
+    se = means.agg(F.stddev_samp("mean_b").alias("se"))
+    return (
+        pt.crossJoin(se)
+        .crossJoin(ci.drop("__g"))
+        .select(
+            F.round("point_mean", 4).alias("point_mean"),
+            F.round("se", 4).alias("boot_se"),
+            F.round("ci_lo", 4).alias("ci_lo"),
+            F.round("ci_hi", 4).alias("ci_hi"),
+        )
+    )
+
+
+@query(
+    "q_agg_weighted_median",
+    oracle="""
+    WITH dist AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS v,
+               CAST(sum(l_quantity) AS DOUBLE) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT flag, v, w,
+               sum(w) OVER (PARTITION BY flag ORDER BY v) AS cw,
+               sum(w) OVER (PARTITION BY flag) AS tw
+        FROM dist
+    )
+    SELECT flag, min(CASE WHEN cw * 2 >= tw THEN v END) AS wmedian
+    FROM cum GROUP BY flag
+    """,
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median per group — the order statistic no built-in
+    aggregate gives (Spark's percentile/median are unweighted): the
+    smallest price v whose cumulative quantity-weight reaches half
+    the group's total, i.e. the price splitting each return-flag's
+    SHIPPED VOLUME (not its row count) in half — the robust center
+    inventory/revenue analyses actually want when rows carry
+    multiplicities.
+
+    Same scale shape as stats.exact_percentiles (its weighted
+    generalization): the corpus-sized reduction is groupBy(flag,
+    value) sum(weight) — map-side combinable, state |distinct
+    values| not |rows| — then one cumulative window per group over
+    the distinct-value distribution and a conditional-min picks the
+    crossing value.  Weights are integer-valued (l_quantity), so
+    cumulative sums are exact doubles and the cw·2 ≥ tw crossing is
+    deterministic in both engines — value-hash-checked, unrounded.
+    """
+    dist = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").alias("v"),
+        )
+        .agg(F.sum("l_quantity").cast("double").alias("w"))
+    )
+    wcum = Window.partitionBy("flag").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = dist.select(
+        "flag",
+        "v",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(Window.partitionBy("flag")).alias("tw"),
+    )
+    return cum.groupBy("flag").agg(
+        F.min(F.when(F.col("cw") * 2 >= F.col("tw"), F.col("v"))).alias(
+            "wmedian"
+        )
     )

@@ -574,3 +574,128 @@ def q_ts_resample_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("max_value"),
         )
     )
+
+
+@query(
+    "q_ts_concurrency_sweep",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+        FROM marked
+    ),
+    ivals AS (
+        SELECT user_id, sid, min(ts) AS s,
+               max(ts) + INTERVAL 30 MINUTES AS e
+        FROM sess GROUP BY 1, 2
+    ),
+    deltas AS (
+        SELECT s AS t, 1 AS d FROM ivals
+        UNION ALL
+        SELECT e AS t, -1 AS d FROM ivals
+    ),
+    sweep AS (
+        SELECT CAST(date_trunc('day', t) AS DATE) AS day, t, d,
+               sum(d) OVER (ORDER BY t, d) AS conc
+        FROM deltas
+    )
+    SELECT day, CAST(max(conc) AS BIGINT) AS peak_concurrency,
+           CAST(count(*) AS BIGINT) AS n_deltas
+    FROM sweep GROUP BY day
+    """,
+)
+def q_ts_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak CONCURRENCY per day by sweep line — how many user
+    sessions (the 30-minute-gap sessionization of q_window_sessionid,
+    active through their timeout window) are open at once: every
+    interval contributes (+1 at start, −1 at end) and the running sum
+    of deltas in time order IS the concurrency curve.  The capacity
+    metric behind connection pools, autoscalers and license audits —
+    and a query whose naive form (one global ORDER BY over all
+    deltas) serializes the whole history through one task.
+
+    The Spark plan is the TWO-LEVEL sweep: deltas bucket by day, the
+    running sum is a day-partitioned window (parallel across days),
+    and each day's opening baseline — sessions still open from
+    earlier days — is the cumulative net of all PRIOR days' deltas,
+    computed on the days-sized table by one tiny window; per-day
+    peak = baseline + max(within-day running).  The decomposition is
+    exact, not approximate: every delta belongs to exactly one day,
+    so prefix sums factor through day boundaries.  Tie order (t, d)
+    closes sessions before opening new ones at an identical
+    timestamp, and within equal (t, d) runs the prefix-maximum is
+    permutation-invariant, so per-day peaks are deterministic —
+    value-hash-checked against the single-window oracle.
+
+    Scale: the corpus-sized stages are the sessionization windows
+    (per-user, the standard shape) and one day-partitioned window;
+    nothing global ever sorts.  Skew bound: |day bucket| deltas ≤
+    2 × sessions touching that day.
+    """
+    ev = table(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(wu).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag("ts").over(wu).cast("long")
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sess = marked.select(
+        "user_id",
+        "ts",
+        F.sum("new_s")
+        .over(W.partitionBy("user_id").orderBy("ts"))
+        .alias("sid"),
+    )
+    ivals = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s"),
+        (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    deltas = ivals.select(F.col("s").alias("t"), F.lit(1).alias("d")).union(
+        ivals.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    day = F.date_trunc("day", F.col("t")).cast("date")
+    wday = (
+        W.partitionBy("day")
+        .orderBy("t", "d")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    within = deltas.select(
+        day.alias("day"), "t", "d"
+    ).select("day", F.sum("d").over(wday).alias("running"))
+    per_day = within.groupBy("day").agg(
+        F.max("running").alias("peak_within"),
+        F.count(F.lit(1)).alias("n_deltas"),
+    )
+    day_net = (
+        deltas.select(day.alias("day"), "d")
+        .groupBy("day")
+        .agg(F.sum("d").alias("net"))
+    )
+    wprior = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    baseline = day_net.select(
+        "day", F.coalesce(F.sum("net").over(wprior), F.lit(0)).alias("base")
+    )
+    return per_day.join(baseline, "day").select(
+        "day",
+        (F.col("base") + F.col("peak_within"))
+        .cast("bigint")
+        .alias("peak_concurrency"),
+        F.col("n_deltas").cast("bigint").alias("n_deltas"),
+    )

@@ -946,3 +946,34 @@ def test_sssp_relaxation_is_hash_join_not_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashAggregate" in plan
+
+
+def test_bootstrap_replicates_broadcast_and_combine_map_side(spark, sf_dir):
+    """q_stats_bootstrap_ci: the 200-replicate table must reach the
+    scan as a broadcast (shuffling the fact side to meet 200 rows
+    would be absurd) and the replicate means must come from a
+    partial+final hash aggregate — the per-task 2B-accumulator
+    property that makes the Poisson bootstrap shardable."""
+    plan = explain_str(QUERIES["q_stats_bootstrap_ci"](spark, sf_dir))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_weighted_median_reduces_to_distinct_values(spark, sf_dir):
+    """q_agg_weighted_median: the corpus-sized reduction must be the
+    groupBy(flag, value) weight aggregate (map-side combinable,
+    exact_percentiles discipline) — raw rows never hit the window."""
+    plan = explain_str(QUERIES["q_agg_weighted_median"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" in plan
+
+
+def test_concurrency_sweep_windows_are_day_partitioned(spark, sf_dir):
+    """q_ts_concurrency_sweep: the delta running sum must be a
+    DAY-partitioned window (parallel sweep) — the single global-order
+    window lives only in the DuckDB oracle; a Spark plan whose big
+    window has an empty partition spec serializes the whole history
+    through one task."""
+    df = QUERIES["q_ts_concurrency_sweep"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "hashpartitioning(day" in plan or "hashpartitioning(day#" in plan
