@@ -464,3 +464,44 @@ def stream_countmin_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array([F.lit(d) for d in range(_CMS_DEPTH)])).alias("d"),
     ).select("d", cms_bucket(F.col("user_id"), F.col("d")).alias("bucket"))
     return hashed.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("bsum"))
+
+
+def stream_histogram_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming histogram-quantile sketch: the 256-cell equi-width
+    grid of q_agg_sketch_histogram maintained incrementally over an
+    orders stream.  Bin EDGES are fixed up front from a static scan —
+    the catalog-owned-geometry stance of test_sketch_merge (a
+    streaming sketch cannot re-derive extrema per batch without
+    re-binning history; production pins edges the way it pins a
+    schema).  With shared edges the micro-batch partials merge by
+    cell-wise addition, so the stream needs ONE complete-mode
+    aggregation over raw rows; the stream≡batch test pins grid
+    equality cell by cell."""
+    from i3cols_spark.operators.aggregates import _HIST_BINS
+
+    configure(spark)
+    mn, mx = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .agg(F.min("o_totalprice"), F.max("o_totalprice"))
+        .first()
+    )
+    width = (mx - mn) / float(_HIST_BINS)
+    batch_schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "orders.parquet")
+        .load(sf_dir)
+    )
+    return (
+        stream.select(
+            F.least(
+                F.lit(_HIST_BINS - 1),
+                F.floor((F.col("o_totalprice") - F.lit(mn)) / F.lit(width)),
+            )
+            .cast("bigint")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

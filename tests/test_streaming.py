@@ -392,3 +392,32 @@ def test_stream_countmin_grid_equals_batch(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("bsum"))
     )
     assert _rows(streamed) == _rows(batch)
+
+
+def test_stream_histogram_grid_equals_batch(spark, sf_dir):
+    """The streaming histogram grid (fixed catalog edges, complete
+    mode) must equal the batch bin counts cell-for-cell — the
+    cell-wise-add mergeability under shared edges that
+    test_sketch_merge proves shard-wise, here across micro-batches."""
+    from i3cols_spark.operators.aggregates import _HIST_BINS
+    from i3cols_spark.sources.tables import table
+
+    sdf = jobs.stream_histogram_grid(spark, sf_dir)
+    jobs.run_to_memory(sdf, "mem_hist_grid")
+    streamed = spark.table("mem_hist_grid")
+    orders = table(spark, sf_dir, "orders")
+    mn, mx = orders.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
+    width = (mx - mn) / float(_HIST_BINS)
+    batch = (
+        orders.select(
+            F.least(
+                F.lit(_HIST_BINS - 1),
+                F.floor((F.col("o_totalprice") - F.lit(mn)) / F.lit(width)),
+            )
+            .cast("bigint")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    assert _rows(streamed) == _rows(batch)
