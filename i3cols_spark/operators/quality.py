@@ -177,6 +177,8 @@ def _format_mirror(spark: SparkSession, sf_dir: str, fmt: str) -> str:
         w = src.coalesce(4).write.mode("overwrite")
         if fmt == "json":
             w.json(out)
+        elif fmt == "json_gz":
+            w.option("compression", "gzip").json(out)
         elif fmt == "orc":
             w.orc(out)
         elif fmt == "arrowipc":
@@ -225,7 +227,7 @@ def _source_scan(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
             F.min("o_date_us").alias("first_date_us"),
         )
     reader = spark.read.schema(_ORDERS_MIRROR_SCHEMA)
-    if fmt == "json":
+    if fmt in ("json", "json_gz"):
         df = reader.json(path)
     elif fmt == "orc":
         df = reader.orc(path)
@@ -283,6 +285,22 @@ def q_source_arrow_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_arrow_ipc(spark)
     return _source_scan(spark, sf_dir, "arrowipc")
+
+
+@query("q_source_jsonl_gz_scan", oracle=_SOURCE_ORACLE)
+def q_source_jsonl_gz_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-compressed JSONL source fidelity — the explicit
+    compress/decompress evidence for SURVEY §2.1-S8 beyond parquet's
+    internal codecs: the mirror is written with Spark's gzip text
+    codec (the dominant wire format for crawl dumps and log
+    deliveries), the scan decompresses transparently, and the oracle
+    reads the ORIGINAL parquet so the hash pins the full
+    compress → decompress → parse round trip.  Scale note: .gz is
+    NOT splittable — one file = one task — so the mirror is written
+    pre-split into multiple part files; at 100 TB the file count
+    provides the parallelism (and zstd/bzip2 would be the splittable
+    upgrade path)."""
+    return _source_scan(spark, sf_dir, "json_gz")
 
 
 @query("q_source_csv_scan", oracle=_SOURCE_ORACLE)
@@ -452,4 +470,76 @@ def q_source_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy(status).agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+#: k-anonymity audit ladder: group-size thresholds spanning the
+#: interesting range at every fixture SF (k=10 bites at sf0.01,
+#: k=100 at sf0.1 — a single k would be vacuously all-pass or
+#: all-fail at one of them).
+_KANON_KS = (5, 10, 25, 100)
+
+
+@query(
+    "q_quality_k_anonymity",
+    oracle=f"""
+    WITH groups AS (
+        SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS sz
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT k,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+           CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
+               AS rows_at_risk,
+           CAST(min(sz) AS BIGINT) AS min_group,
+           floor(sum(CASE WHEN sz < k THEN sz ELSE 0 END) * 1000000.0
+                 / sum(sz) + 0.5) / 1000000.0 AS risk_fraction
+    FROM groups,
+         (VALUES {", ".join(f"({k})" for k in _KANON_KS)}) AS ks(k)
+    GROUP BY k
+    """,
+)
+def q_quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over the customer
+    quasi-identifier pair (nation, market segment): a released row is
+    re-identifiable when its quasi-identifier combination is shared
+    by fewer than k records, so the audit reports — per k on a
+    threshold ladder — how many equivalence classes violate, how many
+    rows sit in them, and the exposed fraction.  The governance
+    counterpart to q_text_pii_scrub: scrubbing direct identifiers
+    does nothing about quasi-identifier joinability, and a
+    training-data release pipeline needs BOTH signals.
+
+    Shape: one map-side-combined groupBy builds the equivalence-class
+    histogram (state = |distinct quasi-identifier combos|, the
+    exact_percentiles argument); the ladder is a 4-row broadcast
+    cross and the audit a second tiny aggregate over |classes| rows.
+    Integer ratio → HALF_UP in both dialects.  At 100 TB the only
+    corpus-sized stage is the first groupBy — the audit never
+    shuffles raw rows.
+    """
+    groups = (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in _KANON_KS])).alias("k")
+    )
+    from i3cols_spark.functions.rounding import round_half_up as half_up
+
+    viol = F.when(F.col("sz") < F.col("k"), 1).otherwise(0)
+    at_risk = F.when(F.col("sz") < F.col("k"), F.col("sz")).otherwise(0)
+    return (
+        groups.join(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(viol).alias("n_violating"),
+            F.sum(at_risk).alias("rows_at_risk"),
+            F.min("sz").alias("min_group"),
+            half_up(F.sum(at_risk) / F.sum("sz"), 6).alias("risk_fraction"),
+        )
     )

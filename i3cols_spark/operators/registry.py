@@ -283,6 +283,8 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_stats_bootstrap_ci",
     "q_agg_weighted_median",
     "q_ts_concurrency_sweep",
+    "q_quality_k_anonymity",
+    "q_source_jsonl_gz_scan",
 )
 
 
