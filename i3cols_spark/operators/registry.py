@@ -285,6 +285,8 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_ts_concurrency_sweep",
     "q_quality_k_anonymity",
     "q_source_jsonl_gz_scan",
+    "q_stats_chi2_indep",
+    "q_stats_welch_ttest",
 )
 
 

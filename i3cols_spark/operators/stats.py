@@ -1040,3 +1040,190 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wmedian"
         )
     )
+
+
+@query(
+    "q_stats_chi2_indep",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority, o_orderstatus,
+             CAST(count(*) AS BIGINT) AS observed
+      FROM orders GROUP BY 1, 2
+    ), dims AS (
+      SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_rows_dim,
+             CAST(count(DISTINCT o_orderstatus)   AS BIGINT) AS n_cols_dim
+      FROM cells
+    ), marg AS (
+      SELECT o_orderpriority, o_orderstatus, observed,
+             sum(observed) OVER (PARTITION BY o_orderpriority) AS row_total,
+             sum(observed) OVER (PARTITION BY o_orderstatus)   AS col_total,
+             sum(observed) OVER ()                             AS n_total
+      FROM cells
+    ), scored AS (
+      SELECT o_orderpriority, o_orderstatus, observed, n_total,
+             CAST(row_total AS DOUBLE) * col_total / n_total AS expected_raw
+      FROM marg
+    )
+    SELECT o_orderpriority, o_orderstatus, observed,
+           round(expected_raw, 6) AS expected,
+           round((observed - expected_raw) * (observed - expected_raw)
+                 / expected_raw, 6) AS contrib,
+           round(sum((observed - expected_raw) * (observed - expected_raw)
+                     / expected_raw) OVER (), 6) AS chi2_stat,
+           (n_rows_dim - 1) * (n_cols_dim - 1) AS df,
+           round(sqrt(sum((observed - expected_raw) * (observed - expected_raw)
+                          / expected_raw) OVER ()
+                      / (n_total
+                         * least(n_rows_dim - 1, n_cols_dim - 1))), 6) AS cramers_v
+    FROM scored CROSS JOIN dims
+    ORDER BY o_orderpriority, o_orderstatus
+    """,
+)
+def q_stats_chi2_indep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence (the contingency-table
+    counterpart of q_agg_stats_corr's continuous statistics): is order
+    priority independent of order status?  Emits the full contingency
+    table with per-cell expected counts and chi-square contributions —
+    the decomposition an analyst actually reads to see WHICH cells
+    drive the statistic — plus the test statistic, its degrees of
+    freedom (r−1)(c−1) computed from the observed dimensions, and
+    Cramér's V effect size (χ²/(n·min(r−1,c−1)))^½.
+
+    Scale shape: ONE map-side-combined groupBy reduces the fact table
+    to the r×c cell histogram; marginals, expected counts and the
+    statistic are windows over that cells-sized table (15 rows here —
+    never a second pass over the data).  The p-value is deliberately
+    absent: the χ² CDF needs the incomplete gamma function, which
+    neither engine exposes — the statistic + df are the portable
+    output (SURVEY §5.2's cross-engine discipline).
+
+    Determinism: observed/marginals are exact integers; expected is a
+    per-row IEEE ratio of exact integers (bit-identical across
+    engines); only χ² itself sums 15 doubles, rounded at 6 dp.
+    """
+    orders = table(spark, sf_dir, "orders")
+    cells = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("observed")
+    )
+    dims = cells.agg(
+        F.countDistinct("o_orderpriority").cast("bigint").alias("n_rows_dim"),
+        F.countDistinct("o_orderstatus").cast("bigint").alias("n_cols_dim"),
+    )
+    w_all = Window.partitionBy()
+    scored = (
+        cells
+        .withColumn("row_total", F.sum("observed").over(Window.partitionBy("o_orderpriority")))
+        .withColumn("col_total", F.sum("observed").over(Window.partitionBy("o_orderstatus")))
+        .withColumn("n_total", F.sum("observed").over(w_all))
+        .withColumn(
+            "expected_raw",
+            F.col("row_total").cast("double") * F.col("col_total") / F.col("n_total"),
+        )
+        .crossJoin(F.broadcast(dims))
+    )
+    dev = F.col("observed") - F.col("expected_raw")
+    contrib_raw = dev * dev / F.col("expected_raw")
+    return (
+        scored
+        .withColumn("chi2_raw", F.sum(contrib_raw).over(w_all))
+        .select(
+            "o_orderpriority", "o_orderstatus", "observed",
+            F.round("expected_raw", 6).alias("expected"),
+            F.round(contrib_raw, 6).alias("contrib"),
+            F.round("chi2_raw", 6).alias("chi2_stat"),
+            ((F.col("n_rows_dim") - 1) * (F.col("n_cols_dim") - 1)).alias("df"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2_raw")
+                    / (F.col("n_total")
+                       * F.least(F.col("n_rows_dim") - 1, F.col("n_cols_dim") - 1))
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+        .orderBy("o_orderpriority", "o_orderstatus")
+    )
+
+
+@query(
+    "q_stats_welch_ttest",
+    oracle="""
+    WITH s AS (
+      SELECT
+        CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS n_r,
+        CAST(count(*) FILTER (WHERE l_returnflag = 'A') AS BIGINT) AS n_a,
+        avg(l_extendedprice)      FILTER (WHERE l_returnflag = 'R') AS m_r,
+        avg(l_extendedprice)      FILTER (WHERE l_returnflag = 'A') AS m_a,
+        var_samp(l_extendedprice) FILTER (WHERE l_returnflag = 'R') AS v_r,
+        var_samp(l_extendedprice) FILTER (WHERE l_returnflag = 'A') AS v_a
+      FROM lineitem
+    )
+    SELECT n_r, n_a,
+           round(m_r, 6) AS mean_r,
+           round(m_a, 6) AS mean_a,
+           round(m_r - m_a, 6) AS mean_diff,
+           round(sqrt(v_r / n_r + v_a / n_a), 6) AS std_err,
+           round((m_r - m_a) / sqrt(v_r / n_r + v_a / n_a), 6) AS t_stat,
+           round(pow(v_r / n_r + v_a / n_a, 2)
+                 / (pow(v_r / n_r, 2) / (n_r - 1)
+                    + pow(v_a / n_a, 2) / (n_a - 1)), 2) AS df_welch,
+           round((m_r - m_a)
+                 / sqrt(((n_r - 1) * v_r + (n_a - 1) * v_a)
+                        / (n_r + n_a - 2)), 6) AS cohens_d
+    FROM s
+    """,
+)
+def q_stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test (unequal variances) comparing mean
+    extended price between returned ('R') and acknowledged ('A') line
+    items: the A/B-comparison primitive q_stats_bootstrap_ci answers
+    by resampling, answered here in closed form — t statistic,
+    Welch–Satterthwaite degrees of freedom, and Cohen's d effect size
+    against the pooled standard deviation.
+
+    Scale shape: ONE conditional aggregation pass (count/avg/var_samp
+    under ``F.when`` filters — the FILTER-clause idiom) reduces the
+    fact table to six scalars; every derived statistic is driver-side
+    arithmetic on that one row.  var_samp merges partial
+    (n, Σx, Σx²)-style states map-side, so the shuffle is constant
+    regardless of SF — the same single-pass shape as q_agg_stats_corr.
+
+    Determinism: means/variances are multi-row float reductions —
+    the derived ratios round at 6 dp (df at 2 dp; its magnitude is
+    O(n) so finer digits are float-order noise anyway), the counts are
+    exact.  The p-value needs the incomplete beta function — same
+    deliberate omission as q_stats_chi2_indep, the statistic + df are
+    the portable contract.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice")
+    is_r = F.col("l_returnflag") == "R"
+    is_a = F.col("l_returnflag") == "A"
+    s = li.agg(
+        F.count(F.when(is_r, 1)).cast("bigint").alias("n_r"),
+        F.count(F.when(is_a, 1)).cast("bigint").alias("n_a"),
+        F.avg(F.when(is_r, p)).alias("m_r"),
+        F.avg(F.when(is_a, p)).alias("m_a"),
+        F.var_samp(F.when(is_r, p)).alias("v_r"),
+        F.var_samp(F.when(is_a, p)).alias("v_a"),
+    )
+    se = F.sqrt(F.col("v_r") / F.col("n_r") + F.col("v_a") / F.col("n_a"))
+    df_num = F.pow(F.col("v_r") / F.col("n_r") + F.col("v_a") / F.col("n_a"), F.lit(2))
+    df_den = (
+        F.pow(F.col("v_r") / F.col("n_r"), F.lit(2)) / (F.col("n_r") - 1)
+        + F.pow(F.col("v_a") / F.col("n_a"), F.lit(2)) / (F.col("n_a") - 1)
+    )
+    pooled_sd = F.sqrt(
+        ((F.col("n_r") - 1) * F.col("v_r") + (F.col("n_a") - 1) * F.col("v_a"))
+        / (F.col("n_r") + F.col("n_a") - 2)
+    )
+    return s.select(
+        "n_r", "n_a",
+        F.round("m_r", 6).alias("mean_r"),
+        F.round("m_a", 6).alias("mean_a"),
+        F.round(F.col("m_r") - F.col("m_a"), 6).alias("mean_diff"),
+        F.round(se, 6).alias("std_err"),
+        F.round((F.col("m_r") - F.col("m_a")) / se, 6).alias("t_stat"),
+        F.round(df_num / df_den, 2).alias("df_welch"),
+        F.round((F.col("m_r") - F.col("m_a")) / pooled_sd, 6).alias("cohens_d"),
+    )

@@ -977,3 +977,26 @@ def test_concurrency_sweep_windows_are_day_partitioned(spark, sf_dir):
     df = QUERIES["q_ts_concurrency_sweep"](spark, sf_dir)
     plan = explain_str(df)
     assert "hashpartitioning(day" in plan or "hashpartitioning(day#" in plan
+
+
+def test_chi2_reduces_to_cells_before_windows(spark, sf_dir):
+    """q_stats_chi2_indep: the corpus-sized reduction must be the
+    (priority, status) cell histogram — a partial+final hash
+    aggregate — with marginals/statistic as windows over the r×c
+    table; dims must arrive broadcast.  Raw orders rows never hit a
+    window or a shuffle keyed on anything but the cell key."""
+    plan = explain_str(QUERIES["q_stats_chi2_indep"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_welch_ttest_is_single_pass_no_join(spark, sf_dir):
+    """q_stats_welch_ttest: both samples' moments must come from ONE
+    conditional-aggregation scan (FILTER-clause idiom) — no join, no
+    window, no second pass over lineitem."""
+    df = QUERIES["q_stats_welch_ttest"](spark, sf_dir)
+    plan = explain_str(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
+    assert "Window" not in plan
