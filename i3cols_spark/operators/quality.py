@@ -543,3 +543,95 @@ def q_quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             half_up(F.sum(at_risk) / F.sum("sz"), 6).alias("risk_fraction"),
         )
     )
+
+
+@query(
+    "q_quality_dp_counts",
+    oracle="""
+    WITH classes AS (
+      SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+             CAST(count(*) AS BIGINT) AS true_count
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ), ladder AS (
+      SELECT * FROM (VALUES ('0.5', 0.5), ('2.0', 2.0)) AS t(eps_label, eps)
+    ), noised AS (
+      SELECT nation, segment, true_count, eps_label, eps,
+             -(1.0 / eps)
+               * sign(((CAST(('0x' || substr(md5(nation || '|' || segment || '|' || eps_label), 1, 8)) AS BIGINT)
+                        + 0.5) / 4294967296.0) - 0.5)
+               * ln(1.0 - 2.0 * abs(((CAST(('0x' || substr(md5(nation || '|' || segment || '|' || eps_label), 1, 8)) AS BIGINT)
+                                      + 0.5) / 4294967296.0) - 0.5)) AS noise
+      FROM classes CROSS JOIN ladder
+    )
+    SELECT nation, segment, eps_label, true_count,
+           floor((true_count + noise) * 1000000 + 0.5) / 1000000.0 AS noisy_count,
+           floor(avg(abs(noise)) OVER (PARTITION BY eps_label)
+                 * 1000000 + 0.5) / 1000000.0 AS mean_abs_noise
+    FROM noised
+    ORDER BY eps_label, nation, segment
+    """,
+)
+def q_quality_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release (Dwork et al. 2006,
+    the Laplace mechanism): the mitigation for exactly the exposure
+    q_quality_k_anonymity audits — class counts over the same
+    (nation, market-segment) quasi-identifier are released with
+    Laplace(sensitivity 1 / ε) noise on an ε ladder, so small
+    equivalence classes can no longer be distinguished from empty
+    ones.  Emits the true count alongside (this is the mechanism's
+    audit query, not a release) plus the realized mean |noise| per ε —
+    which must sit near its theoretical 1/ε, so the mechanism audits
+    its own calibration the way q_stats_bootstrap_ci audits its SE.
+
+    Determinism (the whole trick): the noise is NOT drawn from an RNG
+    — each released cell derives a uniform from the md5 cross-engine
+    hash family (u = (h32 + 0.5)/2^32 ∈ (0,1), exactly dyadic so
+    u = 0.5 is unreachable) and pushes it through the Laplace inverse
+    CDF −(1/ε)·sign(u−½)·ln(1−2|u−½|).  Both engines compute the
+    identical double: the ln argument is bit-exact dyadic arithmetic,
+    so the only cross-engine exposure is libm-vs-JVM ln (≤1 ulp),
+    absorbed by HALF_UP 6 dp.  Seeded-hash noise is also the
+    PRODUCTION shape: re-running the release on 1000 executors or
+    resuming a failed job yields the same noise — per-task RNGs would
+    silently break ε accounting on retry.
+
+    Scale shape: one map-side-combined groupBy builds the class
+    histogram (customer joins the 25-row nation dim broadcast); the
+    ε ladder cross-joins 125 class rows × 2 — everything after the
+    first aggregation is class-cardinality-sized, raw rows are never
+    shuffled twice.
+    """
+    from i3cols_spark.functions.rounding import round_half_up as half_up
+
+    cust = table(spark, sf_dir, "customer")
+    nat = table(spark, sf_dir, "nation")
+    classes = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").cast("bigint").alias("true_count"))
+    )
+    ladder = spark.createDataFrame(
+        [("0.5", 0.5), ("2.0", 2.0)], "eps_label string, eps double"
+    )
+    key = F.concat_ws("|", "nation", "segment", "eps_label")
+    u = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint").cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    noise = (
+        -(F.lit(1.0) / F.col("eps"))
+        * F.signum(u - F.lit(0.5))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+    )
+    noised = classes.crossJoin(F.broadcast(ladder)).withColumn("noise", noise)
+    return (
+        noised.select(
+            "nation", "segment", "eps_label", "true_count",
+            half_up(F.col("true_count") + F.col("noise"), 6).alias("noisy_count"),
+            half_up(
+                F.avg(F.abs(F.col("noise"))).over(W.partitionBy("eps_label")), 6
+            ).alias("mean_abs_noise"),
+        )
+        .orderBy("eps_label", "nation", "segment")
+    )

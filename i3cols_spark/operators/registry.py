@@ -287,6 +287,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_source_jsonl_gz_scan",
     "q_stats_chi2_indep",
     "q_stats_welch_ttest",
+    "q_quality_dp_counts",
 )
 
 

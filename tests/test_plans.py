@@ -1000,3 +1000,14 @@ def test_welch_ttest_is_single_pass_no_join(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_dp_counts_broadcasts_dims_and_ladder(spark, sf_dir):
+    """q_quality_dp_counts: the nation dim and the ε ladder must both
+    arrive broadcast (the class histogram is the only fact-sized
+    shuffle, map-side combined); the noise is expression-level — no
+    Python UDF may appear in the plan."""
+    plan = explain_str(QUERIES["q_quality_dp_counts"](spark, sf_dir))
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
