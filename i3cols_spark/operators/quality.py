@@ -635,3 +635,101 @@ def q_quality_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("eps_label", "nation", "segment")
     )
+
+
+def _arrow_tt_mirror(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once TWO-COMMIT arrowipc layout for the time-travel
+    query: commit v1 = orders strictly before 1995-01-01, commit v2
+    appends the rest — so snapshot v1 is the historical table state
+    and HEAD (v2) is the full table."""
+    from i3cols_spark.sources.arrow_ipc import register_arrow_ipc
+
+    register_arrow_ipc(spark)
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_date_us"),
+    )
+    cutoff = F.unix_micros(F.lit("1995-01-01").cast("timestamp"))
+
+    def build(out: str) -> None:
+        (src.filter(F.col("o_date_us") < cutoff).coalesce(2)
+         .write.format("arrowipc").option("path", out).mode("append").save())
+        (src.filter(F.col("o_date_us") >= cutoff).coalesce(2)
+         .write.format("arrowipc").option("path", out).mode("append").save())
+
+    path, _ = write_once(
+        spark,
+        "arrowipc_tt_mirror",
+        f"orders_{dataset_tag(sf_dir)}",
+        [os.path.join(sf_dir, "orders.parquet")],
+        build,
+        {"format": "arrowipc", "commits": 2, "cutoff": "1995-01-01"},
+    )
+    return path
+
+
+@query(
+    "q_source_arrow_timetravel",
+    oracle="""
+    WITH v1 AS (
+      SELECT 'v1' AS snapshot,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             round(sum(o_totalprice), 2) AS total,
+             CAST(max(epoch_us(o_orderdate)) AS BIGINT) AS last_date_us
+      FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01'
+    ), head AS (
+      SELECT 'head' AS snapshot,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             round(sum(o_totalprice), 2) AS total,
+             CAST(max(epoch_us(o_orderdate)) AS BIGINT) AS last_date_us
+      FROM orders
+    )
+    SELECT * FROM v1 UNION ALL SELECT * FROM head
+    ORDER BY snapshot
+    """,
+)
+def q_source_arrow_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-isolation time travel on the engine's own table
+    format: the arrowipc mirror is committed twice (pre-1995 orders,
+    then the rest appended), and this query reads snapshot v1 AND the
+    HEAD through ``option("versionAsOf", ...)`` — one immutable
+    manifest per commit, exactly the Delta/Iceberg contract reduced
+    to its distributed-correctness core (sources/arrow_ipc.py).  The
+    oracle restates both snapshots from the ORIGINAL parquet with the
+    commit-boundary date filter, so the hash pins (a) that v1 is
+    bit-stable after later appends and (b) that HEAD sees every
+    commit — i.e. the snapshot axis itself, not just file fidelity
+    (q_source_arrow_scan's contract).  Storage reclaim is the
+    explicit ``vacuum()`` (tested separately); readers of vacuumed
+    versions fail loudly.
+
+    Scale: a snapshot read costs one driver-side JSON manifest +
+    one InputPartition per file, identical to the head read; the
+    aggregates are single map-side-combined passes.
+    """
+    path = _arrow_tt_mirror(spark, sf_dir)
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("snapshot"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.max("o_date_us").alias("last_date_us"),
+        ).select("snapshot", "n_orders", "total", "last_date_us")
+
+    def rd(version: str | None) -> DataFrame:
+        r = (
+            spark.read.format("arrowipc")
+            .option("path", path)
+            .option("schema", _ORDERS_MIRROR_SCHEMA)
+        )
+        if version is not None:
+            r = r.option("versionAsOf", version)
+        return r.load()
+
+    v1 = agg(rd("1"), "v1")
+    head = agg(rd(None), "head")
+    return v1.unionAll(head).orderBy("snapshot")

@@ -28,6 +28,13 @@ https://spark.apache.org/docs/latest/api/python/user_guide/sql/python_data_sourc
   the manifest in arrival order, and ArrowIPCStreamReader treats the
   manifest position as its offset axis — exactly-once per file across
   checkpointed restarts.
+- TIME TRAVEL: every commit (append or overwrite) also writes an
+  immutable snapshot manifest ``_ARROW_MANIFEST.v{n}.json`` before
+  atomically flipping HEAD; ``option("versionAsOf", n)`` reads any
+  retained snapshot.  Overwrite never deletes superseded parts —
+  storage is reclaimed by the explicit ``vacuum(root, retain_last)``
+  (keep newest k snapshots, drop manifests first, then unreferenced
+  parts), the Delta-style division of labor.
 
 At 100 TB: files are the parallelism unit exactly as with parquet;
 the manifest is one small JSON read on the driver; per-task memory is
@@ -38,6 +45,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 from typing import Iterator
 
@@ -51,6 +59,8 @@ from pyspark.sql.datasource import (
 )
 
 MANIFEST = "_ARROW_MANIFEST.json"
+_SNAPSHOT_FMT = "_ARROW_MANIFEST.v{n}.json"
+_SNAPSHOT_RE = re.compile(r"^_ARROW_MANIFEST\.v(\d+)\.json$")
 
 _SPARK_TO_ARROW = {
     "bigint": "int64",
@@ -78,9 +88,76 @@ class _FilePartition(InputPartition):
         self.path = path
 
 
-def _manifest_files(root: str) -> list:
-    with open(os.path.join(root, MANIFEST)) as fh:
+def _manifest_files(root: str, version: int | None = None) -> list:
+    """File list of the HEAD manifest, or of the immutable snapshot
+    ``_ARROW_MANIFEST.v{version}.json`` when ``version`` is given
+    (time travel).  A vacuumed/never-written snapshot fails loudly."""
+    if version is None:
+        with open(os.path.join(root, MANIFEST)) as fh:
+            return json.load(fh)["files"]
+    snap = os.path.join(root, _SNAPSHOT_FMT.format(n=version))
+    if not os.path.exists(snap):
+        raise ValueError(
+            f"arrowipc: no snapshot v{version} under {root} — it was "
+            f"never committed or has been vacuumed (available: "
+            f"{sorted(_snapshot_versions(root)) or 'none'})"
+        )
+    with open(snap) as fh:
         return json.load(fh)["files"]
+
+
+def _snapshot_versions(root: str) -> list:
+    out = []
+    for f in os.listdir(root):
+        m = _SNAPSHOT_RE.match(f)
+        if m:
+            out.append(int(m.group(1)))
+    return out
+
+
+def _version_of(options: dict) -> int | None:
+    v = options.get("versionasof") or options.get("versionAsOf")
+    return int(v) if v is not None else None
+
+
+def vacuum(root: str, retain_last: int = 1) -> dict:
+    """Reclaim storage from superseded snapshots: keep the newest
+    ``retain_last`` snapshot manifests (the HEAD manifest and its
+    files are always kept), delete older snapshot manifests and any
+    part file no retained manifest references.
+
+    This is the Delta-style division of labor: ``mode("overwrite")``
+    / append only ever ADD a snapshot (time travel keeps working),
+    and storage is reclaimed by an explicit, audited vacuum.  Returns
+    ``{"removed_manifests": n, "removed_parts": m, "retained_versions":
+    [...]}``.  Correctness never depends on vacuum: readers trust
+    manifests, so a crashed vacuum leaves either reachable files or
+    already-unreachable ones."""
+    if retain_last < 1:
+        raise ValueError("arrowipc vacuum: retain_last must be >= 1")
+    versions = sorted(_snapshot_versions(root))
+    retained = versions[-retain_last:]
+    keep_files = set(_manifest_files(root)) | {MANIFEST}
+    for v in retained:
+        keep_files.update(_manifest_files(root, v))
+        keep_files.add(_SNAPSHOT_FMT.format(n=v))
+    removed_manifests = removed_parts = 0
+    # Drop stale snapshot manifests FIRST: once a snapshot is gone it
+    # can no longer be read half-vacuumed (its parts may outlive it
+    # harmlessly; the reverse order could leave a readable manifest
+    # pointing at deleted parts).
+    for v in versions[:-retain_last] if retain_last <= len(versions) else []:
+        os.remove(os.path.join(root, _SNAPSHOT_FMT.format(n=v)))
+        removed_manifests += 1
+    for f in os.listdir(root):
+        if f not in keep_files and not f.endswith(".tmp"):
+            os.remove(os.path.join(root, f))
+            removed_parts += 1
+    return {
+        "removed_manifests": removed_manifests,
+        "removed_parts": removed_parts,
+        "retained_versions": retained,
+    }
 
 
 def _read_file(path: str):
@@ -96,9 +173,10 @@ def _read_file(path: str):
 class ArrowIPCReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.root = options["path"]
+        self.version = _version_of(options)
 
     def partitions(self):
-        files = _manifest_files(self.root)
+        files = _manifest_files(self.root, self.version)
         return [_FilePartition(os.path.join(self.root, f)) for f in files]
 
     def read(self, partition: _FilePartition):
@@ -212,28 +290,35 @@ class ArrowIPCWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         new = sorted(m.filename for m in messages if m is not None)
         manifest = os.path.join(self.root, MANIFEST)
-        if self.overwrite or not os.path.exists(manifest):
-            files = new
-        else:
-            # append: keep prior entries IN ORDER and add this job's
+        prev_version = 0
+        if os.path.exists(manifest):
+            with open(manifest) as fh:
+                head = json.load(fh)
+            # pre-versioning manifests carry no "version" — treat the
+            # existing state as v1 so its history starts counting.
+            prev_version = head.get("version", 1)
+            files = new if self.overwrite else head["files"] + new
+            # append keeps prior entries IN ORDER and adds this job's
             # files after them — arrival order is the streaming-tail
             # offset axis (ArrowIPCStreamReader), so it must be stable.
-            with open(manifest) as fh:
-                files = json.load(fh)["files"] + new
-        keep = set(files) | {MANIFEST}
+        else:
+            files = new
+        version = prev_version + 1
+        payload = {"version": version, "files": files}
+        # The snapshot is written FIRST and never replaced: a time-
+        # travel reader of v{n} sees either nothing (commit not yet
+        # durable) or the complete immutable file list.  Only then
+        # does the HEAD manifest flip atomically.  Old parts are NOT
+        # deleted here — superseded snapshots stay readable via
+        # versionAsOf until an explicit vacuum() reclaims them (the
+        # Delta-style contract).
+        snap = os.path.join(self.root, _SNAPSHOT_FMT.format(n=version))
+        with open(snap, "w") as fh:
+            json.dump(payload, fh)
         tmp = manifest + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"files": files}, fh)
+            json.dump(payload, fh)
         os.replace(tmp, manifest)  # atomic: readers see old or new set
-        if self.overwrite:
-            # best-effort GC of superseded/orphaned parts — correctness
-            # never depends on it (the manifest is the source of truth)
-            for f in os.listdir(self.root):
-                if f not in keep and not f.endswith(".tmp"):
-                    try:
-                        os.remove(os.path.join(self.root, f))
-                    except OSError:
-                        pass
 
     def abort(self, messages) -> None:
         # Files from completed tasks of the aborted job stay on disk
@@ -257,8 +342,7 @@ class ArrowIPCDataSource(DataSource):
         import pyarrow as pa
 
         root = self.options["path"]
-        with open(os.path.join(root, MANIFEST)) as fh:
-            files = json.load(fh)["files"]
+        files = _manifest_files(root, _version_of(self.options))
         if not files:
             raise ValueError(f"arrowipc: empty manifest under {root}")
         with pa.memory_map(os.path.join(root, files[0])) as src:

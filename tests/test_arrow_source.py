@@ -59,7 +59,11 @@ def test_orphan_part_files_are_unreachable(spark, tmp_path):
     assert _read(spark, out).count() == 1  # orphan invisible
 
 
-def test_overwrite_replaces_manifest_and_gcs_parts(spark, tmp_path):
+def test_overwrite_snapshots_head_and_keeps_history(spark, tmp_path):
+    """Overwrite flips the HEAD manifest to the new file set but does
+    NOT delete superseded parts: they stay reachable through their
+    snapshot manifest until an explicit vacuum — the Delta-style
+    contract (every commit = a new immutable snapshot version)."""
     out = str(tmp_path / "c")
     df1 = spark.createDataFrame([(i, float(i), "old") for i in range(4)], SCHEMA)
     _write(spark, df1.repartition(2), out)
@@ -68,8 +72,57 @@ def test_overwrite_replaces_manifest_and_gcs_parts(spark, tmp_path):
     _write(spark, df2.coalesce(1), out, mode="overwrite")
     got = [tuple(r) for r in _read(spark, out).collect()]
     assert got == [(9, 9.0, "new")]
-    # superseded parts were garbage-collected best-effort
-    assert not (old_parts & set(os.listdir(out)))
+    # superseded parts survive for time travel (vacuum reclaims them)
+    assert old_parts <= set(os.listdir(out))
+    head = json.load(open(os.path.join(out, MANIFEST)))
+    assert head["version"] == 2 and set(head["files"]).isdisjoint(old_parts)
+
+
+def test_time_travel_reads_immutable_snapshots(spark, tmp_path):
+    """versionAsOf n reads the snapshot manifest written by commit n:
+    v1 = the first append, v2 = v1 + second append, v3 = the
+    overwrite — and the head always equals the newest version."""
+    out = str(tmp_path / "tt")
+    _write(spark, spark.createDataFrame([(1, 1.0, "a")], SCHEMA).coalesce(1), out)
+    _write(spark, spark.createDataFrame([(2, 2.0, "b")], SCHEMA).coalesce(1), out)
+    _write(spark, spark.createDataFrame([(9, 9.0, "z")], SCHEMA).coalesce(1), out,
+           mode="overwrite")
+
+    def at(version=None):
+        r = spark.read.format("arrowipc").option("path", out).option("schema", SCHEMA)
+        if version is not None:
+            r = r.option("versionAsOf", str(version))
+        return sorted(tuple(x) for x in r.load().collect())
+
+    assert at(1) == [(1, 1.0, "a")]
+    assert at(2) == [(1, 1.0, "a"), (2, 2.0, "b")]
+    assert at(3) == [(9, 9.0, "z")]
+    assert at() == at(3)
+    with pytest.raises(Exception, match="no snapshot v7"):
+        at(7)
+
+
+def test_vacuum_reclaims_unreferenced_parts_only(spark, tmp_path):
+    """vacuum(retain_last=1) must delete older snapshot manifests and
+    every part no retained manifest references — and must NEVER touch
+    the head's files.  A vacuumed version then fails loudly instead of
+    returning an empty frame."""
+    from i3cols_spark.sources.arrow_ipc import vacuum
+
+    out = str(tmp_path / "v")
+    _write(spark, spark.createDataFrame([(1, 1.0, "a")], SCHEMA).coalesce(1), out)
+    _write(spark, spark.createDataFrame([(9, 9.0, "z")], SCHEMA).coalesce(1), out,
+           mode="overwrite")
+    head_files = set(json.load(open(os.path.join(out, MANIFEST)))["files"])
+    stats = vacuum(out, retain_last=1)
+    assert stats["removed_manifests"] == 1 and stats["removed_parts"] == 1
+    assert stats["retained_versions"] == [2]
+    assert head_files <= set(os.listdir(out))
+    got = [tuple(r) for r in _read(spark, out).collect()]
+    assert got == [(9, 9.0, "z")]
+    with pytest.raises(Exception, match="vacuumed"):
+        (spark.read.format("arrowipc").option("path", out)
+         .option("schema", SCHEMA).option("versionAsOf", "1").load().collect())
 
 
 def test_append_merges_manifest(spark, tmp_path):
