@@ -819,6 +819,114 @@ def q_graph_cooccurrence(spark, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_basket_assoc_rules",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    pc AS (
+        SELECT a.p AS part_a, b.p AS part_b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p
+        HAVING count(*) >= 2
+    ),
+    rules AS (
+        SELECT part_a AS antecedent, part_b AS consequent, c FROM pc
+        UNION ALL
+        SELECT part_b, part_a, c FROM pc
+    ),
+    nc AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM op GROUP BY p),
+    tot AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_baskets FROM op)
+    SELECT antecedent, consequent, c AS common_orders,
+           floor(CAST(c AS DOUBLE) / n_baskets * 1000000 + 0.5)/1000000.0 AS support,
+           floor(CAST(c AS DOUBLE) / na.n * 1000000 + 0.5)/1000000.0 AS confidence,
+           floor(CAST(c AS DOUBLE) * n_baskets / (na.n * nb.n) * 1000000 + 0.5)/1000000.0 AS lift
+    FROM rules
+    JOIN nc na ON rules.antecedent = na.p
+    JOIN nc nb ON rules.consequent = nb.p
+    CROSS JOIN tot
+    ORDER BY lift DESC, confidence DESC, antecedent, consequent
+    LIMIT 20
+    """,
+)
+def q_basket_assoc_rules(spark, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets (Agrawal & Srikant 1994,
+    the 2-itemset case): directional rules a→b with support c/N,
+    confidence c/n_a and lift c·N/(n_a·n_b), support-floored and
+    top-20 by (lift, confidence) — the recommendation form of the
+    symmetric similarity q_graph_cooccurrence computes.  Same
+    scale-safe skeleton: the per-order pair expansion is bounded by
+    basket width (never by item popularity), pairs are map-side-
+    combined into per-pair support BEFORE anything wide shuffles, the
+    support floor prunes inside the aggregate, and only the ~|frequent
+    pairs| survive to the marginals join; the basket total is a 1-row
+    broadcast.  Directionality is a pairs-sized union (a→b and b→a
+    share one counted pair), not a second expansion.  All three
+    measures are multi-row integer ratios → HALF_UP 6 dp in both
+    dialects, and the rank orders on rounded values with
+    (antecedent, consequent) tie-breaks so both engines cut the same
+    top-20.
+    """
+    from i3cols_spark.functions.rounding import round_half_up
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.distinct()
+    pc = (
+        op.alias("a")
+        .join(
+            op.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .where(F.col("c") >= 2)
+    )
+    rules = pc.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "c",
+    ).unionAll(
+        pc.select(
+            F.col("part_b").alias("antecedent"),
+            F.col("part_a").alias("consequent"),
+            "c",
+        )
+    )
+    nc = op.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = op.agg(F.countDistinct("l_orderkey").cast("long").alias("n_baskets"))
+    joined = (
+        rules
+        .join(nc.select(F.col("p").alias("antecedent"), F.col("n").alias("na")),
+              "antecedent")
+        .join(nc.select(F.col("p").alias("consequent"), F.col("n").alias("nb")),
+              "consequent")
+        .crossJoin(F.broadcast(tot))
+    )
+    cd = F.col("c").cast("double")
+    return (
+        joined.select(
+            "antecedent",
+            "consequent",
+            F.col("c").alias("common_orders"),
+            round_half_up(cd / F.col("n_baskets"), 6).alias("support"),
+            round_half_up(cd / F.col("na"), 6).alias("confidence"),
+            round_half_up(
+                cd * F.col("n_baskets") / (F.col("na") * F.col("nb")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.desc("confidence"), "antecedent", "consequent")
+        .limit(20)
+    )
+
+
 #: Hop bound for q_graph_bfs_levels — covers the full trading-graph
 #: reach from the seed at fixture scale (level 3 still finds new
 #: suppliers) while keeping the oracle's recursive CTE bounded.

@@ -289,6 +289,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_stats_welch_ttest",
     "q_quality_dp_counts",
     "q_source_arrow_timetravel",
+    "q_basket_assoc_rules",
 )
 
 

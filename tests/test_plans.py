@@ -1011,3 +1011,15 @@ def test_dp_counts_broadcasts_dims_and_ladder(spark, sf_dir):
     assert plan.count("BroadcastExchange") >= 2, plan
     assert plan.count("HashAggregate") >= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_assoc_rules_combine_pairs_before_marginal_joins(spark, sf_dir):
+    """q_basket_assoc_rules: per-pair support must be a partial+final
+    hash aggregate over the basket-width-bounded pair expansion, the
+    support floor must prune BEFORE the marginal joins, and the basket
+    total must arrive broadcast — no cartesian anywhere."""
+    plan = explain_str(QUERIES["q_basket_assoc_rules"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-20 is a heap, not a sort
