@@ -626,7 +626,7 @@ def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     ),
     idx AS (SELECT unnest(generate_series(1, 64)) AS i),
-    m AS (
+    m AS MATERIALIZED (
         SELECT i.i, round(avg(v[i.i]), 6) AS mu
         FROM e, idx i GROUP BY i.i
     ),
@@ -710,4 +710,205 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.abs(F.col("cov")).desc(), "dim_i", "dim_j")
         .limit(30)
+    )
+
+
+_PCA_DIM = 64
+_PCA_ITERS = 8
+
+
+def _pca_oracle() -> str:
+    """Unrolled power-iteration oracle: the recursive matvec is 8
+    chained CTE pairs (w_t = G·v_{t-1}; v_t = w_t/|w_t|) because a
+    recursive CTE may not aggregate over its own recursive term —
+    unrolling a FIXED iteration budget is the honest SQL twin of the
+    fixed driver-side loop."""
+    d, iters = _PCA_DIM, _PCA_ITERS
+    ctes = [
+        f"""e AS MATERIALIZED (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    )""",
+        f"idx AS MATERIALIZED (SELECT unnest(generate_series(1, {d})) AS i)",
+        """m AS MATERIALIZED (
+        SELECT i.i, round(avg(v[i.i]), 6) AS mu
+        FROM e, idx i GROUP BY i.i
+    )""",
+        """pairs AS MATERIALIZED (SELECT a.i AS i, b.i AS j FROM idx a, idx b WHERE a.i <= b.i)""",
+        """cu AS MATERIALIZED (
+        SELECT p.i, p.j,
+               round(avg((e.v[p.i] - ma.mu) * (e.v[p.j] - mb.mu)), 6) AS g
+        FROM e, pairs p
+        JOIN m ma ON ma.i = p.i
+        JOIN m mb ON mb.i = p.j
+        GROUP BY p.i, p.j
+    )""",
+        """gram AS MATERIALIZED (
+        SELECT i, j, g FROM cu
+        UNION ALL
+        SELECT j, i, g FROM cu WHERE i < j
+    )""",
+        f"v0 AS MATERIALIZED (SELECT i, 1.0/sqrt({d}.0) AS v FROM idx)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"w{t} AS MATERIALIZED (SELECT g.i, sum(g.g * v.v) AS w "
+            f"FROM gram g JOIN v{t-1} v ON v.i = g.j GROUP BY g.i)"
+        )
+        ctes.append(
+            f"v{t} AS MATERIALIZED (SELECT i, w / sqrt((SELECT sum(w*w) FROM w{t})) AS v FROM w{t})"
+        )
+    vf = f"v{iters}"
+    ctes.append(
+        f"""lam AS MATERIALIZED (
+        SELECT sum(va.v * g.g * vb.v) AS l
+        FROM gram g JOIN {vf} va ON va.i = g.i JOIN {vf} vb ON vb.i = g.j
+    )"""
+    )
+    ctes.append(
+        f"""resid AS MATERIALIZED (
+        SELECT sqrt(sum(r * r)) AS r FROM (
+            SELECT gv.i, gv.gv - (SELECT l FROM lam) * v.v AS r
+            FROM (SELECT g.i, sum(g.g * v.v) AS gv
+                  FROM gram g JOIN {vf} v ON v.i = g.j GROUP BY g.i) gv
+            JOIN {vf} v ON v.i = gv.i
+        )
+    )"""
+    )
+    ctes.append(
+        f"""proj AS (
+        SELECT e.vec_id, e.label,
+               round(sum((e.v[i.i] - m.mu) * v.v), 6) AS pc1
+        FROM e, idx i
+        JOIN m ON m.i = i.i
+        JOIN {vf} v ON v.i = i.i
+        GROUP BY e.vec_id, e.label
+    )"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT vec_id, CAST(label AS INT) AS label, pc1,
+           round((SELECT l FROM lam), 6) AS eigenvalue,
+           round((SELECT r FROM resid), 6) AS residual
+    FROM proj
+    ORDER BY abs(pc1) DESC, vec_id
+    LIMIT 20
+    """
+    )
+
+
+@query("q_embedding_pca_power", oracle=_pca_oracle())
+def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First principal component by POWER ITERATION with a fixed
+    budget (k=8) — the iterative-linear-algebra primitive on top of
+    q_embedding_covariance's distributed Gram machinery: one
+    mapInPandas pass computes per-batch centered Gram partials (the
+    only corpus-sized work), the folded 64×64 covariance (rounded at
+    6 dp — the cross-engine contract for the iteration INPUT) is
+    metadata-sized on the driver, the 8 matvec+normalize steps run in
+    numpy, and the resulting direction rides back to the executors in
+    a closure for one projection pass.  Emits the top-20 |projection|
+    rows plus the Rayleigh quotient and the residual ‖Gv−λv‖₂ — the
+    operator REPORTS its own convergence state rather than claiming
+    an eigenvector (this fixture's spectrum is nearly flat:
+    λ₂/λ₁ ≈ 0.99, so k=8 is a budget, not convergence — exactly the
+    situation the residual column exists to expose).
+
+    The oracle replays the IDENTICAL algorithm in SQL: the recursive
+    matvec unrolls into 8 chained CTE pairs (aggregation over a
+    recursive term is illegal in SQL recursion), so estimate,
+    residual and all 20 projections are value-hash-checked — where a
+    typical PCA test would settle for |cosine| ≈ 1 against a solver.
+    Cross-engine float discipline: both engines iterate on the SAME
+    rounded covariance; the only divergence is summation order inside
+    64-term dot products (~1e-13), absorbed by 6 dp rounding at
+    emission; ordering is on rounded |pc1| with vec_id tie-break.
+
+    At 100 TB: the Gram pass shuffles 2,080-row partials per batch
+    (batch-count-proportional, never row-proportional), the driver
+    holds 64×64 doubles, and the projection pass is embarrassingly
+    parallel — the same shape Spark MLlib's PCA uses (computeSVD on
+    the Gramian), reduced to its distributed core.
+    """
+    import numpy as np
+
+    from i3cols_spark.functions.vectors import as_double
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    means = (
+        emb.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.round(F.avg("x"), 6).alias("mu"))
+        .collect()
+    )
+    d = _PCA_DIM
+    mu = np.zeros(d, dtype=np.float64)
+    for r in means:
+        mu[r["i"]] = r["mu"]
+    iu, ju = np.triu_indices(d)
+
+    def gram(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["v"].tolist(), dtype=np.float64) - mu
+            g = x.T @ x
+            yield pd.DataFrame(
+                {
+                    "i": iu,
+                    "j": ju,
+                    "s": g[iu, ju],
+                    "n": np.full(len(iu), len(x), dtype=np.int64),
+                }
+            )
+
+    partials = emb.select("v").mapInPandas(gram, "i int, j int, s double, n long")
+    cov_rows = (
+        partials.groupBy("i", "j")
+        .agg(F.round(F.sum("s") / F.sum("n"), 6).alias("g"))
+        .collect()
+    )
+    G = np.zeros((d, d), dtype=np.float64)
+    for r in cov_rows:
+        G[r["i"], r["j"]] = r["g"]
+        G[r["j"], r["i"]] = r["g"]
+    v = np.full(d, 1.0 / np.sqrt(d), dtype=np.float64)
+    for _ in range(_PCA_ITERS):
+        w = G @ v
+        v = w / np.sqrt(float((w * w).sum()))
+    lam = float(v @ G @ v)
+    resid = float(np.sqrt((((G @ v) - lam * v) ** 2).sum()))
+
+    vb, mb = v.copy(), mu.copy()
+
+    def project(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["v"].tolist(), dtype=np.float64) - mb
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "pc1": np.round(x @ vb, 6),
+                }
+            )
+
+    proj = emb.mapInPandas(project, "vec_id long, label int, pc1 double")
+    return (
+        proj.select(
+            "vec_id",
+            "label",
+            "pc1",
+            F.round(F.lit(lam), 6).alias("eigenvalue"),
+            F.round(F.lit(resid), 6).alias("residual"),
+        )
+        .orderBy(F.abs(F.col("pc1")).desc(), "vec_id")
+        .limit(20)
     )

@@ -290,6 +290,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_quality_dp_counts",
     "q_source_arrow_timetravel",
     "q_basket_assoc_rules",
+    "q_embedding_pca_power",
 )
 
 

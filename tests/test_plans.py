@@ -1023,3 +1023,16 @@ def test_assoc_rules_combine_pairs_before_marginal_joins(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     assert "TakeOrderedAndProject" in plan  # top-20 is a heap, not a sort
+
+
+def test_pca_projection_is_one_arrow_pass_with_heap_topk(spark, sf_dir):
+    """q_embedding_pca_power: the returned plan is the PROJECTION pass
+    — one mapInPandas over the scan (direction + means ride in the
+    closure, no join against a vector table) ending in a top-k heap,
+    never a global sort.  The Gram fold happened at build time and
+    shuffles batch-proportional partials (asserted by the covariance
+    twin's test)."""
+    plan = explain_str(QUERIES["q_embedding_pca_power"](spark, sf_dir))
+    assert plan.count("MapInPandas (") == 1, plan
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
