@@ -291,6 +291,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_source_arrow_timetravel",
     "q_basket_assoc_rules",
     "q_embedding_pca_power",
+    "q_text_kneser_ney",
 )
 
 

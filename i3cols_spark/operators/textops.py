@@ -827,3 +827,127 @@ def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(20)
     )
+
+
+#: Kneser–Ney absolute discount: ¾ is the textbook fixed-D choice and
+#: EXACTLY dyadic, so c − D stays bit-exact in both engines.
+_KN_DISCOUNT = 0.75
+
+
+@query(
+    "q_text_kneser_ney",
+    oracle=r"""
+    WITH t AS (
+        SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents
+    ),
+    b AS (
+        SELECT toks[i] AS w1, toks[i + 1] AS w2
+        FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+        WHERE toks[i] <> '' AND toks[i + 1] <> ''
+    ),
+    cnt AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair FROM b GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT w1, w2, n_pair,
+               sum(n_pair) OVER (PARTITION BY w1)  AS c1,
+               count(*)    OVER (PARTITION BY w1)  AS n1_fw,
+               count(*)    OVER (PARTITION BY w2)  AS n1_bw,
+               count(*)    OVER ()                 AS n1_tot
+        FROM cnt
+    )
+    SELECT w1, w2, n_pair,
+           CAST(n1_fw AS BIGINT) AS n_continuations,
+           floor((CAST(n_pair AS DOUBLE) / c1) * 1000000 + 0.5) / 1000000.0 AS p_mle,
+           floor(((n_pair - 0.75) / c1
+                  + ((0.75 * n1_fw) / c1) * (CAST(n1_bw AS DOUBLE) / n1_tot))
+                 * 1000000 + 0.5) / 1000000.0 AS p_kn
+    FROM stats
+    ORDER BY n_pair DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def q_text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram probabilities (Kneser & Ney
+    1995; Chen & Goodman 1999's fixed-discount form, D = ¾):
+    P_KN(w2|w1) = (c−D)/c(w1) + D·N₁₊(w1,·)/c(w1) · P_cont(w2), with
+    the continuation prior P_cont(w2) = N₁₊(·,w2)/N₁₊(·,·) — the
+    smoothing that made n-gram LMs production-grade, and the
+    principled upgrade to q_text_bigram_lm's MLE table (emitted
+    alongside as p_mle so the discount's effect is visible per pair).
+    "San Francisco" famously inflates MLE P(francisco|·); the
+    continuation count asks how many DISTINCT contexts a word
+    follows, which is what the backoff mass should reward.
+
+    Shape: the SAME collapse-first weighted bigram count table as
+    q_text_bigram_lm (each distinct text pair-expanded once,
+    multiplicity-weighted, one map-side-combined groupBy); every KN
+    ingredient — context totals c(w1), forward type counts N₁₊(w1,·),
+    continuation counts N₁₊(·,w2), the global type total — is a
+    window over that vocabulary²-sized table, never a second corpus
+    pass.  Only SEEN bigrams are emitted (the unseen mass lives in
+    the backoff term by construction).
+
+    Determinism: all counts are exact integers and D = ¾ is dyadic,
+    so c − D is bit-exact; the probability expressions mirror the
+    oracle's operation tree exactly and round HALF_UP at 6 dp —
+    these ARE dyadic-denominator rationals, precisely the class that
+    lands on .5 boundaries (registry discipline).  Top-20 orders on
+    the exact integer count with (w1, w2) tie-breaks.
+    """
+
+    def build(tk: F.Column) -> F.Column:
+        return F.when(
+            F.size(tk) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - 2),
+                lambda i: F.struct(
+                    F.element_at(tk, i + 1).alias("w1"),
+                    F.element_at(tk, i + 2).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array())
+
+    from i3cols_spark.functions.rounding import round_half_up
+
+    bigrams = F.get(F.transform(F.array(tokens("text")), build), 0)
+    distinct_texts = (
+        table(spark, sf_dir, "documents")
+        .groupBy(F.xxhash64("text").alias("th"))
+        .agg(F.count(F.lit(1)).alias("mult"), F.first("text").alias("text"))
+    )
+    cnt = (
+        distinct_texts.select("mult", F.explode(bigrams).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"), "mult")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.sum("mult").cast("bigint").alias("n_pair"))
+    )
+    stats = cnt.select(
+        "w1",
+        "w2",
+        "n_pair",
+        F.sum("n_pair").over(W.partitionBy("w1")).alias("c1"),
+        F.count(F.lit(1)).over(W.partitionBy("w1")).alias("n1_fw"),
+        F.count(F.lit(1)).over(W.partitionBy("w2")).alias("n1_bw"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n1_tot"),
+    )
+    d = F.lit(_KN_DISCOUNT)
+    p_kn = (
+        (F.col("n_pair") - d) / F.col("c1")
+        + ((d * F.col("n1_fw")) / F.col("c1"))
+        * (F.col("n1_bw").cast("double") / F.col("n1_tot"))
+    )
+    return (
+        stats.select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.col("n1_fw").cast("bigint").alias("n_continuations"),
+            round_half_up(F.col("n_pair").cast("double") / F.col("c1"), 6).alias("p_mle"),
+            round_half_up(p_kn, 6).alias("p_kn"),
+        )
+        .orderBy(F.desc("n_pair"), "w1", "w2")
+        .limit(20)
+    )
