@@ -292,6 +292,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_basket_assoc_rules",
     "q_embedding_pca_power",
     "q_text_kneser_ney",
+    "q_ts_seasonal_decompose",
 )
 
 

@@ -699,3 +699,86 @@ def q_ts_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("peak_concurrency"),
         F.col("n_deltas").cast("bigint").alias("n_deltas"),
     )
+
+
+@query(
+    "q_ts_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             floor(sum(value) * 1000000 + 0.5) / 1000000.0 AS y
+      FROM events GROUP BY 1
+    ), tr AS (
+      SELECT day, y,
+             floor(avg(y) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                   * 1000000 + 0.5) / 1000000.0 AS trend
+      FROM daily
+    ), det AS (
+      SELECT day, y, trend, y - trend AS detrended,
+             date_diff('day', DATE '1970-01-01', day) % 7 AS dow
+      FROM tr
+    ), seas AS (
+      SELECT dow, floor(avg(detrended) * 1000000 + 0.5) / 1000000.0 AS seasonal
+      FROM det GROUP BY dow
+    )
+    SELECT det.day, det.y, det.trend, seas.seasonal,
+           floor((det.detrended - seas.seasonal) * 1000000 + 0.5) / 1000000.0
+               AS remainder
+    FROM det JOIN seas ON det.dow = seas.dow
+    ORDER BY det.day
+    """,
+)
+def q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    core of STL, Cleveland 1990): daily totals split into
+    trend (7-day centered moving average) + weekly seasonal (mean
+    detrended value per day-of-week) + remainder — the screen that
+    separates "sales dip every Sunday" from "sales dipped, alert".
+    q_anomaly_zscore/_mad flag deviations from a STATIC center; this
+    operator removes structure FIRST, which is what makes residual
+    alerts meaningful on seasonal traffic.
+
+    Scale shape: the only corpus-sized work is the map-side-combined
+    daily aggregate; the decomposition runs on the DAYS-sized series
+    (a century of days is 36,525 rows), so the unpartitioned ordered
+    window is a deliberate non-cost — unlike q_ts_concurrency_sweep,
+    whose deltas are row-sized and forced a two-level day-partitioned
+    sweep.  The 7-row seasonal profile joins back broadcast.
+
+    Determinism: each stage canonicalizes at HALF_UP 6 dp before the
+    next consumes it (daily sums are multi-row float reductions; the
+    downstream arithmetic on identical rounded inputs is bit-exact,
+    only the 7-term window mean and ≤5-term seasonal mean re-expose
+    summation order, re-absorbed by their own rounding).  Day-of-week
+    is epoch-day mod 7 in both dialects — engine-native dayofweek()
+    conventions disagree (Spark 1=Sunday, DuckDB 0=Sunday) and the
+    portable form needs no convention at all.  Edge days keep their
+    partial centered windows (both engines agree on frame clipping).
+    """
+    from i3cols_spark.functions.rounding import round_half_up
+
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(round_half_up(F.sum("value"), 6).alias("y"))
+    )
+    w_ma = W.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day", "y", round_half_up(F.avg("y").over(w_ma), 6).alias("trend")
+    )
+    det = tr.select(
+        "day", "y", "trend",
+        (F.col("y") - F.col("trend")).alias("detrended"),
+        (F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) % 7).alias("dow"),
+    )
+    seas = det.groupBy("dow").agg(
+        round_half_up(F.avg("detrended"), 6).alias("seasonal")
+    )
+    return (
+        det.join(F.broadcast(seas), "dow")
+        .select(
+            "day", "y", "trend", "seasonal",
+            round_half_up(F.col("detrended") - F.col("seasonal"), 6).alias("remainder"),
+        )
+        .orderBy("day")
+    )
