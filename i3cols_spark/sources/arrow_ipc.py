@@ -53,6 +53,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -291,6 +292,7 @@ class ArrowIPCWriter(DataSourceWriter):
         new = sorted(m.filename for m in messages if m is not None)
         manifest = os.path.join(self.root, MANIFEST)
         prev_version = 0
+        batches: dict = {}
         if os.path.exists(manifest):
             with open(manifest) as fh:
                 head = json.load(fh)
@@ -301,10 +303,17 @@ class ArrowIPCWriter(DataSourceWriter):
             # append keeps prior entries IN ORDER and adds this job's
             # files after them — arrival order is the streaming-tail
             # offset axis (ArrowIPCStreamReader), so it must be stable.
+            # The stream sink's committed-batch record survives batch
+            # APPENDS (losing it would let a replayed epoch duplicate)
+            # and resets on overwrite (a new table state).
+            if not self.overwrite:
+                batches = head.get("batches", {})
         else:
             files = new
         version = prev_version + 1
         payload = {"version": version, "files": files}
+        if batches:
+            payload["batches"] = batches
         # The snapshot is written FIRST and never replaced: a time-
         # travel reader of v{n} sees either nothing (commit not yet
         # durable) or the complete immutable file list.  Only then
@@ -324,6 +333,61 @@ class ArrowIPCWriter(DataSourceWriter):
         # Files from completed tasks of the aborted job stay on disk
         # but are unreachable: the manifest was never replaced.
         pass
+
+
+class ArrowIPCStreamWriter(DataSourceStreamWriter):
+    """Streaming SINK with exactly-once semantics by IDEMPOTENT batch
+    commits: the engine passes ``batchId`` (its checkpointed epoch) to
+    ``commit``, and the manifest records which batch ids are already
+    durable — a replayed epoch (restart after the sink committed but
+    before the checkpoint advanced, the classic at-least-once gap) is
+    recognized and skipped, so each micro-batch's rows land exactly
+    once.  This is the same contract Spark's own file sink implements
+    with _spark_metadata batch files, reduced to its core: idempotence
+    keyed on (sink, batchId), not deduplication of data.
+
+    Task files from the replayed attempt stay on disk unreachable
+    (manifest is the source of truth) until vacuum — identical to the
+    failed-task orphan story."""
+
+    def __init__(self, options: dict, schema) -> None:
+        self.root = options["path"]
+        self.schema = schema
+        self._delegate = ArrowIPCWriter(options, schema, overwrite=False)
+
+    def write(self, rows: Iterator) -> _Committed:
+        return self._delegate.write(rows)
+
+    def commit(self, messages, batchId: int) -> None:
+        new = sorted(m.filename for m in messages if m is not None)
+        manifest = os.path.join(self.root, MANIFEST)
+        batches: dict = {}
+        files: list = []
+        prev_version = 0
+        if os.path.exists(manifest):
+            with open(manifest) as fh:
+                head = json.load(fh)
+            if str(batchId) in head.get("batches", {}):
+                return  # epoch already durable — replay is a no-op
+            prev_version = head.get("version", 1)
+            files = head["files"]
+            batches = head.get("batches", {})
+        batches[str(batchId)] = new
+        payload = {
+            "version": prev_version + 1,
+            "files": files + new,
+            "batches": batches,
+        }
+        snap = os.path.join(self.root, _SNAPSHOT_FMT.format(n=payload["version"]))
+        with open(snap, "w") as fh:
+            json.dump(payload, fh)
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        os.replace(tmp, manifest)
+
+    def abort(self, messages, batchId: int) -> None:
+        pass  # task files stay unreachable; the manifest never moved
 
 
 class ArrowIPCDataSource(DataSource):
@@ -368,6 +432,15 @@ class ArrowIPCDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> ArrowIPCWriter:
         return ArrowIPCWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> ArrowIPCStreamWriter:
+        if overwrite:
+            raise NotImplementedError(
+                "arrowipc streaming sink supports append mode only — "
+                "complete/update would rewrite history that snapshot "
+                "readers may hold"
+            )
+        return ArrowIPCStreamWriter(self.options, schema)
 
 
 def register_arrow_ipc(spark) -> None:

@@ -215,3 +215,68 @@ def test_stream_fails_loudly_when_manifest_shrinks(spark, tmp_path):
     _write(spark, df2.coalesce(1), out, mode="overwrite")  # manifest: 1 file
     with pytest.raises(Exception, match="manifest under|overwritten"):
         drain()
+
+
+def test_stream_sink_commit_is_idempotent_per_batch(spark, tmp_path):
+    """The at-least-once gap: a restart can replay an epoch whose sink
+    commit already landed.  A second commit with the SAME batchId must
+    be a no-op (manifest byte-identical), while a new batchId appends."""
+    from pyspark.sql.types import StructType
+
+    from i3cols_spark.sources.arrow_ipc import ArrowIPCStreamWriter, _Committed
+
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    schema = StructType.fromDDL(SCHEMA)
+    w = ArrowIPCStreamWriter({"path": out}, schema)
+    part = os.path.join(out, "part-b0.arrow")
+    import pyarrow as pa
+
+    with pa.OSFile(part, "wb") as s, pa.ipc.new_file(
+        s, pa.schema([pa.field("k", pa.int64()), pa.field("v", pa.float64()),
+                      pa.field("s", pa.string())])
+    ) as fw:
+        fw.write_table(pa.table({"k": [1], "v": [1.0], "s": ["a"]}))
+    w.commit([_Committed("part-b0.arrow")], batchId=0)
+    head1 = open(os.path.join(out, MANIFEST)).read()
+    # replayed epoch: same batchId, (re-attempted) task files
+    w.commit([_Committed("part-b0-retry.arrow")], batchId=0)
+    assert open(os.path.join(out, MANIFEST)).read() == head1
+    # fresh epoch appends
+    w.commit([_Committed("part-b0.arrow")], batchId=1)
+    head3 = json.load(open(os.path.join(out, MANIFEST)))
+    assert head3["version"] == 2 and set(head3["batches"]) == {"0", "1"}
+
+
+def test_stream_through_arrowipc_exactly_once(spark, tmp_path):
+    """End-to-end exactly-once THROUGH the format: arrowipc source →
+    arrowipc sink with a checkpoint, drained, appended to, restarted —
+    the sink must hold each source row exactly once, and the sink dir
+    is itself a valid snapshot-versioned table."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ck")
+    register_arrow_ipc(spark)
+    df1 = spark.createDataFrame([(1, 1.0, "a"), (2, 2.0, "b")], SCHEMA)
+    _write(spark, df1.coalesce(1), src)
+
+    def drain():
+        q = (
+            spark.readStream.format("arrowipc").option("path", src)
+            .option("schema", SCHEMA).load()
+            .writeStream.format("arrowipc").option("path", dst)
+            .option("schema", SCHEMA)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert sorted(tuple(r) for r in _read(spark, dst).collect()) == [
+        (1, 1.0, "a"), (2, 2.0, "b")]
+    _write(spark, spark.createDataFrame([(3, 3.0, "c")], SCHEMA).coalesce(1), src)
+    drain()  # restart from the same checkpoint
+    assert sorted(tuple(r) for r in _read(spark, dst).collect()) == [
+        (1, 1.0, "a"), (2, 2.0, "b"), (3, 3.0, "c")]
+    head = json.load(open(os.path.join(dst, MANIFEST)))
+    assert len(head["batches"]) >= 2  # one durable epoch per drain
