@@ -875,3 +875,100 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+#: Node-id offset separating the supplier key space from customers in
+#: the entity-resolution match graph (far above any fixture key).
+_ER_SUPP_OFFSET = 1_099_511_627_776  # 2^40, the BFS convention
+
+
+@query(
+    "q_entity_resolution",
+    oracle=rf"""
+    WITH RECURSIVE raw AS (
+        SELECT c.c_custkey AS cust,
+               s.s_suppkey + {_ER_SUPP_OFFSET} AS supp
+        FROM customer c JOIN supplier s
+          ON substr(c.c_name, 10, 6) = substr(s.s_name, 10, 6)
+         AND levenshtein(substr(c.c_name, 10, 9), substr(s.s_name, 10, 9)) <= 1
+    ),
+    edges AS (
+        SELECT cust AS a, supp AS b FROM raw
+        UNION ALL
+        SELECT supp, cust FROM raw
+    ),
+    reach(src, dst) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (
+        SELECT src AS node, min(dst) AS entity_id FROM reach GROUP BY src
+    )
+    SELECT CASE WHEN node < {_ER_SUPP_OFFSET} THEN 'customer' ELSE 'supplier' END
+               AS kind,
+           CAST(CASE WHEN node < {_ER_SUPP_OFFSET} THEN node
+                     ELSE node - {_ER_SUPP_OFFSET} END AS BIGINT) AS key,
+           CAST(entity_id AS BIGINT) AS entity_id,
+           CAST(count(*) OVER (PARTITION BY entity_id) AS BIGINT) AS entity_size
+    FROM comp
+    ORDER BY entity_id, kind, key
+    """,
+)
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution CLOSED INTO CANONICAL ENTITIES: the blocked
+    fuzzy name matches of q_join_fuzzy_names (edit distance ≤ 1 on
+    the 9-digit name suffix, equi-blocked on its 6-digit prefix) are
+    edges of a customer↔supplier match graph, and hook+pointer-jump
+    connected components assign every MATCHED record its canonical
+    entity_id (= min node id of the component) — the step that turns
+    pairwise linkage into a master-data identity, exactly as
+    q_dedup_*_cluster_rep turns near-dup pairs into cluster
+    representatives.  Output is one row per matched record with its
+    entity id and entity size; unmatched records are their own
+    entities by definition and are deliberately not materialized
+    (at 100 TB the interesting output is the match closure, not an
+    identity row per record).
+
+    Scale shape: the match join is the blocked equi-join (linear,
+    per-block quadratic bounded by key design — q_join_fuzzy_names'
+    analysis); components run on the MATCH-graph, whose size is the
+    number of fuzzy matches, not the number of records; supplier ids
+    move to a disjoint +2^40 key space (the BFS convention) so one
+    long column carries both registries.  The oracle is the textbook
+    recursive-CTE closure over the same edges, so every entity label
+    is value-hash-checked.
+    """
+    from i3cols_spark.operators.graph import connected_components
+
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"), F.substring("c_name", 10, 9).alias("cn")
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") + F.lit(_ER_SUPP_OFFSET)).alias("supp"),
+        F.substring("s_name", 10, 9).alias("sn"),
+    )
+    raw = cust.join(
+        supp,
+        (F.substring("cn", 1, 6) == F.substring("sn", 1, 6))
+        & (F.levenshtein("cn", "sn") <= 1),
+    ).select("cust", "supp")
+    edges = raw.select(F.col("cust").alias("a"), F.col("supp").alias("b"))
+    nodes = (
+        edges.select(F.col("a").alias("id"))
+        .union(edges.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    comp = connected_components(nodes, edges)
+    w_ent = W.partitionBy("comp")
+    return (
+        comp.select(
+            F.when(F.col("id") < _ER_SUPP_OFFSET, F.lit("customer"))
+            .otherwise(F.lit("supplier")).alias("kind"),
+            F.when(F.col("id") < _ER_SUPP_OFFSET, F.col("id"))
+            .otherwise(F.col("id") - _ER_SUPP_OFFSET).cast("bigint").alias("key"),
+            F.col("comp").cast("bigint").alias("entity_id"),
+            F.count(F.lit(1)).over(w_ent).cast("bigint").alias("entity_size"),
+        )
+        .orderBy("entity_id", "kind", "key")
+    )

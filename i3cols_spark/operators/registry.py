@@ -293,6 +293,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_embedding_pca_power",
     "q_text_kneser_ney",
     "q_ts_seasonal_decompose",
+    "q_entity_resolution",
 )
 
 
