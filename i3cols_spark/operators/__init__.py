@@ -30,6 +30,7 @@ from i3cols_spark.operators import pipeline  # noqa: E402,F401  (§E training-da
 from i3cols_spark.operators import timeseries  # noqa: E402,F401  (§E time-series analytics)
 from i3cols_spark.operators import layout  # noqa: E402,F401  (§E data layout)
 from i3cols_spark.operators import quality  # noqa: E402,F401  (§E data quality + sources)
+from i3cols_spark.operators import sql_surface  # noqa: E402,F401  (SQL entry path)
 
 __all__ = [
     "CONTRACT_QUERIES",

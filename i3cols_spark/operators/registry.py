@@ -294,6 +294,8 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_text_kneser_ney",
     "q_ts_seasonal_decompose",
     "q_entity_resolution",
+    "q_sql_tpch_q3",
+    "q_sql_tpch_q5",
 )
 
 

@@ -1,0 +1,121 @@
+"""The SQL ENTRY PATH on the checked surface: multi-join TPC-H-style
+composites submitted as ``spark.sql()`` text over registered temp
+views — proving a user can hand this engine the SQL they already run
+(every other query on the surface goes through the DataFrame API;
+these go through the parser/analyzer, exercising alias resolution,
+date literals, subqueries and join reordering end-to-end).
+
+The oracle is the SAME statement in DuckDB's dialect, so the value
+hash pins the full parse → optimize → execute path, not a
+re-expression.  Catalyst treats SQL and DataFrame plans identically
+after analysis — the plan tests assert the composites still get
+broadcast dims, partial aggregation and pushed date filters, i.e.
+that the text path loses none of the physical quality the DataFrame
+path is held to.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from i3cols_spark.operators.registry import query
+from i3cols_spark.sources.tables import table
+
+#: Pricing-date parameters sit inside the fixture's 1995-2001 span.
+_Q3_DATE = "1998-03-15"
+_Q5_LO, _Q5_HI = "1996-01-01", "1997-01-01"
+
+
+def _register(spark: SparkSession, sf_dir: str, names: tuple) -> None:
+    for t in names:
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+@query(
+    "q_sql_tpch_q3",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '{_Q3_DATE}'
+      AND l.l_shipdate > DATE '{_Q3_DATE}'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority), adapted to the fixture schema
+    (o_orderpriority stands in for the reference's o_shippriority):
+    unshipped-revenue top-10 for one market segment — the classic
+    3-way fact join with selective filters on BOTH fact sides.
+    Submitted as SQL TEXT; per-group revenue rounds at 2 dp (groups
+    are order-sized, a handful of terms) and the top-10 orders on the
+    rounded value with (date, orderkey) tie-breaks."""
+    _register(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql(f"""
+        SELECT l.l_orderkey,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               o.o_orderdate, o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < DATE '{_Q3_DATE}'
+          AND l.l_shipdate > DATE '{_Q3_DATE}'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+        LIMIT 10
+    """)
+
+
+@query(
+    "q_sql_tpch_q5",
+    oracle=f"""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = (SELECT min(r_name) FROM region)
+      AND o.o_orderdate >= DATE '{_Q5_LO}'
+      AND o.o_orderdate <  DATE '{_Q5_HI}'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+)
+def q_sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): the 6-way snowflake join with
+    the LOCAL constraint (customer and supplier share a nation) and a
+    scalar subquery picking the region — the join-reordering stress
+    test of the suite, submitted as SQL text.  Revenue per nation sums
+    thousands of doubles → rounded at 2 dp (float error ~1e-7 at this
+    magnitude), ordered on the rounded value with a name tie-break."""
+    _register(
+        spark, sf_dir,
+        ("customer", "orders", "lineitem", "supplier", "nation", "region"),
+    )
+    return spark.sql(f"""
+        SELECT n.n_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = (SELECT min(r_name) FROM region)
+          AND o.o_orderdate >= DATE '{_Q5_LO}'
+          AND o.o_orderdate <  DATE '{_Q5_HI}'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, n.n_name
+    """)

@@ -1036,3 +1036,20 @@ def test_pca_projection_is_one_arrow_pass_with_heap_topk(spark, sf_dir):
     assert plan.count("MapInPandas (") == 1, plan
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_sql_text_path_keeps_physical_quality(spark, sf_dir):
+    """q_sql_tpch_q3/q5: plans submitted as SQL TEXT must get the same
+    physical treatment the DataFrame path is held to — date filters
+    pushed to the parquet scans, partial+final aggregation, and the
+    bounded dims (nation/region in q5) broadcast."""
+    q3 = QUERIES["q_sql_tpch_q3"](spark, sf_dir)
+    assert any("o_orderdate" in f for f in pushed_filters(q3))
+    assert any("l_shipdate" in f for f in pushed_filters(q3))
+    plan3 = explain_str(q3)
+    assert plan3.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan3
+    q5 = QUERIES["q_sql_tpch_q5"](spark, sf_dir)
+    plan5 = explain_str(q5)
+    assert "BroadcastHashJoin" in plan5
+    assert any("o_orderdate" in f for f in pushed_filters(q5))
