@@ -545,6 +545,26 @@ def q_quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dp_laplace_noise(key: "F.Column", eps: "F.Column") -> "F.Column":
+    """Deterministic Laplace(1/eps) noise for a released cell: an
+    md5-derived dyadic uniform u = (h32 + 0.5)/2^32 through the
+    inverse CDF -(1/eps)*sign(u-1/2)*ln(1-2|u-1/2|).  Hash-seeded so
+    batch, streaming and task-retry executions all realize the SAME
+    noise (per-epoch RNGs would silently break epsilon accounting);
+    shared by q_quality_dp_counts and streaming.jobs
+    stream_dp_class_counts, whose equality test is exactly this
+    determinism claim."""
+    u = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint").cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    return (
+        -(F.lit(1.0) / eps)
+        * F.signum(u - F.lit(0.5))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+    )
+
+
 @query(
     "q_quality_dp_counts",
     oracle="""
@@ -615,16 +635,9 @@ def q_quality_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("0.5", 0.5), ("2.0", 2.0)], "eps_label string, eps double"
     )
     key = F.concat_ws("|", "nation", "segment", "eps_label")
-    u = (
-        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint").cast("double")
-        + F.lit(0.5)
-    ) / F.lit(4294967296.0)
-    noise = (
-        -(F.lit(1.0) / F.col("eps"))
-        * F.signum(u - F.lit(0.5))
-        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+    noised = classes.crossJoin(F.broadcast(ladder)).withColumn(
+        "noise", dp_laplace_noise(key, F.col("eps"))
     )
-    noised = classes.crossJoin(F.broadcast(ladder)).withColumn("noise", noise)
     return (
         noised.select(
             "nation", "segment", "eps_label", "true_count",

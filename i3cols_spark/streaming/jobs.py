@@ -505,3 +505,45 @@ def stream_histogram_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def stream_dp_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_quality_dp_counts at ε = 0.5: a customer
+    stream joins the static nation dim (stream-static broadcast), one
+    complete-mode aggregation maintains the (nation, segment) class
+    histogram, and the Laplace release applies the SHARED hash-seeded
+    noise (quality.dp_laplace_noise) to the aggregated counts — the
+    point being that deterministic noise makes a DP release
+    STREAMING-CONSISTENT: every micro-batch's re-emission of a cell
+    realizes the identical noise, where an RNG would re-noise per
+    epoch and silently multiply the privacy spend.  The stream≡batch
+    test is exactly that claim."""
+    from i3cols_spark.functions.rounding import round_half_up
+    from i3cols_spark.operators.quality import dp_laplace_noise
+
+    configure(spark)
+    nat = table(spark, sf_dir, "nation")
+    batch_schema = spark.read.parquet(f"{sf_dir}/customer.parquet").schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "customer.parquet")
+        .load(sf_dir)
+    )
+    classes = (
+        stream.join(F.broadcast(nat), stream.c_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
+    )
+    key = F.concat_ws("|", "nation", "segment", F.lit("0.5"))
+    return classes.select(
+        "nation",
+        "segment",
+        "true_count",
+        round_half_up(
+            F.col("true_count") + dp_laplace_noise(key, F.lit(0.5)), 6
+        ).alias("noisy_count"),
+    )

@@ -421,3 +421,23 @@ def test_stream_histogram_grid_equals_batch(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     assert _rows(streamed) == _rows(batch)
+
+
+def test_stream_dp_counts_equals_batch(spark, sf_dir):
+    """The streaming DP release must equal the batch release cell for
+    cell at the shared ε — hash-seeded noise is what makes a DP
+    mechanism streaming-consistent (an RNG would re-noise every
+    micro-batch re-emission and silently multiply the privacy spend)."""
+    sdf = jobs.stream_dp_class_counts(spark, sf_dir)
+    jobs.run_to_memory(sdf, "mem_dp_counts")
+    streamed = {
+        (r["nation"], r["segment"], r["true_count"], r["noisy_count"])
+        for r in spark.table("mem_dp_counts").collect()
+    }
+    batch = {
+        (r["nation"], r["segment"], r["true_count"], r["noisy_count"])
+        for r in QUERIES["q_quality_dp_counts"](spark, sf_dir)
+        .filter(F.col("eps_label") == "0.5")
+        .collect()
+    }
+    assert streamed == batch and len(batch) > 0
