@@ -296,6 +296,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_entity_resolution",
     "q_sql_tpch_q3",
     "q_sql_tpch_q5",
+    "q_dedup_embedding_cluster_rep",
 )
 
 
