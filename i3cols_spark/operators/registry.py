@@ -297,6 +297,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_sql_tpch_q3",
     "q_sql_tpch_q5",
     "q_dedup_embedding_cluster_rep",
+    "q_ts_cusum_changepoint",
 )
 
 

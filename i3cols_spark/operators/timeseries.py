@@ -782,3 +782,94 @@ def q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q_ts_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             floor(sum(value) * 1000000 + 0.5) / 1000000.0 AS y
+      FROM events GROUP BY 1
+    ), base AS (
+      SELECT day, y,
+             floor(avg(y) OVER () * 1000000 + 0.5) / 1000000.0 AS ybar
+      FROM daily
+    ), cus AS (
+      SELECT day, y,
+             floor(sum(y - ybar) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   * 1000000 + 0.5) / 1000000.0 AS cusum
+      FROM base
+    ), mx AS (
+      SELECT day, y, cusum,
+             floor(max(abs(cusum)) OVER () * 1000000 + 0.5) / 1000000.0
+                 AS max_abs_cusum
+      FROM cus
+    )
+    SELECT day, y, cusum,
+           min(CASE WHEN floor(abs(cusum) * 1000000 + 0.5) / 1000000.0
+                         = max_abs_cusum THEN day END) OVER ()
+               AS changepoint_day,
+           max_abs_cusum
+    FROM mx
+    ORDER BY day
+    """,
+)
+def q_ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point screen (Page 1954 / the bootstrap-CUSUM
+    recipe of Taylor 2000, detection half): the cumulative sum of
+    deviations from the series mean, S_t = Σ_{i≤t}(y_i − ȳ), whose
+    extremum marks the most likely single shift in level — the
+    complement to q_ts_seasonal_decompose (structure removal) and
+    q_anomaly_* (point outliers): CUSUM finds the REGIME change a
+    point screen is blind to, because a small persistent shift
+    accumulates linearly in S_t.  Emits the full CUSUM path (the
+    analyst reads the tent shape, not just the argmax) plus the
+    argmax day and |S|max as constant columns.
+
+    Scale shape: one map-side-combined daily aggregate is the only
+    corpus-sized pass; the path is a running window over the
+    DAYS-sized series (q_ts_seasonal_decompose's argument — at a
+    century of days this is 36,525 rows in one task, a deliberate
+    non-cost).  ȳ broadcasts via an empty-frame window on the same
+    tiny table.
+
+    Determinism: daily totals and ȳ canonicalize HALF_UP 6 dp, so
+    each deviation is bit-exact; the running sum adds them in frame
+    order (identical left-fold in both engines) and re-rounds; the
+    argmax breaks |S| ties on the EARLIER day in both dialects
+    (max_by with a (|S|, −epoch-day) key in DuckDB, min(day)-over-
+    max-|S| in Spark).
+    """
+    from i3cols_spark.functions.rounding import round_half_up
+
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(round_half_up(F.sum("value"), 6).alias("y"))
+    )
+    w_all = W.partitionBy()
+    base = daily.select(
+        "day", "y", round_half_up(F.avg("y").over(w_all), 6).alias("ybar")
+    )
+    w_run = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    cus = base.select(
+        "day", "y",
+        round_half_up(F.sum(F.col("y") - F.col("ybar")).over(w_run), 6).alias("cusum"),
+    )
+    mx = round_half_up(F.max(F.abs(F.col("cusum"))).over(w_all), 6)
+    return (
+        cus.withColumn("max_abs_cusum", mx)
+        .withColumn(
+            "changepoint_day",
+            F.min(
+                F.when(
+                    round_half_up(F.abs(F.col("cusum")), 6) == F.col("max_abs_cusum"),
+                    F.col("day"),
+                )
+            ).over(w_all),
+        )
+        .select("day", "y", "cusum", "changepoint_day", "max_abs_cusum")
+        .orderBy("day")
+    )
