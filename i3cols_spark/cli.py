@@ -82,7 +82,26 @@ def main(argv: list[str] | None = None) -> int:
     sub.add_parser("list", help="list registered queries")
     sub.add_parser("bench", help="run the headline bench (one JSON line)")
 
+    vac = sub.add_parser(
+        "vacuum", help="reclaim superseded arrowipc snapshots (time travel GC)"
+    )
+    vac.add_argument("path", help="arrowipc table directory")
+    vac.add_argument(
+        "--retain-last", type=int, default=1,
+        help="newest snapshot versions to keep (HEAD is always kept)",
+    )
+
     args = p.parse_args(argv)
+
+    if args.cmd == "vacuum":
+        # Pure filesystem walk over the manifest protocol — no Spark
+        # session needed (and none should be paid for).
+        import json as _json
+
+        from i3cols_spark.sources.arrow_ipc import vacuum
+
+        print(_json.dumps(vacuum(args.path, retain_last=args.retain_last)))
+        return 0
 
     if args.cmd == "bench":
         # bench.py lives at the repo root next to __spark_entry__.py;

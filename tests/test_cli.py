@@ -122,3 +122,35 @@ def test_cli_index_builds_and_is_idempotent(spark, sf_dir, capsys):
     assert main(["--cpus", "4", "index", "--sf-dir", sf_dir]) in (0, None)
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["index"] == out1["index"]
+
+
+def test_cli_vacuum_reclaims_snapshots(tmp_path):
+    """`i3cols-spark vacuum <dir>` walks the arrowipc manifest protocol
+    without paying for a Spark session and prints the reclaim stats."""
+    import json
+    import os
+
+    import pyarrow as pa
+
+    from i3cols_spark.sources.arrow_ipc import ArrowIPCWriter, _Committed
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    for fname, overwrite in [("part-one.arrow", False), ("part-two.arrow", True)]:
+        with pa.OSFile(os.path.join(root, fname), "wb") as s, pa.ipc.new_file(
+            s, pa.schema([pa.field("k", pa.int64())])
+        ) as w:
+            w.write_table(pa.table({"k": [1]}))
+        ArrowIPCWriter({"path": root}, None, overwrite=overwrite).commit(
+            [_Committed(fname)]
+        )
+    r = subprocess.run(
+        [sys.executable, "-m", "i3cols_spark.cli", "vacuum", root,
+         "--retain-last", "1"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert r.returncode == 0, r.stderr
+    stats = json.loads(r.stdout)
+    assert stats == {"removed_manifests": 1, "removed_parts": 1,
+                     "retained_versions": [2]}
+    assert "part-one.arrow" not in os.listdir(root)
