@@ -298,6 +298,8 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_sql_tpch_q5",
     "q_dedup_embedding_cluster_rep",
     "q_ts_cusum_changepoint",
+    "q_stats_ks_test",
+    "q_stats_benford",
 )
 
 

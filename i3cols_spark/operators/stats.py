@@ -1227,3 +1227,182 @@ def q_stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(df_num / df_den, 2).alias("df_welch"),
         F.round((F.col("m_r") - F.col("m_a")) / pooled_sd, 6).alias("cohens_d"),
     )
+
+
+@query(
+    "q_stats_ks_test",
+    oracle="""
+    WITH vals AS (
+      SELECT l_extendedprice AS v, l_returnflag AS g FROM lineitem
+      WHERE l_returnflag IN ('R', 'A')
+    ), dist AS (
+      SELECT v,
+             CAST(count(*) FILTER (WHERE g = 'R') AS BIGINT) AS cr,
+             CAST(count(*) FILTER (WHERE g = 'A') AS BIGINT) AS ca
+      FROM vals GROUP BY v
+    ), tot AS (
+      SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ca) AS BIGINT) AS na
+      FROM dist
+    ), cum AS MATERIALIZED (
+      SELECT v,
+             floor(abs(CAST(sum(cr) OVER (ORDER BY v) AS DOUBLE) / nr
+                       - CAST(sum(ca) OVER (ORDER BY v) AS DOUBLE) / na)
+                   * 1000000 + 0.5) / 1000000.0 AS gap,
+             nr, na
+      FROM dist CROSS JOIN tot
+    ), mx AS (SELECT max(gap) AS ks_d FROM cum)
+    SELECT ks_d,
+           (SELECT min(v) FROM cum WHERE gap = mx.ks_d) AS ks_at,
+           (SELECT nr FROM tot) AS n_r,
+           (SELECT na FROM tot) AS n_a
+    FROM mx
+    """,
+)
+def q_stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic comparing the price
+    distributions of returned ('R') vs acknowledged ('A') line items:
+    D = max |F_R(v) − F_A(v)| over the pooled support, with the value
+    where the gap peaks — the NONPARAMETRIC twin of
+    q_stats_welch_ttest (which only sees means): KS catches shape
+    differences a t-test is blind to.  The p-value (Kolmogorov
+    distribution) is the same deliberate omission as the other test
+    statistics — D, the location and the sample sizes are the
+    portable contract.
+
+    Scale shape: the exact_percentiles discipline — one map-side-
+    combined groupBy reduces the corpus to per-DISTINCT-VALUE counts
+    for both samples (reduction state |support|, not |rows|), the two
+    empirical CDFs are ONE ordered window over that distinct-value
+    table (a sort of aggregates, the q_agg_gini trade), and the max
+    is a 1-row fold.  Both CDF fractions are integer ratios →
+    HALF_UP 6 dp; the argmax breaks ties on the smallest value.
+    """
+    from i3cols_spark.functions.rounding import round_half_up
+
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    dist = (
+        li.groupBy(F.col("l_extendedprice").alias("v"))
+        .agg(
+            F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("cr"),
+            F.count(F.when(F.col("l_returnflag") == "A", 1)).alias("ca"),
+        )
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dist.select(
+        "v",
+        F.sum("cr").over(w_cum).alias("ccr"),
+        F.sum("ca").over(w_cum).alias("cca"),
+        F.sum("cr").over(w_all).alias("nr"),
+        F.sum("ca").over(w_all).alias("na"),
+    ).select(
+        "v", "nr", "na",
+        round_half_up(
+            F.abs(
+                F.col("ccr").cast("double") / F.col("nr")
+                - F.col("cca").cast("double") / F.col("na")
+            ),
+            6,
+        ).alias("gap"),
+    )
+    return (
+        cum.withColumn("ks_d", F.max("gap").over(w_all))
+        .filter(F.col("gap") == F.col("ks_d"))
+        .groupBy("ks_d")
+        .agg(
+            F.min("v").alias("ks_at"),
+            F.first("nr").cast("bigint").alias("n_r"),
+            F.first("na").cast("bigint").alias("n_a"),
+        )
+        .select("ks_d", "ks_at", "n_r", "n_a")
+    )
+
+
+@query(
+    "q_stats_benford",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(floor(o_totalprice / pow(10, floor(log10(o_totalprice))))
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), c AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+    ), scored AS (
+      SELECT digit, n,
+             CAST(n AS DOUBLE) / sum(n) OVER () AS obs_raw,
+             ln(1.0 + 1.0 / digit) / ln(10.0) AS exp_raw,
+             sum(n) OVER () AS total
+      FROM c
+    )
+    SELECT digit, n,
+           floor(obs_raw * 1000000 + 0.5) / 1000000.0 AS observed,
+           floor(exp_raw * 1000000 + 0.5) / 1000000.0 AS expected,
+           floor(sum(abs(obs_raw - exp_raw)) OVER () / 9.0
+                 * 1000000 + 0.5) / 1000000.0 AS mad,
+           floor(sum((obs_raw - exp_raw) * (obs_raw - exp_raw) / exp_raw)
+                     OVER () * total
+                 * 1000000 + 0.5) / 1000000.0 AS chi2_stat
+    FROM scored
+    ORDER BY digit
+    """,
+)
+def q_stats_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit (Nigrini 2012, the forensic-
+    accounting screen): observed vs log10(1+1/d) expected first-digit
+    frequencies of order totals, with the mean absolute deviation
+    (Nigrini's conformity metric) and the chi-square statistic.  On
+    this fixture the audit correctly FLAGS the data: synthetic
+    uniform-ish prices are nowhere near Benford (digits 1–4 carry
+    ~22% each) — an audit that can't fail its own fixture would be
+    decoration.
+
+    Scale shape: first digit is a per-row codegen expression
+    (floor(x/10^floor(log10 x))), one map-side-combined 9-cell
+    groupBy, windows over the 9-row table.  log10/ln are the only
+    libm exposure, absorbed by HALF_UP 6 dp; the digit itself is
+    exact (log10 of a positive double and the power round-trip are
+    bit-identical in both engines).
+    """
+    from i3cols_spark.functions.rounding import round_half_up
+
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice")
+        / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("bigint")
+    c = orders.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w_all = Window.partitionBy()
+    obs_raw = F.col("n").cast("double") / F.sum("n").over(w_all)
+    exp_raw = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0))
+    scored = c.select(
+        "digit", "n",
+        obs_raw.alias("obs_raw"),
+        exp_raw.alias("exp_raw"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    return (
+        scored.select(
+            "digit", "n",
+            round_half_up(F.col("obs_raw"), 6).alias("observed"),
+            round_half_up(F.col("exp_raw"), 6).alias("expected"),
+            round_half_up(
+                F.sum(F.abs(F.col("obs_raw") - F.col("exp_raw"))).over(w_all)
+                / F.lit(9.0),
+                6,
+            ).alias("mad"),
+            round_half_up(
+                F.sum(
+                    (F.col("obs_raw") - F.col("exp_raw"))
+                    * (F.col("obs_raw") - F.col("exp_raw"))
+                    / F.col("exp_raw")
+                ).over(w_all)
+                * F.col("total"),
+                6,
+            ).alias("chi2_stat"),
+        )
+        .orderBy("digit")
+    )
