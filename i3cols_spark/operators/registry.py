@@ -300,6 +300,8 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_ts_cusum_changepoint",
     "q_stats_ks_test",
     "q_stats_benford",
+    "q_ts_autocorrelation",
+    "q_window_islands",
 )
 
 

@@ -873,3 +873,67 @@ def q_ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "y", "cusum", "changepoint_day", "max_abs_cusum")
         .orderBy("day")
     )
+
+
+@query(
+    "q_ts_autocorrelation",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             floor(sum(value) * 1000000 + 0.5) / 1000000.0 AS y
+      FROM events GROUP BY 1
+    ), lagged AS (
+      SELECT day, y,
+             lag(y, 1) OVER (ORDER BY day) AS y1,
+             lag(y, 2) OVER (ORDER BY day) AS y2,
+             lag(y, 7) OVER (ORDER BY day) AS y7,
+             lag(y, 14) OVER (ORDER BY day) AS y14
+      FROM daily
+    )
+    SELECT round(corr(y, y1), 6)  AS acf_1,
+           round(corr(y, y2), 6)  AS acf_2,
+           round(corr(y, y7), 6)  AS acf_7,
+           round(corr(y, y14), 6) AS acf_14,
+           CAST(count(y1) AS BIGINT)  AS n_1,
+           CAST(count(y14) AS BIGINT) AS n_14
+    FROM lagged
+    """,
+)
+def q_ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily series at lags 1/2/7/14 —
+    the quantitative period detector behind q_ts_seasonal_decompose's
+    ASSUMED weekly seasonality: a real pipeline reads the ACF first
+    (a lag-7 spike says "decompose weekly"), and the Box-Jenkins
+    identification step is exactly this statistic.  Pearson corr of
+    the series against its lagged self, pairwise-complete (corr
+    ignores the NULL head rows each lag introduces).
+
+    Scale shape: one map-side-combined daily aggregate; lags and
+    correlations live on the DAYS-sized series (the
+    q_ts_seasonal_decompose argument).  Daily totals canonicalize
+    HALF_UP 6 dp so both engines correlate identical inputs; corr is
+    a multi-row reduction → 6 dp.
+    """
+    from i3cols_spark.functions.rounding import round_half_up
+
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(round_half_up(F.sum("value"), 6).alias("y"))
+    )
+    w = W.orderBy("day")
+    lagged = daily.select(
+        "y",
+        F.lag("y", 1).over(w).alias("y1"),
+        F.lag("y", 2).over(w).alias("y2"),
+        F.lag("y", 7).over(w).alias("y7"),
+        F.lag("y", 14).over(w).alias("y14"),
+    )
+    return lagged.agg(
+        F.round(F.corr("y", "y1"), 6).alias("acf_1"),
+        F.round(F.corr("y", "y2"), 6).alias("acf_2"),
+        F.round(F.corr("y", "y7"), 6).alias("acf_7"),
+        F.round(F.corr("y", "y14"), 6).alias("acf_14"),
+        F.count("y1").cast("bigint").alias("n_1"),
+        F.count("y14").cast("bigint").alias("n_14"),
+    )

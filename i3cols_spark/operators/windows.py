@@ -262,3 +262,66 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ntile(4).over(w).alias("quartile"),
         )
     )
+
+
+@query(
+    "q_window_islands",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), grp AS (
+      SELECT user_id, day,
+             date_diff('day', DATE '1970-01-01', day)
+               - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                 AS island_key
+      FROM active
+    ), islands AS (
+      SELECT user_id, min(day) AS start_day, max(day) AS end_day,
+             CAST(count(*) AS BIGINT) AS length_days
+      FROM grp GROUP BY user_id, island_key
+    )
+    SELECT user_id, start_day, end_day, length_days
+    FROM islands
+    ORDER BY length_days DESC, user_id, start_day
+    LIMIT 20
+    """,
+)
+def q_window_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active days per
+    user (top-20 longest streaks) via the classic epoch-day minus
+    row_number constant-key trick — the integer-sequence counterpart
+    of q_window_sessionid's time-gap sessionization, and the idiom
+    behind streak features (retention "current streak", SLA
+    continuity, sensor uptime runs).
+
+    Scale shape: one distinct-collapse to (user, day) — active days,
+    not events, ride everything downstream — then one per-user
+    ordered window (the sessionid shuffle shape) and one
+    map-side-combined groupBy of (user, island_key); the top-20 is a
+    heap.  All columns are exact integers/dates — no rounding
+    anywhere, and the (length, user, start) order is total.
+    """
+    ev = table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    grp = active.select(
+        "user_id",
+        "day",
+        (
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("island_key"),
+    )
+    return (
+        grp.groupBy("user_id", "island_key")
+        .agg(
+            F.min("day").alias("start_day"),
+            F.max("day").alias("end_day"),
+            F.count(F.lit(1)).cast("bigint").alias("length_days"),
+        )
+        .select("user_id", "start_day", "end_day", "length_days")
+        .orderBy(F.desc("length_days"), "user_id", "start_day")
+        .limit(20)
+    )
