@@ -746,3 +746,147 @@ def q_source_arrow_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = agg(rd("1"), "v1")
     head = agg(rd(None), "head")
     return v1.unionAll(head).orderBy("snapshot")
+
+
+@query(
+    "q_quality_l_diversity",
+    oracle="""
+    WITH classes AS (
+      SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+             CAST(floor(c.c_acctbal / 2000) AS BIGINT) AS bal_band
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ), per_class AS (
+      SELECT nation, segment,
+             CAST(count(*) AS BIGINT) AS class_size,
+             CAST(count(DISTINCT bal_band) AS BIGINT) AS l_distinct
+      FROM classes GROUP BY 1, 2
+    )
+    SELECT l AS l_threshold,
+           CAST(count(*) FILTER (WHERE l_distinct < l) AS BIGINT)
+               AS violating_classes,
+           CAST(coalesce(sum(class_size) FILTER (WHERE l_distinct < l), 0)
+                AS BIGINT) AS rows_exposed,
+           CAST(min(l_distinct) AS BIGINT) AS min_l
+    FROM per_class CROSS JOIN (VALUES (2), (3), (5)) AS t(l)
+    GROUP BY l ORDER BY l
+    """,
+)
+def q_quality_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the
+    governance metric k-anonymity misses: a class can be large (k
+    passes) while every member shares the same SENSITIVE value, so
+    joining the quasi-identifier still discloses it.  Per l on a
+    threshold ladder: classes whose distinct-sensitive-value count
+    (account-balance band, the stand-in for any sensitive attribute)
+    falls below l, the rows inside them, and the corpus-wide minimum
+    l.  Completes the privacy trio: k-anonymity (class size), DP
+    release (noise), l-diversity (within-class attribute diversity).
+
+    Shape: one groupBy builds the per-class (size, distinct-sensitive)
+    profile — count(DISTINCT) is the only expansion and is bounded by
+    |classes|×|bands|; the ladder audit is a 125-row cross join.  Raw
+    rows never shuffle twice.  All outputs are exact integers.
+    """
+    cust = table(spark, sf_dir, "customer")
+    nat = table(spark, sf_dir, "nation")
+    per_class = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("class_size"),
+            F.countDistinct(
+                F.floor(F.col("c_acctbal") / 2000).cast("bigint")
+            ).cast("bigint").alias("l_distinct"),
+        )
+    )
+    ladder = spark.createDataFrame([(2,), (3,), (5,)], "l_threshold bigint")
+    viol = F.col("l_distinct") < F.col("l_threshold")
+    return (
+        per_class.crossJoin(F.broadcast(ladder))
+        .groupBy("l_threshold")
+        .agg(
+            F.count(F.when(viol, 1)).cast("bigint").alias("violating_classes"),
+            F.coalesce(F.sum(F.when(viol, F.col("class_size"))), F.lit(0))
+            .cast("bigint").alias("rows_exposed"),
+            F.min("l_distinct").cast("bigint").alias("min_l"),
+        )
+        .orderBy("l_threshold")
+    )
+
+
+@query(
+    "q_agg_pareto",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT revenue,
+             row_number() OVER (ORDER BY revenue DESC, o_custkey) AS rk,
+             count(*) OVER () AS n,
+             sum(revenue) OVER () AS total,
+             sum(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM per_cust
+    )
+    SELECT CAST(t.frac AS DOUBLE) AS revenue_frac,
+           CAST(min(rk) FILTER (WHERE cum >= t.frac * total) AS BIGINT)
+               AS customers_needed,
+           floor(CAST(min(rk) FILTER (WHERE cum >= t.frac * total) AS DOUBLE)
+                 / max(n) * 1000000 + 0.5) / 1000000.0 AS customer_frac
+    FROM ranked CROSS JOIN (VALUES (0.5), (0.8), (0.9)) AS t(frac)
+    GROUP BY t.frac ORDER BY t.frac
+    """,
+)
+def q_agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration curve read at 50/80/90% — "how many
+    customers cover X% of revenue", the actionable form of the scalar
+    q_agg_gini (a curation pipeline asks the same of sources: how
+    many domains cover 80% of the corpus, and should the tail be
+    downsampled?).  The answer here: 36% of customers cover half the
+    revenue, 67% cover 80% — a mildly concentrated book.
+
+    Shape: the q_agg_gini skeleton — one map-side-combined
+    per-customer aggregate, one ordered cumulative window over the
+    |customers|-sized aggregate (a sort of aggregates, never of
+    facts; (revenue DESC, custkey) total order), and a 3-row ladder
+    fold.  Revenue canonicalizes at 2 dp before ranking; the
+    cumulative fold is frame-ordered (identical left-fold both
+    engines); crossing ranks are exact integers and the coverage
+    fraction is an integer ratio → HALF_UP 6 dp.
+    """
+    from i3cols_spark.functions.rounding import round_half_up
+
+    per_cust = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w_ord = W.orderBy(F.desc("revenue"), "o_custkey")
+    w_all = W.partitionBy()
+    ranked = per_cust.select(
+        "revenue",
+        F.row_number().over(w_ord).alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("revenue").over(w_all).alias("total"),
+        F.sum("revenue").over(w_ord.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+    )
+    ladder = spark.createDataFrame(
+        [(0.5,), (0.8,), (0.9,)], "revenue_frac double"
+    )
+    crossed = F.col("cum") >= F.col("revenue_frac") * F.col("total")
+    return (
+        ranked.crossJoin(F.broadcast(ladder))
+        .groupBy("revenue_frac")
+        .agg(
+            F.min(F.when(crossed, F.col("rk"))).cast("bigint")
+            .alias("customers_needed"),
+            round_half_up(
+                F.min(F.when(crossed, F.col("rk"))).cast("double") / F.max("n"), 6
+            ).alias("customer_frac"),
+        )
+        .orderBy("revenue_frac")
+    )

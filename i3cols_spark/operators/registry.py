@@ -302,6 +302,8 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_stats_benford",
     "q_ts_autocorrelation",
     "q_window_islands",
+    "q_quality_l_diversity",
+    "q_agg_pareto",
 )
 
 
