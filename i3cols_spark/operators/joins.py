@@ -972,3 +972,112 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entity_id", "kind", "key")
     )
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH cl AS (
+      SELECT user_id, ts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ), p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), prev AS (
+      SELECT p.event_id, p.user_id, p.ts, c.click_id AS prev_id, c.ts AS prev_ts
+      FROM p ASOF LEFT JOIN cl c ON p.user_id = c.user_id AND p.ts >= c.ts
+    ), paired AS (
+      SELECT pr.event_id, pr.user_id, pr.prev_id, pr.prev_ts,
+             c2.click_id AS next_id, c2.ts AS next_ts, pr.ts
+      FROM prev pr
+      ASOF LEFT JOIN cl c2 ON pr.user_id = c2.user_id AND pr.ts < c2.ts
+    )
+    SELECT event_id, user_id,
+           CASE WHEN prev_id IS NULL AND next_id IS NULL THEN NULL
+                WHEN next_id IS NULL THEN prev_id
+                WHEN prev_id IS NULL THEN next_id
+                WHEN date_diff('microsecond', prev_ts, ts)
+                     <= date_diff('microsecond', ts, next_ts) THEN prev_id
+                ELSE next_id END AS nearest_click_id,
+           CASE WHEN prev_id IS NULL AND next_id IS NULL THEN NULL
+                WHEN next_id IS NULL THEN date_diff('microsecond', prev_ts, ts)
+                WHEN prev_id IS NULL THEN date_diff('microsecond', ts, next_ts)
+                ELSE least(date_diff('microsecond', prev_ts, ts),
+                           date_diff('microsecond', ts, next_ts))
+                END AS gap_us
+    FROM paired
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join — the third as-of flavor (backward
+    = q_join_asof, staleness-bounded = q_join_asof_tolerance): each
+    purchase matches the click of the same user with the smallest
+    |time gap| in EITHER direction, ties preferring the earlier
+    (backward) click — sensor-fusion / sparse-feature alignment
+    semantics, where the closest observation matters and "after" is
+    as good as "before".
+
+    Spark shape: the SAME single-shuffle union-and-carry plan as
+    q_join_asof, run in both directions over one (user_id)-
+    partitioned (ts, kind, id) sort: backward candidate =
+    last(click, ignorenulls) over the preceding frame, forward =
+    first(click, ignorenulls) over the FOLLOWING frame — equal-ts
+    clicks sort before the purchase (kind 0 < 1), so the backward
+    side owns ties at gap 0 exactly like the oracle's >=/< split.
+    One shuffle, two window passes over the same partitioning, no
+    join, no candidate materialization.  Gaps are exact µs BIGINTs;
+    clicks pre-dedupe to max event_id per (user, ts) (the q_join_asof
+    determinism rule).
+    """
+    ev = table(spark, sf_dir, "events")
+    cl = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    tagged = cl.select(
+        "user_id", "ts", F.lit(0).alias("kind"),
+        F.struct(F.unix_micros(F.col("ts").cast("timestamp")).alias("c_us"),
+                 F.col("click_id")).alias("c"),
+        F.lit(None).cast("bigint").alias("purchase_id"),
+    ).unionAll(
+        p.select(
+            "user_id", "ts", F.lit(1).alias("kind"),
+            F.lit(None).cast("struct<c_us:bigint,click_id:bigint>").alias("c"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "kind", "purchase_id")
+    carried = tagged.select(
+        "user_id", "ts", "kind", "purchase_id",
+        F.last("c", ignorenulls=True)
+        .over(w.rowsBetween(W.unboundedPreceding, 0)).alias("prev"),
+        F.first("c", ignorenulls=True)
+        .over(w.rowsBetween(0, W.unboundedFollowing)).alias("nxt"),
+    ).filter(F.col("kind") == 1)
+    p_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_prev = p_us - F.col("prev.c_us")
+    gap_next = F.col("nxt.c_us") - p_us
+    nearest = (
+        F.when(F.col("prev").isNull() & F.col("nxt").isNull(),
+               F.lit(None).cast("bigint"))
+        .when(F.col("nxt").isNull(), F.col("prev.click_id"))
+        .when(F.col("prev").isNull(), F.col("nxt.click_id"))
+        .when(gap_prev <= gap_next, F.col("prev.click_id"))
+        .otherwise(F.col("nxt.click_id"))
+    )
+    gap = (
+        F.when(F.col("prev").isNull() & F.col("nxt").isNull(),
+               F.lit(None).cast("bigint"))
+        .when(F.col("nxt").isNull(), gap_prev)
+        .when(F.col("prev").isNull(), gap_next)
+        .otherwise(F.least(gap_prev, gap_next))
+    )
+    return carried.select(
+        F.col("purchase_id").alias("event_id"),
+        "user_id",
+        nearest.alias("nearest_click_id"),
+        gap.cast("bigint").alias("gap_us"),
+    )

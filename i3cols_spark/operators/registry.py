@@ -304,6 +304,8 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_window_islands",
     "q_quality_l_diversity",
     "q_agg_pareto",
+    "q_join_asof_nearest",
+    "q_text_feature_hashing",
 )
 
 

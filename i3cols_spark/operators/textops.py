@@ -951,3 +951,83 @@ def q_text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_pair"), "w1", "w2")
         .limit(20)
     )
+
+
+#: Feature-hashing dimensionality — small enough that collisions are
+#: guaranteed at fixture scale (the audit must have something to show).
+_FHASH_DIM = 64
+
+
+@query(
+    "q_text_feature_hashing",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents
+    ), keep AS (
+        SELECT term FROM toks WHERE term <> ''
+    ), hashed AS (
+        SELECT term,
+               CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT)
+                   % {_FHASH_DIM} AS bucket
+        FROM keep
+    ), per_term AS (
+        SELECT bucket, term, CAST(count(*) AS BIGINT) AS n
+        FROM hashed GROUP BY 1, 2
+    ), ranked AS (
+        SELECT bucket, term, n,
+               row_number() OVER (PARTITION BY bucket
+                                  ORDER BY n DESC, term) AS rk
+        FROM per_term
+    )
+    SELECT bucket,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           max(CASE WHEN rk = 1 THEN term END) AS top_term
+    FROM ranked
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def q_text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009) audited: every token
+    hashes into a fixed 64-dim feature space (the
+    vocabulary-free vectorization behind linear text classifiers and
+    spam filters at scale), and the query reports per-bucket load —
+    token occurrences, DISTINCT terms sharing the bucket (the
+    collision count that silently degrades such models), and the
+    dominant term.  The dimension is deliberately tiny so the audit
+    has real collisions to show at fixture scale.
+
+    Shape: explode → md5-bucket (the cross-engine hash family) → one
+    map-side-combined (bucket, term) groupBy; bucket stats are a
+    second tiny aggregate over the per-term table, with the dominant
+    term picked by a (count DESC, term) row_number — deterministic in
+    both engines.  At 100 TB the (bucket, term) aggregate is the
+    vocabulary-sized reduction every operator in this file bounds
+    itself by; the final output is 64 rows regardless of
+    corpus size.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint"),
+        F.lit(_FHASH_DIM),
+    )
+    per_term = (
+        toks.groupBy(bucket.alias("bucket"), F.col("term"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = W.partitionBy("bucket").orderBy(F.desc("n"), "term")
+    ranked = per_term.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("bucket")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.max(F.when(F.col("rk") == 1, F.col("term"))).alias("top_term"),
+        )
+        .orderBy("bucket")
+    )

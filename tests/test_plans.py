@@ -1053,3 +1053,15 @@ def test_sql_text_path_keeps_physical_quality(spark, sf_dir):
     plan5 = explain_str(q5)
     assert "BroadcastHashJoin" in plan5
     assert any("o_orderdate" in f for f in pushed_filters(q5))
+
+
+def test_asof_nearest_is_one_shuffle_no_join(spark, sf_dir):
+    """q_join_asof_nearest: both direction candidates must come from
+    windows over ONE (user_id) partitioning of the tagged union — no
+    join operator, no candidate-pair materialization (the q_join_asof
+    plan contract, run bidirectionally)."""
+    plan = explain_str(QUERIES["q_join_asof_nearest"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "Window" in plan
