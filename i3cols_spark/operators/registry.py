@@ -306,6 +306,8 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_agg_pareto",
     "q_join_asof_nearest",
     "q_text_feature_hashing",
+    "q_sample_balanced",
+    "q_text_zipf_fit",
 )
 
 

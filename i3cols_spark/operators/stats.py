@@ -1406,3 +1406,58 @@ def q_stats_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@query(
+    "q_sample_balanced",
+    oracle="""
+    WITH sizes AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_class
+      FROM documents GROUP BY lang
+    ), m AS (SELECT min(n_class) AS m FROM sizes),
+    ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+                 PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR) || '|bal'), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT r.lang, r.doc_id
+    FROM ranked r CROSS JOIN m
+    WHERE r.rk <= m.m
+    ORDER BY r.lang, r.doc_id
+    """,
+)
+def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every language keeps exactly
+    min-class-size documents (the 3×-dominant 'en' is cut to the 'fr'
+    floor) — the data-mixture rebalancing step training pipelines run
+    when a dominant source would swamp the loss, and the EQUAL-COUNT
+    complement to q_sample_stratified's fixed-rate strata.
+
+    Determinism (the whole point at 1000 executors): membership is a
+    per-class rank over md5(doc_id||salt) — a seeded shuffle both
+    engines replay bit-identically, so the sample is stable across
+    retries, re-runs and engines; ties cannot exist (doc_id is
+    unique) but the trailing doc_id key makes the order total anyway.
+
+    Scale shape: one map-side-combined class-size aggregate, its min
+    as a 1-row broadcast, one per-class rank window (the
+    q_window_topk_pergroup shuffle shape — per-class top-m is a heap
+    per partition at real scale), membership filter inline.  Output
+    is m×|classes| rows — the sample itself.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    sizes = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_class"))
+    m = sizes.agg(F.min("n_class").alias("m"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|bal"))), "doc_id"
+    )
+    ranked = docs.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.crossJoin(F.broadcast(m))
+        .filter(F.col("rk") <= F.col("m"))
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )

@@ -1031,3 +1031,60 @@ def q_text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q_text_zipf_fit",
+    oracle=r"""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents
+    ), cnt AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS n
+        FROM toks WHERE term <> '' GROUP BY term
+    ), ranked AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rk
+        FROM cnt
+    )
+    SELECT round(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rk AS DOUBLE))), 6)
+               AS zipf_slope,
+           round(regr_intercept(ln(CAST(n AS DOUBLE)), ln(CAST(rk AS DOUBLE))), 6)
+               AS zipf_intercept,
+           round(regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rk AS DOUBLE))), 6)
+               AS r2,
+           CAST(count(*) AS BIGINT) AS n_terms
+    FROM ranked WHERE n >= 5
+    """,
+)
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: OLS of ln(frequency)
+    on ln(rank) over terms with support ≥ 5 — natural language sits
+    near slope −1, so the fitted slope (with r²) is a one-row corpus
+    health check (template/boilerplate floods flatten it, the
+    q_stats_benford idea applied to text).  Rank ties break on the
+    term so both engines rank identically.
+
+    Shape: one map-side-combined term count (vocabulary-sized), one
+    ordered rank window over the vocabulary (a sort of aggregates),
+    and a single-pass regr_* fold — the q_agg_stats_corr machinery
+    pointed at log-log space.  Multi-row regression reductions round
+    at 6 dp.
+    """
+    docs = table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    ranked = cnt.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.desc("n"), "term"))
+    ).filter(F.col("n") >= 5)
+    ln_n = F.log(F.col("n").cast("double"))
+    ln_rk = F.log(F.col("rk").cast("double"))
+    return ranked.agg(
+        F.round(F.regr_slope(ln_n, ln_rk), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(ln_n, ln_rk), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(ln_n, ln_rk), 6).alias("r2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+    )
