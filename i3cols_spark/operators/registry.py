@@ -308,6 +308,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_text_feature_hashing",
     "q_sample_balanced",
     "q_text_zipf_fit",
+    "q_merge_cdc_tombstones",
 )
 
 

@@ -769,3 +769,66 @@ def q_seq_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_conversions"
         ),
     )
+
+
+@query(
+    "q_merge_cdc_tombstones",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           event_id AS last_event_id,
+           CAST(ts_us AS BIGINT) AS last_ts_us,
+           event_type AS last_type,
+           value AS last_value
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY user_id
+    """,
+)
+def q_merge_cdc_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply WITH DELETES: replaying a change log into a target
+    table where the newest operation per key wins — and a DELETE
+    tombstone (the 'error' terminal event stands in for the CDC 'D'
+    op) suppresses the key from the final state entirely, the half of
+    MERGE INTO semantics q_merge_latest_state (pure upsert) does not
+    exercise.  A user whose LAST event is an error vanishes from the
+    table even though earlier upserts exist — order, not presence,
+    decides.
+
+    Shape: identical hot-key-proof max_by GROUP BY as
+    q_merge_latest_state (each map task pre-combines to one candidate
+    per key; a hot key ships one row per upstream partition, never
+    its history), with the tombstone filter applied AFTER the
+    newest-wins reduction — filtering tombstones before the reduce
+    would resurrect stale rows, the classic CDC-compaction bug this
+    query exists to pin.  The oracle states newest-wins as a
+    row_number window (DuckDB's max_by takes no composite key — the
+    q_ts_ohlc oracle pattern); the Spark plan keeps the aggregate
+    form, which is the one that survives hot keys.
+    """
+    ev = table(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    latest = ev.groupBy("user_id").agg(
+        F.max_by(
+            F.struct(
+                F.col("event_id").alias("last_event_id"),
+                F.unix_micros("ts").alias("last_ts_us"),
+                F.col("event_type").alias("last_type"),
+                F.col("value").alias("last_value"),
+            ),
+            key,
+        ).alias("r")
+    )
+    return (
+        latest.select(
+            "user_id", "r.last_event_id", "r.last_ts_us", "r.last_type",
+            "r.last_value",
+        )
+        .filter(F.col("last_type") != "error")
+        .orderBy("user_id")
+    )
