@@ -309,6 +309,8 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_sample_balanced",
     "q_text_zipf_fit",
     "q_merge_cdc_tombstones",
+    "q_sql_tpch_q1",
+    "q_sql_tpch_q10",
 )
 
 

@@ -35,7 +35,8 @@ def _register(spark: SparkSession, sf_dir: str, names: tuple) -> None:
     "q_sql_tpch_q3",
     oracle=f"""
     SELECT l.l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           floor(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                          AS BIGINT)) / CAST(100 AS DOUBLE) + 0.5) / CAST(100 AS DOUBLE) AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -59,7 +60,8 @@ def q_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir, ("customer", "orders", "lineitem"))
     return spark.sql(f"""
         SELECT l.l_orderkey,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               floor(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                              AS BIGINT)) / CAST(100 AS DOUBLE) + 0.5) / CAST(100 AS DOUBLE) AS revenue,
                o.o_orderdate, o.o_orderpriority
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
@@ -119,3 +121,70 @@ def q_sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
         ORDER BY revenue DESC, n.n_name
     """)
+
+
+_Q1_SHIP_CUTOFF = "2001-06-01"
+_Q10_LO, _Q10_HI = "1996-01-01", "1996-04-01"
+
+_Q1_SQL = f"""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '{_Q1_SHIP_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+_Q10_SQL = f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           -- money discipline: p*(1-d) is an EXACT 4-dp decimal, so a
+           -- small group's sum can land exactly on a .xx5 rounding
+           -- boundary and engine summation order decides the side
+           -- (caught live: 307843.595).  Sum in integer 10^-4 units,
+           -- then HALF_UP once -- bit-deterministic in both engines.
+           floor(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                          AS BIGINT)) / CAST(100 AS DOUBLE) + 0.5) / CAST(100 AS DOUBLE) AS revenue,
+           round(c.c_acctbal, 2) AS acctbal
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= DATE '{_Q10_LO}'
+      AND o.o_orderdate <  DATE '{_Q10_HI}'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+"""
+
+
+@query("q_sql_tpch_q1", oracle=_Q1_SQL)
+def q_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) as SQL text — the scan-heavy
+    single-table aggregate of the suite (nine aggregates over ~all of
+    lineitem, the whole-stage-codegen showcase): one pushed date
+    filter, one map-side-combined groupBy of 6 cells.  The ONE
+    statement runs verbatim in both engines (identical dialect
+    subset), so the oracle string IS the Spark string."""
+    _register(spark, sf_dir, ("lineitem",))
+    return spark.sql(_Q1_SQL)
+
+
+@query("q_sql_tpch_q10", oracle=_Q10_SQL)
+def q_sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting) as SQL text: the 4-way
+    join + wide GROUP BY (customer attributes ride the key) + top-20,
+    with selective filters on both fact sides — the classic
+    "who should we call about returns this quarter" report.  One
+    statement, both dialects, rounded revenue ordering with a custkey
+    tie-break."""
+    _register(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
+    return spark.sql(_Q10_SQL)
