@@ -890,3 +890,124 @@ def q_agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("revenue_frac")
     )
+
+
+@query(
+    "q_quality_psi_drift",
+    oracle="""
+    WITH base AS (
+      SELECT o_totalprice AS v FROM orders
+      WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+    ), cur AS (
+      SELECT o_totalprice AS v FROM orders
+      WHERE o_orderdate >= DATE '2000-01-01' AND o_orderdate < DATE '2001-01-01'
+    ), edges AS (
+      SELECT min(v) AS lo, max(v) AS hi FROM base
+    ), binned AS (
+      SELECT least(9, greatest(0,
+                 CAST(floor((b.v - e.lo) / ((e.hi - e.lo) / 10.0)) AS BIGINT)))
+                 AS bin,
+             1 AS is_base, 0 AS is_cur
+      FROM base b CROSS JOIN edges e
+      UNION ALL
+      SELECT least(9, greatest(0,
+                 CAST(floor((c.v - e.lo) / ((e.hi - e.lo) / 10.0)) AS BIGINT))),
+             0, 1
+      FROM cur c CROSS JOIN edges e
+    ), counts AS (
+      SELECT bin,
+             CAST(sum(is_base) AS BIGINT) AS nb,
+             CAST(sum(is_cur) AS BIGINT) AS nc
+      FROM binned GROUP BY bin
+    ), tot AS (
+      SELECT CAST(sum(nb) AS BIGINT) AS tb, CAST(sum(nc) AS BIGINT) AS tc
+      FROM counts
+    ), frac AS (
+      SELECT bin, nb, nc,
+             (nb + 0.5) / (tb + 5.0) AS p,
+             (nc + 0.5) / (tc + 5.0) AS q
+      FROM counts CROSS JOIN tot
+    )
+    SELECT bin, nb AS n_baseline, nc AS n_current,
+           floor(p * 1000000 + 0.5) / 1000000.0 AS p_baseline,
+           floor(q * 1000000 + 0.5) / 1000000.0 AS q_current,
+           floor((p - q) * ln(p / q) * 1000000 + 0.5) / 1000000.0 AS psi_term,
+           floor(sum((p - q) * ln(p / q)) OVER ()
+                 * 1000000 + 0.5) / 1000000.0 AS psi_total
+    FROM frac ORDER BY bin
+    """,
+)
+def q_quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (the standard production drift
+    monitor for deployed-model inputs): decile-binned distribution of
+    order totals in a CURRENT window vs a BASELINE year, PSI =
+    Σ(p−q)·ln(p/q) with Laplace-(+½) smoothing so empty bins cannot
+    produce infinities — the distribution-level complement to
+    q_snapshot_diff's row-level diff and q_stats_ks_test's
+    two-sample D (PSI is binned, smoothed and additive per bin, which
+    is why scorecard monitoring standardized on it; <0.1 stable,
+    >0.25 drifted).  This fixture is stationary by construction
+    (PSI ≈ 0.003) — the audit's value is the per-bin decomposition.
+
+    Shape: bin edges are one 2-scalar aggregate over the baseline
+    (broadcast); both periods bin with the same per-row codegen
+    expression (edge-clamped with least/greatest) and reduce in ONE
+    map-side-combined union pass; fractions, terms and the total are
+    windows over the 10-row bin table.  Counts are exact integers;
+    the smoothed fractions are integer-derived ratios → HALF_UP 6 dp;
+    ln is the only libm exposure.
+    """
+    from i3cols_spark.functions.rounding import round_half_up
+
+    orders = table(spark, sf_dir, "orders")
+    base = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select(F.col("o_totalprice").alias("v"))
+    cur = orders.filter(
+        (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2001-01-01").cast("timestamp"))
+    ).select(F.col("o_totalprice").alias("v"))
+    edges = base.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+
+    def binned(df: DataFrame, b: int, c: int) -> DataFrame:
+        bin_expr = F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("v") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / F.lit(10.0))
+                ).cast("bigint"),
+            ),
+        )
+        return df.crossJoin(F.broadcast(edges)).select(
+            bin_expr.alias("bin"),
+            F.lit(b).alias("is_base"),
+            F.lit(c).alias("is_cur"),
+        )
+
+    counts = (
+        binned(base, 1, 0).unionAll(binned(cur, 0, 1))
+        .groupBy("bin")
+        .agg(
+            F.sum("is_base").cast("bigint").alias("nb"),
+            F.sum("is_cur").cast("bigint").alias("nc"),
+        )
+    )
+    w_all = W.partitionBy()
+    p = (F.col("nb") + F.lit(0.5)) / (F.sum("nb").over(w_all) + F.lit(5.0))
+    q = (F.col("nc") + F.lit(0.5)) / (F.sum("nc").over(w_all) + F.lit(5.0))
+    term = (p - q) * F.log(p / q)
+    return (
+        counts.select(
+            "bin",
+            F.col("nb").alias("n_baseline"),
+            F.col("nc").alias("n_current"),
+            round_half_up(p, 6).alias("p_baseline"),
+            round_half_up(q, 6).alias("q_current"),
+            round_half_up(term, 6).alias("psi_term"),
+            round_half_up(F.sum(term).over(w_all), 6).alias("psi_total"),
+        )
+        .orderBy("bin")
+    )

@@ -311,6 +311,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_merge_cdc_tombstones",
     "q_sql_tpch_q1",
     "q_sql_tpch_q10",
+    "q_quality_psi_drift",
 )
 
 
