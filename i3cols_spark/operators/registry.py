@@ -312,6 +312,8 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_sql_tpch_q1",
     "q_sql_tpch_q10",
     "q_quality_psi_drift",
+    "q_sql_window_topk",
+    "q_graph_assortativity",
 )
 
 

@@ -188,3 +188,35 @@ def q_sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break."""
     _register(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
     return spark.sql(_Q10_SQL)
+
+
+_WINDOW_SQL = """
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             round(sum(o_totalprice) OVER (PARTITION BY o_custkey), 2)
+                 AS cust_total
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, o_totalprice, rn, cust_total
+    FROM ranked WHERE rn <= 2 AND cust_total > 900000
+    ORDER BY cust_total DESC, o_custkey, rn
+"""
+
+
+@query("q_sql_window_topk", oracle=_WINDOW_SQL)
+def q_sql_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-SQL text path: top-2 orders per high-value customer
+    via ``row_number`` + a windowed customer total, filtered on the
+    window result (the QUALIFY pattern spelled as a CTE) — the window-
+    function half of the SQL surface q_sql_tpch_* (joins/aggregates)
+    doesn't touch, run as ONE statement in both engines.
+
+    Determinism notes: the per-customer total sums 2-dp money values,
+    which always lands ≥ 0.005 from a 2-dp rounding boundary (sums of
+    2-dp decimals ARE 2-dp decimals) — unlike Q10's 4-dp products, so
+    plain round() is safe here; row_number ties break on o_orderkey.
+    """
+    _register(spark, sf_dir, ("orders",))
+    return spark.sql(_WINDOW_SQL)
