@@ -314,6 +314,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_quality_psi_drift",
     "q_sql_window_topk",
     "q_graph_assortativity",
+    "q_ts_cross_correlation",
 )
 
 

@@ -937,3 +937,71 @@ def q_ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("y1").cast("bigint").alias("n_1"),
         F.count("y14").cast("bigint").alias("n_14"),
     )
+
+
+@query(
+    "q_ts_cross_correlation",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+                 AS clicks,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+                 AS purch
+      FROM events GROUP BY 1
+    ), lags AS (
+      SELECT CAST(k AS BIGINT) AS k
+      FROM (VALUES (-3),(-2),(-1),(0),(1),(2),(3)) t(k)
+    ), pairs AS (
+      SELECT l.k, a.clicks, b.purch
+      FROM lags l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.day = a.day + to_days(CAST(l.k AS INTEGER))
+    )
+    SELECT k,
+           round(corr(CAST(clicks AS DOUBLE), CAST(purch AS DOUBLE)), 6)
+               AS xcorr,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM pairs GROUP BY k ORDER BY k
+    """,
+)
+def q_ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between two event series: corr of
+    clicks(t) against purchases(t+k) for lags k ∈ [−3, 3] — the
+    lead–lag detector ("do clicks predict purchases N days out?")
+    that q_ts_autocorrelation is the self-paired special case of,
+    and the quantitative input to attribution-window choices
+    (q_join_asof_tolerance's staleness bound).
+
+    Shape: ONE conditional-aggregation pass builds both daily series
+    (FILTER idiom, map-side combined); the lag alignment is a 7-row
+    ladder broadcast and a days-table self-join on a computed date
+    key — everything after the first aggregate is days-sized.
+    Counts are exact; each lag's corr is a multi-row reduction → 6 dp.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("bigint").alias("clicks"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("bigint").alias("purch"),
+    )
+    lags = spark.createDataFrame([(k,) for k in range(-3, 4)], "k bigint")
+    a = daily.select(F.col("day").alias("a_day"), "clicks")
+    b = daily.select(F.col("day").alias("b_day"), "purch")
+    pairs = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(b, F.col("b_day") == F.date_add(F.col("a_day"), F.col("k").cast("int")))
+    )
+    return (
+        pairs.groupBy("k")
+        .agg(
+            F.round(
+                F.corr(F.col("clicks").cast("double"), F.col("purch").cast("double")),
+                6,
+            ).alias("xcorr"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        )
+        .orderBy("k")
+    )
