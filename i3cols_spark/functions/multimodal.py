@@ -834,3 +834,38 @@ def audio_fingerprints(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(
         op, "media_id long, afp long"
     )
+
+
+def image_gray_histogram(df: DataFrame, n_bins: int = 4) -> DataFrame:
+    """(media_id, payload) → per-image gray histogram over EVERY pixel:
+    decode the real BMP bytes, gray each pixel as (r+g+b)//3 (integer-
+    exact), bucket into ``n_bins`` equal 256//n_bins-wide bins, and
+    emit one row per image with the bin counts, pixel count and the
+    exact integer gray sum — one Arrow-batched mapInPandas pass,
+    payloads never leave the task."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from i3cols_spark.functions import codecs
+
+        width = 256 // n_bins
+        for pdf in batches:
+            out: dict = {"media_id": [], "n_pixels": [], "sum_gray": []}
+            for b in range(n_bins):
+                out[f"bin_{b}"] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = codecs.decode_bmp(bytes(payload))
+                px = np.frombuffer(img.pixels, dtype=np.uint8).astype(np.int64)
+                gray = (px[0::3] + px[1::3] + px[2::3]) // 3
+                out["media_id"].append(mid)
+                out["n_pixels"].append(int(gray.size))
+                out["sum_gray"].append(int(gray.sum()))
+                for b in range(n_bins):
+                    out[f"bin_{b}"].append(int(((gray // width) == b).sum()))
+            yield pd.DataFrame(out)
+
+    schema = "media_id long, n_pixels long, sum_gray long, " + ", ".join(
+        f"bin_{b} long" for b in range(n_bins)
+    )
+    return df.select("media_id", "payload").mapInPandas(op, schema)

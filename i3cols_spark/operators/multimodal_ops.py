@@ -661,3 +661,59 @@ def q_dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b_id",
         F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long").alias("hamming"),
     ).where(F.col("hamming") <= 2)
+
+
+@query(
+    "q_multimodal_pixel_histogram",
+    oracle="""
+    WITH img AS (
+        SELECT doc_id, text,
+               CAST(length(text) AS BIGINT) AS n,
+               length(text) % 13 + 1 AS w,
+               length(text) % 7 + 1 AS h
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    grays AS (
+        SELECT doc_id, w * h AS n_pixels,
+               list_transform(range(w * h), p ->
+                   ( ascii(substr(text, CAST((3 * p    ) % n AS INTEGER) + 1, 1))
+                   + ascii(substr(text, CAST((3 * p + 1) % n AS INTEGER) + 1, 1))
+                   + ascii(substr(text, CAST((3 * p + 2) % n AS INTEGER) + 1, 1))
+                   ) // 3
+               ) AS g
+        FROM img
+    )
+    SELECT doc_id AS media_id,
+           CAST(n_pixels AS BIGINT) AS n_pixels,
+           CAST(list_sum(g) AS BIGINT) AS sum_gray,
+           CAST(len(list_filter(g, x -> x // 64 = 0)) AS BIGINT) AS bin_0,
+           CAST(len(list_filter(g, x -> x // 64 = 1)) AS BIGINT) AS bin_1,
+           CAST(len(list_filter(g, x -> x // 64 = 2)) AS BIGINT) AS bin_2,
+           CAST(len(list_filter(g, x -> x // 64 = 3)) AS BIGINT) AS bin_3
+    FROM grays
+    ORDER BY media_id
+    """,
+)
+def q_multimodal_pixel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image gray HISTOGRAM over EVERY pixel — the strongest
+    decoder-fidelity pin in the multimodal family: where
+    q_multimodal_phash_dedup checks 16 sampled pixels per image, this
+    re-derives ALL of them (the DuckDB oracle computes each pixel's
+    gray from the closed-form BMP synthesis without ever seeing a
+    payload), so one flipped byte anywhere in encoder, stdlib decoder
+    or the gray/binning arithmetic shifts a bin count and breaks the
+    hash.  Also the building block real image curation uses directly:
+    brightness histograms gate out black/blank/overexposed frames
+    before any model sees them.
+
+    Shape: one Arrow-batched mapInPandas decode pass (payloads never
+    leave the task; numpy vectorized gray + bincount per image), one
+    row per image with exact integer counts — nothing to round,
+    nothing shuffled but the 7-column summaries.
+    """
+    from i3cols_spark.functions.multimodal import image_gray_histogram
+
+    media = attach_synthetic_media(table(spark, sf_dir, "documents")).where(
+        F.col("media_type") == "image/bmp"
+    )
+    return image_gray_histogram(media).orderBy("media_id")

@@ -315,6 +315,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_sql_window_topk",
     "q_graph_assortativity",
     "q_ts_cross_correlation",
+    "q_multimodal_pixel_histogram",
 )
 
 
