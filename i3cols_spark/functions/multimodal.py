@@ -869,3 +869,37 @@ def image_gray_histogram(df: DataFrame, n_bins: int = 4) -> DataFrame:
         f"bin_{b} long" for b in range(n_bins)
     )
     return df.select("media_id", "payload").mapInPandas(op, schema)
+
+
+def audio_amplitude_histogram(df: DataFrame, n_bins: int = 4) -> DataFrame:
+    """(media_id, payload) → per-clip amplitude histogram over EVERY
+    int16 PCM sample: decode real WAV bytes, bucket each signed sample
+    into ``n_bins`` equal bins of the [-32768, 32767] range
+    ((s + 32768) // (65536 // n_bins)), and emit exact integer bin
+    counts, the sample count and the exact sample sum — the audio twin
+    of image_gray_histogram, one Arrow-batched mapInPandas pass."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from i3cols_spark.functions import codecs
+
+        width = 65536 // n_bins
+        for pdf in batches:
+            out: dict = {"media_id": [], "n_samples": [], "sum_amp": []}
+            for b in range(n_bins):
+                out[f"bin_{b}"] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                audio = codecs.decode_wav(bytes(payload))
+                s = np.asarray(codecs.pcm_samples(audio), dtype=np.int64)
+                out["media_id"].append(mid)
+                out["n_samples"].append(int(s.size))
+                out["sum_amp"].append(int(s.sum()))
+                for b in range(n_bins):
+                    out[f"bin_{b}"].append(int((((s + 32768) // width) == b).sum()))
+            yield pd.DataFrame(out)
+
+    schema = "media_id long, n_samples long, sum_amp long, " + ", ".join(
+        f"bin_{b} long" for b in range(n_bins)
+    )
+    return df.select("media_id", "payload").mapInPandas(op, schema)

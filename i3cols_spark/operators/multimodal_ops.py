@@ -717,3 +717,58 @@ def q_multimodal_pixel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_type") == "image/bmp"
     )
     return image_gray_histogram(media).orderBy("media_id")
+
+
+@query(
+    "q_multimodal_sample_histogram",
+    oracle="""
+    WITH clip AS (
+        SELECT doc_id, text,
+               CAST(length(text) AS BIGINT) AS n,
+               length(text) % 50 + 1 AS frames
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    pcm AS (
+        SELECT doc_id, frames,
+               list_transform(range(frames), k ->
+                   ( ascii(substr(text, CAST((2 * k    ) % n AS INTEGER) + 1, 1))
+                   + ascii(substr(text, CAST((2 * k + 1) % n AS INTEGER) + 1, 1)) * 256
+                   ) - CASE WHEN
+                       ascii(substr(text, CAST((2 * k) % n AS INTEGER) + 1, 1))
+                     + ascii(substr(text, CAST((2 * k + 1) % n AS INTEGER) + 1, 1)) * 256
+                       >= 32768 THEN 65536 ELSE 0 END
+               ) AS s
+        FROM clip
+    )
+    SELECT doc_id AS media_id,
+           CAST(frames AS BIGINT) AS n_samples,
+           CAST(list_sum(s) AS BIGINT) AS sum_amp,
+           CAST(len(list_filter(s, x -> (x + 32768) // 16384 = 0)) AS BIGINT) AS bin_0,
+           CAST(len(list_filter(s, x -> (x + 32768) // 16384 = 1)) AS BIGINT) AS bin_1,
+           CAST(len(list_filter(s, x -> (x + 32768) // 16384 = 2)) AS BIGINT) AS bin_2,
+           CAST(len(list_filter(s, x -> (x + 32768) // 16384 = 3)) AS BIGINT) AS bin_3
+    FROM pcm
+    ORDER BY media_id
+    """,
+)
+def q_multimodal_sample_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip amplitude histogram over EVERY PCM sample — the audio
+    twin of q_multimodal_pixel_histogram, completing the full-payload
+    fidelity pair: the delta-sign fingerprint checks 17 grid samples,
+    this re-derives ALL of them (the oracle reconstructs each signed
+    int16 from the closed-form synthesis, no RIFF chunk ever parsed in
+    DuckDB), so WAV encoder, stdlib decoder and two's-complement
+    reassembly are pinned at every sample.  The amplitude histogram
+    is also the clipping/silence gate audio curation runs (a clip
+    living entirely in the outer bins is clipped; one bin = DC
+    silence).
+
+    Shape: one Arrow-batched decode pass, exact integer counts per
+    clip, nothing rounded, only 7-column summaries shuffle.
+    """
+    from i3cols_spark.functions.multimodal import audio_amplitude_histogram
+
+    media = attach_synthetic_media(table(spark, sf_dir, "documents")).where(
+        F.col("media_type") == "audio/wav"
+    )
+    return audio_amplitude_histogram(media).orderBy("media_id")

@@ -316,6 +316,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_graph_assortativity",
     "q_ts_cross_correlation",
     "q_multimodal_pixel_histogram",
+    "q_multimodal_sample_histogram",
 )
 
 
