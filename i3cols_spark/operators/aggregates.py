@@ -988,3 +988,135 @@ def q_agg_sketch_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_err"
         ),
     )
+
+
+#: HyperLogLog geometry: p = 8 → m = 256 registers (SE ≈ 1.04/√m ≈
+#: 6.5%), 24-bit remainder for the rank.  Small enough that the
+#: sf0.01 fixture lands in the LINEAR-COUNTING regime and sf0.1 in
+#: the raw-HLL regime — both branches of the estimator are exercised
+#: and value-hash-checked.
+_HLL_M = 256
+_HLL_REM_BITS = 24
+
+
+@query(
+    "q_agg_sketch_hll",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                           AS BIGINT) AS h32
+      FROM events
+    ), parts AS (
+      SELECT h32 // {2**_HLL_REM_BITS} AS bucket,
+             h32 % {2**_HLL_REM_BITS} AS w
+      FROM h
+    ), regs AS (
+      SELECT bucket,
+             max(CASE WHEN w = 0 THEN {_HLL_REM_BITS + 1}
+                      ELSE {_HLL_REM_BITS} - length(bin(w)) + 1 END) AS m_rank
+      FROM parts GROUP BY bucket
+    ), full_regs AS (
+      SELECT r.bucket, coalesce(regs.m_rank, 0) AS m_rank
+      FROM (SELECT unnest(generate_series(0, {_HLL_M - 1})) AS bucket) r
+      LEFT JOIN regs ON regs.bucket = r.bucket
+    ), est AS (
+      SELECT sum(pow(2.0, -m_rank)) AS denom,
+             CAST(sum(CASE WHEN m_rank = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+      FROM full_regs
+    ), ex AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct FROM events
+    )
+    SELECT floor((0.7213 / (1.0 + 1.079 / {_HLL_M}.0)) * {_HLL_M}.0 * {_HLL_M}.0
+                 / denom * 1000000 + 0.5) / 1000000.0 AS hll_raw,
+           zeros,
+           CASE WHEN (0.7213 / (1.0 + 1.079 / {_HLL_M}.0)) * {_HLL_M}.0 * {_HLL_M}.0
+                     / denom < 2.5 * {_HLL_M}.0 AND zeros > 0
+                THEN floor({_HLL_M}.0 * ln({_HLL_M}.0 / zeros) * 1000000 + 0.5)
+                     / 1000000.0
+                ELSE floor((0.7213 / (1.0 + 1.079 / {_HLL_M}.0)) * {_HLL_M}.0
+                           * {_HLL_M}.0 / denom * 1000000 + 0.5) / 1000000.0
+           END AS hll_estimate,
+           exact_distinct,
+           floor(abs(CASE WHEN (0.7213 / (1.0 + 1.079 / {_HLL_M}.0)) * {_HLL_M}.0
+                               * {_HLL_M}.0 / denom < 2.5 * {_HLL_M}.0
+                               AND zeros > 0
+                          THEN {_HLL_M}.0 * ln({_HLL_M}.0 / zeros)
+                          ELSE (0.7213 / (1.0 + 1.079 / {_HLL_M}.0)) * {_HLL_M}.0
+                               * {_HLL_M}.0 / denom END
+                     - exact_distinct) / exact_distinct * 1000000 + 0.5)
+               / 1000000.0 AS rel_err
+    FROM est CROSS JOIN ex
+    """,
+)
+def q_agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog (Flajolet 2007) under the md5 cross-engine hash
+    family — the sketch that was rows-only as q_agg_approx_distinct
+    (engine-native HLLs differ) rebuilt as an EXPLICIT register
+    array, so bucket placement, leading-zero ranks, the harmonic-mean
+    estimate, the linear-counting small-range correction AND the
+    realized error are all value-hash-checked.  Completing the
+    synopsis family: CMS (frequency), Bloom (membership), KMV
+    (cardinality + set algebra), histogram (quantiles), HLL
+    (cardinality in O(m) registers vs KMV's O(k) hashes).
+
+    The geometry (m = 256) is chosen so the fixture exercises BOTH
+    estimator branches: sf0.01's 150 distinct users sit below the
+    2.5m linear-counting threshold (estimate = m·ln(m/zeros)), sf0.1
+    sits above it (raw harmonic mean) — an estimator whose correction
+    path is never executed is untested prose.  Exact distinct and
+    relative error are reported alongside (the bootstrap-CI
+    discipline: the sketch audits itself).
+
+    Determinism: the rank is 24 − len(bin(w)) + 1 — both
+    engines' bin() renders without leading zeros, so the leading-zero
+    count is pure integer/string arithmetic; 2^−rank sums are exact
+    dyadics; ln is the only libm exposure, absorbed by HALF_UP 6 dp.
+
+    Scale shape: one distinct-collapse of the key hashes, one
+    map-side-combined 256-register max-aggregate (registers merge by
+    MAX — the mergeability test executes this), dense registers via a
+    broadcast 256-row spine; the estimate is a 1-row fold.  At 100 TB
+    the shuffle is ≤256 rows per task regardless of key cardinality.
+    """
+    ev = table(spark, sf_dir, "events")
+    h32 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    parts = (
+        ev.select(h32.alias("h32"))
+        .distinct()
+        .select(
+            F.shiftright(F.col("h32"), _HLL_REM_BITS).alias("bucket"),
+            F.pmod(F.col("h32"), F.lit(2**_HLL_REM_BITS)).alias("w"),
+        )
+    )
+    rank = F.when(F.col("w") == 0, F.lit(_HLL_REM_BITS + 1)).otherwise(
+        F.lit(_HLL_REM_BITS) - F.length(F.bin(F.col("w"))) + 1
+    )
+    regs = parts.groupBy("bucket").agg(F.max(rank).alias("m_rank"))
+    spine = spark.range(_HLL_M).select(F.col("id").alias("bucket"))
+    full_regs = spine.join(F.broadcast(regs), "bucket", "left").select(
+        F.coalesce("m_rank", F.lit(0)).alias("m_rank")
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / _HLL_M)
+    est = full_regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m_rank"))).alias("denom"),
+        F.sum(F.when(F.col("m_rank") == 0, 1).otherwise(0))
+        .cast("bigint").alias("zeros"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").cast("bigint").alias("exact_distinct"))
+    raw = F.lit(alpha) * F.lit(float(_HLL_M)) * F.lit(float(_HLL_M)) / F.col("denom")
+    lc = F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("zeros"))
+    use_lc = (raw < F.lit(2.5 * _HLL_M)) & (F.col("zeros") > 0)
+    estimate = F.when(use_lc, lc).otherwise(raw)
+    from i3cols_spark.functions.rounding import round_half_up
+
+    return est.crossJoin(exact).select(
+        round_half_up(raw, 6).alias("hll_raw"),
+        "zeros",
+        round_half_up(estimate, 6).alias("hll_estimate"),
+        "exact_distinct",
+        round_half_up(
+            F.abs(estimate - F.col("exact_distinct")) / F.col("exact_distinct"), 6
+        ).alias("rel_err"),
+    )

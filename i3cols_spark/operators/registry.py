@@ -317,6 +317,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_ts_cross_correlation",
     "q_multimodal_pixel_histogram",
     "q_multimodal_sample_histogram",
+    "q_agg_sketch_hll",
 )
 
 

@@ -145,3 +145,44 @@ def test_histogram_partial_grids_merge_by_cellwise_add(spark, sf_dir):
     for cell, v in b.items():
         merged[cell] = merged.get(cell, 0) + v
     assert merged == full
+
+
+def _hll_registers(ev):
+    """Sparse HLL register map (bucket → max rank) for a key slice —
+    the q_agg_sketch_hll construction, pre-spine."""
+    from i3cols_spark.operators.aggregates import _HLL_REM_BITS
+
+    h32 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    parts = (
+        ev.select(h32.alias("h32"))
+        .distinct()
+        .select(
+            F.shiftright(F.col("h32"), _HLL_REM_BITS).alias("bucket"),
+            F.pmod(F.col("h32"), F.lit(2**_HLL_REM_BITS)).alias("w"),
+        )
+    )
+    rank = F.when(F.col("w") == 0, F.lit(_HLL_REM_BITS + 1)).otherwise(
+        F.lit(_HLL_REM_BITS) - F.length(F.bin(F.col("w"))) + 1
+    )
+    return parts.groupBy("bucket").agg(F.max(rank).alias("m_rank"))
+
+
+def test_hll_registers_merge_by_max(spark, sf_dir):
+    """HLL partial register arrays must merge by element-wise MAX into
+    exactly the whole-input registers — the property that makes HLL
+    the distributed/streaming cardinality sketch (and what a
+    checkpoint restore of a streaming distinct-count relies on)."""
+    ev = table(spark, sf_dir, "events")
+    full = _cells(_hll_registers(ev), ("bucket",), "m_rank")
+    a = _cells(
+        _hll_registers(ev.filter(F.col("user_id") % 2 == 0)), ("bucket",), "m_rank"
+    )
+    b = _cells(
+        _hll_registers(ev.filter(F.col("user_id") % 2 == 1)), ("bucket",), "m_rank"
+    )
+    merged = dict(a)
+    for cell, v in b.items():
+        merged[cell] = max(merged.get(cell, 0), v)
+    assert merged == full and len(full) > 0
