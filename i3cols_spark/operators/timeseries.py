@@ -1005,3 +1005,105 @@ def q_ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@query(
+    "q_anomaly_seasonal_residual",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             floor(sum(value) * 1000000 + 0.5) / 1000000.0 AS y
+      FROM events GROUP BY 1
+    ), tr AS (
+      SELECT day, y,
+             floor(avg(y) OVER (ORDER BY day
+                                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                   * 1000000 + 0.5) / 1000000.0 AS trend
+      FROM daily
+    ), det AS (
+      SELECT day, y, trend, y - trend AS detrended,
+             date_diff('day', DATE '1970-01-01', day) % 7 AS dow
+      FROM tr
+    ), seas AS (
+      SELECT dow, floor(avg(detrended) * 1000000 + 0.5) / 1000000.0 AS seasonal
+      FROM det GROUP BY dow
+    ), resid AS (
+      SELECT det.day, det.y,
+             floor((det.detrended - seas.seasonal) * 1000000 + 0.5)
+                 / 1000000.0 AS r
+      FROM det JOIN seas ON det.dow = seas.dow
+    ), med AS (
+      SELECT floor(median(r) * 1000000 + 0.5) / 1000000.0 AS med_r FROM resid
+    ), mad AS (
+      SELECT floor(median(abs(r - med_r)) * 1000000 + 0.5) / 1000000.0 AS mad_r,
+             med_r
+      FROM resid CROSS JOIN med GROUP BY med_r
+    )
+    SELECT day, y, r,
+           floor(0.6745 * (r - med_r) / mad_r * 1000000 + 0.5) / 1000000.0 AS rz,
+           abs(0.6745 * (r - med_r) / mad_r) >= 2.0 AS is_outlier
+    FROM resid CROSS JOIN mad
+    ORDER BY day
+    """,
+)
+def q_anomaly_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-residual anomaly screen — q_ts_seasonal_decompose's
+    docstring claims "structure removal is what makes residual alerts
+    meaningful"; this operator EXECUTES that claim: the decomposition
+    runs first (trend + weekly seasonal removed), then the robust
+    modified-z screen (q_anomaly_mad's Iglewicz–Hoaglin form, median/
+    MAD at 0.6745) scores the REMAINDER, so a Sunday dip no longer
+    trips the alarm and a genuine level break does.  The full scored
+    path is emitted with the flag (a screen that only shows its
+    positives can't be audited for the negatives).
+
+    Scale shape: the decomposition's one corpus-sized daily aggregate,
+    then everything on the days-sized series — median/MAD here use the
+    engines' exact interpolated median (legitimate at days scale;
+    q_anomaly_mad's distinct-value-histogram engine is the form that
+    survives row-scale inputs).  Each stage canonicalizes HALF_UP 6 dp
+    before the next consumes it, so the interpolated medians of both
+    engines see identical inputs.
+    """
+    from i3cols_spark.functions.rounding import round_half_up
+
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(round_half_up(F.sum("value"), 6).alias("y"))
+    )
+    w_ma = W.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day", "y", round_half_up(F.avg("y").over(w_ma), 6).alias("trend")
+    )
+    det = tr.select(
+        "day", "y",
+        (F.col("y") - F.col("trend")).alias("detrended"),
+        (F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) % 7).alias("dow"),
+    )
+    seas = det.groupBy("dow").agg(
+        round_half_up(F.avg("detrended"), 6).alias("seasonal")
+    )
+    resid = det.join(F.broadcast(seas), "dow").select(
+        "day", "y",
+        round_half_up(F.col("detrended") - F.col("seasonal"), 6).alias("r"),
+    )
+    med = resid.agg(round_half_up(F.median("r"), 6).alias("med_r"))
+    mad = (
+        resid.crossJoin(F.broadcast(med))
+        .agg(
+            round_half_up(F.median(F.abs(F.col("r") - F.col("med_r"))), 6)
+            .alias("mad_r"),
+            F.first("med_r").alias("med_r"),
+        )
+    )
+    rz_raw = F.lit(0.6745) * (F.col("r") - F.col("med_r")) / F.col("mad_r")
+    return (
+        resid.crossJoin(F.broadcast(mad))
+        .select(
+            "day", "y", "r",
+            round_half_up(rz_raw, 6).alias("rz"),
+            (F.abs(rz_raw) >= 2.0).alias("is_outlier"),
+        )
+        .orderBy("day")
+    )

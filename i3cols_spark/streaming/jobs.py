@@ -547,3 +547,27 @@ def stream_dp_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("true_count") + dp_laplace_noise(key, F.lit(0.5)), 6
         ).alias("noisy_count"),
     )
+
+
+def stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HyperLogLog: the q_agg_sketch_hll register array
+    maintained over an event stream by ONE complete-mode max-
+    aggregation per bucket — registers merge by MAX across
+    micro-batches, which is exactly what the mergeability test proves
+    for shards; the stream≡batch test pins register equality, the
+    distinct-count-over-a-stream primitive with O(m) state where
+    dropDuplicates state grows with keys."""
+    from i3cols_spark.operators.aggregates import _HLL_REM_BITS
+
+    ev = _event_stream(spark, sf_dir)
+    h32 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    parts = ev.select(
+        F.shiftright(h32, _HLL_REM_BITS).alias("bucket"),
+        F.pmod(h32, F.lit(2**_HLL_REM_BITS)).alias("w"),
+    )
+    rank = F.when(F.col("w") == 0, F.lit(_HLL_REM_BITS + 1)).otherwise(
+        F.lit(_HLL_REM_BITS) - F.length(F.bin(F.col("w"))) + 1
+    )
+    return parts.groupBy("bucket").agg(F.max(rank).alias("m_rank"))

@@ -441,3 +441,36 @@ def test_stream_dp_counts_equals_batch(spark, sf_dir):
         .collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_stream_hll_registers_equals_batch(spark, sf_dir):
+    """The streaming HLL register array (complete mode, max per
+    bucket) must equal the batch registers bucket-for-bucket — the
+    register-wise-MAX mergeability claim executed across micro-batches
+    (note the stream skips the batch form's distinct-collapse: max is
+    idempotent, duplicates cannot move a register)."""
+    from i3cols_spark.operators.aggregates import _HLL_REM_BITS
+    from i3cols_spark.sources.tables import table
+
+    sdf = jobs.stream_hll_registers(spark, sf_dir)
+    jobs.run_to_memory(sdf, "mem_hll_regs")
+    streamed = {
+        (r["bucket"], r["m_rank"]) for r in spark.table("mem_hll_regs").collect()
+    }
+    h32 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    rank = F.when(F.col("w") == 0, F.lit(_HLL_REM_BITS + 1)).otherwise(
+        F.lit(_HLL_REM_BITS) - F.length(F.bin(F.col("w"))) + 1
+    )
+    batch = (
+        table(spark, sf_dir, "events")
+        .select(
+            F.shiftright(h32, _HLL_REM_BITS).alias("bucket"),
+            F.pmod(h32, F.lit(2**_HLL_REM_BITS)).alias("w"),
+        )
+        .groupBy("bucket")
+        .agg(F.max(rank).alias("m_rank"))
+    )
+    assert streamed == {(r["bucket"], r["m_rank"]) for r in batch.collect()}
+    assert len(streamed) > 0
