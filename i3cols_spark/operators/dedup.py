@@ -1181,3 +1181,107 @@ def q_dedup_embedding_cluster_rep(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "q_dedup_lsh_bucket_audit",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               list_transform(
+                   range(0, greatest(len(toks) - 3, 0) + 1),
+                   i -> array_to_string(toks[i+1:i+3], ' ')
+               ) AS sh
+        FROM t
+    ),
+    sigs AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"list_min(list_transform(sh, x -> md5('{j}:' || x))) AS sig{j}"
+                   for j in range(8)
+               )}
+        FROM s
+    ),
+    keyed AS (
+        {" UNION ALL ".join(
+            f"SELECT CAST({b} AS BIGINT) AS band, "
+            f"md5('{b}|' || sig{2*b} || '|' || sig{2*b+1}) AS bucket FROM sigs"
+            for b in range(4)
+        )}
+    ),
+    occupancy AS (
+        SELECT band, bucket, CAST(count(*) AS BIGINT) AS sz
+        FROM keyed GROUP BY band, bucket
+    )
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(sz) AS BIGINT) AS max_bucket,
+           CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT) AS singletons,
+           CAST(sum(sz * (sz - 1) / 2) AS BIGINT) AS candidate_pairs
+    FROM occupancy
+    GROUP BY band ORDER BY band
+    """,
+)
+def q_dedup_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-occupancy audit — the quantity that decides whether
+    the MinHash dedup path survives 100 TB: per band (4 bands × 2
+    rows of the oracle-checked md5 signature family), the bucket
+    count, the LARGEST bucket, the singleton count and the total
+    candidate-pair load Σ size·(size−1)/2 — exactly the number of
+    pair verifications the bucket self-join will generate.  A skewed
+    bucket (boilerplate flooding one signature) turns LSH quadratic;
+    this audit is how a pipeline SEES that before paying it, and the
+    number a production run alerts on.
+
+    Everything derives from q_text_minhash_signature's construction,
+    so occupancy, skew and pair load are value-hash-checked — the
+    rows-only production path (q_dedup_near_minhash) gets its scale
+    assumption audited by a fully checked twin.
+
+    Shape: per-row signature (whole-stage codegen, no Python), a
+    4-band explode (pairs-sized, bounded by 4×docs), one map-side-
+    combined (band, bucket) groupBy, and a 4-row rollup.
+    """
+    from i3cols_spark.functions.text import shingles
+
+    docs = table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", shingles("text").alias("sh"))
+
+    def salted_min(j: int):
+        return F.array_min(
+            F.transform("sh", lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
+        ).alias(f"sig{j}")
+
+    sigs = staged.select("doc_id", *[salted_min(j) for j in range(8)])
+    keyed = None
+    for b in range(4):
+        part = sigs.select(
+            F.lit(b).cast("bigint").alias("band"),
+            F.md5(
+                F.concat(
+                    F.lit(f"{b}|"), F.col(f"sig{2*b}"), F.lit("|"),
+                    F.col(f"sig{2*b+1}"),
+                )
+            ).alias("bucket"),
+        )
+        keyed = part if keyed is None else keyed.unionAll(part)
+    occupancy = keyed.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return (
+        occupancy.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.max("sz").cast("bigint").alias("max_bucket"),
+            F.sum(F.when(F.col("sz") == 1, 1).otherwise(0))
+            .cast("bigint").alias("singletons"),
+            F.sum(F.col("sz") * (F.col("sz") - 1) / 2)
+            .cast("bigint").alias("candidate_pairs"),
+        )
+        .orderBy("band")
+    )

@@ -319,6 +319,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_multimodal_sample_histogram",
     "q_agg_sketch_hll",
     "q_anomaly_seasonal_residual",
+    "q_dedup_lsh_bucket_audit",
 )
 
 
