@@ -66,6 +66,14 @@ HEADLINE = [
     "q_agg_sketch_bloom",
     "q_scan_dpp_join",
     "q_graph_bfs_levels",
+    # Round-7 session-3: the heaviest new plans — fuzzy-match CC
+    # closure (the engine's longest iterative loop after triangles),
+    # the Gram/power-iteration pair, and the LSH cost-model audit
+    # (signature + 4-band explode).  First-inclusion baselines in
+    # BASELINE.md §round-7 session-3.
+    "q_entity_resolution",
+    "q_embedding_pca_power",
+    "q_dedup_lsh_bucket_audit",
 ]
 
 
