@@ -320,6 +320,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_agg_sketch_hll",
     "q_anomaly_seasonal_residual",
     "q_dedup_lsh_bucket_audit",
+    "q_ts_seasonality_strength",
 )
 
 

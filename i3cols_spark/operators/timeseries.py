@@ -1107,3 +1107,97 @@ def q_anomaly_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q_ts_seasonality_strength",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             floor(sum(value) * 1000000 + 0.5) / 1000000.0 AS y
+      FROM events GROUP BY 1
+    ), tr AS (
+      SELECT day, y,
+             floor(avg(y) OVER (ORDER BY day
+                                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                   * 1000000 + 0.5) / 1000000.0 AS trend
+      FROM daily
+    ), det AS (
+      SELECT day, y, trend, y - trend AS detrended,
+             date_diff('day', DATE '1970-01-01', day) % 7 AS dow
+      FROM tr
+    ), seas AS (
+      SELECT dow, floor(avg(detrended) * 1000000 + 0.5) / 1000000.0 AS seasonal
+      FROM det GROUP BY dow
+    ), comp AS (
+      SELECT det.day, det.y, det.trend, seas.seasonal,
+             floor((det.detrended - seas.seasonal) * 1000000 + 0.5)
+                 / 1000000.0 AS remainder
+      FROM det JOIN seas ON det.dow = seas.dow
+    )
+    SELECT floor(greatest(0.0, 1.0 - var_samp(remainder)
+                               / var_samp(y - seasonal))
+                 * 1000000 + 0.5) / 1000000.0 AS strength_trend,
+           floor(greatest(0.0, 1.0 - var_samp(remainder)
+                               / var_samp(y - trend))
+                 * 1000000 + 0.5) / 1000000.0 AS strength_seasonal,
+           floor(var_samp(remainder) * 1000000 + 0.5) / 1000000.0
+               AS var_remainder,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM comp
+    """,
+)
+def q_ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend and seasonal STRENGTH (Hyndman & Athanasopoulos, FPP:
+    F_T = 1 − var(R)/var(T+R), F_S = 1 − var(R)/var(S+R), floored at
+    0) — the one-row summary that tells a pipeline whether
+    q_ts_seasonal_decompose's components carry signal or the series
+    is noise: strengths near 0 say "don't seasonally adjust",
+    near 1 say the structure dominates.  Composes the decomposition's
+    canonicalized components (deseasonalized = y − seasonal,
+    detrended = y − trend: exact arithmetic on identical rounded
+    inputs), so the only cross-engine exposure is var_samp summation
+    order over the days-sized series, absorbed at 6 dp.
+    """
+    from i3cols_spark.functions.rounding import round_half_up
+
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(round_half_up(F.sum("value"), 6).alias("y"))
+    )
+    w_ma = W.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day", "y", round_half_up(F.avg("y").over(w_ma), 6).alias("trend")
+    )
+    det = tr.select(
+        "day", "y", "trend",
+        (F.col("y") - F.col("trend")).alias("detrended"),
+        (F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) % 7).alias("dow"),
+    )
+    seas = det.groupBy("dow").agg(
+        round_half_up(F.avg("detrended"), 6).alias("seasonal")
+    )
+    comp = det.join(F.broadcast(seas), "dow").select(
+        "y", "trend", "seasonal",
+        round_half_up(F.col("detrended") - F.col("seasonal"), 6).alias("remainder"),
+    )
+    vr = F.var_samp("remainder")
+    return comp.agg(
+        round_half_up(
+            F.greatest(
+                F.lit(0.0),
+                F.lit(1.0) - vr / F.var_samp(F.col("y") - F.col("seasonal")),
+            ),
+            6,
+        ).alias("strength_trend"),
+        round_half_up(
+            F.greatest(
+                F.lit(0.0),
+                F.lit(1.0) - vr / F.var_samp(F.col("y") - F.col("trend")),
+            ),
+            6,
+        ).alias("strength_seasonal"),
+        round_half_up(vr, 6).alias("var_remainder"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
