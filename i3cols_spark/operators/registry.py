@@ -321,6 +321,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_anomaly_seasonal_residual",
     "q_dedup_lsh_bucket_audit",
     "q_ts_seasonality_strength",
+    "q_ml_eval_langid",
 )
 
 

@@ -1088,3 +1088,114 @@ def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(ln_n, ln_rk), 6).alias("r2"),
         F.count(F.lit(1)).cast("bigint").alias("n_terms"),
     )
+
+
+@query(
+    "q_ml_eval_langid",
+    oracle="""
+    WITH scored AS (
+        SELECT lang AS lang_actual,
+               CASE
+                   WHEN len(list_filter(toks, w -> w IN ('the', 'a'))) >= 2
+                       THEN 'en'
+                   WHEN len(list_filter(toks, w -> w IN ('spark', 'stream'))) >= 2
+                       THEN 'tech'
+                   ELSE 'und'
+               END AS lang_pred
+        FROM (SELECT lang,
+                     string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents)
+    ),
+    cells AS (
+        SELECT lang_pred, lang_actual, CAST(count(*) AS BIGINT) AS n
+        FROM scored GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT CAST(sum(CASE WHEN lang_pred = 'en' AND lang_actual = 'en'
+                             THEN n ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN lang_pred = 'en' AND lang_actual <> 'en'
+                             THEN n ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN lang_pred <> 'en' AND lang_actual = 'en'
+                             THEN n ELSE 0 END) AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN (lang_pred = 'en') = (lang_actual = 'en')
+                             THEN n ELSE 0 END) AS BIGINT) AS n_correct,
+               CAST(sum(n) AS BIGINT) AS n_total
+        FROM cells
+    )
+    SELECT lang_pred, lang_actual, n,
+           floor(CAST(tp AS DOUBLE) / (tp + fp) * 1000000 + 0.5) / 1000000.0
+               AS precision_en,
+           floor(CAST(tp AS DOUBLE) / (tp + fn) * 1000000 + 0.5) / 1000000.0
+               AS recall_en,
+           floor(2.0 * tp / (2.0 * tp + fp + fn) * 1000000 + 0.5) / 1000000.0
+               AS f1_en,
+           floor(CAST(n_correct AS DOUBLE) / n_total * 1000000 + 0.5) / 1000000.0
+               AS accuracy_binarized
+    FROM cells CROSS JOIN m
+    ORDER BY lang_pred, lang_actual
+    """,
+)
+def q_ml_eval_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation on the checked surface: the confusion
+    matrix of q_text_langid's predictions against the ground-truth
+    lang column, with precision / recall / F1 for the one class the
+    heuristic actually detects ('en') and binarized accuracy — the
+    metrics block every model-gating pipeline computes, expressed as
+    two tiny aggregations.  Evaluating the engine's OWN heuristic
+    against fixture truth keeps the whole computation value-hash-
+    checkable (predictions are deterministic SQL in both dialects),
+    and the honest scope note is itself the point: the marker-word
+    heuristic only claims English detection, so per-class PRF beyond
+    'en' would be vacuous.
+
+    Shape: one tokenize+CASE scan (whole-stage codegen), one map-
+    side-combined (pred, actual) groupBy (≤ |pred|×|actual| cells),
+    and the metric fold over that tiny table broadcast back as
+    constant columns.  All metrics are exact-integer ratios →
+    HALF_UP 6 dp.
+    """
+    from i3cols_spark.functions.rounding import round_half_up
+
+    docs = table(spark, sf_dir, "documents").withColumn("toks", tokens("text"))
+    n_en = F.size(F.filter("toks", lambda w: w.isin("the", "a")))
+    n_tech = F.size(F.filter("toks", lambda w: w.isin("spark", "stream")))
+    pred = F.when(n_en >= 2, "en").when(n_tech >= 2, "tech").otherwise("und")
+    cells = (
+        docs.select(pred.alias("lang_pred"), F.col("lang").alias("lang_actual"))
+        .groupBy("lang_pred", "lang_actual")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    is_en_p = F.col("lang_pred") == "en"
+    is_en_a = F.col("lang_actual") == "en"
+    m = cells.agg(
+        F.sum(F.when(is_en_p & is_en_a, F.col("n")).otherwise(0))
+        .cast("bigint").alias("tp"),
+        F.sum(F.when(is_en_p & ~is_en_a, F.col("n")).otherwise(0))
+        .cast("bigint").alias("fp"),
+        F.sum(F.when(~is_en_p & is_en_a, F.col("n")).otherwise(0))
+        .cast("bigint").alias("fn"),
+        F.sum(F.when(is_en_p == is_en_a, F.col("n")).otherwise(0))
+        .cast("bigint").alias("n_correct"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    return (
+        cells.crossJoin(F.broadcast(m))
+        .select(
+            "lang_pred", "lang_actual", "n",
+            round_half_up(
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6
+            ).alias("precision_en"),
+            round_half_up(
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fn")), 6
+            ).alias("recall_en"),
+            round_half_up(
+                F.lit(2.0) * F.col("tp")
+                / (F.lit(2.0) * F.col("tp") + F.col("fp") + F.col("fn")),
+                6,
+            ).alias("f1_en"),
+            round_half_up(
+                F.col("n_correct").cast("double") / F.col("n_total"), 6
+            ).alias("accuracy_binarized"),
+        )
+        .orderBy("lang_pred", "lang_actual")
+    )
