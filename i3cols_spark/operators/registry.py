@@ -18,6 +18,25 @@ integers must round via ``functions/rounding.py`` (shared HALF_UP
 floor construction), NOT ``round()``: dyadic rationals land exactly
 on .5 boundaries where Spark rounds HALF_UP but DuckDB rounds doubles
 half-to-even (caught by the sf0.1 soak, round 4).
+
+Round-7 session-3 additions to the discipline (each caught live):
+MONEY SUMS of exact-decimal products (p·(1−d) is an exact 4-dp
+decimal) land exactly on .xx5 2-dp boundaries for small groups and
+engine summation order decides the side — sum
+``CAST(round(x*10000) AS BIGINT)`` in integer space and HALF_UP once
+(q_sql_tpch_q3/q10); plain sums of 2-dp money are safe (they stay
+2-dp, ≥ 0.005 from any boundary).  DECIMAL literals: DuckDB
+``VALUES (0.5)`` AND Spark SQL-text ``100.0`` both parse as DECIMAL
+(unlike ``F.lit``) — CAST ladder literals to DOUBLE when emitted as
+columns, divide by ``CAST(100 AS DOUBLE)`` in SQL text
+(q_agg_pareto, q_sql_tpch_*).  DuckDB CTEs are INLINED by default —
+an unrolled iterative oracle (PCA's 8 matvecs) re-evaluates
+exponentially unless every CTE is ``MATERIALIZED``.  DuckDB
+``max_by`` takes no composite key — newest-wins oracles use the
+row_number window form (q_merge_cdc_tombstones), the Spark side
+keeps the hot-key-proof ``max_by(struct)`` aggregate.  ``bin()``
+renders without leading zeros in BOTH engines, making leading-zero
+counts pure integer/string arithmetic (the oracle-checked HLL).
 """
 
 from __future__ import annotations
