@@ -341,6 +341,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_dedup_lsh_bucket_audit",
     "q_ts_seasonality_strength",
     "q_ml_eval_langid",
+    "q_stats_mann_whitney",
 )
 
 

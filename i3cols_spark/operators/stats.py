@@ -1461,3 +1461,110 @@ def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id")
         .orderBy("lang", "doc_id")
     )
+
+
+@query(
+    "q_stats_mann_whitney",
+    oracle="""
+    WITH vals AS (
+      SELECT l_extendedprice AS v, l_returnflag AS g FROM lineitem
+      WHERE l_returnflag IN ('R', 'A')
+    ), dist AS (
+      SELECT v,
+             CAST(count(*) FILTER (WHERE g = 'R') AS BIGINT) AS cr,
+             CAST(count(*) AS BIGINT) AS ct
+      FROM vals GROUP BY v
+    ), ranked AS (
+      SELECT v, cr, ct,
+             sum(ct) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - ct AS cum_prev
+      FROM dist
+    ), agg AS (
+      SELECT sum(cr * (cum_prev + (ct + 1.0) / 2.0)) AS r1,
+             CAST(sum(cr) AS BIGINT) AS n1,
+             CAST(sum(ct - cr) AS BIGINT) AS n2,
+             CAST(sum(ct) AS BIGINT) AS n,
+             sum(CAST(ct AS DOUBLE) * ct * ct - ct) AS tie_term
+      FROM ranked
+    )
+    SELECT n1, n2,
+           floor((n1 * CAST(n2 AS DOUBLE) + n1 * (n1 + 1.0) / 2.0 - r1)
+                 * 1000000 + 0.5) / 1000000.0 AS u_stat,
+           floor((n1 * CAST(n2 AS DOUBLE) / 2.0) * 1000000 + 0.5) / 1000000.0
+               AS u_mean,
+           floor(((n1 * CAST(n2 AS DOUBLE) + n1 * (n1 + 1.0) / 2.0 - r1)
+                  - n1 * CAST(n2 AS DOUBLE) / 2.0)
+                 / sqrt(n1 * CAST(n2 AS DOUBLE) / 12.0
+                        * ((n + 1.0)
+                           - tie_term / (CAST(n AS DOUBLE) * (n - 1.0))))
+                 * 1000000 + 0.5) / 1000000.0 AS z_stat
+    FROM agg
+    """,
+)
+def q_stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) comparing returned vs
+    acknowledged prices — the RANKS-based member of the two-sample
+    family (Welch = means, KS = distribution shape, U = stochastic
+    dominance), robust to outliers a t-test chases.  Midranks handle
+    ties exactly, the normal approximation carries the standard tie-
+    corrected variance n1·n2/12·((n+1) − Σ(t³−t)/(n(n−1))), and the
+    fixture cross-validates the family: z = −0.58 here against
+    Welch's t = +0.58 on the same comparison (sign flips because U
+    counts wins of the OTHER sample).
+
+    Scale shape: the exact_percentiles discipline again — one map-
+    side-combined reduction to per-DISTINCT-VALUE counts, ONE ordered
+    cumulative window over the support-sized table (midrank =
+    preceding count + (t+1)/2 — never a row-level rank of the
+    corpus), and a 1-row fold.  Every intermediate (midranks are
+    exact dyadic halves, rank sums ≪ 2^52, tie cubes ≪ 2^53) is
+    EXACT in double, so u_stat is bit-identical before rounding and
+    only z's sqrt touches libm.
+    """
+    from i3cols_spark.functions.rounding import round_half_up
+
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    dist = (
+        li.groupBy(F.col("l_extendedprice").alias("v"))
+        .agg(
+            F.count(F.when(F.col("l_returnflag") == "R", 1))
+            .cast("bigint").alias("cr"),
+            F.count(F.lit(1)).cast("bigint").alias("ct"),
+        )
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = dist.select(
+        "cr", "ct",
+        (F.sum("ct").over(w_cum) - F.col("ct")).alias("cum_prev"),
+    )
+    agg = ranked.agg(
+        F.sum(F.col("cr") * (F.col("cum_prev") + (F.col("ct") + 1.0) / 2.0))
+        .alias("r1"),
+        F.sum("cr").cast("bigint").alias("n1"),
+        F.sum(F.col("ct") - F.col("cr")).cast("bigint").alias("n2"),
+        F.sum("ct").cast("bigint").alias("n"),
+        F.sum(F.col("ct").cast("double") * F.col("ct") * F.col("ct") - F.col("ct"))
+        .alias("tie_term"),
+    )
+    u = (
+        F.col("n1") * F.col("n2").cast("double")
+        + F.col("n1") * (F.col("n1") + 1.0) / 2.0
+        - F.col("r1")
+    )
+    u_mean = F.col("n1") * F.col("n2").cast("double") / 2.0
+    sd = F.sqrt(
+        F.col("n1") * F.col("n2").cast("double") / 12.0
+        * (
+            (F.col("n") + 1.0)
+            - F.col("tie_term") / (F.col("n").cast("double") * (F.col("n") - 1.0))
+        )
+    )
+    return agg.select(
+        "n1", "n2",
+        round_half_up(u, 6).alias("u_stat"),
+        round_half_up(u_mean, 6).alias("u_mean"),
+        round_half_up((u - u_mean) / sd, 6).alias("z_stat"),
+    )
