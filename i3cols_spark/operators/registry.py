@@ -342,6 +342,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_ts_seasonality_strength",
     "q_ml_eval_langid",
     "q_stats_mann_whitney",
+    "q_agg_trimmed_mean",
 )
 
 

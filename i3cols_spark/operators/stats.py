@@ -1568,3 +1568,96 @@ def q_stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(u_mean, 6).alias("u_mean"),
         round_half_up((u - u_mean) / sd, 6).alias("z_stat"),
     )
+
+
+@query(
+    "q_agg_trimmed_mean",
+    oracle="""
+    WITH dist AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS v,
+             CAST(count(*) AS BIGINT) AS ct
+      FROM lineitem GROUP BY 1, 2
+    ), ranked AS (
+      SELECT flag, v, ct,
+             sum(ct) OVER (PARTITION BY flag ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum,
+             sum(ct) OVER (PARTITION BY flag) AS n
+      FROM dist
+    ), cut AS (
+      SELECT flag, v, ct, cum, n, n // 20 AS g,
+             greatest(CAST(0 AS BIGINT),
+                      least(cum, n - n // 20)
+                      - greatest(cum - ct, n // 20)) AS kept
+      FROM ranked
+    )
+    SELECT flag,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(max(g) AS BIGINT) AS n_cut_each_side,
+           floor(sum(v * kept) / (max(n) - 2.0 * max(g)) * 1000000 + 0.5)
+               / 1000000.0 AS trimmed_mean,
+           floor(sum(v * ct) / max(n) * 1000000 + 0.5) / 1000000.0
+               AS plain_mean
+    FROM cut GROUP BY flag ORDER BY flag
+    """,
+)
+def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5%-trimmed mean per group (the scipy ``trim_mean``
+    convention: drop g = ⌊0.05·n⌋ rows from each tail, average the
+    rest), reported beside the plain mean — the robust location
+    estimator between mean (outlier-chasing) and median (discards
+    almost everything), the one winsorized-metrics dashboards run.
+
+    Exactness without sorting rows: on the per-DISTINCT-VALUE
+    histogram (the exact_percentiles discipline), the kept weight of
+    a value group is pure interval arithmetic —
+    max(0, min(cum, n−g) − max(cum_prev, g)) — so tail groups
+    STRADDLING the cut contribute exactly their inside portion, all
+    in BIGINTs.  Σ v·kept multiplies exact 2-dp money by integers
+    (≪ 2^53, exact in double), so the only rounding is the final
+    dyadic-decimal ratio → HALF_UP 6 dp.
+
+    Scale shape: one map-side-combined (flag, value) reduction, one
+    per-group cumulative window over the support-sized table, one
+    fold — the q_agg_percentile plan with a weights twist.
+    """
+    from i3cols_spark.functions.rounding import round_half_up
+
+    li = table(spark, sf_dir, "lineitem")
+    dist = (
+        li.groupBy(F.col("l_returnflag").alias("flag"),
+                   F.col("l_extendedprice").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    )
+    w_cum = Window.partitionBy("flag").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy("flag")
+    ranked = dist.select(
+        "flag", "v", "ct",
+        F.sum("ct").over(w_cum).alias("cum"),
+        F.sum("ct").over(w_all).alias("n"),
+    )
+    g = F.floor(F.col("n") / 20).cast("bigint")
+    kept = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(F.col("cum"), F.col("n") - g)
+        - F.greatest(F.col("cum") - F.col("ct"), g),
+    )
+    cut = ranked.select("flag", "v", "ct", "n", g.alias("g"), kept.alias("kept"))
+    return (
+        cut.groupBy("flag")
+        .agg(
+            F.max("n").cast("bigint").alias("n_rows"),
+            F.max("g").cast("bigint").alias("n_cut_each_side"),
+            round_half_up(
+                F.sum(F.col("v") * F.col("kept"))
+                / (F.max("n") - 2.0 * F.max("g")),
+                6,
+            ).alias("trimmed_mean"),
+            round_half_up(
+                F.sum(F.col("v") * F.col("ct")) / F.max("n"), 6
+            ).alias("plain_mean"),
+        )
+        .orderBy("flag")
+    )
