@@ -343,6 +343,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_ml_eval_langid",
     "q_stats_mann_whitney",
     "q_agg_trimmed_mean",
+    "q_stats_anova_oneway",
 )
 
 

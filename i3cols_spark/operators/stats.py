@@ -1661,3 +1661,75 @@ def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+@query(
+    "q_stats_anova_oneway",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag AS flag,
+             CAST(count(*) AS BIGINT) AS n_i,
+             avg(l_extendedprice) AS m_i,
+             var_samp(l_extendedprice) AS v_i
+      FROM lineitem GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n_i) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k,
+             sum(n_i * m_i) / sum(n_i) AS grand_mean
+      FROM g
+    )
+    SELECT k, n,
+           floor(sum(n_i * (m_i - grand_mean) * (m_i - grand_mean)) / (k - 1)
+                 / (sum((n_i - 1) * v_i) / (n - k))
+                 * 1000000 + 0.5) / 1000000.0 AS f_stat,
+           floor(sum(n_i * (m_i - grand_mean) * (m_i - grand_mean))
+                 / (sum(n_i * (m_i - grand_mean) * (m_i - grand_mean))
+                    + sum((n_i - 1) * v_i))
+                 * 1000000 + 0.5) / 1000000.0 AS eta_squared
+    FROM g CROSS JOIN tot GROUP BY k, n
+    """,
+)
+def q_stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across ALL return-flag groups — the k-sample
+    generalization closing the test family (two-sample: Welch / KS /
+    Mann–Whitney; k-sample: this), with η² effect size (SSB/SST).
+    F = MSB/MSW assembles entirely from per-group (n, mean, var) —
+    so the statistic costs ONE map-side-combined aggregation pass
+    over the fact table and a k-row fold; no second pass, no
+    residual materialization (the textbook sum-over-rows form is a
+    needless extra scan).
+
+    Determinism: group means/vars are multi-row reductions consumed
+    UNROUNDED inside one mirrored expression tree (per-engine float
+    noise ~1e-12 against an F of O(1)), final statistics HALF_UP
+    6 dp; counts exact.  The grand mean is the n-weighted group-mean
+    combination — algebraically the global mean, computed without
+    touching rows twice.
+    """
+    from i3cols_spark.functions.rounding import round_half_up
+
+    li = table(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.avg("l_extendedprice").alias("m_i"),
+        F.var_samp("l_extendedprice").alias("v_i"),
+    )
+    tot = g.agg(
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        (F.sum(F.col("n_i") * F.col("m_i")) / F.sum("n_i")).alias("grand_mean"),
+    )
+    dev = F.col("m_i") - F.col("grand_mean")
+    ssb = F.sum(F.col("n_i") * dev * dev)
+    ssw = F.sum((F.col("n_i") - 1) * F.col("v_i"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("k", "n")
+        .agg(
+            round_half_up(
+                (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 6
+            ).alias("f_stat"),
+            round_half_up(ssb / (ssb + ssw), 6).alias("eta_squared"),
+        )
+        .select("k", "n", "f_stat", "eta_squared")
+    )
