@@ -345,6 +345,7 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
     "q_agg_trimmed_mean",
     "q_stats_anova_oneway",
     "q_stats_proportion_ztest",
+    "q_text_js_divergence",
 )
 
 

@@ -1199,3 +1199,95 @@ def q_ml_eval_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_pred", "lang_actual")
     )
+
+
+@query(
+    "q_text_js_divergence",
+    oracle=r"""
+    WITH toks AS (
+      SELECT CAST(substr(source, 4) AS INTEGER) % 2 AS pool,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      FROM documents
+    ), cnt AS (
+      SELECT term,
+             CAST(count(*) FILTER (WHERE pool = 0) AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (WHERE pool = 1) AS BIGINT) AS n_b
+      FROM toks WHERE term <> '' GROUP BY term
+    ), tot AS (
+      SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb,
+             CAST(count(*) AS BIGINT) AS v
+      FROM cnt
+    ), frac AS (
+      SELECT term, n_a, n_b,
+             (n_a + 0.5) / (ta + 0.5 * v) AS p,
+             (n_b + 0.5) / (tb + 0.5 * v) AS q
+      FROM cnt CROSS JOIN tot
+    )
+    SELECT term, n_a, n_b,
+           floor(p * 1000000 + 0.5) / 1000000.0 AS p_a,
+           floor(q * 1000000 + 0.5) / 1000000.0 AS q_b,
+           floor((0.5 * p * ln(2.0 * p / (p + q))
+                  + 0.5 * q * ln(2.0 * q / (p + q))) / ln(2.0)
+                 * 1000000 + 0.5) / 1000000.0 AS js_term_bits,
+           floor(sum(0.5 * p * ln(2.0 * p / (p + q))
+                     + 0.5 * q * ln(2.0 * q / (p + q))) OVER () / ln(2.0)
+                 * 1000000 + 0.5) / 1000000.0 AS js_total_bits
+    FROM frac
+    ORDER BY term
+    """,
+)
+def q_text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between two source pools' unigram
+    distributions (in bits) — the text twin of q_quality_psi_drift:
+    symmetric, bounded [0, 1], defined even for disjoint supports
+    (unlike KL), with the same Laplace-(+½) smoothing discipline.
+    Per-term contributions are emitted alongside the total — the
+    decomposition says WHICH vocabulary drives a divergence, which is
+    what a corpus-mixing decision actually reads.  On this fixture
+    the pools split a shared synthetic vocabulary at random:
+    JS ≈ 0.0008 bits, i.e. "no drift", and the near-zero answer is
+    the correct one.
+
+    Shape: one conditional-aggregation pass to per-term pool counts
+    (vocabulary-sized, the bound every operator in this file works
+    under), totals and the JS fold as windows over that table.
+    Smoothed fractions are integer-derived ratios → HALF_UP 6 dp; ln
+    is the only libm exposure; identical expression trees in both
+    dialects.
+    """
+    from i3cols_spark.functions.rounding import round_half_up
+
+    docs = table(spark, sf_dir, "documents")
+    pool = F.pmod(F.substring("source", 4, 10).cast("int"), F.lit(2))
+    cnt = (
+        docs.select(pool.alias("pool"), F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(
+            F.count(F.when(F.col("pool") == 0, 1)).cast("bigint").alias("n_a"),
+            F.count(F.when(F.col("pool") == 1, 1)).cast("bigint").alias("n_b"),
+        )
+    )
+    w_all = W.partitionBy()
+    p = (F.col("n_a") + F.lit(0.5)) / (
+        F.sum("n_a").over(w_all) + F.lit(0.5) * F.count(F.lit(1)).over(w_all)
+    )
+    q = (F.col("n_b") + F.lit(0.5)) / (
+        F.sum("n_b").over(w_all) + F.lit(0.5) * F.count(F.lit(1)).over(w_all)
+    )
+    ln2 = F.log(F.lit(2.0))
+    term_js = (
+        F.lit(0.5) * p * F.log(F.lit(2.0) * p / (p + q))
+        + F.lit(0.5) * q * F.log(F.lit(2.0) * q / (p + q))
+    ) / ln2
+    return (
+        cnt.select(
+            "term", "n_a", "n_b",
+            round_half_up(p, 6).alias("p_a"),
+            round_half_up(q, 6).alias("q_b"),
+            round_half_up(term_js, 6).alias("js_term_bits"),
+            round_half_up(F.sum(term_js * ln2).over(w_all) / ln2, 6)
+            .alias("js_total_bits"),
+        )
+        .orderBy("term")
+    )
