@@ -349,15 +349,95 @@ POST_R7_ADDITIONS: tuple[str, ...] = (
 )
 
 
+#: The 3 POST_R7 names with no DuckDB oracle (rows-only by design):
+#: a window slot spent on one records ``no_oracle`` instead of a green
+#: hash row, so they are excluded from official windows (VERDICT r07
+#: item 1 "keep them out") and stay covered by sim + pytest.
+_POST_R7_ROWS_ONLY: tuple[str, ...] = (
+    "q_multimodal_audio_pcm",
+    "q_dedup_minhash_cluster_rep",
+    "q_similarity_ann_ivfpq",
+)
+
+#: Round-8 rotation (VERDICT r07 item 1).  Round 7 grew the surface
+#: from 150 to 231 registered queries, so the 81 ``POST_R7_ADDITIONS``
+#: have zero official CORRECTNESS rows — sim + soak + pytest evidence
+#: only.  The driver's budget is the FIRST 50 surface names, so round
+#: 8 spends the whole window on first-time official evidence:
+#:   * slot 1: ``q_agg_approx_distinct`` — not POST_R7, but its r7
+#:     official row is the erring ``no_oracle`` record and round 8
+#:     changed its output contract to the oracle-checkable ±5%-bound
+#:     form (VERDICT r07 item 5), so it needs a fresh official row;
+#:   * 24 slots: the oracle-checked sketch / graph / source / SQL-text
+#:     families the judge named as highest-value;
+#:   * 25 slots: the remaining POST_R7 names in registration
+#:     (oldest-first) order.
+#: The 3 rows-only POST_R7 names are excluded (``_POST_R7_ROWS_ONLY``)
+#: and the 29 oracle-checked overflow names wait for round 9 — the
+#: POST_R5/POST_R7 precedent.  tests/test_oracle_parity.py recomputes
+#: never-checked status from the committed artifacts so a drifted
+#: rotation fails loudly.
+_R8_PRIORITY: tuple[str, ...] = (
+    # contract name flipping no_oracle → green this round (item 5)
+    "q_agg_approx_distinct",
+    # sketch family — fully hash-checked cross-engine constructions
+    "q_agg_sketch_countmin", "q_agg_sketch_bloom", "q_agg_sketch_kmv",
+    "q_agg_sketch_kmv_setops", "q_agg_sketch_histogram",
+    "q_agg_sketch_hll",
+    # graph family
+    "q_graph_triangles", "q_graph_cooccurrence",
+    "q_graph_clustering_coef", "q_graph_bfs_levels", "q_graph_sssp",
+    "q_graph_assortativity",
+    # source/scan family
+    "q_source_orc_scan", "q_source_arrow_scan",
+    "q_source_schema_evolution", "q_source_badrecords",
+    "q_source_jsonl_gz_scan", "q_source_arrow_timetravel",
+    "q_scan_dpp_join",
+    # SQL text path
+    "q_sql_tpch_q1", "q_sql_tpch_q3", "q_sql_tpch_q5",
+    "q_sql_tpch_q10", "q_sql_window_topk",
+    # remaining POST_R7 names, registration (oldest-first) order
+    "q_dedup_ngram_cluster_rep", "q_similarity_knn_batch_ivf",
+    "q_dedup_substring", "q_text_perplexity",
+    "q_dedup_incremental_near", "q_join_interval_grid",
+    "q_anomaly_mad", "q_join_asof_tolerance", "q_sample_weighted",
+    "q_dedup_text_report", "q_multimodal_phash_dedup",
+    "q_multimodal_audio_fingerprint", "q_dedup_phash_hamming",
+    "q_join_knn_2d", "q_text_pmi_collocations", "q_seq_pattern_match",
+    "q_stats_bootstrap_ci", "q_agg_weighted_median",
+    "q_ts_concurrency_sweep", "q_quality_k_anonymity",
+    "q_stats_chi2_indep", "q_stats_welch_ttest", "q_quality_dp_counts",
+    "q_basket_assoc_rules", "q_embedding_pca_power",
+)
+
+
+#: Operators registered in round 8, after the r8 window was frozen on
+#: the never-officially-checked POST_R7 block: first candidates for
+#: the round-9 rotation (together with the 29 POST_R7 overflow names),
+#: sim + soak covered meanwhile.
+POST_R8_ADDITIONS: tuple[str, ...] = (
+    "q_dedup_minhash_lsh_verified",
+)
+
+
 def surface_order() -> list[str]:
-    """Driver-facing ordering: the round-7 evidence-rotation block
-    first (see ``_R7_PRIORITY``), the remaining contract + extras in
+    """Driver-facing ordering: the round-8 evidence-rotation block
+    first (see ``_R8_PRIORITY``), the remaining contract + extras in
     §-order after, then any registered name the tuples don't know
     about (fail-open so a new operator is never silently dropped from
     the surface)."""
-    prio = set(_R7_PRIORITY)
-    rest = [q for q in (*CONTRACT_QUERIES, *EXTRA_QUERIES, *POST_R7_ADDITIONS) if q not in prio]
-    known = list(_R7_PRIORITY) + rest
+    prio = set(_R8_PRIORITY)
+    rest = [
+        q
+        for q in (
+            *CONTRACT_QUERIES,
+            *EXTRA_QUERIES,
+            *POST_R7_ADDITIONS,
+            *POST_R8_ADDITIONS,
+        )
+        if q not in prio
+    ]
+    known = list(_R8_PRIORITY) + rest
     missing = [k for k in known if k not in QUERIES]
     if missing:
         raise KeyError(f"surface_order: unregistered contract/extra names: {missing}")

@@ -61,20 +61,29 @@ def test_explode_collect_roundtrip(spark, sf_dir):
 
 
 def test_approx_distinct_within_5pct(spark, sf_dir):
-    """SURVEY §2.3 weak check for q_agg_approx_distinct: HLL ±5%."""
+    """SURVEY §2.3 weak check for q_agg_approx_distinct: HLL ±5%.
+
+    The query now emits the bound itself (within_5pct, oracle-checked
+    since r8); this test keeps an INDEPENDENT recomputation of the raw
+    estimate so a bug in the in-query bound expression can't
+    self-certify."""
     ev = table(spark, sf_dir, "events")
-    approx = {
-        r["event_type"]: r["approx_users"]
+    out = {
+        r["event_type"]: (r["exact_users"], r["within_5pct"])
         for r in QUERIES["q_agg_approx_distinct"](spark, sf_dir).collect()
     }
-    exact = {
-        r["event_type"]: r["n"]
+    raw = {
+        r["event_type"]: (r["n"], r["a"])
         for r in ev.groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n"))
+        .agg(
+            F.countDistinct("user_id").alias("n"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("a"),
+        )
         .collect()
     }
-    for k, n in exact.items():
-        assert abs(approx[k] - n) <= max(1, 0.05 * n), (k, approx[k], n)
+    for k, (n, a) in raw.items():
+        assert abs(a - n) <= max(1, 0.05 * n), (k, a, n)
+        assert out[k] == (n, True), (k, out[k], n)
 
 
 def test_minhash_candidates_superset_of_high_jaccard(spark, sf_dir):
