@@ -944,12 +944,19 @@ def q_agg_sketch_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
     )
     width = (F.col("mx") - F.col("mn")) / F.lit(float(_HIST_BINS))
+    # Binning guard (ADVICE r07): a constant-valued column makes
+    # width 0 and the unguarded index NULL (double div-by-zero) — the
+    # fallback maps everything to bin 0, while the ESTIMATE keeps the
+    # true width (0 in that case), so the degenerate quantile is
+    # exactly mn.  Non-degenerate inputs take the identical path as
+    # before, so the oracle is unaffected.
+    bin_width = F.when(F.col("mx") > F.col("mn"), width).otherwise(F.lit(1.0))
     cells = (
         orders.join(F.broadcast(ext))
         .select(
             F.least(
                 F.lit(_HIST_BINS - 1),
-                F.floor((F.col("o_totalprice") - F.col("mn")) / width),
+                F.floor((F.col("o_totalprice") - F.col("mn")) / bin_width),
             )
             .cast("bigint")
             .alias("bin")

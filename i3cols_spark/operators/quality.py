@@ -545,7 +545,9 @@ def q_quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dp_laplace_noise(key: "F.Column", eps: "F.Column") -> "F.Column":
+def dp_laplace_noise(
+    key: "F.Column", eps: "F.Column", secret: str | None = None
+) -> "F.Column":
     """Deterministic Laplace(1/eps) noise for a released cell: an
     md5-derived dyadic uniform u = (h32 + 0.5)/2^32 through the
     inverse CDF -(1/eps)*sign(u-1/2)*ln(1-2|u-1/2|).  Hash-seeded so
@@ -553,7 +555,19 @@ def dp_laplace_noise(key: "F.Column", eps: "F.Column") -> "F.Column":
     noise (per-epoch RNGs would silently break epsilon accounting);
     shared by q_quality_dp_counts and streaming.jobs
     stream_dp_class_counts, whose equality test is exactly this
-    determinism claim."""
+    determinism claim.
+
+    SECURITY (ADVICE r07): with ``secret=None`` the noise is a pure
+    function of the PUBLIC cell key, so anyone can recompute and
+    subtract it — that form is a CROSS-ENGINE DETERMINISM TEST
+    VECTOR, not a privacy mechanism, and must never guard a real
+    release.  A production release MUST pass ``secret`` — a
+    config-supplied value (e.g. ``spark.conf``/vault, never committed)
+    mixed into the hash preimage, making the noise unpredictable to
+    anyone without the seed while keeping retry/stream determinism
+    for everyone with it."""
+    if secret is not None:
+        key = F.concat(F.lit(secret), F.lit("|"), key)
     u = (
         F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint").cast("double")
         + F.lit(0.5)
@@ -611,10 +625,18 @@ def q_quality_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     CDF −(1/ε)·sign(u−½)·ln(1−2|u−½|).  Both engines compute the
     identical double: the ln argument is bit-exact dyadic arithmetic,
     so the only cross-engine exposure is libm-vs-JVM ln (≤1 ulp),
-    absorbed by HALF_UP 6 dp.  Seeded-hash noise is also the
-    PRODUCTION shape: re-running the release on 1000 executors or
-    resuming a failed job yields the same noise — per-task RNGs would
-    silently break ε accounting on retry.
+    absorbed by HALF_UP 6 dp.
+
+    THIS QUERY IS A MECHANISM TEST VECTOR, NOT A PRIVATE RELEASE
+    (ADVICE r07): it hashes the public cell key with NO secret seed —
+    which is precisely what makes it cross-engine checkable — so its
+    noise is recomputable by anyone and carries zero ε-DP guarantee
+    (it also emits true_count, which no release would).  The
+    production shape keeps hash-seeded determinism (re-running on
+    1000 executors or resuming a failed job must realize the same
+    noise — per-task RNGs silently break ε accounting on retry) but
+    mixes a config-supplied secret into the preimage:
+    ``dp_laplace_noise(key, eps, secret=<vault value>)``.
 
     Scale shape: one map-side-combined groupBy builds the class
     histogram (customer joins the 25-row nation dim broadcast); the

@@ -121,6 +121,59 @@ def _version_of(options: dict) -> int | None:
     return int(v) if v is not None else None
 
 
+class SnapshotConflictError(RuntimeError):
+    """Optimistic-concurrency conflict: another committer already
+    published this snapshot version with DIFFERENT contents.
+    Retryable — re-read HEAD, recompute the commit against the new
+    version, and try again."""
+
+
+def _publish_snapshot(root: str, version: int, payload: dict) -> None:
+    """Atomically publish the immutable ``v{n}`` snapshot (ADVICE r07,
+    both manifest findings):
+
+    * TORN WRITES: the payload is fully written + fsynced to a tmp
+      file first, then hard-linked into its final name — a crash can
+      never leave a half-written ``_ARROW_MANIFEST.v{n}.json`` that
+      versionAsOf readers or vacuum() would fail to parse, restoring
+      the documented "sees either nothing or the complete immutable
+      file list" guarantee.
+    * LOST UPDATES: ``os.link`` fails with EEXIST when ``v{n}``
+      already exists, so two committers that both computed version
+      n+1 from the same HEAD cannot both win — the loser gets a
+      retryable :class:`SnapshotConflictError` instead of silently
+      vanishing from HEAD, and the shared snapshot file is never
+      overwritten (the "snapshot is never replaced" invariant).  The
+      one benign collision — a retry AFTER a crash that landed the
+      snapshot but not the HEAD flip — is recognized by identical
+      payload and treated as success (idempotent re-commit).
+    """
+    snap = os.path.join(root, _SNAPSHOT_FMT.format(n=version))
+    tmp = f"{snap}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, snap)
+    except FileExistsError:
+        try:
+            with open(snap) as fh:
+                existing = json.load(fh)
+        except (OSError, ValueError):
+            existing = None
+        if existing != payload:
+            raise SnapshotConflictError(
+                f"arrowipc: snapshot v{version} under {root} was already "
+                f"committed by a concurrent writer — re-read the HEAD "
+                f"manifest and retry the commit"
+            ) from None
+        # identical payload: crashed/duplicate attempt of THIS commit;
+        # fall through so the caller can flip HEAD idempotently.
+    finally:
+        os.unlink(tmp)
+
+
 def vacuum(root: str, retain_last: int = 1) -> dict:
     """Reclaim storage from superseded snapshots: keep the newest
     ``retain_last`` snapshot manifests (the HEAD manifest and its
@@ -314,16 +367,15 @@ class ArrowIPCWriter(DataSourceWriter):
         payload = {"version": version, "files": files}
         if batches:
             payload["batches"] = batches
-        # The snapshot is written FIRST and never replaced: a time-
+        # The snapshot is published FIRST and never replaced: a time-
         # travel reader of v{n} sees either nothing (commit not yet
-        # durable) or the complete immutable file list.  Only then
-        # does the HEAD manifest flip atomically.  Old parts are NOT
-        # deleted here — superseded snapshots stay readable via
-        # versionAsOf until an explicit vacuum() reclaims them (the
-        # Delta-style contract).
-        snap = os.path.join(self.root, _SNAPSHOT_FMT.format(n=version))
-        with open(snap, "w") as fh:
-            json.dump(payload, fh)
+        # durable) or the complete immutable file list — torn-write
+        # and concurrent-committer races handled in _publish_snapshot.
+        # Only then does the HEAD manifest flip atomically.  Old parts
+        # are NOT deleted here — superseded snapshots stay readable
+        # via versionAsOf until an explicit vacuum() reclaims them
+        # (the Delta-style contract).
+        _publish_snapshot(self.root, version, payload)
         tmp = manifest + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(payload, fh)
@@ -378,9 +430,7 @@ class ArrowIPCStreamWriter(DataSourceStreamWriter):
             "files": files + new,
             "batches": batches,
         }
-        snap = os.path.join(self.root, _SNAPSHOT_FMT.format(n=payload["version"]))
-        with open(snap, "w") as fh:
-            json.dump(payload, fh)
+        _publish_snapshot(self.root, payload["version"], payload)
         tmp = manifest + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(payload, fh)

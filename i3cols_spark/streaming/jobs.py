@@ -485,7 +485,16 @@ def stream_histogram_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("o_totalprice"), F.max("o_totalprice"))
         .first()
     )
-    width = (mx - mn) / float(_HIST_BINS)
+    # Geometry guards (ADVICE r07): an empty table has no extrema to
+    # pin edges from — fail loudly before the stream starts; a
+    # constant-valued column degrades to a single bin (width 1.0 maps
+    # every value to bin 0) instead of dividing by zero.
+    if mn is None or mx is None:
+        raise ValueError(
+            "stream_histogram_grid: orders.o_totalprice is empty — "
+            "no extrema to pin the histogram geometry from"
+        )
+    width = (mx - mn) / float(_HIST_BINS) if mx > mn else 1.0
     batch_schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
     stream = (
         spark.readStream.schema(batch_schema)
@@ -517,7 +526,10 @@ def stream_dp_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     STREAMING-CONSISTENT: every micro-batch's re-emission of a cell
     realizes the identical noise, where an RNG would re-noise per
     epoch and silently multiply the privacy spend.  The stream≡batch
-    test is exactly that claim."""
+    test is exactly that claim.  Like its batch twin this is a
+    MECHANISM TEST VECTOR, not a private release: no secret seed is
+    mixed in (ADVICE r07) — a production release passes
+    ``secret=<config value>`` to dp_laplace_noise."""
     from i3cols_spark.functions.rounding import round_half_up
     from i3cols_spark.operators.quality import dp_laplace_noise
 

@@ -280,3 +280,40 @@ def test_stream_through_arrowipc_exactly_once(spark, tmp_path):
         (1, 1.0, "a"), (2, 2.0, "b"), (3, 3.0, "c")]
     head = json.load(open(os.path.join(dst, MANIFEST)))
     assert len(head["batches"]) >= 2  # one durable epoch per drain
+
+
+def test_publish_snapshot_conflict_and_idempotence(tmp_path):
+    """ADVICE r07: snapshot publication must be atomic (no torn
+    v{n} file possible) and exclusive (two committers computing the
+    same next version cannot both win — loser gets a retryable
+    conflict; the shared snapshot is never overwritten).  A replayed
+    attempt of the SAME commit (identical payload — the crash-between-
+    snapshot-and-HEAD-flip case) is idempotent success."""
+    import json
+    import os
+
+    import pytest
+
+    from i3cols_spark.sources.arrow_ipc import (
+        SnapshotConflictError,
+        _publish_snapshot,
+    )
+
+    root = str(tmp_path)
+    first = {"version": 2, "files": ["a.arrow"]}
+    _publish_snapshot(root, 2, first)
+    snap = os.path.join(root, "_ARROW_MANIFEST.v2.json")
+    assert json.load(open(snap)) == first
+    # no stray tmp files left behind
+    assert [f for f in os.listdir(root) if f.endswith(".tmp")] == []
+
+    # same version, different contents: the losing committer fails
+    # loudly and the original snapshot is untouched
+    with pytest.raises(SnapshotConflictError):
+        _publish_snapshot(root, 2, {"version": 2, "files": ["b.arrow"]})
+    assert json.load(open(snap)) == first
+
+    # identical payload (replay of this very commit): idempotent
+    _publish_snapshot(root, 2, first)
+    assert json.load(open(snap)) == first
+    assert [f for f in os.listdir(root) if f.endswith(".tmp")] == []

@@ -4,6 +4,8 @@ join strategy.  A regression here is correct-but-100×-slower."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from i3cols_spark.operators import QUERIES
 from i3cols_spark.plans.checks import (
     explain_str,
@@ -1065,3 +1067,26 @@ def test_asof_nearest_is_one_shuffle_no_join(spark, sf_dir):
     assert "BroadcastHashJoin" not in plan
     assert "ShuffledHashJoin" not in plan
     assert "Window" in plan
+
+
+def test_dp_noise_secret_seed_changes_noise(spark):
+    """ADVICE r07: the secret-free noise is a cross-engine test
+    vector, not a privacy mechanism — a production release mixes a
+    config-supplied secret into the hash preimage.  Pin the API: a
+    secret changes the realized noise (so the public-key form cannot
+    be subtracted by an attacker without the seed), the same secret
+    is deterministic across evaluations, and secret=None reproduces
+    the documented test-vector values."""
+    from i3cols_spark.operators.quality import dp_laplace_noise
+
+    df = spark.createDataFrame([("a",), ("b",)], "k string")
+    out = df.select(
+        dp_laplace_noise(F.col("k"), F.lit(0.5)).alias("open"),
+        dp_laplace_noise(F.col("k"), F.lit(0.5), secret="s3cr3t").alias("sealed"),
+        dp_laplace_noise(F.col("k"), F.lit(0.5), secret="s3cr3t").alias("sealed2"),
+        dp_laplace_noise(F.col("k"), F.lit(0.5), secret="other").alias("sealed3"),
+    ).collect()
+    for r in out:
+        assert r["open"] != r["sealed"]
+        assert r["sealed"] == r["sealed2"]
+        assert r["sealed"] != r["sealed3"]

@@ -474,3 +474,73 @@ def test_stream_hll_registers_equals_batch(spark, sf_dir):
     )
     assert streamed == {(r["bucket"], r["m_rank"]) for r in batch.collect()}
     assert len(streamed) > 0
+
+
+def test_stream_histogram_grid_degenerate_geometry(spark, tmp_path):
+    """ADVICE r07: the static-scan histogram geometry must not divide
+    by zero on a constant-valued column (single-bin fallback) and
+    must fail loudly, naming the column, on an empty table — both
+    BEFORE the stream starts."""
+    import pytest
+
+    from i3cols_spark.streaming import jobs
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    const_dir = str(tmp_path / "const")
+    (tmp_path / "const").mkdir()
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array([1], pa.int64()),
+                  "o_totalprice": pa.array([42.0], pa.float64())}),
+        f"{const_dir}/orders.parquet",
+    )
+    sdf = jobs.stream_histogram_grid(spark, const_dir)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("hist_degenerate")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from hist_degenerate").collect()
+    assert [(r["bin"], r["cnt"]) for r in rows] == [(0, 1)]
+
+    empty_dir = str(tmp_path / "empty")
+    (tmp_path / "empty").mkdir()
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array([], pa.int64()),
+                  "o_totalprice": pa.array([], pa.float64())}),
+        f"{empty_dir}/orders.parquet",
+    )
+    with pytest.raises(ValueError, match="o_totalprice is empty"):
+        jobs.stream_histogram_grid(spark, empty_dir)
+
+
+def test_batch_histogram_degenerate_constant_column(spark, tmp_path):
+    """Batch twin of the geometry guard: a constant-valued price
+    column yields bin 0 for every row and the exact value as every
+    quantile estimate (width 0 in the ESTIMATE, single-bin fallback
+    only in the index)."""
+    from i3cols_spark.operators import QUERIES
+
+    import datetime
+
+    from i3cols_spark.operators import QUERIES as _Q  # noqa: F401
+
+    d = str(tmp_path / "constb")
+    spark.createDataFrame(
+        [
+            (i, i, "O", 7.5, datetime.datetime(1995, 1, 1), "1-URGENT")
+            for i in range(10)
+        ],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(f"{d}/orders.parquet")
+    out = QUERIES["q_agg_sketch_histogram"](spark, d).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["est_price"] == 7.5, r
+        assert r["exact_price"] == 7.5, r
+        assert r["rel_err"] == 0.0, r
