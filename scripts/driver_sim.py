@@ -7,6 +7,15 @@ the driver's correctness SF against ``oracle_sql()`` in DuckDB with an
 order-insensitive value-hash compare (the driver-gate semantics).
 
 Usage: python scripts/driver_sim.py [sf_dir] [query ...]
+       python scripts/driver_sim.py [sf_dir] --chunk i/N
+       python scripts/driver_sim.py [sf_dir] --names-file FILE
+
+``--chunk i/N`` (1-based) runs the i-th of N contiguous slices of the
+alphabetically-sorted surface — the full sf0.1 sweep no longer fits
+one 30-minute invocation (VERDICT r07 item 6), so the standing recipe
+is N sequential chunk runs whose TOTAL lines add up to the full
+surface.  ``--names-file`` reads one query name per line (blank lines
+and #-comments ignored) for arbitrary batching.
 """
 
 from __future__ import annotations
@@ -30,9 +39,31 @@ def value_hash(columns, rows) -> str:
     return h.hexdigest()[:16]
 
 
+def _parse_selection(argv: list) -> tuple:
+    """Returns (only_names | None, chunk | None) from the CLI tail."""
+    only: set = set()
+    chunk = None
+    it = iter(argv)
+    for a in it:
+        if a == "--chunk":
+            i, n = next(it).split("/")
+            chunk = (int(i), int(n))
+            if not (1 <= chunk[0] <= chunk[1]):
+                raise SystemExit(f"--chunk {i}/{n}: need 1 <= i <= N")
+        elif a == "--names-file":
+            with open(next(it)) as fh:
+                for line in fh:
+                    line = line.split("#", 1)[0].strip()
+                    if line:
+                        only.add(line)
+        else:
+            only.add(a)
+    return only, chunk
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    only, chunk = _parse_selection(sys.argv[2:])
 
     from pyspark.sql import SparkSession
 
@@ -55,8 +86,16 @@ def main() -> int:
 
     queries, oracles = mod.queries(), mod.oracle_sql()
     con = duckdb_connect(sf_dir)
+    names = sorted(queries)
+    if chunk is not None:
+        i, n = chunk
+        per = -(-len(names) // n)  # ceil
+        names = names[(i - 1) * per : i * per]
+        print(f"CHUNK {i}/{n}: {len(names)} queries "
+              f"({names[0]} .. {names[-1]})" if names else f"CHUNK {i}/{n}: empty")
     n_ok = n_weak = n_fail = 0
-    for name, fn in sorted(queries.items()):
+    for name in names:
+        fn = queries[name]
         if only and name not in only:
             continue
         t0 = time.time()
