@@ -417,6 +417,7 @@ _R8_PRIORITY: tuple[str, ...] = (
 #: sim + soak covered meanwhile.
 POST_R8_ADDITIONS: tuple[str, ...] = (
     "q_dedup_minhash_lsh_verified",
+    "q_basket_assoc_rules_rel",
 )
 
 
