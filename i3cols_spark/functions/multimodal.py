@@ -796,6 +796,35 @@ def image_ahash(df: DataFrame) -> DataFrame:
     )
 
 
+def image_ahash64(df: DataFrame) -> DataFrame:
+    """(media_id, payload) → (media_id, ahash_lo, ahash_hi): the
+    PRODUCTION-width 64-bit average hash (8×8 nearest-neighbor grid —
+    VERDICT r07 item 4: the 16-bit space saturates once the corpus
+    outgrows 2¹⁶ buckets), emitted as two 32-bit halves because
+    ``1 << 63`` overflows signed BIGINT arithmetic in SQL engines —
+    each half stays a small positive long, XOR/popcount compose
+    exactly, and the banding reads 16-bit slices of either half."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from i3cols_spark.functions import codecs
+
+        for pdf in batches:
+            ids, los, his = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = codecs.decode_bmp(bytes(payload))
+                a = ahash_bits(img.width, img.height, img.pixels, grid=8)
+                ids.append(mid)
+                los.append(a & 0xFFFFFFFF)
+                his.append(a >> 32)
+            yield pd.DataFrame(
+                {"media_id": ids, "ahash_lo": los, "ahash_hi": his}
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        op, "media_id long, ahash_lo long, ahash_hi long"
+    )
+
+
 def audio_delta_fingerprint(samples: list[int], nbits: int = 16) -> int:
     """Integer-exact delta-sign acoustic fingerprint: sample nbits+1
     grid points across the clip (idx_k = (k·(n-1))//nbits), bit k set

@@ -664,6 +664,122 @@ def q_dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_phash64_hamming",
+    oracle="""
+    WITH img AS (
+        SELECT doc_id, text,
+               CAST(length(text) AS BIGINT) AS n,
+               length(text) % 13 + 1 AS w,
+               length(text) % 7 + 1 AS h
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    grays AS (
+        SELECT doc_id,
+               list_transform(range(64), k ->
+                   ( ascii(substr(text, CAST( (3*((((k // 8) * h) // 8) * w + ((k % 8) * w) // 8)    ) % n AS INTEGER) + 1, 1))
+                   + ascii(substr(text, CAST( (3*((((k // 8) * h) // 8) * w + ((k % 8) * w) // 8) + 1) % n AS INTEGER) + 1, 1))
+                   + ascii(substr(text, CAST( (3*((((k // 8) * h) // 8) * w + ((k % 8) * w) // 8) + 2) % n AS INTEGER) + 1, 1))
+                   ) // 3
+               ) AS g
+        FROM img
+    ),
+    hashed AS (
+        SELECT doc_id AS media_id,
+               CAST(list_sum(list_transform(range(32), k ->
+                   CASE WHEN 64 * g[k + 1] > list_sum(g)
+                        THEN CAST(1 AS BIGINT) << k ELSE 0 END
+               )) AS BIGINT) AS lo,
+               CAST(list_sum(list_transform(range(32), k ->
+                   CASE WHEN 64 * g[k + 33] > list_sum(g)
+                        THEN CAST(1 AS BIGINT) << k ELSE 0 END
+               )) AS BIGINT) AS hi
+        FROM grays
+    )
+    SELECT a.media_id AS a_id, b.media_id AS b_id,
+           CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+                AS BIGINT) AS hamming
+    FROM hashed a JOIN hashed b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 2
+    """,
+)
+def q_dedup_phash64_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-width perceptual-hash near-dup pairs: the 64-bit
+    8×8-grid average hash at Hamming radius ≤ 2 (VERDICT r07 item 4 —
+    the 16-bit twin q_dedup_phash_hamming saturates once the corpus
+    outgrows its 2¹⁶ buckets: 43k → 4.6M radius-2 pairs at d10, a
+    107× blowup of COINCIDENTAL collisions; 64 bits keep the radius-2
+    ball at ~2×10⁻¹⁵ of the hash space, so emitted pairs are true
+    visual near-dups at any corpus size).
+
+    Banding with an exactness proof, one size up: the hash travels as
+    two 32-bit halves (``1 << 63`` overflows signed BIGINT in any SQL
+    engine) and splits into 4 bands of 16 bits; ≤2 differing bits
+    touch ≤2 bands, so a qualifying pair collides in ≥2 of 4 band
+    buckets — perfect recall, proven by the brute-force oracle
+    emitting the identical pair set.  Verify is two XOR-popcounts.
+
+    At 100 TB the plan is unchanged from the 16-bit twin: decode +
+    hash is one embarrassingly parallel mapInPandas pass, band keys
+    explode 4×|images|, candidates ∝ bucket occupancy² on 16-bit
+    band values — never |images|².
+    """
+    from i3cols_spark.functions.multimodal import image_ahash64
+
+    media = attach_synthetic_media(table(spark, sf_dir, "documents")).where(
+        F.col("media_type") == "image/bmp"
+    )
+    hashed = image_ahash64(media).localCheckpoint()  # decode once, 2 join sides
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band_idx"),
+            F.shiftright(half, shift).bitwiseAND(F.lit(65535)).alias("band_val"),
+        )
+        for i, (half, shift) in enumerate(
+            [
+                (F.col("ahash_lo"), 0),
+                (F.col("ahash_lo"), 16),
+                (F.col("ahash_hi"), 0),
+                (F.col("ahash_hi"), 16),
+            ]
+        )
+    ]
+    bands = hashed.select(
+        "media_id",
+        "ahash_lo",
+        "ahash_hi",
+        F.explode(F.array(*band_structs)).alias("band"),
+    ).select("media_id", "ahash_lo", "ahash_hi", "band.band_idx", "band.band_val")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("a_id"),
+            F.col("b.media_id").alias("b_id"),
+            F.col("a.ahash_lo").alias("la"),
+            F.col("a.ahash_hi").alias("ha"),
+            F.col("b.ahash_lo").alias("lb"),
+            F.col("b.ahash_hi").alias("hb"),
+        )
+        .distinct()  # a pair may collide in several bands
+    )
+    return cand.select(
+        "a_id",
+        "b_id",
+        (
+            F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+            + F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        )
+        .cast("long")
+        .alias("hamming"),
+    ).where(F.col("hamming") <= 2)
+
+
+@query(
     "q_multimodal_pixel_histogram",
     oracle="""
     WITH img AS (

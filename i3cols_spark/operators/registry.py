@@ -418,6 +418,7 @@ _R8_PRIORITY: tuple[str, ...] = (
 POST_R8_ADDITIONS: tuple[str, ...] = (
     "q_dedup_minhash_lsh_verified",
     "q_basket_assoc_rules_rel",
+    "q_dedup_phash64_hamming",
 )
 
 
