@@ -419,6 +419,7 @@ POST_R8_ADDITIONS: tuple[str, ...] = (
     "q_dedup_minhash_lsh_verified",
     "q_basket_assoc_rules_rel",
     "q_dedup_phash64_hamming",
+    "q_similarity_ivf_recall_curve",
 )
 
 

@@ -1358,3 +1358,204 @@ def q_join_knn_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("id_q", "rk", "id_t", F.round(F.sqrt("d2"), 6).alias("dist"))
     )
+
+
+#: Recall-curve audit knobs: nprobe ladder, k, and the query-set
+#: stride (vec_id % _RECALL_QSTRIDE == 0 → 1/5/50 queries at the three
+#: test SFs — the set grows with the corpus, never hand-pinned).
+_RECALL_NPROBES = (1, 2, 4, 8)
+_RECALL_K = 5
+_RECALL_QSTRIDE = 100
+
+
+@query(
+    "q_similarity_ivf_recall_curve",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    s AS (
+        SELECT greatest(1, CAST(ceil(count(*) / {_IVF_NLIST}.0) AS BIGINT)) AS stride
+        FROM e
+    ),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e, s WHERE vec_id % stride = 1),
+    asg AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                                c.cid
+                   ) AS rn
+            FROM e, c
+        ) WHERE rn = 1
+    ),
+    q AS (
+        SELECT vec_id AS qid, v AS qv FROM e
+        WHERE vec_id % {_RECALL_QSTRIDE} = 0
+    ),
+    cellrank AS (
+        SELECT q.qid, c.cid,
+               row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY round(list_cosine_similarity(c.cv, q.qv), 6) DESC,
+                            c.cid
+               ) AS cell_rank
+        FROM c, q
+    ),
+    cand AS (
+        SELECT cr.qid, a.vec_id, cr.cell_rank,
+               round(list_cosine_similarity(a.v, q.qv), 6) AS cos_sim
+        FROM asg a
+        JOIN cellrank cr ON a.cid = cr.cid
+        JOIN q ON q.qid = cr.qid
+        WHERE cr.cell_rank <= {max(_RECALL_NPROBES)} AND a.vec_id <> cr.qid
+    ),
+    nps AS (SELECT * FROM (VALUES {", ".join(f"({n})" for n in _RECALL_NPROBES)}) AS t(np)),
+    ivf_topk AS (
+        SELECT np, qid, vec_id FROM (
+            SELECT n.np, cd.qid, cd.vec_id,
+                   row_number() OVER (
+                       PARTITION BY n.np, cd.qid
+                       ORDER BY cd.cos_sim DESC, cd.vec_id
+                   ) AS rn
+            FROM cand cd JOIN nps n ON cd.cell_rank <= n.np
+        ) WHERE rn <= {_RECALL_K}
+    ),
+    exact_topk AS (
+        SELECT qid, vec_id FROM (
+            SELECT q.qid, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY round(list_cosine_similarity(e.v, q.qv), 6) DESC,
+                                e.vec_id
+                   ) AS rn
+            FROM e, q WHERE e.vec_id <> q.qid
+        ) WHERE rn <= {_RECALL_K}
+    ),
+    nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q)
+    SELECT CAST(i.np AS BIGINT) AS nprobe,
+           CAST(count(*) AS BIGINT) AS n_returned,
+           CAST(sum(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           floor(CAST(sum(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / ({_RECALL_K} * nq.n) * 1000000 + 0.5) / 1000000.0
+               AS recall_at_k
+    FROM ivf_topk i
+    LEFT JOIN exact_topk x ON i.qid = x.qid AND i.vec_id = x.vec_id
+    CROSS JOIN nq
+    GROUP BY i.np, nq.n
+    ORDER BY nprobe
+    """,
+)
+def q_similarity_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k-vs-nprobe curve for the IVF index — the audit that
+    puts the ANN QUALITY/COST TRADEOFF itself under the oracle
+    (VERDICT r07 item 7), the way q_dedup_lsh_bucket_audit audits the
+    LSH cost model: q_similarity_ann_ivf is exact-checked only at its
+    operating point, but a deployment chooses nprobe from THIS curve
+    — per nprobe ∈ {1, 2, 4, 8}: how many neighbors the probe
+    returned, how many were true top-k, and recall@k against the
+    exact scan.  Both sides are deterministic (rounded-cosine ranks,
+    vec_id tie-breaks), so the whole table — including the recall
+    arithmetic — is value-hash-checked against DuckDB replaying the
+    identical index construction in SQL.
+
+    Plan: probe-cell ranks come from the sidecar centroids
+    (driver-side |Q|·nlist metadata math, the existing ivf_topk
+    convention); candidates are ONE broadcast join of the (qid, cell,
+    rank ≤ max nprobe) ladder against the cell-partitioned index —
+    the nested nprobe prefixes reuse the same candidate pass (a
+    cell_rank filter each, never a rescan); the exact side is one
+    corpus × |Q| broadcast GEMM, the audit's inherent cost (a
+    production run samples Q, exactly as the stride here does).
+    """
+    import json
+    import os
+
+    from pyspark.sql.window import Window as W
+
+    from i3cols_spark.functions.rounding import round_half_up
+
+    idx = build_ivf_index(spark, sf_dir)
+    with open(os.path.join(idx, "_CENTROIDS.json")) as fh:
+        meta = json.load(fh)
+    cid = np.array(meta["cid"], dtype=np.int64)
+    cmat = np.array(meta["cmat"], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0] = np.inf
+
+    emb = table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") % _RECALL_QSTRIDE == 0)
+        .select("vec_id", as_double("embedding").alias("v"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    nq = len(qrows)
+    max_np = max(_RECALL_NPROBES)
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["v"], dtype=np.float64)
+        qn = float(np.linalg.norm(qv)) or float("inf")
+        qsim = np.round((cmat @ qv) / (cnorm * qn), 6)
+        order = np.lexsort((cid, -qsim))
+        for rank, cc in enumerate(cid[order[:max_np]], start=1):
+            probe_rows.append(
+                (int(r["vec_id"]), [float(x) for x in qv], qn, int(cc), rank)
+            )
+    probes = spark.createDataFrame(
+        probe_rows,
+        "qid bigint, qv array<double>, qnorm double, cell bigint, cell_rank int",
+    )
+    idx_df = spark.read.parquet(idx).select(
+        "vec_id", F.col("cell").cast("long").alias("cell"), "v"
+    )
+    cos = F.round(
+        dot("v", F.col("qv"))
+        / (F.nullif(norm_l2("v"), F.lit(0.0)) * F.col("qnorm")),
+        6,
+    )
+    cand = (
+        idx_df.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "cell_rank", cos.alias("cos_sim"))
+    )
+    rank_win = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    ivf_parts = None
+    for n in _RECALL_NPROBES:
+        part = (
+            cand.filter(F.col("cell_rank") <= n)
+            .withColumn("rn", F.row_number().over(rank_win))
+            .filter(F.col("rn") <= _RECALL_K)
+            .select(F.lit(n).cast("long").alias("nprobe"), "qid", "vec_id")
+        )
+        ivf_parts = part if ivf_parts is None else ivf_parts.unionAll(part)
+    quniq = probes.select("qid", "qv", "qnorm").dropDuplicates(["qid"])
+    exact_topk = (
+        idx_df.crossJoin(F.broadcast(quniq))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(rank_win))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("qid", "vec_id", F.lit(1).alias("hit"))
+    )
+    return (
+        ivf_parts.join(exact_topk, ["qid", "vec_id"], "left")
+        .groupBy("nprobe")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_returned"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            "nprobe",
+            "n_returned",
+            "n_hits",
+            round_half_up(
+                F.col("n_hits") / F.lit(float(_RECALL_K * nq)), 6
+            ).alias("recall_at_k"),
+        )
+        .orderBy("nprobe")
+    )
