@@ -420,6 +420,12 @@ POST_R8_ADDITIONS: tuple[str, ...] = (
     "q_basket_assoc_rules_rel",
     "q_dedup_phash64_hamming",
     "q_similarity_ivf_recall_curve",
+    "q_sql_tpch_q6",
+    "q_sql_tpch_q7",
+    "q_sql_tpch_q13",
+    "q_sql_tpch_q14",
+    "q_sql_tpch_q15",
+    "q_sql_tpch_q18",
 )
 
 

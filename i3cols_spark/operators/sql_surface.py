@@ -220,3 +220,205 @@ def q_sql_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _register(spark, sf_dir, ("orders",))
     return spark.sql(_WINDOW_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 wave: six more TPC-H composites on the SQL TEXT path.  Each
+# statement is defined ONCE and submitted verbatim to both engines, so
+# the value hash pins parse → optimize → execute with zero dialect
+# re-expression.  Money sums follow the registry discipline: exact-4dp
+# products summed in integer space, HALF_UP once at presentation.
+# Fixture adaptations are noted per query (no partsupp / commitdate /
+# shipmode / comment columns exist, so Q2/4/9/11/12/16/19/20/21/22 are
+# out of reach BY SCHEMA, not by engine capability).
+# ---------------------------------------------------------------------------
+
+_Q6_SQL = """
+    SELECT floor(sum(CAST(round(l_extendedprice * l_discount * 10000)
+                          AS BIGINT))
+                 / CAST(100 AS DOUBLE) + 0.5) / CAST(100 AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate <  DATE '1997-01-01'
+      AND l_discount BETWEEN CAST(0.05 AS DOUBLE) AND CAST(0.07 AS DOUBLE)
+      AND l_quantity < 24
+"""
+
+
+@query("q_sql_tpch_q6", oracle=_Q6_SQL)
+def q_sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the pure scan-filter-
+    aggregate — one table, three range predicates, one global sum.
+    The simplest statement on the text path and the sharpest pushdown
+    probe: every predicate must reach the parquet scan.  The discount
+    bounds are CAST to DOUBLE in the text because both parsers read
+    bare 0.05 as DECIMAL (registry discipline), and the money sum is
+    the exact-4dp integer-space pattern."""
+    _register(spark, sf_dir, ("lineitem",))
+    return spark.sql(_Q6_SQL)
+
+
+_Q7_SQL = """
+    SELECT supp_nation, cust_nation, l_year,
+           floor(sum(cents4) / CAST(100 AS DOUBLE) + 0.5)
+               / CAST(100 AS DOUBLE) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+               CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                    AS BIGINT) AS cents4
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l.l_shipdate >= DATE '1996-01-01'
+          AND l.l_shipdate <  DATE '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("q_sql_tpch_q7", oracle=_Q7_SQL)
+def q_sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade between two
+    nations by ship year — the 6-way join whose nation filters sit on
+    TWO DIFFERENT dimension arms (supplier's nation vs customer's),
+    the classic join-reordering trap (pushing either filter alone
+    loses the OR's other direction).  year() is CAST to BIGINT in the
+    shared text because the engines' native year widths differ."""
+    _register(spark, sf_dir,
+              ("supplier", "lineitem", "orders", "customer", "nation"))
+    return spark.sql(_Q7_SQL)
+
+
+_Q13_SQL = """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey,
+               CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@query("q_sql_tpch_q13", oracle=_Q13_SQL)
+def q_sql_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): the double aggregation over
+    a LEFT OUTER join — count orders per customer INCLUDING the
+    zero-order customers (count(o_orderkey) over null-extended rows
+    is the null-skipping count both engines must agree on), then
+    histogram the counts.  Adaptation: the fixture has no o_comment,
+    so the spec's NOT LIKE filter is dropped — the shape under test
+    is outer-join-then-reaggregate."""
+    _register(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_Q13_SQL)
+
+
+_Q14_SQL = """
+    SELECT floor(CAST(100 AS DOUBLE) * CAST(promo4 AS DOUBLE)
+                 / CAST(total4 AS DOUBLE) * 1000000 + 0.5)
+               / CAST(1000000 AS DOUBLE) AS promo_revenue_pct,
+           floor(CAST(promo4 AS DOUBLE) / CAST(100 AS DOUBLE) + 0.5)
+               / CAST(100 AS DOUBLE) AS promo_revenue,
+           floor(CAST(total4 AS DOUBLE) / CAST(100 AS DOUBLE) + 0.5)
+               / CAST(100 AS DOUBLE) AS total_revenue
+    FROM (
+        SELECT sum(CASE WHEN p.p_type = 'PROMO'
+                        THEN CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                        * 10000) AS BIGINT)
+                        ELSE 0 END) AS promo4,
+               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                        AS BIGINT)) AS total4
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= DATE '1996-09-01'
+          AND l.l_shipdate <  DATE '1996-10-01'
+    ) sums
+"""
+
+
+@query("q_sql_tpch_q14", oracle=_Q14_SQL)
+def q_sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): conditional aggregation inside a
+    fact-dim join — the promo share of one month's revenue.  Both the
+    numerator and denominator are exact integer-space money sums, so
+    the percentage is a deterministic double ratio HALF_UP at 6 dp
+    (summation order can never move it).  Adaptation: the fixture's
+    p_type is a bare category (no 'PROMO ANODIZED TIN' trailing
+    words), so the spec's LIKE 'PROMO%%' is the equality it reduces
+    to."""
+    _register(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(_Q14_SQL)
+
+
+_Q15_SQL = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                        AS BIGINT)) AS total4
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate <  DATE '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           floor(CAST(r.total4 AS DOUBLE) / CAST(100 AS DOUBLE) + 0.5)
+               / CAST(100 AS DOUBLE) AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total4 = (SELECT max(total4) FROM revenue)
+    ORDER BY s.s_suppkey
+"""
+
+
+@query("q_sql_tpch_q15", oracle=_Q15_SQL)
+def q_sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the spec's revenue VIEW expressed as
+    a CTE consumed twice — once joined to supplier, once under the
+    scalar max() subquery.  The winner comparison runs on the EXACT
+    integer cents (total4 = max(total4)), never on rounded doubles,
+    so a two-supplier tie is decided identically in both engines; the
+    presentation rounding happens after the equality."""
+    _register(spark, sf_dir, ("supplier", "lineitem"))
+    return spark.sql(_Q15_SQL)
+
+
+_Q18_SQL = """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice,
+           CAST(sum(l.l_quantity) AS BIGINT) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 300
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+    LIMIT 100
+"""
+
+
+@query("q_sql_tpch_q18", oracle=_Q18_SQL)
+def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): the IN-subquery whose inner
+    HAVING re-aggregates the same fact table the outer join scans —
+    the semi-join-into-aggregate shape.  Quantities are whole-number
+    doubles, so per-order sums (≤ ~500) are exact and the > 300
+    threshold is deterministic; the output CAST makes the engines'
+    sum widths agree."""
+    _register(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql(_Q18_SQL)
