@@ -1299,10 +1299,14 @@ def q_dedup_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_dedup_minhash_lsh_verified",
-    oracle=f"""
-    WITH t AS (
+#: Shared CTE chain of the md5-family LSH twins: shingles → 8-perm
+#: salted-md5 signatures (+ distinct hashed shingle sets for the
+#: verify step) → 4 band keys → distinct banding-collision candidates
+#: → verified pairs at exact Jaccard ≥ 0.5.  Consumed by
+#: q_dedup_minhash_lsh_verified (emits the pairs) and
+#: q_dedup_minhash_cluster_rep_verified (closes them into components).
+_LSH_MD5_CTES = f"""
+    t AS (
         SELECT doc_id,
                string_split_regex(lower(trim(text)), '\\s+') AS toks
         FROM documents
@@ -1337,16 +1341,25 @@ def q_dedup_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN keyed b
           ON a.band = b.band AND a.bucket = b.bucket
          AND a.doc_id < b.doc_id
-    )
-    SELECT c.doc_a, c.doc_b,
-           round(CAST(len(list_intersect(ha.hsh, hb.hsh)) AS DOUBLE)
-                 / len(list_distinct(list_concat(ha.hsh, hb.hsh))), 6)
-               AS jaccard
-    FROM cand c
-    JOIN hs ha ON ha.doc_id = c.doc_a
-    JOIN hs hb ON hb.doc_id = c.doc_b
-    WHERE CAST(len(list_intersect(ha.hsh, hb.hsh)) AS DOUBLE)
-          / len(list_distinct(list_concat(ha.hsh, hb.hsh))) >= 0.5
+    ),
+    vpairs AS (
+        SELECT c.doc_a, c.doc_b,
+               round(CAST(len(list_intersect(ha.hsh, hb.hsh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(ha.hsh, hb.hsh))), 6)
+                   AS jaccard
+        FROM cand c
+        JOIN hs ha ON ha.doc_id = c.doc_a
+        JOIN hs hb ON hb.doc_id = c.doc_b
+        WHERE CAST(len(list_intersect(ha.hsh, hb.hsh)) AS DOUBLE)
+              / len(list_distinct(list_concat(ha.hsh, hb.hsh))) >= 0.5
+    )"""
+
+
+@query(
+    "q_dedup_minhash_lsh_verified",
+    oracle=f"""
+    WITH {_LSH_MD5_CTES}
+    SELECT doc_a, doc_b, jaccard FROM vpairs
     """,
 )
 def q_dedup_minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1417,4 +1430,65 @@ def q_dedup_minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hb, "doc_b")
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query(
+    "q_dedup_minhash_cluster_rep_verified",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_MD5_CTES},
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM vpairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM vpairs
+    ),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS rep_id
+    FROM reach GROUP BY src
+    ORDER BY doc_id
+    """,
+)
+def q_dedup_minhash_cluster_rep_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative output for the md5-family MinHash LSH
+    pipeline — LSH → transitive closure → one (doc_id, rep_id) row
+    per document, ALL under a full value-hash oracle (the recursive-
+    CTE closure over the identical verified pair set).  This makes
+    every production dedup stage — banding, candidate generation,
+    exact-Jaccard verify, connected components, keep-min-id
+    representative selection — oracle-checked END TO END for the
+    minhash family, the strongest form of the evidence the rows-only
+    xxhash64 twins (q_dedup_near_minhash, q_dedup_minhash_cluster_rep)
+    rest on.
+
+    Shape: the pair engine is the shared md5 LSH plan
+    (q_dedup_minhash_lsh_verified); components run hook+pointer-jump
+    on the PAIR graph only (nodes that collide nowhere never enter
+    the iteration); the per-document mapping is one left join of the
+    doc ids against the component labels, singletons representing
+    themselves.
+    """
+    from i3cols_spark.operators.graph import connected_components
+
+    pairs = q_dedup_minhash_lsh_verified(spark, sf_dir).select("doc_a", "doc_b")
+    nodes = (
+        pairs.select(F.col("doc_a").alias("id"))
+        .union(pairs.select(F.col("doc_b").alias("id")))
+        .distinct()
+    )
+    comp = connected_components(
+        nodes, pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(comp, F.col("doc_id") == F.col("id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("comp"), F.col("doc_id")).cast("bigint").alias("rep_id"),
+        )
+        .orderBy("doc_id")
     )

@@ -426,6 +426,7 @@ POST_R8_ADDITIONS: tuple[str, ...] = (
     "q_sql_tpch_q14",
     "q_sql_tpch_q15",
     "q_sql_tpch_q18",
+    "q_dedup_minhash_cluster_rep_verified",
 )
 
 
