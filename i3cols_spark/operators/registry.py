@@ -427,6 +427,8 @@ POST_R8_ADDITIONS: tuple[str, ...] = (
     "q_sql_tpch_q15",
     "q_sql_tpch_q18",
     "q_dedup_minhash_cluster_rep_verified",
+    "q_text_bm25_search",
+    "q_embedding_random_projection",
 )
 
 

@@ -1559,3 +1559,141 @@ def q_similarity_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("nprobe")
     )
+
+
+#: Random-projection knobs: 64 → _RP_DIMS via a deterministic ±1
+#: matrix derived from the cross-engine md5 family (sign of the first
+#: hex nibble of md5("i,j")), sampled pairs from the % stride.
+_RP_DIMS = 16
+_RP_SRC_DIMS = 64
+_RP_PAIR_STRIDE = 50
+
+
+def _rp_sign(i: int, j: int) -> float:
+    """+1/−1 from the first hex nibble of md5("i,j") — the same value
+    the oracle derives with ('0x' || substr(md5(...), 1, 1))::BIGINT,
+    so the projection MATRIX itself is cross-engine pinned."""
+    import hashlib
+
+    return 1.0 if int(hashlib.md5(f"{i},{j}".encode()).hexdigest()[0], 16) < 8 else -1.0
+
+
+@query(
+    "q_embedding_random_projection",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE vec_id % {_RP_PAIR_STRIDE} = 0
+    ),
+    proj AS (
+        SELECT vec_id, v,
+               list_transform(range({_RP_DIMS}), j ->
+                   list_reduce(
+                       list_transform(range({_RP_SRC_DIMS}), i ->
+                           v[i + 1] * (CASE WHEN ('0x' || substr(
+                               md5(CAST(i AS VARCHAR) || ',' || CAST(j AS VARCHAR)),
+                               1, 1))::BIGINT < 8 THEN 1.0 ELSE -1.0 END)),
+                       (a, b) -> a + b)
+               ) AS p
+        FROM e
+    ),
+    pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cos_orig,
+               round(
+                   list_reduce(list_transform(range({_RP_DIMS}),
+                                              k -> a.p[k+1] * b.p[k+1]),
+                               (x, y) -> x + y)
+                   / (sqrt(list_reduce(list_transform(range({_RP_DIMS}),
+                                                      k -> a.p[k+1] * a.p[k+1]),
+                                       (x, y) -> x + y))
+                      * sqrt(list_reduce(list_transform(range({_RP_DIMS}),
+                                                        k -> b.p[k+1] * b.p[k+1]),
+                                         (x, y) -> x + y))),
+                   6) AS cos_proj
+        FROM proj a JOIN proj b ON a.vec_id < b.vec_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           floor(avg(abs(cos_orig - cos_proj)) * 1000000 + 0.5) / 1000000.0
+               AS mean_abs_err,
+           floor(max(abs(cos_orig - cos_proj)) * 1000000 + 0.5) / 1000000.0
+               AS max_abs_err
+    FROM pairs
+    """,
+)
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection WITH ITS OWN DISTORTION
+    AUDIT on the checked surface: embeddings project 64 → 16 dims
+    through a deterministic ±1 matrix (sign of the first md5 nibble
+    of "i,j" — the cross-engine hash family, so the MATRIX, the
+    projection arithmetic, and the audit are all value-hash-checked),
+    and the output is what a deployment decides with: over the
+    sampled pair set, how far pairwise cosine moved (mean/max abs
+    error).  This is the dimensionality-reduction alternative to PCA
+    (q_embedding_pca_power) that needs NO training pass — the scale
+    answer when even one power iteration over 100 TB is too much.
+
+    Float discipline: every reduction that must agree bit-for-bit
+    BEFORE rounding is a SEQUENTIAL fold — Spark ``F.aggregate`` and
+    DuckDB ``list_reduce`` both run left-to-right, and the 0.0 seed
+    is IEEE-exact — so projected vectors and their cosines are
+    identical doubles, rounded 6 dp only at the pair level; the final
+    mean is the standard multi-row HALF_UP.
+
+    Scale shape: the projection is a per-row JVM expression (16
+    sequential folds over the 64-dim array, no Python, no shuffle) —
+    at 100 TB it's a map-only pass that shrinks every downstream
+    similarity shuffle 4×; the audit's pair join runs on the stride
+    SAMPLE only (the production pattern: audit on a sample, project
+    everything).
+    """
+    from i3cols_spark.functions.rounding import round_half_up
+
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % _RP_PAIR_STRIDE == 0)
+        .select("vec_id", as_double("embedding").alias("v"))
+    )
+
+    def proj_col(j: int):
+        rj = F.array(*[F.lit(_rp_sign(i, j)) for i in range(_RP_SRC_DIMS)])
+        return F.aggregate(
+            F.zip_with("v", rj, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    proj = emb.select(
+        "vec_id", "v", F.array(*[proj_col(j) for j in range(_RP_DIMS)]).alias("p")
+    )
+
+    def seq_dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    pa = proj.select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("va"), F.col("p").alias("pa")
+    )
+    pb = proj.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), F.col("p").alias("pb")
+    )
+    cos_proj = F.round(
+        seq_dot(F.col("pa"), F.col("pb"))
+        / (F.sqrt(seq_dot(F.col("pa"), F.col("pa")))
+           * F.sqrt(seq_dot(F.col("pb"), F.col("pb")))),
+        6,
+    )
+    pairs = (
+        pa.join(pb, F.col("a_id") < F.col("b_id"))
+        .select(
+            F.round(cosine("va", "vb"), 6).alias("cos_orig"),
+            cos_proj.alias("cos_proj"),
+        )
+    )
+    err = F.abs(F.col("cos_orig") - F.col("cos_proj"))
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        round_half_up(F.avg(err), 6).alias("mean_abs_err"),
+        round_half_up(F.max(err), 6).alias("max_abs_err"),
+    )

@@ -1291,3 +1291,125 @@ def q_text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+#: BM25 parameters (the Robertson/Lucene defaults) and the result size.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPN = 10
+_BM25_QTERMS = 3
+
+
+@query(
+    "q_text_bm25_search",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        FROM documents
+    ),
+    dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tok GROUP BY doc_id
+    ),
+    corpus AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len) AS DOUBLE) / count(*) AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    qterms AS (
+        SELECT term, df FROM df ORDER BY df DESC, term LIMIT {_BM25_QTERMS}
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               sum(
+                   ln((corpus.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+                   * (t.tf * CAST({_BM25_K1 + 1} AS DOUBLE))
+                   / (t.tf + CAST({_BM25_K1} AS DOUBLE)
+                      * (1.0 - CAST({_BM25_B} AS DOUBLE)
+                         + CAST({_BM25_B} AS DOUBLE) * d.len / corpus.avgdl))
+               ) AS score,
+               CAST(count(*) AS BIGINT) AS n_match
+        FROM tf t
+        JOIN qterms q ON t.term = q.term
+        JOIN dl d ON d.doc_id = t.doc_id
+        CROSS JOIN corpus
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           floor(score * 1000000 + 0.5) / 1000000.0 AS bm25,
+           n_match
+    FROM scored
+    ORDER BY floor(score * 1000000 + 0.5) / 1000000.0 DESC, doc_id
+    LIMIT {_BM25_TOPN}
+    """,
+)
+def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson et al., the Lucene-default
+    scoring) — the SEARCH-relevance member of the text family that
+    TF-IDF (q_tfidf_topterms) only approximates: per query term,
+    IDF = ln((N − df + ½)/(df + ½) + 1) weighted by the saturating
+    tf/(tf + k1·(1 − b + b·|d|/avgdl)) term, summed per document,
+    top-10 by rounded score.  The query is self-contained and scales
+    with the corpus: the 3 highest-df terms (ties alphabetical), so
+    no hand-pinned vocabulary goes stale when the fixture grows.
+
+    Determinism: tf/df/|d| are exact integers, avgdl is one exact
+    integer ratio, and ln is the only libm surface (≤1 ulp, absorbed
+    by HALF_UP 6 dp on the ≤3-term sum — the multi-term float-sum
+    rule); the top-10 orders on the ROUNDED score with doc_id
+    tie-break so both engines cut the same list.
+
+    Scale shape: one explode → two map-side-combined aggregates (tf
+    by (doc, term), df by term); the query side is a ≤3-row broadcast
+    (the df top-k), the corpus stats a 1-row broadcast — the only
+    corpus-sized shuffle is the tf groupBy, and the per-doc score
+    join touches only documents containing a query term (the
+    inverted-index access pattern, ~|postings| not |corpus|).
+    """
+    from i3cols_spark.functions.rounding import round_half_up
+    from i3cols_spark.functions.text import tokens
+
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("len"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("len").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    qterms = df_.orderBy(F.desc("df"), F.asc("term")).limit(_BM25_QTERMS)
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(_BM25_K1) * (
+        F.lit(1.0) - F.lit(_BM25_B) + F.lit(_BM25_B) * F.col("len") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(idf * (F.col("tf") * F.lit(_BM25_K1 + 1)) / denom).alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_match"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            round_half_up(F.col("score"), 6).alias("bm25"),
+            "n_match",
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_BM25_TOPN)
+    )
