@@ -511,6 +511,40 @@ def extract_video_features(df: DataFrame, every_n: int = 2) -> DataFrame:
     )
 
 
+def extract_video_frame_lumas(df: DataFrame) -> DataFrame:
+    """Decode video payloads to ONE ROW PER FRAME — (media_id,
+    frame_idx, luma) — the per-frame form scene-change detection
+    needs where ``extract_video_features`` aggregates.  Same single
+    Arrow-batched ``mapInPandas`` decode pass; the per-frame rows
+    that shuffle are 3 scalars each, never pixels."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from i3cols_spark.functions.avi import decode_mjpeg_avi
+        from i3cols_spark.functions.jpeg import decode_jpeg
+
+        for pdf in batches:
+            ids: list = []
+            idxs: list = []
+            lumas: list = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                vid = decode_mjpeg_avi(bytes(p))
+                if not vid.frames:
+                    raise ValueError("video payload has no frames")
+                for i, jf in enumerate(vid.frames):
+                    img = decode_jpeg(jf)
+                    px = np.frombuffer(img.pixels, dtype=np.uint8)
+                    ids.append(mid)
+                    idxs.append(i)
+                    lumas.append(float(px.mean()))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "luma": lumas}
+            )
+
+    return df.mapInPandas(op, "media_id long, frame_idx int, luma double")
+
+
 def attach_synthetic_gif(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -888,3 +888,90 @@ def q_multimodal_sample_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("media_type") == "audio/wav"
     )
     return audio_amplitude_histogram(media).orderBy("media_id")
+
+
+#: Scene-cut threshold on the |Δ mean-luma| between successive frames.
+_SCENE_CUT_TAU = 100.0
+
+
+@query(
+    "q_multimodal_scene_cuts",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+        WHERE doc_id % 5 = 0
+    ),
+    p AS (SELECT doc_id, n % 9 + 2 AS nf FROM t),
+    f AS (
+        SELECT doc_id, nf, unnest(generate_series(0, nf - 1)) AS i
+        FROM p
+    ),
+    lum AS (
+        SELECT doc_id, nf, i,
+               CAST((doc_id * 31 + i * 17) % 256 AS DOUBLE) AS luma
+        FROM f
+    ),
+    d AS (
+        SELECT doc_id, nf, i, luma,
+               abs(luma - lag(luma) OVER (
+                   PARTITION BY doc_id ORDER BY i)) AS dl
+        FROM lum
+    )
+    SELECT doc_id AS media_id,
+           CAST(nf AS INT) AS n_frames,
+           CAST(sum(CASE WHEN dl > 100.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cuts,
+           CAST(max(dl) AS DOUBLE) AS max_abs_delta,
+           CAST(min(CASE WHEN dl > 100.0 THEN i END) AS BIGINT)
+               AS first_cut_idx
+    FROM d GROUP BY doc_id, nf
+    """,
+)
+def q_multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change detection over the REAL video path: decode every
+    MJPEG-AVI frame (same genuine RIFF + JPEG chain as
+    q_multimodal_video_frames, but one row per frame), then a lag
+    window per clip flags a CUT wherever the mean-luma delta exceeds
+    τ = 100 — the shot-boundary heuristic a video training-data
+    pipeline runs before frame sampling, so clips get sampled per
+    scene instead of per stride.  Emits per clip: frame count, cut
+    count, the largest delta, and the first cut position.
+
+    The oracle predicts every per-frame luma in closed form (flat
+    frames are bit-exact through the quality-100 JPEG round trip),
+    so the detector's windowed delta logic sits on top of a fully
+    pinned decode chain: consecutive frames step +17 luma (mod 256),
+    and the detector must fire exactly at the wrap-arounds.
+
+    Scale shape: one embarrassingly parallel decode pass emitting
+    3-scalar rows (never pixels), one window over frame_idx
+    partitioned by clip, one groupBy — at 100 TB the shuffle carries
+    |frames| tiny rows, and the lag window is the same
+    per-key-ordered pattern the time-series family runs.
+    """
+    from i3cols_spark.functions.multimodal import extract_video_frame_lumas
+    from pyspark.sql.window import Window as W
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    video = attach_synthetic_video(docs)
+    lum = extract_video_frame_lumas(video)
+    w = W.partitionBy("media_id").orderBy("frame_idx")
+    d = lum.withColumn(
+        "dl", F.abs(F.col("luma") - F.lag("luma").over(w))
+    )
+    return d.groupBy("media_id").agg(
+        F.max(F.col("frame_idx")).cast("int").alias("nf_minus1"),
+        F.sum(F.when(F.col("dl") > _SCENE_CUT_TAU, 1).otherwise(0))
+        .cast("long")
+        .alias("n_cuts"),
+        F.max("dl").cast("double").alias("max_abs_delta"),
+        F.min(F.when(F.col("dl") > _SCENE_CUT_TAU, F.col("frame_idx")))
+        .cast("long")
+        .alias("first_cut_idx"),
+    ).select(
+        "media_id",
+        (F.col("nf_minus1") + 1).cast("int").alias("n_frames"),
+        "n_cuts",
+        "max_abs_delta",
+        "first_cut_idx",
+    )

@@ -429,6 +429,7 @@ POST_R8_ADDITIONS: tuple[str, ...] = (
     "q_dedup_minhash_cluster_rep_verified",
     "q_text_bm25_search",
     "q_embedding_random_projection",
+    "q_multimodal_scene_cuts",
 )
 
 
