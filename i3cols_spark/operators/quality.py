@@ -1033,3 +1033,60 @@ def q_quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "q_source_arrow_version_diff",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_added,
+           round(sum(o_totalprice), 2) AS added_revenue,
+           CAST(min(epoch_us(o_orderdate)) AS BIGINT) AS first_added_us
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q_source_arrow_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style SNAPSHOT DIFF on the engine's own table format: what
+    arrived between arrowipc snapshot v1 and HEAD, computed as an
+    anti-join of two versionAsOf reads and aggregated per order
+    status — the "what changed since the version my downstream last
+    consumed" read every incremental pipeline runs against a
+    Delta/Iceberg table, here exercised against our own manifest
+    protocol (q_source_arrow_timetravel checks the snapshots
+    individually; THIS checks the difference semantics between them).
+    The oracle restates the added set from the original parquet with
+    the commit-boundary filter, so a v1 row leaking into the diff or
+    an appended row missing from HEAD both break the hash.
+
+    Scale: two manifest-priced snapshot reads; the anti-join keys are
+    orderkeys (sort-merge at scale, the diff never materializes
+    payload columns for the v1 side — column pruning pushes only
+    o_orderkey through the probe side).
+    """
+    path = _arrow_tt_mirror(spark, sf_dir)
+
+    def rd(version: str | None) -> DataFrame:
+        r = (
+            spark.read.format("arrowipc")
+            .option("path", path)
+            .option("schema", _ORDERS_MIRROR_SCHEMA)
+        )
+        if version is not None:
+            r = r.option("versionAsOf", version)
+        return r.load()
+
+    added = rd(None).join(
+        rd("1").select("o_orderkey"), "o_orderkey", "left_anti"
+    )
+    return (
+        added.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_added"),
+            F.round(F.sum("o_totalprice"), 2).alias("added_revenue"),
+            F.min("o_date_us").cast("bigint").alias("first_added_us"),
+        )
+        .orderBy("o_orderstatus")
+    )

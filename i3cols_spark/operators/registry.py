@@ -430,6 +430,8 @@ POST_R8_ADDITIONS: tuple[str, ...] = (
     "q_text_bm25_search",
     "q_embedding_random_projection",
     "q_multimodal_scene_cuts",
+    "q_stats_theil_sen",
+    "q_source_arrow_version_diff",
 )
 
 

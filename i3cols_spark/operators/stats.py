@@ -1802,3 +1802,127 @@ def q_stats_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(rb, 6).alias("rate_b"),
         round_half_up(z, 6).alias("z_stat"),
     )
+
+
+@query(
+    "q_stats_theil_sen",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS x,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   / (CAST(100 AS DOUBLE) * count(*)) AS y
+        FROM orders
+        GROUP BY 1
+    ),
+    slopes AS (
+        SELECT (b.y - a.y) / (b.x - a.x) AS s
+        FROM m a JOIN m b ON a.x < b.x
+    ),
+    ranked AS (
+        SELECT s,
+               row_number() OVER (ORDER BY s) AS rn,
+               count(*) OVER () AS np
+        FROM slopes
+    ),
+    ts AS (
+        SELECT CAST(max(np) AS BIGINT) AS n_pairs,
+               avg(CASE WHEN (np % 2 = 1 AND rn = (np + 1) // 2)
+                          OR (np % 2 = 0 AND rn IN (np // 2, np // 2 + 1))
+                        THEN s END) AS med
+        FROM ranked
+    ),
+    ols AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_months,
+               (count(*) * sum(CAST(x AS DOUBLE) * y)
+                - sum(CAST(x AS DOUBLE)) * sum(y))
+               / (count(*) * sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                  - sum(CAST(x AS DOUBLE)) * sum(CAST(x AS DOUBLE))) AS b1
+        FROM m
+    )
+    SELECT ols.n_months, ts.n_pairs,
+           floor(ts.med * 1000000 + 0.5) / 1000000.0 AS theil_sen_slope,
+           floor(ols.b1 * 1000000 + 0.5) / 1000000.0 AS ols_slope
+    FROM ts, ols
+    """,
+)
+def q_stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimator over the monthly mean order
+    value — the median of all pairwise slopes, the breakdown-point-29%
+    alternative the OLS slope (emitted beside it) lacks: one viral
+    month shifts OLS but not the pairwise median.  Monthly means are
+    exact integer-cents ratios, so every pairwise slope is the same
+    IEEE double in both engines and the median (explicit middle /
+    mean-of-middles on row_number, not an engine's interpolating
+    median()) is deterministic; only the OLS moment sums need the
+    multi-row HALF_UP.
+
+    Scale shape: the pair expansion is over the AGGREGATED series
+    (84 months → 3.5k pairs), never over raw orders — the production
+    form of Theil–Sen at 100 TB is exactly this: reduce to the
+    grain you want the trend at, then pay quadratic only in grain
+    points.  The monthly reduce is one map-side-combined groupBy.
+    """
+    o = table(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("x")
+        )
+        .agg(
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .cast("double")
+                / (F.lit(100.0) * F.count(F.lit(1)))
+            ).alias("y")
+        )
+    )
+    a = m.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = m.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slopes = a.join(b, F.col("xa") < F.col("xb")).select(
+        ((F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa"))).alias("s")
+    )
+    ranked = slopes.select(
+        "s",
+        F.row_number().over(Window.orderBy("s")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("np"),
+    )
+    med = (
+        ranked.select(
+            "np",
+            F.when(
+                F.col("np") % 2 == 1,
+                F.when(F.col("rn") == (F.col("np") + 1) / 2, F.col("s")),
+            )
+            .otherwise(
+                F.when(
+                    (F.col("rn") == F.floor(F.col("np") / 2))
+                    | (F.col("rn") == F.floor(F.col("np") / 2) + 1),
+                    F.col("s"),
+                )
+            )
+            .alias("mid"),
+        )
+        .groupBy("np")
+        .agg(F.avg("mid").alias("med"))
+    )
+    xd = F.col("x").cast("double")
+    ols = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        (
+            (
+                F.count(F.lit(1)) * F.sum(xd * F.col("y"))
+                - F.sum(xd) * F.sum("y")
+            )
+            / (
+                F.count(F.lit(1)) * F.sum(xd * xd)
+                - F.sum(xd) * F.sum(xd)
+            )
+        ).alias("b1"),
+    )
+    return med.crossJoin(F.broadcast(ols)).select(
+        "n_months",
+        F.col("np").cast("long").alias("n_pairs"),
+        round_half_up(F.col("med"), 6).alias("theil_sen_slope"),
+        round_half_up(F.col("b1"), 6).alias("ols_slope"),
+    )
