@@ -912,3 +912,73 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("pc1")).desc(), "vec_id")
         .limit(20)
     )
+
+
+#: Exponential-decay rate for the recency feature: half-life ≈ 14 days.
+_DECAY_LAMBDA = 0.05
+
+
+@query(
+    "q_feature_time_decay",
+    oracle="""
+    WITH anchor AS (
+        SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS max_us FROM events
+    ),
+    scored AS (
+        SELECT user_id,
+               value * exp(-0.05 * (max_us - CAST(epoch_us(ts) AS BIGINT))
+                           / 86400000000.0) AS dv
+        FROM events CROSS JOIN anchor
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           floor(sum(dv) * 1000000 + 0.5) / 1000000.0 AS decayed_value
+    FROM scored
+    GROUP BY user_id
+    ORDER BY floor(sum(dv) * 1000000 + 0.5) / 1000000.0 DESC, user_id
+    LIMIT 50
+    """,
+)
+def q_feature_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed engagement feature — per user,
+    Σ value·exp(−λ·age_days) anchored at the corpus max timestamp
+    (λ = 0.05 ≈ 14-day half-life): the recency-weighted activity
+    score feature stores compute for ranking/freshness models, where
+    a plain sum can't distinguish a lapsed heavy user from an active
+    light one.  Top-50 by the ROUNDED score with user_id tie-break.
+
+    Determinism: age is an exact integer-microsecond ratio (identical
+    double), exp is the only libm surface (≤1 ulp per term), and the
+    per-user sum is the standard multi-row HALF_UP 6 dp.
+
+    Scale shape: the anchor is a 1-row broadcast into the scan, the
+    decay is per-row codegen, and the per-user reduce is ONE
+    map-side-combined groupBy — at 100 TB this is a single pass, and
+    the incremental form (re-anchor by multiplying every stored score
+    by exp(−λ·Δ) — the decay's semigroup property) is what a daily
+    refresh runs instead of rescanning history.
+    """
+    from i3cols_spark.functions.rounding import round_half_up
+
+    ev = table(spark, sf_dir, "events")
+    anchor = ev.agg(F.unix_micros(F.max("ts")).alias("max_us"))
+    scored = ev.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        (
+            F.col("value")
+            * F.exp(
+                F.lit(-_DECAY_LAMBDA)
+                * (F.col("max_us") - F.unix_micros(F.col("ts")))
+                / F.lit(86400000000.0)
+            )
+        ).alias("dv"),
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            round_half_up(F.sum("dv"), 6).alias("decayed_value"),
+        )
+        .orderBy(F.desc("decayed_value"), F.asc("user_id"))
+        .limit(50)
+    )

@@ -432,6 +432,7 @@ POST_R8_ADDITIONS: tuple[str, ...] = (
     "q_multimodal_scene_cuts",
     "q_stats_theil_sen",
     "q_source_arrow_version_diff",
+    "q_feature_time_decay",
 )
 
 
