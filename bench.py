@@ -74,6 +74,18 @@ HEADLINE = [
     "q_entity_resolution",
     "q_embedding_pca_power",
     "q_dedup_lsh_bucket_audit",
+    # Round-8 additions: the fully-checked md5 LSH end-to-end pipeline
+    # (the most hash-intensive plan), the relative-minsupport basket
+    # skeleton, the 64-bit pHash band join, the IVF recall audit
+    # (index probe + exact GEMM side), BM25 (explode + double
+    # aggregate + postings join), and the per-frame video decode.
+    # First-inclusion baselines in BASELINE.md §round-8.
+    "q_dedup_minhash_lsh_verified",
+    "q_basket_assoc_rules_rel",
+    "q_dedup_phash64_hamming",
+    "q_similarity_ivf_recall_curve",
+    "q_text_bm25_search",
+    "q_multimodal_scene_cuts",
 ]
 
 
