@@ -1090,3 +1090,74 @@ def test_dp_noise_secret_seed_changes_noise(spark):
         assert r["open"] != r["sealed"]
         assert r["sealed"] == r["sealed2"]
         assert r["sealed"] != r["sealed3"]
+
+
+def test_bm25_broadcasts_query_side_no_python(spark, sf_dir):
+    """q_text_bm25_search: the ≤3-term query side and the 1-row corpus
+    stats must arrive broadcast (the score join is postings-sized, the
+    inverted-index access pattern), tf/df are partial+final hash
+    aggregates, and the whole scorer stays JVM-side."""
+    plan = explain_str(QUERIES["q_text_bm25_search"](spark, sf_dir))
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert plan.count("HashAggregate") >= 4
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_assoc_rules_rel_floor_broadcast_no_cartesian(spark, sf_dir):
+    """q_basket_assoc_rules_rel: the relative floor is a 1-row
+    broadcast into the pair-support filter (never a second fact pass),
+    the pair expansion is the in-row basket form (a generator over the
+    collected arrays — no order-key self-join), and no cartesian
+    appears anywhere."""
+    plan = explain_str(QUERIES["q_basket_assoc_rules_rel"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan, plan  # in-row pair expansion
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_phash64_single_decode_pass_band_join(spark, sf_dir):
+    """q_dedup_phash64_hamming: exactly ONE Python decode pass feeds
+    both join sides (localCheckpoint reuse — a second MapInPandas
+    would re-decode every image per side), and the candidate join is
+    an equi-join on the band key, never a cartesian."""
+    plan = explain_str(QUERIES["q_dedup_phash64_hamming"](spark, sf_dir))
+    assert plan.count("MapInPandas") == 0, plan  # checkpointed upstream
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan  # the checkpointed hash table
+
+
+def test_ivf_recall_curve_probe_ladder_broadcast(spark, sf_dir):
+    """q_similarity_ivf_recall_curve: the (qid, cell, rank) probe
+    ladder and the query-vector set must broadcast against the
+    cell-partitioned index; no row-at-a-time Python appears (the only
+    Python in the family is the index BUILD, amortized write-once)."""
+    plan = explain_str(QUERIES["q_similarity_ivf_recall_curve"](spark, sf_dir))
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scene_cuts_single_decode_windowed(spark, sf_dir):
+    """q_multimodal_scene_cuts: one mapInPandas decode pass emitting
+    per-frame scalars, one window (the lag), one aggregate — pixels
+    never shuffle."""
+    plan = explain_str(QUERIES["q_multimodal_scene_cuts"](spark, sf_dir))
+    # formatted plans list each node in tree + detail: 2 nodes → 4 hits
+    assert plan.count("MapInPandas") == 4, plan  # synth payload + decode
+    assert "Window" in plan
+    assert plan.count("HashAggregate") >= 1
+
+
+def test_lsh_verified_signature_computed_once(spark, sf_dir):
+    """q_dedup_minhash_lsh_verified: the banded keys derive from ONE
+    signature projection reused across the 4 band branches and the
+    two verify sides (union of projections over the same exchange /
+    reused subtree), never a per-band recompute of the shingle HOF —
+    and the bucket expansion is the collect-expand form (Generate),
+    not a banded self-join."""
+    plan = explain_str(QUERIES["q_dedup_minhash_lsh_verified"](spark, sf_dir))
+    assert "Generate" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
