@@ -1360,12 +1360,16 @@ def q_join_knn_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Recall-curve audit knobs: nprobe ladder, k, and the query-set
-#: stride (vec_id % _RECALL_QSTRIDE == 0 → 1/5/50 queries at the three
-#: test SFs — the set grows with the corpus, never hand-pinned).
+#: Recall-curve audit knobs: nprobe ladder, k, and the TARGET query
+#: count — the stride derives from the corpus size
+#: (stride = ceil(n / _RECALL_NQ)), so the sample stays ~_RECALL_NQ
+#: queries at ANY scale: the audit's exact-scan side is then LINEAR
+#: in the corpus instead of quadratic (the d10 probe read 4.0× with
+#: a corpus-proportional query set; a fixed-size sample is the
+#: production form — audit on a sample, serve everything).
 _RECALL_NPROBES = (1, 2, 4, 8)
 _RECALL_K = 5
-_RECALL_QSTRIDE = 100
+_RECALL_NQ = 50
 
 
 @query(
@@ -1391,9 +1395,14 @@ _RECALL_QSTRIDE = 100
             FROM e, c
         ) WHERE rn = 1
     ),
+    qs AS (
+        SELECT greatest(1, CAST(ceil(count(*) / {_RECALL_NQ}.0) AS BIGINT))
+            AS qstride
+        FROM e
+    ),
     q AS (
-        SELECT vec_id AS qid, v AS qv FROM e
-        WHERE vec_id % {_RECALL_QSTRIDE} = 0
+        SELECT vec_id AS qid, v AS qv FROM e, qs
+        WHERE vec_id % qstride = 0
     ),
     cellrank AS (
         SELECT q.qid, c.cid,
@@ -1488,8 +1497,9 @@ def q_similarity_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame
     cnorm[cnorm == 0] = np.inf
 
     emb = table(spark, sf_dir, "embeddings")
+    qstride = max(1, -(-emb.count() // _RECALL_NQ))
     qrows = (
-        emb.filter(F.col("vec_id") % _RECALL_QSTRIDE == 0)
+        emb.filter(F.col("vec_id") % qstride == 0)
         .select("vec_id", as_double("embedding").alias("v"))
         .orderBy("vec_id")
         .collect()
