@@ -544,3 +544,81 @@ def test_batch_histogram_degenerate_constant_column(spark, tmp_path):
         assert r["est_price"] == 7.5, r
         assert r["exact_price"] == 7.5, r
         assert r["rel_err"] == 0.0, r
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """LATE-DATA SEMANTICS: a row older than the running watermark
+    must be DROPPED from a windowed aggregation once its window has
+    FINALIZED — the half of the watermark contract the eviction tests
+    don't touch (they prove state GC; this proves input filtering).
+    The drop guarantee is ONE-SIDED: a late row arriving in the same
+    batch that finalizes its window may still merge (observed: it
+    does), so the test stages the late row one batch AFTER the window
+    was emitted and its state evicted — at that point the row MUST
+    drop, because merging would force a duplicate append of a closed
+    window.  Append-mode 10-minute tumbling counts, 1-hour watermark,
+    five file batches:
+      b0 (00:00-00:09): 10 clicks -> window [00:00, 00:10);
+      b1 (06:00): advances b2's watermark to 05:00;
+      b2 (06:30): runs under wm 05:00 -- [00:00, 00:10) finalizes,
+          emits count 10, state evicted at batch end;
+      b3: the LATE click at 00:05 (wm now 05:30, window long gone) --
+          numRowsDroppedByWatermark = 1;
+      b4 (12:00): closes the 06:00/06:30 windows.
+    The sink must hold exactly ONE [00:00, 00:10) row with count 10."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    indir = tmp_path / "late_drop"
+    indir.mkdir()
+    _write_event_file(
+        indir / "b0.parquet",
+        [(u, "click", base + dt.timedelta(minutes=u)) for u in range(10)],
+        seq=0,
+    )
+    _write_event_file(
+        indir / "b1.parquet", [(99, "click", base + dt.timedelta(hours=6))], seq=1
+    )
+    _write_event_file(
+        indir / "b2.parquet",
+        [(101, "click", base + dt.timedelta(hours=6, minutes=30))],
+        seq=2,
+    )
+    _write_event_file(
+        indir / "b3.parquet",
+        [(100, "click", base + dt.timedelta(minutes=5))],  # LATE
+        seq=3,
+    )
+    _write_event_file(
+        indir / "b4.parquet", [(102, "click", base + dt.timedelta(hours=12))], seq=4
+    )
+
+    sdf = (
+        spark.readStream.schema("user_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .format("parquet")
+        .load(str(indir))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )
+    progress = _drain_in_file_batches(spark, sdf, "mem_late_drop")
+    assert len(progress) == 5, [p["numInputRows"] for p in progress]
+
+    dropped = [
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in progress
+    ]
+    assert dropped == [0, 0, 0, 1, 0], dropped
+
+    rows = spark.table("mem_late_drop").collect()
+    counts = {}
+    for r in rows:
+        counts.setdefault(r["w_start"], []).append(r["n"])
+    # exactly one finalized emission of the b0 window, WITHOUT the
+    # late row -- a leak reads 11 or a duplicate append
+    assert counts[base] == [10], counts
