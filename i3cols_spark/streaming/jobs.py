@@ -583,3 +583,45 @@ def stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_HLL_REM_BITS) - F.length(F.bin(F.col("w"))) + 1
     )
     return parts.groupBy("bucket").agg(F.max(rank).alias("m_rank"))
+
+
+def stream_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_feature_time_decay: the recency-weighted
+    engagement score maintained over an event stream by ONE
+    complete-mode per-user aggregation.  The decay anchor (corpus max
+    timestamp) is pinned up front from a static scan — the
+    catalog-owned-geometry stance of stream_histogram_grid: a
+    streaming feature store cannot re-anchor per micro-batch without
+    silently re-scaling every previously emitted score; production
+    re-anchors on a schedule by multiplying stored scores by
+    exp(−λ·Δ) (the decay semigroup), not by moving the anchor
+    mid-stream.  With a fixed anchor the per-row decayed value is a
+    pure map, so micro-batch partials merge by plain summation and
+    the stream≡batch test pins score equality user by user."""
+    from i3cols_spark.functions.rounding import round_half_up
+    from i3cols_spark.operators.pipeline import _DECAY_LAMBDA
+
+    configure(spark)
+    anchor_us = (
+        normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+        .agg(F.unix_micros(F.max("ts")))
+        .first()[0]
+    )
+    if anchor_us is None:
+        raise ValueError(
+            "stream_time_decay: events is empty — no anchor timestamp"
+        )
+    stream = _event_stream(spark, sf_dir)
+    dv = F.col("value") * F.exp(
+        F.lit(-_DECAY_LAMBDA)
+        * (F.lit(anchor_us) - F.unix_micros(F.col("ts")))
+        / F.lit(86400000000.0)
+    )
+    return (
+        stream.select("user_id", dv.alias("dv"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            round_half_up(F.sum("dv"), 6).alias("decayed_value"),
+        )
+    )

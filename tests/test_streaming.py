@@ -622,3 +622,25 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     # exactly one finalized emission of the b0 window, WITHOUT the
     # late row -- a leak reads 11 or a duplicate append
     assert counts[base] == [10], counts
+
+
+def test_stream_time_decay_equals_batch(spark, sf_dir):
+    """Complete-mode decayed engagement scores over availableNow must
+    equal the batch q_feature_time_decay (same fixed anchor, same
+    rounding), compared on the batch query's own top-50 cut."""
+    sdf = jobs.stream_time_decay(spark, sf_dir)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("mem_time_decay")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = (
+        spark.table("mem_time_decay")
+        .orderBy(F.desc("decayed_value"), F.asc("user_id"))
+        .limit(50)
+    )
+    batch = QUERIES["q_feature_time_decay"](spark, sf_dir)
+    assert _rows(streamed) == _rows(batch)
