@@ -1371,3 +1371,122 @@ def q_graph_assortativity(spark, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
         F.round(F.avg(F.col("dx").cast("double")), 6).alias("mean_degree"),
     )
+
+
+#: k-core parameters: the degree floor (chosen against the fixture's
+#: co-purchase degree profile — median 115 at sf0.01, so the floor
+#: bites without emptying the graph) and the FIXED peeling-round
+#: budget (the scale knob: each round is one degree aggregate + two
+#: semi-joins; production picks rounds like an iteration budget, and
+#: the convergence test asserts the fixture reaches its true k-core
+#: inside it).
+_KCORE_K = 110
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    parts = [
+        """e0 AS MATERIALIZED (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) b
+          ON a.o = b.o AND a.p < b.p
+    )"""
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f"""n{r} AS MATERIALIZED (
+        SELECT node FROM (
+            SELECT u AS node FROM e{r-1} UNION ALL SELECT v AS node FROM e{r-1}
+        ) ends GROUP BY node HAVING count(*) >= {_KCORE_K}
+    )"""
+        )
+        parts.append(
+            f"""e{r} AS MATERIALIZED (
+        SELECT e.u, e.v FROM e{r-1} e
+        JOIN n{r} a ON e.u = a.node
+        JOIN n{r} b ON e.v = b.node
+    )"""
+        )
+    selects = [
+        "SELECT CAST(0 AS BIGINT) AS round, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM "
+        "(SELECT u AS node FROM e0 UNION SELECT v AS node FROM e0) z) AS n_nodes, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_edges"
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        selects.append(
+            f"SELECT CAST({r} AS BIGINT) AS round, "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM n{r}) AS n_nodes, "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM e{r}) AS n_edges"
+        )
+    return (
+        "WITH " + ",\n    ".join(parts) + "\n    "
+        + " UNION ALL ".join(selects) + " ORDER BY round"
+    )
+
+
+@query("q_graph_kcore_peel", oracle=_kcore_oracle())
+def q_graph_kcore_peel(spark, sf_dir: str) -> DataFrame:
+    """k-core PEELING TRACE over the part co-purchase graph: per
+    round, repeatedly drop nodes with degree < k (k = 110) among the
+    survivors and keep only edges between survivors — the density
+    filter community mining and spam/boilerplate pruning run before
+    anything expensive (a node in the k-core has k neighbors IN the
+    core, a much stronger signal than raw degree).  The output is the
+    TRACE (round, n_nodes, n_edges) rather than the survivor list, so
+    the query is never vacuous: at sf0.001 the floor collapses the
+    graph to empty (visible in the trace), at sf0.01/0.1 it bites and
+    stabilizes — and tests/test_graph.py asserts the final two
+    rounds agree at sf0.01, i.e. the FIXED round budget reached the
+    true k-core, the same bounded-iteration honesty as the PCA power
+    method.
+
+    The oracle unrolls every round as MATERIALIZED CTEs (the PCA
+    precedent — DuckDB inlines CTEs by default and would re-evaluate
+    the peel exponentially).
+
+    Scale shape: each round is one map-side-combined degree aggregate
+    over the surviving edges plus two semi-joins against the
+    survivor node set, with the edge set localCheckpointed per round
+    (the CC discipline — unbounded lineage is the real iterative-
+    algorithm killer); the trace rows are 5 scalars.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.distinct()
+    e = (
+        op.alias("a")
+        .join(
+            op.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n0 = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .count()
+    )
+    trace = [(0, n0, e.count())]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        nodes = deg.filter(F.col("d") >= _KCORE_K).select("node")
+        e = (
+            e.join(nodes.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(nodes.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        trace.append((r, nodes.count(), e.count()))
+    return spark.createDataFrame(
+        trace, "round bigint, n_nodes bigint, n_edges bigint"
+    ).orderBy("round")

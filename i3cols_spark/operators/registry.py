@@ -433,6 +433,7 @@ POST_R8_ADDITIONS: tuple[str, ...] = (
     "q_stats_theil_sen",
     "q_source_arrow_version_diff",
     "q_feature_time_decay",
+    "q_graph_kcore_peel",
 )
 
 

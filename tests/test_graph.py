@@ -89,3 +89,22 @@ def test_cc_does_not_mutate_caller_session_conf(spark):
     plan = probe._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"hashpartitioning\([^)]*, (\d+)\)", plan)
     assert m and m.group(1) == before, plan
+
+
+def test_kcore_peel_converges_within_round_budget(spark, sf_dir):
+    """The FIXED 4-round peel budget must reach the true k-core on
+    the fixture: the last two trace rows agree (here the fixture's
+    random co-purchase graph cascades to the EMPTY 110-core — peeling
+    near the mean degree is unstable on random graphs, and the trace
+    showing that cascade is the analytical point), and node/edge
+    counts are monotonically non-increasing."""
+    from i3cols_spark.operators import QUERIES
+
+    rows = sorted(
+        ((r["round"], r["n_nodes"], r["n_edges"])
+         for r in QUERIES["q_graph_kcore_peel"](spark, sf_dir).collect())
+    )
+    assert len(rows) == 5
+    assert rows[-1][1:] == rows[-2][1:], rows  # converged
+    for a, b in zip(rows, rows[1:]):
+        assert b[1] <= a[1] and b[2] <= a[2], rows
