@@ -434,6 +434,7 @@ POST_R8_ADDITIONS: tuple[str, ...] = (
     "q_source_arrow_version_diff",
     "q_feature_time_decay",
     "q_graph_kcore_peel",
+    "q_agg_winsorized_mean",
 )
 
 

@@ -1926,3 +1926,109 @@ def q_stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(F.col("med"), 6).alias("theil_sen_slope"),
         round_half_up(F.col("b1"), 6).alias("ols_slope"),
     )
+
+
+@query(
+    "q_agg_winsorized_mean",
+    oracle="""
+    WITH dist AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS v,
+             CAST(count(*) AS BIGINT) AS ct
+      FROM lineitem GROUP BY 1, 2
+    ), ranked AS (
+      SELECT flag, v, ct,
+             sum(ct) OVER (PARTITION BY flag ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum,
+             sum(ct) OVER (PARTITION BY flag) AS n
+      FROM dist
+    ), cut AS (
+      SELECT flag, v, ct, cum, n, n // 20 AS g,
+             greatest(CAST(0 AS BIGINT),
+                      least(cum, n - n // 20)
+                      - greatest(cum - ct, n // 20)) AS kept
+      FROM ranked
+    )
+    SELECT flag,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(max(g) AS BIGINT) AS n_clamped_each_side,
+           min(CASE WHEN cum >= g + 1 THEN v END) AS clamp_low,
+           min(CASE WHEN cum >= n - g THEN v END) AS clamp_high,
+           floor((sum(v * kept)
+                  + max(g) * (min(CASE WHEN cum >= g + 1 THEN v END)
+                              + min(CASE WHEN cum >= n - g THEN v END)))
+                 / max(n) * 1000000 + 0.5) / 1000000.0 AS winsorized_mean,
+           floor(sum(v * ct) / max(n) * 1000000 + 0.5) / 1000000.0
+               AS plain_mean
+    FROM cut GROUP BY flag ORDER BY flag
+    """,
+)
+def q_agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5%-winsorized mean per group — the CLAMP counterpart of
+    q_agg_trimmed_mean (trim DROPS the g tail rows; winsorize pins
+    them to the tail order statistics x₍g₊₁₎ / x₍n₋g₎, keeping n
+    constant — the robust-metrics dashboards' usual choice because
+    group means stay comparable across groups of different sizes).
+    Emits the clamp values themselves, so the tail order statistics
+    are hash-checked alongside the mean.
+
+    Same exactness-without-sorting-rows machinery as the trimmed
+    twin: interior kept-weights by interval arithmetic on the
+    per-distinct-value histogram, and the two clamp values as
+    conditional mins over the cumulative frame (cum is monotone in v,
+    so min v with cum ≥ r IS the r-th order statistic).  All integer
+    arithmetic until the single HALF_UP ratio.
+
+    Scale shape: identical to q_agg_trimmed_mean — one
+    map-side-combined (flag, value) reduction, one per-group
+    cumulative window over the support-sized table, one fold.
+    """
+    from i3cols_spark.functions.rounding import round_half_up
+
+    li = table(spark, sf_dir, "lineitem")
+    dist = (
+        li.groupBy(F.col("l_returnflag").alias("flag"),
+                   F.col("l_extendedprice").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    )
+    w_cum = Window.partitionBy("flag").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy("flag")
+    ranked = dist.select(
+        "flag", "v", "ct",
+        F.sum("ct").over(w_cum).alias("cum"),
+        F.sum("ct").over(w_all).alias("n"),
+    )
+    g = F.floor(F.col("n") / 20).cast("bigint")
+    kept = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(F.col("cum"), F.col("n") - g)
+        - F.greatest(F.col("cum") - F.col("ct"), g),
+    )
+    cut = ranked.select(
+        "flag", "v", "ct", "cum", "n", g.alias("g"), kept.alias("kept")
+    )
+    clamp_low = F.min(F.when(F.col("cum") >= F.col("g") + 1, F.col("v")))
+    clamp_high = F.min(F.when(F.col("cum") >= F.col("n") - F.col("g"), F.col("v")))
+    return (
+        cut.groupBy("flag")
+        .agg(
+            F.max("n").cast("bigint").alias("n_rows"),
+            F.max("g").cast("bigint").alias("n_clamped_each_side"),
+            clamp_low.alias("clamp_low"),
+            clamp_high.alias("clamp_high"),
+            round_half_up(
+                (
+                    F.sum(F.col("v") * F.col("kept"))
+                    + F.max("g") * (clamp_low + clamp_high)
+                )
+                / F.max("n"),
+                6,
+            ).alias("winsorized_mean"),
+            round_half_up(
+                F.sum(F.col("v") * F.col("ct")) / F.max("n"), 6
+            ).alias("plain_mean"),
+        )
+        .orderBy("flag")
+    )
