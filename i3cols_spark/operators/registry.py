@@ -435,6 +435,8 @@ POST_R8_ADDITIONS: tuple[str, ...] = (
     "q_feature_time_decay",
     "q_graph_kcore_peel",
     "q_agg_winsorized_mean",
+    "q_sql_tpch_q8",
+    "q_sql_tpch_q17",
 )
 
 

@@ -422,3 +422,80 @@ def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum widths agree."""
     _register(spark, sf_dir, ("customer", "orders", "lineitem"))
     return spark.sql(_Q18_SQL)
+
+
+_Q8_SQL = """
+    SELECT o_year,
+           floor(CAST(sum(CASE WHEN supp_nation = 'NATION_1'
+                               THEN cents4 ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(cents4) AS DOUBLE) * 1000000 + 0.5)
+               / CAST(1000000 AS DOUBLE) AS mkt_share,
+           floor(CAST(sum(cents4) AS DOUBLE) / CAST(100 AS DOUBLE) + 0.5)
+               / CAST(100 AS DOUBLE) AS total_revenue
+    FROM (
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               n2.n_name AS supp_nation,
+               CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                    AS BIGINT) AS cents4
+        FROM part p
+        JOIN lineitem l ON l.l_partkey = p.p_partkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+        WHERE p.p_type = 'PROMO'
+          AND n1.n_regionkey = (SELECT n_regionkey FROM nation
+                                WHERE n_name = 'NATION_1')
+          AND o.o_orderdate >= DATE '1995-01-01'
+          AND o.o_orderdate <  DATE '1997-01-01'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+
+@query("q_sql_tpch_q8", oracle=_Q8_SQL)
+def q_sql_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): the deepest join tree the
+    fixture schema can express — 7 relations, the nation dimension
+    consumed TWICE under different roles (customer's region gates the
+    market, supplier's nation is the share numerator), the region
+    resolved by a scalar subquery against the target nation itself.
+    Both numerator and denominator are exact integer-cents sums, so
+    the share is a deterministic double ratio HALF_UP at 6 dp."""
+    _register(spark, sf_dir,
+              ("part", "lineitem", "orders", "customer", "nation", "supplier"))
+    return spark.sql(_Q8_SQL)
+
+
+_Q17_SQL = """
+    SELECT floor(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                      AS DOUBLE)
+                 / CAST(100 AS DOUBLE) / CAST(7 AS DOUBLE) * 1000000 + 0.5)
+               / CAST(1000000 AS DOUBLE) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_small_orders
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (
+          SELECT 0.2 * avg(l2.l_quantity)
+          FROM lineitem l2
+          WHERE l2.l_partkey = p.p_partkey
+      )
+"""
+
+
+@query("q_sql_tpch_q17", oracle=_Q17_SQL)
+def q_sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): the CORRELATED scalar
+    subquery classic — per part, compare each line's quantity to 20%
+    of THAT part's average quantity; the optimizer must decorrelate
+    into an aggregate-then-join or pay a per-row subquery.  Quantities
+    are whole-number doubles so the per-part average is an exact ratio
+    and the 0.2× threshold compares identically in both engines; the
+    revenue sum runs in integer cents.  Adaptation: the fixture's
+    p_brand carries no container column, so the spec's container
+    filter is dropped."""
+    _register(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(_Q17_SQL)
