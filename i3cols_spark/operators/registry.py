@@ -437,6 +437,7 @@ POST_R8_ADDITIONS: tuple[str, ...] = (
     "q_agg_winsorized_mean",
     "q_sql_tpch_q8",
     "q_sql_tpch_q17",
+    "q_text_bpe_merges",
 )
 
 

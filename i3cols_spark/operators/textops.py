@@ -1413,3 +1413,148 @@ def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(_BM25_TOPN)
     )
+
+
+#: BPE learner knobs: merge rounds and the symbol-wrap marker (0x1f,
+#: a control char absent from the ASCII-printable fixture text).
+_BPE_ROUNDS = 4
+_BPE_M = "\x1f"
+
+
+def _bpe_oracle() -> str:
+    m = "chr(31)"
+    parts = [
+        """w0 AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+               array_to_string(list_transform(range(length(word)), i ->
+                   chr(31) || substring(word, CAST(i + 1 AS INTEGER), 1)
+                   || chr(31)), '') AS seq
+        FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                AS word
+            FROM documents
+        ) toks
+        GROUP BY word
+    )"""
+    ]
+    for r in range(1, _BPE_ROUNDS + 1):
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+        SELECT s1, s2, CAST(sum(cnt) AS BIGINT) AS freq
+        FROM (
+            SELECT cnt, syms[i + 1] AS s1, syms[i + 2] AS s2
+            FROM (
+                SELECT cnt,
+                       string_split(substring(seq, 2, length(seq) - 2),
+                                    {m} || {m}) AS syms
+                FROM w{r-1}
+            ) x, unnest(range(len(syms) - 1)) AS u(i)
+        ) pairs
+        GROUP BY s1, s2
+    )"""
+        )
+        parts.append(
+            f"""b{r} AS MATERIALIZED (
+        SELECT s1, s2, freq FROM p{r} ORDER BY freq DESC, s1, s2 LIMIT 1
+    )"""
+        )
+        parts.append(
+            f"""w{r} AS MATERIALIZED (
+        SELECT word, cnt,
+               replace(seq,
+                       (SELECT {m} || s1 || {m} || {m} || s2 || {m} FROM b{r}),
+                       (SELECT {m} || s1 || s2 || {m} FROM b{r})) AS seq
+        FROM w{r-1}
+    )"""
+        )
+    selects = [
+        f"SELECT CAST({r} AS BIGINT) AS round, s1, s2, freq FROM b{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    ]
+    return (
+        "WITH " + ",\n    ".join(parts) + "\n    "
+        + " UNION ALL ".join(selects) + " ORDER BY round"
+    )
+
+
+@query("q_text_bpe_merges", oracle=_bpe_oracle())
+def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding VOCABULARY LEARNING, exactly and
+    cross-engine: 4 merge rounds over the corpus word table — per
+    round, count adjacent symbol pairs weighted by word frequency,
+    take the most frequent pair ((freq DESC, s1, s2) tie-break),
+    merge EVERY greedy-leftmost occurrence corpus-wide, repeat.  The
+    output is the learned merge table (round, s1, s2, freq) — the
+    artifact a tokenizer trainer ships.
+
+    The exactness trick: symbol sequences are stored with each symbol
+    WRAPPED in a 0x1f marker ("␟c␟␟a␟␟t␟"), so adjacent pair
+    occurrences share no characters and one leftmost-nonoverlapping
+    ``replace`` pass — identical semantics in Python, the JVM and
+    DuckDB (verified on the abab/aaa cases) — IS the greedy BPE merge,
+    including the run rule ("aaa" merges once).  The oracle unrolls
+    all rounds as MATERIALIZED CTEs (the PCA/k-core precedent), so
+    the entire learning trajectory is value-hash-checked.
+
+    Scale shape: state is the DISTINCT-WORD table (vocabulary-sized,
+    the Kneser–Ney discipline — corpus size only enters through the
+    one explode+count pass that builds it); each round is one
+    zip-with pair expansion (symbols-per-word bounded), one
+    map-side-combined pair count, a 1-row top-1 (driver-collected
+    metadata, the k-core convention), and one per-row replace.  At
+    100 TB a real trainer runs thousands of rounds with the same
+    per-round plan; the round budget here is the oracle's unroll
+    bound, not an engine limit.
+    """
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    words = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    m = _BPE_M
+    seq0 = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.length("word") - 1),
+            lambda i: F.concat(
+                F.lit(m), F.substr(F.col("word"), i + 1, F.lit(1)), F.lit(m)
+            ),
+        ),
+        "",
+    )
+    w = words.select("word", "cnt", seq0.alias("seq")).localCheckpoint()
+    out_rows = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        syms = F.split(
+            F.substr(F.col("seq"), F.lit(2), F.length("seq") - 2), m + m
+        )
+        # zip each symbol with its successor (null-padded tail), so
+        # the pair expansion never touches F.sequence's descending-
+        # on-reversed-bounds trap for single-symbol words.
+        pairs_arr = F.filter(
+            F.zip_with(
+                syms,
+                F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(1))),
+                lambda a, b: F.struct(a.alias("s1"), b.alias("s2")),
+            ),
+            lambda p: p["s2"].isNotNull(),
+        )
+        pr = (
+            w.select("cnt", F.explode(pairs_arr).alias("p"))
+            .groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
+            .agg(F.sum("cnt").cast("long").alias("freq"))
+        )
+        best = pr.orderBy(F.desc("freq"), "s1", "s2").limit(1).collect()[0]
+        out_rows.append((r, best["s1"], best["s2"], int(best["freq"])))
+        w = w.select(
+            "word",
+            "cnt",
+            F.replace(
+                F.col("seq"),
+                F.lit(m + best["s1"] + m + m + best["s2"] + m),
+                F.lit(m + best["s1"] + best["s2"] + m),
+            ).alias("seq"),
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        out_rows, "round bigint, s1 string, s2 string, freq bigint"
+    ).orderBy("round")
