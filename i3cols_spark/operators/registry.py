@@ -438,6 +438,7 @@ POST_R8_ADDITIONS: tuple[str, ...] = (
     "q_sql_tpch_q8",
     "q_sql_tpch_q17",
     "q_text_bpe_merges",
+    "q_text_bpe_tokenize",
 )
 
 

@@ -1558,3 +1558,121 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out_rows, "round bigint, s1 string, s2 string, freq bigint"
     ).orderBy("round")
+
+
+def _bpe_apply_oracle() -> str:
+    """Shares the learner's unrolled CTE chain, then counts per-doc
+    tokens under the FINAL merged vocabulary."""
+    m = "chr(31)"
+    learn = _bpe_oracle()
+    ctes = learn[len("WITH "): learn.rindex("SELECT CAST(1")].rstrip().rstrip(
+        "\n "
+    )
+    # the learner's trailing UNION-ALL select block is replaced by the
+    # tokenize-apply consumer over w{last}
+    return f"""WITH {ctes},
+    wl AS MATERIALIZED (
+        SELECT word,
+               len(string_split(substring(seq, 2, length(seq) - 2),
+                                {m} || {m})) AS n_syms
+        FROM w{_BPE_ROUNDS}
+    ),
+    doctok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+        FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(d.word)) AS BIGINT) AS n_char_tokens,
+           CAST(sum(wl.n_syms) AS BIGINT) AS n_bpe_tokens,
+           floor(CAST(sum(length(d.word)) AS DOUBLE) / sum(wl.n_syms)
+                 * 1000000 + 0.5) / 1000000.0 AS compression
+    FROM doctok d JOIN wl ON d.word = wl.word
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id"""
+
+
+@query("q_text_bpe_tokenize", oracle=_bpe_apply_oracle())
+def q_text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the learned BPE vocabulary — the tokenizer-serving half
+    that pairs with q_text_bpe_merges' training half: run the same 4
+    merge rounds, then tokenize every document under the final
+    vocabulary and emit per-doc (word count, character-token count,
+    BPE-token count, compression ratio) — the number an LLM data
+    pipeline actually bills by (tokens per document under ITS OWN
+    tokenizer, not a whitespace proxy like q_text_tokens).
+
+    The oracle re-derives the merged vocabulary through the identical
+    unrolled CTE chain and counts symbols per word, so training AND
+    serving agree cross-engine down to each document's token count.
+    Apply is vocabulary-sized work: the per-word symbol counts join
+    the doc→word explode (the q_tfidf access pattern), raw text never
+    re-tokenizes per merge.
+    """
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    words = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    m = _BPE_M
+    seq0 = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.length("word") - 1),
+            lambda i: F.concat(
+                F.lit(m), F.substr(F.col("word"), i + 1, F.lit(1)), F.lit(m)
+            ),
+        ),
+        "",
+    )
+    w = words.select("word", "cnt", seq0.alias("seq")).localCheckpoint()
+    for _ in range(_BPE_ROUNDS):
+        syms = F.split(
+            F.substr(F.col("seq"), F.lit(2), F.length("seq") - 2), m + m
+        )
+        pairs_arr = F.filter(
+            F.zip_with(
+                syms,
+                F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(1))),
+                lambda a, b: F.struct(a.alias("s1"), b.alias("s2")),
+            ),
+            lambda p: p["s2"].isNotNull(),
+        )
+        pr = (
+            w.select("cnt", F.explode(pairs_arr).alias("p"))
+            .groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
+            .agg(F.sum("cnt").cast("long").alias("freq"))
+        )
+        best = pr.orderBy(F.desc("freq"), "s1", "s2").limit(1).collect()[0]
+        w = w.select(
+            "word",
+            "cnt",
+            F.replace(
+                F.col("seq"),
+                F.lit(m + best["s1"] + m + m + best["s2"] + m),
+                F.lit(m + best["s1"] + best["s2"] + m),
+            ).alias("seq"),
+        ).localCheckpoint()
+    wl = w.select(
+        "word",
+        F.size(
+            F.split(F.substr(F.col("seq"), F.lit(2), F.length("seq") - 2), m + m)
+        ).alias("n_syms"),
+    )
+    from i3cols_spark.functions.rounding import round_half_up
+
+    doctok = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    return (
+        doctok.join(wl, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.length("word")).cast("long").alias("n_char_tokens"),
+            F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+            round_half_up(
+                F.sum(F.length("word")).cast("double") / F.sum("n_syms"), 6
+            ).alias("compression"),
+        )
+        .orderBy("doc_id")
+    )
