@@ -86,6 +86,11 @@ HEADLINE = [
     "q_similarity_ivf_recall_curve",
     "q_text_bm25_search",
     "q_multimodal_scene_cuts",
+    # Round-8 late waves: the iterative-learning plans (4 collect-
+    # driven rounds each — the multi-action shape the suite otherwise
+    # lacks) and the k-core peel.
+    "q_text_bpe_merges",
+    "q_graph_kcore_peel",
 ]
 
 
