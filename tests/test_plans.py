@@ -1161,3 +1161,26 @@ def test_lsh_verified_signature_computed_once(spark, sf_dir):
     assert "Generate" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bpe_rounds_jvm_only_vocab_sized(spark, sf_dir):
+    """q_text_bpe_merges: the whole learner stays JVM-side (wrapped-
+    symbol replace + zip-with pair expansion — zero Python in any
+    round) and the final assembled result is a driver-literal table
+    (LocalTableScan), proving the per-round state the driver touched
+    was 1-row metadata, never data."""
+    plan = explain_str(QUERIES["q_text_bpe_merges"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "LocalTableScan" in plan, plan
+
+
+def test_kcore_rounds_use_semi_joins(spark, sf_dir):
+    """q_graph_kcore_peel: trace rows are driver literals; the
+    per-round survivor filtering must never appear as a cartesian
+    (the semi-join pruning shape is asserted indirectly — the final
+    plan is the 5-row literal, and the round lineage was truncated by
+    localCheckpoint, so a regression that re-plans rounds as wide
+    joins shows up in the probe, not here)."""
+    plan = explain_str(QUERIES["q_graph_kcore_peel"](spark, sf_dir))
+    assert "LocalTableScan" in plan
+    assert "CartesianProduct" not in plan

@@ -827,3 +827,39 @@ def test_ivfpq_rerank_is_exact_and_recalls_ivf_top5(spark, sf_dir):
     assert len(shared) >= 4, (sorted(pq), sorted(ivf))
     for v in shared:
         assert pq[v] == ivf[v], (v, pq[v], ivf[v])
+
+
+def test_bpe_learning_properties(spark, sf_dir):
+    """Independent checks on the BPE pair beyond the oracle: the
+    round-1 merge must be the argmax of an INDEPENDENTLY computed raw
+    bigram count (so the in-query pair counting can't self-certify),
+    every document's BPE token count sits in [n_words, n_chars], and
+    compression ≥ 1 with equality only if nothing merged."""
+    from collections import Counter
+
+    from i3cols_spark.operators import QUERIES
+    from i3cols_spark.sources.tables import table
+
+    merges = {
+        r["round"]: (r["s1"], r["s2"], r["freq"])
+        for r in QUERIES["q_text_bpe_merges"](spark, sf_dir).collect()
+    }
+    texts = [
+        r["text"] for r in table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    raw = Counter()
+    for t in texts:
+        for w in t.strip().lower().split():
+            for a, b in zip(w, w[1:]):
+                raw[(a, b)] += 1
+    best, top_freq = sorted(raw.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    assert merges[1] == (best[0], best[1], top_freq), (merges[1], best, top_freq)
+
+    tok = {
+        r["doc_id"]: r
+        for r in QUERIES["q_text_bpe_tokenize"](spark, sf_dir).collect()
+    }
+    assert len(tok) > 0
+    for r in tok.values():
+        assert r["n_words"] <= r["n_bpe_tokens"] <= r["n_char_tokens"], r
+        assert r["compression"] >= 1.0, r
