@@ -1167,11 +1167,12 @@ def test_bpe_rounds_jvm_only_vocab_sized(spark, sf_dir):
     """q_text_bpe_merges: the whole learner stays JVM-side (wrapped-
     symbol replace + zip-with pair expansion — zero Python in any
     round) and the final assembled result is a driver-literal table
-    (LocalTableScan), proving the per-round state the driver touched
-    was 1-row metadata, never data."""
+    (Scan ExistingRDD / LocalTableScan over 4 rows), proving the
+    per-round state the driver touched was 1-row metadata, never
+    data."""
     plan = explain_str(QUERIES["q_text_bpe_merges"](spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "LocalTableScan" in plan, plan
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
 
 
 def test_kcore_rounds_use_semi_joins(spark, sf_dir):
@@ -1182,5 +1183,5 @@ def test_kcore_rounds_use_semi_joins(spark, sf_dir):
     localCheckpoint, so a regression that re-plans rounds as wide
     joins shows up in the probe, not here)."""
     plan = explain_str(QUERIES["q_graph_kcore_peel"](spark, sf_dir))
-    assert "LocalTableScan" in plan
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
     assert "CartesianProduct" not in plan
