@@ -975,3 +975,124 @@ def q_multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_abs_delta",
         "first_cut_idx",
     )
+
+
+#: Quiet-sample amplitude threshold for the silence segmentation
+#: (VAD) audit — below it a PCM sample counts as quiet.
+_VAD_TAU = 15000
+
+
+@query(
+    "q_multimodal_silence_runs",
+    oracle=f"""
+    WITH clip AS (
+        SELECT doc_id, text,
+               CAST(length(text) AS BIGINT) AS n,
+               length(text) % 50 + 1 AS frames
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    pcm AS (
+        SELECT doc_id, frames,
+               list_transform(range(frames), k ->
+                   ( ascii(substr(text, CAST((2 * k    ) % n AS INTEGER) + 1, 1))
+                   + ascii(substr(text, CAST((2 * k + 1) % n AS INTEGER) + 1, 1)) * 256
+                   ) - CASE WHEN
+                       ascii(substr(text, CAST((2 * k) % n AS INTEGER) + 1, 1))
+                     + ascii(substr(text, CAST((2 * k + 1) % n AS INTEGER) + 1, 1)) * 256
+                       >= 32768 THEN 65536 ELSE 0 END
+               ) AS s
+        FROM clip
+    ),
+    d AS (
+        SELECT doc_id, i, s[i + 1] AS v
+        FROM pcm, unnest(range(frames)) AS u(i)
+    ),
+    quiet AS (
+        SELECT doc_id, i,
+               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        FROM d WHERE abs(v) < {_VAD_TAU}
+    ),
+    runlen AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS rl
+        FROM quiet GROUP BY doc_id, grp
+    ),
+    perclip AS (
+        SELECT doc_id,
+               CAST(coalesce(max(rl), 0) AS BIGINT) AS longest_quiet_run,
+               CAST(coalesce(count(*), 0) AS BIGINT) AS n_quiet_runs,
+               CAST(coalesce(sum(rl), 0) AS BIGINT) AS n_quiet
+        FROM runlen GROUP BY doc_id
+    )
+    SELECT c.doc_id AS media_id,
+           CAST(c.frames AS BIGINT) AS n_samples,
+           coalesce(p.n_quiet, 0) AS n_quiet,
+           coalesce(p.n_quiet_runs, 0) AS n_quiet_runs,
+           coalesce(p.longest_quiet_run, 0) AS longest_quiet_run
+    FROM clip c LEFT JOIN perclip p ON p.doc_id = c.doc_id
+    ORDER BY c.doc_id
+    """,
+)
+def q_multimodal_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence segmentation (VAD-style) over the REAL WAV path — the
+    audio twin of q_multimodal_scene_cuts: decode every PCM sample,
+    mark quiet samples (|amplitude| < τ), and report per clip the
+    quiet count, the number of MAXIMAL quiet runs, and the longest
+    run — the segmentation an audio curation pipeline uses to split
+    on silence and to drop dead-air clips, one structural level above
+    the amplitude histogram's bin counts.
+
+    The runs are computed IN-TASK with numpy (diff over the quiet
+    mask — per-sample rows never shuffle; only 5-scalar summaries
+    do), while the oracle re-derives every sample from the
+    closed-form synthesis and runs the gaps-and-islands form
+    (i − row_number) over the unnested samples: the windowed islands
+    arithmetic and the vectorized run detection must agree clip by
+    clip, and a clip with zero quiet samples must survive as an
+    explicit all-zero row (LEFT join, not dropped).
+    """
+    import numpy as _np  # noqa: F401 (imported for the mapInPandas closure)
+
+    from i3cols_spark.functions.multimodal import attach_synthetic_media
+
+    media = attach_synthetic_media(table(spark, sf_dir, "documents")).where(
+        F.col("media_type") == "audio/wav"
+    )
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        from i3cols_spark.functions import codecs
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "n_samples": [], "n_quiet": [],
+                "n_quiet_runs": [], "longest_quiet_run": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                audio = codecs.decode_wav(bytes(payload))
+                s = np.asarray(codecs.pcm_samples(audio), dtype=np.int64)
+                quiet = np.abs(s) < _VAD_TAU
+                padded = np.concatenate(([False], quiet, [False]))
+                edges = np.diff(padded.astype(np.int8))
+                starts = np.flatnonzero(edges == 1)
+                ends = np.flatnonzero(edges == -1)
+                runs = ends - starts
+                out["media_id"].append(mid)
+                out["n_samples"].append(len(s))
+                out["n_quiet"].append(int(quiet.sum()))
+                out["n_quiet_runs"].append(len(runs))
+                out["longest_quiet_run"].append(
+                    int(runs.max()) if len(runs) else 0
+                )
+            yield pd.DataFrame(out)
+
+    return (
+        media.select("media_id", "payload")
+        .mapInPandas(
+            op,
+            "media_id long, n_samples long, n_quiet long, "
+            "n_quiet_runs long, longest_quiet_run long",
+        )
+        .orderBy("media_id")
+    )

@@ -439,6 +439,7 @@ POST_R8_ADDITIONS: tuple[str, ...] = (
     "q_sql_tpch_q17",
     "q_text_bpe_merges",
     "q_text_bpe_tokenize",
+    "q_multimodal_silence_runs",
 )
 
 
