@@ -861,9 +861,15 @@ _HIST_QS = (0.25, 0.50, 0.75, 0.90, 0.99)
         FROM orders
     ),
     cells AS (
+        -- binning divisor mirrors the Spark-side degenerate-width
+        -- guard (ADVICE r08): constant column -> all rows bin 0 in
+        -- BOTH engines instead of a NULL-bin divergence; the ESTIMATE
+        -- width below stays unguarded exactly like the Spark side.
         SELECT CAST(least({_HIST_BINS - 1},
                           floor((o_totalprice - mn)
-                                / ((mx - mn) / {_HIST_BINS}.0)))
+                                / (CASE WHEN mx > mn
+                                        THEN (mx - mn) / {_HIST_BINS}.0
+                                        ELSE 1.0 END)))
                     AS BIGINT) AS bin,
                CAST(count(*) AS BIGINT) AS cnt
         FROM orders, ext GROUP BY 1

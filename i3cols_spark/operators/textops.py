@@ -1421,7 +1421,18 @@ _BPE_ROUNDS = 4
 _BPE_M = "\x1f"
 
 
-def _bpe_oracle() -> str:
+def _bpe_learn_ctes(rounds: int) -> list[str]:
+    """The unrolled learner CTE chain (w0 → b{r}/w{r} per round) as a
+    LIST of parts both oracle builders assemble directly — no string
+    surgery on assembled SQL (ADVICE r08: the old
+    ``learn.rindex("SELECT CAST(1")`` slice also matched
+    ``SELECT CAST(10`` and would silently mis-slice past 9 rounds).
+
+    The w0 word table filters empty words: ``tokens()`` emits '' for
+    empty/whitespace-only text, and an empty word's symbol sequence
+    diverges cross-engine (ADVICE r08: Spark's sequence(0, -1) is the
+    DESCENDING [0, -1] → a phantom pair; DuckDB's range(0) is empty).
+    The Spark learner applies the identical filter."""
     m = "chr(31)"
     parts = [
         """w0 AS MATERIALIZED (
@@ -1434,10 +1445,11 @@ def _bpe_oracle() -> str:
                 AS word
             FROM documents
         ) toks
+        WHERE word <> ''
         GROUP BY word
     )"""
     ]
-    for r in range(1, _BPE_ROUNDS + 1):
+    for r in range(1, rounds + 1):
         parts.append(
             f"""p{r} AS MATERIALIZED (
         SELECT s1, s2, CAST(sum(cnt) AS BIGINT) AS freq
@@ -1467,6 +1479,11 @@ def _bpe_oracle() -> str:
         FROM w{r-1}
     )"""
         )
+    return parts
+
+
+def _bpe_oracle() -> str:
+    parts = _bpe_learn_ctes(_BPE_ROUNDS)
     selects = [
         f"SELECT CAST({r} AS BIGINT) AS round, s1, s2, freq FROM b{r}"
         for r in range(1, _BPE_ROUNDS + 1)
@@ -1475,6 +1492,99 @@ def _bpe_oracle() -> str:
         "WITH " + ",\n    ".join(parts) + "\n    "
         + " UNION ALL ".join(selects) + " ORDER BY round"
     )
+
+
+def bpe_learn(
+    spark: SparkSession,
+    docs: DataFrame,
+    rounds: int,
+    checkpoint_every: int = 8,
+) -> tuple[list[tuple], DataFrame]:
+    """The shared BPE learner both query twins (and any caller that
+    wants a real vocabulary) run: ``rounds`` greedy merge rounds over
+    the corpus word table, returning the merge trajectory rows
+    ``(round, s1, s2, freq)`` and the final word table
+    ``(word, cnt, seq)``.
+
+    Cost model (the 100 TB story, VERDICT r08 design note): learning
+    is a DRIVER-COORDINATED loop — each merge round is exactly two
+    Spark jobs (one vocabulary-sized pair aggregate feeding a 1-row
+    top-1 collect, then a lazily-composed per-row replace), so a
+    k-merge vocabulary costs 2k jobs whose inputs are the DISTINCT-
+    WORD table, never the corpus (corpus size enters once, through
+    the explode+count that builds w0).  Thousands of rounds are
+    therefore thousands of vocabulary-sized jobs — the right shape
+    for iterative learning on a cluster, with two knobs that keep
+    the loop healthy at depth:
+
+    * ``checkpoint_every``: the replace column composes lazily, so
+      the logical plan grows per round; every k-th round (and on
+      every round that COLLECTS, via the aggregate) the word table is
+      localCheckpointed to truncate lineage — the connected-components
+      loop's discipline.  k=8 keeps plan depth bounded without paying
+      a materialization per round.
+    * early exit: when no adjacent pair remains (every word fully
+      merged), the loop stops — deeper budgets than the corpus
+      supports terminate instead of crashing on an empty top-1.
+
+    Empty words are filtered before sequences are built (ADVICE r08:
+    Spark's ``sequence(0, -1)`` descends, minting a phantom pair the
+    DuckDB oracle never sees)."""
+    words = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    m = _BPE_M
+    seq0 = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.length("word") - 1),
+            lambda i: F.concat(
+                F.lit(m), F.substr(F.col("word"), i + 1, F.lit(1)), F.lit(m)
+            ),
+        ),
+        "",
+    )
+    w = words.select("word", "cnt", seq0.alias("seq")).localCheckpoint()
+    out_rows: list[tuple] = []
+    for r in range(1, rounds + 1):
+        syms = F.split(
+            F.substr(F.col("seq"), F.lit(2), F.length("seq") - 2), m + m
+        )
+        # zip each symbol with its successor (null-padded tail), so
+        # the pair expansion never touches F.sequence's descending-
+        # on-reversed-bounds trap for single-symbol words.
+        pairs_arr = F.filter(
+            F.zip_with(
+                syms,
+                F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(1))),
+                lambda a, b: F.struct(a.alias("s1"), b.alias("s2")),
+            ),
+            lambda p: p["s2"].isNotNull(),
+        )
+        pr = (
+            w.select("cnt", F.explode(pairs_arr).alias("p"))
+            .groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
+            .agg(F.sum("cnt").cast("long").alias("freq"))
+        )
+        top = pr.orderBy(F.desc("freq"), "s1", "s2").limit(1).collect()
+        if not top:
+            break  # corpus fully merged — nothing left to learn
+        best = top[0]
+        out_rows.append((r, best["s1"], best["s2"], int(best["freq"])))
+        w = w.select(
+            "word",
+            "cnt",
+            F.replace(
+                F.col("seq"),
+                F.lit(m + best["s1"] + m + m + best["s2"] + m),
+                F.lit(m + best["s1"] + best["s2"] + m),
+            ).alias("seq"),
+        )
+        if r % checkpoint_every == 0 or r == rounds:
+            w = w.localCheckpoint()
+    return out_rows, w
 
 
 @query("q_text_bpe_merges", oracle=_bpe_oracle())
@@ -1503,73 +1613,23 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined pair count, a 1-row top-1 (driver-collected
     metadata, the k-core convention), and one per-row replace.  At
     100 TB a real trainer runs thousands of rounds with the same
-    per-round plan; the round budget here is the oracle's unroll
-    bound, not an engine limit.
+    per-round plan (2 jobs per merge — cost model on ``bpe_learn``);
+    the 4-round budget here is the oracle's unroll bound, not an
+    engine limit, and ``bpe_learn(rounds=...)`` takes any depth.
     """
     docs = spread(table(spark, sf_dir, "documents"), spark)
-    words = (
-        docs.select(F.explode(tokens("text")).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
-    m = _BPE_M
-    seq0 = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), F.length("word") - 1),
-            lambda i: F.concat(
-                F.lit(m), F.substr(F.col("word"), i + 1, F.lit(1)), F.lit(m)
-            ),
-        ),
-        "",
-    )
-    w = words.select("word", "cnt", seq0.alias("seq")).localCheckpoint()
-    out_rows = []
-    for r in range(1, _BPE_ROUNDS + 1):
-        syms = F.split(
-            F.substr(F.col("seq"), F.lit(2), F.length("seq") - 2), m + m
-        )
-        # zip each symbol with its successor (null-padded tail), so
-        # the pair expansion never touches F.sequence's descending-
-        # on-reversed-bounds trap for single-symbol words.
-        pairs_arr = F.filter(
-            F.zip_with(
-                syms,
-                F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(1))),
-                lambda a, b: F.struct(a.alias("s1"), b.alias("s2")),
-            ),
-            lambda p: p["s2"].isNotNull(),
-        )
-        pr = (
-            w.select("cnt", F.explode(pairs_arr).alias("p"))
-            .groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
-            .agg(F.sum("cnt").cast("long").alias("freq"))
-        )
-        best = pr.orderBy(F.desc("freq"), "s1", "s2").limit(1).collect()[0]
-        out_rows.append((r, best["s1"], best["s2"], int(best["freq"])))
-        w = w.select(
-            "word",
-            "cnt",
-            F.replace(
-                F.col("seq"),
-                F.lit(m + best["s1"] + m + m + best["s2"] + m),
-                F.lit(m + best["s1"] + best["s2"] + m),
-            ).alias("seq"),
-        ).localCheckpoint()
+    out_rows, _ = bpe_learn(spark, docs, _BPE_ROUNDS)
     return spark.createDataFrame(
         out_rows, "round bigint, s1 string, s2 string, freq bigint"
     ).orderBy("round")
 
 
 def _bpe_apply_oracle() -> str:
-    """Shares the learner's unrolled CTE chain, then counts per-doc
-    tokens under the FINAL merged vocabulary."""
+    """Shares the learner's unrolled CTE chain (as a parts LIST from
+    ``_bpe_learn_ctes`` — no slicing of assembled SQL, ADVICE r08),
+    then counts per-doc tokens under the FINAL merged vocabulary."""
     m = "chr(31)"
-    learn = _bpe_oracle()
-    ctes = learn[len("WITH "): learn.rindex("SELECT CAST(1")].rstrip().rstrip(
-        "\n "
-    )
-    # the learner's trailing UNION-ALL select block is replaced by the
-    # tokenize-apply consumer over w{last}
+    ctes = ",\n    ".join(_bpe_learn_ctes(_BPE_ROUNDS))
     return f"""WITH {ctes},
     wl AS MATERIALIZED (
         SELECT word,
@@ -1611,49 +1671,8 @@ def q_text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-tokenizes per merge.
     """
     docs = spread(table(spark, sf_dir, "documents"), spark)
-    words = (
-        docs.select(F.explode(tokens("text")).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
     m = _BPE_M
-    seq0 = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), F.length("word") - 1),
-            lambda i: F.concat(
-                F.lit(m), F.substr(F.col("word"), i + 1, F.lit(1)), F.lit(m)
-            ),
-        ),
-        "",
-    )
-    w = words.select("word", "cnt", seq0.alias("seq")).localCheckpoint()
-    for _ in range(_BPE_ROUNDS):
-        syms = F.split(
-            F.substr(F.col("seq"), F.lit(2), F.length("seq") - 2), m + m
-        )
-        pairs_arr = F.filter(
-            F.zip_with(
-                syms,
-                F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(1))),
-                lambda a, b: F.struct(a.alias("s1"), b.alias("s2")),
-            ),
-            lambda p: p["s2"].isNotNull(),
-        )
-        pr = (
-            w.select("cnt", F.explode(pairs_arr).alias("p"))
-            .groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
-            .agg(F.sum("cnt").cast("long").alias("freq"))
-        )
-        best = pr.orderBy(F.desc("freq"), "s1", "s2").limit(1).collect()[0]
-        w = w.select(
-            "word",
-            "cnt",
-            F.replace(
-                F.col("seq"),
-                F.lit(m + best["s1"] + m + m + best["s2"] + m),
-                F.lit(m + best["s1"] + best["s2"] + m),
-            ).alias("seq"),
-        ).localCheckpoint()
+    _, w = bpe_learn(spark, docs, _BPE_ROUNDS)
     wl = w.select(
         "word",
         F.size(

@@ -122,10 +122,86 @@ def _version_of(options: dict) -> int | None:
 
 
 class SnapshotConflictError(RuntimeError):
-    """Optimistic-concurrency conflict: another committer already
-    published this snapshot version with DIFFERENT contents.
+    """Optimistic-concurrency conflict: a LIVE concurrent committer
+    already published this snapshot version with DIFFERENT contents.
     Retryable — re-read HEAD, recompute the commit against the new
-    version, and try again."""
+    version, and try again.
+
+    Orphans from a CRASHED commit (snapshot published, HEAD never
+    flipped) do not raise this: both commit paths roll HEAD forward
+    onto any orphan snapshot before computing their own version
+    (``_roll_forward``), so by the time a version collision is seen
+    the only possible owner of the existing file is a live racer
+    (ADVICE r08: the old behavior wedged the table — every retry
+    recomputed the same version from the unmoved HEAD and failed
+    forever because part names are fresh uuids)."""
+
+
+def _head_state(root: str) -> dict | None:
+    """The HEAD manifest payload, or None before the first commit."""
+    manifest = os.path.join(root, MANIFEST)
+    if not os.path.exists(manifest):
+        return None
+    with open(manifest) as fh:
+        return json.load(fh)
+
+
+def _flip_head(root: str, payload: dict) -> bool:
+    """Atomically point HEAD at ``payload`` — the single place both
+    commit paths (and roll-forward) go through (ADVICE r08, both
+    findings):
+
+    * UNIQUE tmp name (pid+uuid, as ``_publish_snapshot``): the old
+      shared ``manifest + ".tmp"`` let two processes in the flip
+      window interleave writes into one file before ``os.replace``,
+      publishing corrupted JSON.
+    * MONOTONIC versions: refuse to replace HEAD with a payload whose
+      version is <= the current HEAD version — a stale duplicate
+      retry racing a newer committer can no longer regress HEAD.
+      (Best-effort check-then-replace; the snapshot-level ``os.link``
+      exclusivity already guarantees each version has exactly one
+      owner, so the payload for any version is unique and the worst
+      surviving race is a transient old-version republish inside this
+      window, not divergent content.)
+
+    Returns True if HEAD was flipped, False if it was already at or
+    past this version."""
+    manifest = os.path.join(root, MANIFEST)
+    head = _head_state(root)
+    if head is not None and head.get("version", 1) >= payload["version"]:
+        return False
+    tmp = f"{manifest}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, manifest)  # atomic: readers see old or new set
+    return True
+
+
+def _roll_forward(root: str, head: dict | None) -> dict | None:
+    """Complete any CRASHED commit before starting a new one: a crash
+    between ``_publish_snapshot`` and the HEAD flip leaves an orphan
+    ``v{head+1}`` snapshot that HEAD never adopted.  Because version
+    assignment is serialized by the snapshot hard-link, that orphan is
+    the unique legitimate content of its version — so recovery is to
+    flip HEAD onto it (roll forward), exactly what the crashed
+    committer would have done next.  Returns the (possibly advanced)
+    head state.  Idempotent and safe under a live racer: if the racer
+    flips first, ``_flip_head`` skips (version no longer newer)."""
+    while True:
+        prev = 0 if head is None else head.get("version", 1)
+        newer = [v for v in _snapshot_versions(root) if v > prev]
+        if not newer:
+            return head
+        snap = os.path.join(root, _SNAPSHOT_FMT.format(n=min(newer)))
+        try:
+            with open(snap) as fh:
+                orphan = json.load(fh)
+        except (OSError, ValueError):
+            return head  # torn/vanished (vacuum race) — nothing to adopt
+        _flip_head(root, orphan)
+        head = _head_state(root)
 
 
 def _publish_snapshot(root: str, version: int, payload: dict) -> None:
@@ -165,8 +241,10 @@ def _publish_snapshot(root: str, version: int, payload: dict) -> None:
         if existing != payload:
             raise SnapshotConflictError(
                 f"arrowipc: snapshot v{version} under {root} was already "
-                f"committed by a concurrent writer — re-read the HEAD "
-                f"manifest and retry the commit"
+                f"published by a LIVE concurrent committer (crashed-commit "
+                f"orphans are adopted by roll-forward before versions are "
+                f"assigned, so this collision is a real race) — re-read "
+                f"the HEAD manifest and retry the commit"
             ) from None
         # identical payload: crashed/duplicate attempt of THIS commit;
         # fall through so the caller can flip HEAD idempotently.
@@ -343,12 +421,14 @@ class ArrowIPCWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         new = sorted(m.filename for m in messages if m is not None)
-        manifest = os.path.join(self.root, MANIFEST)
+        # Adopt any crashed commit's orphan snapshot FIRST so this
+        # commit's version is computed against the true latest state
+        # (ADVICE r08 — the old path recomputed the orphan's version
+        # from the unmoved HEAD and wedged on SnapshotConflictError).
+        head = _roll_forward(self.root, _head_state(self.root))
         prev_version = 0
         batches: dict = {}
-        if os.path.exists(manifest):
-            with open(manifest) as fh:
-                head = json.load(fh)
+        if head is not None:
             # pre-versioning manifests carry no "version" — treat the
             # existing state as v1 so its history starts counting.
             prev_version = head.get("version", 1)
@@ -376,10 +456,7 @@ class ArrowIPCWriter(DataSourceWriter):
         # via versionAsOf until an explicit vacuum() reclaims them
         # (the Delta-style contract).
         _publish_snapshot(self.root, version, payload)
-        tmp = manifest + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(payload, fh)
-        os.replace(tmp, manifest)  # atomic: readers see old or new set
+        _flip_head(self.root, payload)
 
     def abort(self, messages) -> None:
         # Files from completed tasks of the aborted job stay on disk
@@ -412,13 +489,14 @@ class ArrowIPCStreamWriter(DataSourceStreamWriter):
 
     def commit(self, messages, batchId: int) -> None:
         new = sorted(m.filename for m in messages if m is not None)
-        manifest = os.path.join(self.root, MANIFEST)
+        # Roll forward a crashed epoch's orphan snapshot first; if the
+        # orphan IS this epoch (crash after snapshot, before flip), the
+        # adopted batches record makes the replay a no-op below.
+        head = _roll_forward(self.root, _head_state(self.root))
         batches: dict = {}
         files: list = []
         prev_version = 0
-        if os.path.exists(manifest):
-            with open(manifest) as fh:
-                head = json.load(fh)
+        if head is not None:
             if str(batchId) in head.get("batches", {}):
                 return  # epoch already durable — replay is a no-op
             prev_version = head.get("version", 1)
@@ -431,10 +509,7 @@ class ArrowIPCStreamWriter(DataSourceStreamWriter):
             "batches": batches,
         }
         _publish_snapshot(self.root, payload["version"], payload)
-        tmp = manifest + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(payload, fh)
-        os.replace(tmp, manifest)
+        _flip_head(self.root, payload)
 
     def abort(self, messages, batchId: int) -> None:
         pass  # task files stay unreachable; the manifest never moved

@@ -863,3 +863,95 @@ def test_bpe_learning_properties(spark, sf_dir):
     for r in tok.values():
         assert r["n_words"] <= r["n_bpe_tokens"] <= r["n_char_tokens"], r
         assert r["compression"] >= 1.0, r
+
+
+def test_bpe_deep_trajectory_32_merges(spark, sf_dir):
+    """VERDICT r08 item 5: the learner takes any merge budget, not
+    just the oracle's 4-round unroll.  32 merges on the fixture, with
+    the exact telescoped conservation law — every merge round removes
+    exactly ``freq`` symbols from the weighted corpus, so
+
+        initial_weighted_chars - sum(freq_r) == final_weighted_syms
+
+    — plus max-pair-frequency monotonicity (a merge can only create
+    pairs whose counts are bounded by existing adjacent counts) and
+    the tokenize round-trip (stripping the 0x1f markers from the
+    final sequence reconstructs the word)."""
+    from pyspark.sql import functions as F
+
+    from i3cols_spark.operators.textops import _BPE_M, bpe_learn
+    from i3cols_spark.sources.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    merges, w = bpe_learn(spark, docs, 32, checkpoint_every=8)
+    assert 1 <= len(merges) <= 32
+    if len(merges) == 32:
+        rounds = [r for r, *_ in merges]
+        assert rounds == list(range(1, 33))
+
+    freqs = [f for *_, f in merges]
+    assert all(a >= b for a, b in zip(freqs, freqs[1:])), freqs
+
+    final = w.select(
+        F.sum(
+            F.col("cnt")
+            * F.size(
+                F.split(
+                    F.substr(F.col("seq"), F.lit(2), F.length("seq") - 2),
+                    _BPE_M + _BPE_M,
+                )
+            )
+        ).alias("syms"),
+        F.sum(F.col("cnt") * F.length("word")).alias("chars"),
+        F.sum(
+            F.when(
+                F.replace(F.col("seq"), F.lit(_BPE_M), F.lit(""))
+                != F.col("word"),
+                1,
+            ).otherwise(0)
+        ).alias("bad_roundtrip"),
+    ).collect()[0]
+    assert final["bad_roundtrip"] == 0
+    assert final["chars"] - sum(freqs) == final["syms"], (
+        final["chars"], sum(freqs), final["syms"]
+    )
+
+
+def test_bpe_empty_word_cross_engine_parity(spark, tmp_path):
+    """ADVICE r08: an empty/whitespace-only document used to mint a
+    phantom ('','') pair on the Spark side (sequence(0,-1) descends)
+    while the oracle's range(0) stayed empty.  Both engines now filter
+    empty words; full cross-engine compare on a fixture that contains
+    the degenerate docs pins the fix."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from i3cols_spark.compare import compare_query
+    from i3cols_spark.operators import ORACLES, QUERIES
+    from i3cols_spark.sources.tables import TABLES
+    from tests.conftest import SF_DIR
+
+    d = str(tmp_path / "emptydoc")
+    os.makedirs(d)
+    texts = ["", "   ", "the cat sat", "the cat ran", "a cat sat  "]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["t"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"{SF_DIR}/{t}.parquet", f"{d}/{t}.parquet")
+    for name in ("q_text_bpe_merges", "q_text_bpe_tokenize"):
+        compare_query(
+            QUERIES[name](spark, d), ORACLES[name], d, f"{name}[empty-doc]"
+        )

@@ -529,21 +529,60 @@ def test_batch_histogram_degenerate_constant_column(spark, tmp_path):
 
     from i3cols_spark.operators import QUERIES as _Q  # noqa: F401
 
+    import os
+
     d = str(tmp_path / "constb")
-    spark.createDataFrame(
-        [
-            (i, i, "O", 7.5, datetime.datetime(1995, 1, 1), "1-URGENT")
-            for i in range(10)
-        ],
-        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
-        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
-    ).coalesce(1).write.parquet(f"{d}/orders.parquet")
+    os.makedirs(d, exist_ok=True)
+    # single FILE, not a Spark part-directory — the DuckDB view below
+    # binds '{d}/orders.parquet' exactly like the driver's fixtures
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(10), pa.int64()),
+                "o_custkey": pa.array(range(10), pa.int64()),
+                "o_orderstatus": pa.array(["O"] * 10),
+                "o_totalprice": pa.array([7.5] * 10, pa.float64()),
+                "o_orderdate": pa.array(
+                    [datetime.datetime(1995, 1, 1)] * 10,
+                    pa.timestamp("us"),
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * 10),
+            }
+        ),
+        f"{d}/orders.parquet",
+    )
     out = QUERIES["q_agg_sketch_histogram"](spark, d).collect()
     assert len(out) > 0
     for r in out:
         assert r["est_price"] == 7.5, r
         assert r["exact_price"] == 7.5, r
         assert r["rel_err"] == 0.0, r
+
+    # ADVICE r08: the ORACLE must take the same single-bin fallback —
+    # the unguarded SQL divided by zero (NULL bin) on exactly this
+    # degenerate fixture, flipping the official row red.  Full
+    # cross-engine compare on the degenerate dir pins the parity.
+    # (duckdb_connect binds a view per fixture table eagerly, so the
+    # untouched tables are symlinked from the real fixture.)
+    import os as _os
+
+    from i3cols_spark.compare import compare_query
+    from i3cols_spark.operators import ORACLES
+    from i3cols_spark.sources.tables import TABLES
+    from tests.conftest import SF_DIR
+
+    for t in TABLES:
+        if t != "orders":
+            _os.symlink(f"{SF_DIR}/{t}.parquet", f"{d}/{t}.parquet")
+    compare_query(
+        QUERIES["q_agg_sketch_histogram"](spark, d),
+        ORACLES["q_agg_sketch_histogram"],
+        d,
+        "q_agg_sketch_histogram[degenerate]",
+    )
 
 
 def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
