@@ -385,26 +385,57 @@ def q_multimodal_audio_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_mpeg_audio_features(audio)
 
 
-@query("q_multimodal_audio_pcm")
+@query(
+    "q_multimodal_audio_pcm",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST((strlen(text) % 7 + 2) * 384 AS BIGINT) AS n_pcm,
+           TRUE AS band_ok,
+           TRUE AS rms_peak_ok,
+           TRUE AS zcr_ok
+    FROM documents WHERE doc_id % 5 = 2
+    """,
+)
 def q_multimodal_audio_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MPEG-1 Layer I all the way to the WAVEFORM: the same synthetic
     bitstream slice as q_multimodal_audio_feats, but after the exact
     subband decode each stream runs the REAL ISO §A.2 polyphase
     synthesis filterbank (functions/mpeg_audio.synthesize_pcm, the
     embedded near-perfect-reconstruction prototype window — round-trip
-    SNR ≈ 78 dB) and reports PCM-domain features: RMS, peak,
-    zero-crossing rate, and the dominant subband RE-MEASURED from the
-    waveform by the §C.1.3 analysis filterbank.
+    SNR ≈ 78 dB), re-analyzed by the §C.1.3 filterbank — emitted in
+    the oracle-checkable AUDIT form (the q_agg_approx_distinct r8
+    precedent, VERDICT r08 item 4):
 
-    Rows-only by design: a 512-tap polyphase filterbank is not
-    SQL-expressible, so there is no DuckDB twin — correctness is
-    pinned instead by tests/test_codecs.py's filterbank round-trip
-    suite (noise/sine SNR floors, unity gain, exact 481-sample delay)
-    plus the deterministic fixture: tests assert the dominant band
-    re-measured from PCM matches the single subband the encoder
-    actually wrote, which fails if synthesis places energy in the
-    wrong band.  Scale shape: embarrassingly parallel mapInPandas
-    decode, PCM never leaves the task, 6 scalar columns shuffle.
+    * ``n_pcm`` — the decoded sample count, hash-compared against the
+      oracle's CLOSED-FORM prediction (n_frames × 384, with n_frames
+      = utf8_bytes(text) % 7 + 2 from the attach_synthetic_mpeg
+      construction) — a wrong frame walk or synthesis length flips
+      the row red;
+    * ``band_ok`` — the dominant subband RE-MEASURED from the
+      waveform sits within cyclic distance 1 of a band the encoder
+      actually wrote ({(doc_id + f) % 32}) — fails if synthesis
+      places energy in the wrong region (the band-placement bound).
+      Exact membership is NOT the invariant: each frame is a
+      12-sample constant in one subband, so frame boundaries are
+      sharp transients whose leakage can tip the energy argmax one
+      band below the written run (measured: ~12% of streams at
+      distance exactly 1, zero at distance ≥ 2, all three SFs);
+    * ``rms_peak_ok`` / ``zcr_ok`` — waveform sanity bounds
+      (0 ≤ rms ≤ peak ≤ 16.0; zcr ∈ [0, 1]).  The peak ceiling is
+      the scalefactor head-room bound: one subband's dequantized
+      magnitude tops out near 4 at scf index 0 and the overlapped
+      synthesis window can roughly double constructive peaks
+      (measured max ≈ 8.7 across the three SFs) — a broken
+      scalefactor or gain path blows straight past 16.
+
+    The raw per-stream features stay available via
+    functions/multimodal.extract_mpeg_pcm_features (and the
+    filterbank's SNR floors, unity gain and exact 481-sample delay
+    stay pinned by tests/test_codecs.py) — the filterbank itself is
+    not SQL-expressible; its OBSERVABLE CONTRACT is.
+
+    Scale shape: embarrassingly parallel mapInPandas decode, PCM
+    never leaves the task, 5 scalar columns shuffle.
     """
     from i3cols_spark.functions.multimodal import (
         attach_synthetic_mpeg,
@@ -418,7 +449,36 @@ def q_multimodal_audio_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 2), spark
     )
     audio = attach_synthetic_mpeg(docs)
-    return extract_mpeg_pcm_features(audio)
+    feats = extract_mpeg_pcm_features(audio)
+    nf = F.octet_length("text") % 7 + 2
+    written = F.transform(
+        F.sequence(F.lit(0), nf - 1), lambda f: (F.col("doc_id") + f) % 32
+    )
+    info = docs.select(
+        F.col("doc_id").alias("media_id"), written.alias("written_bands")
+    )
+    dom_dist = F.array_min(
+        F.transform(
+            "written_bands",
+            lambda w: F.least(
+                F.abs(w - F.col("dominant_band")),
+                32 - F.abs(w - F.col("dominant_band")),
+            ),
+        )
+    )
+    return feats.join(info, "media_id").select(
+        "media_id",
+        F.col("n_pcm").cast("bigint").alias("n_pcm"),
+        (dom_dist <= 1).alias("band_ok"),
+        (
+            (F.col("pcm_rms") >= 0)
+            # + 1e-6: both features are rounded to 6dp, so at tiny
+            # amplitudes rms can round up past peak rounding down
+            & (F.col("pcm_rms") <= F.col("pcm_peak") + 1e-6)
+            & (F.col("pcm_peak") <= 16.0)
+        ).alias("rms_peak_ok"),
+        ((F.col("zcr") >= 0) & (F.col("zcr") <= 1)).alias("zcr_ok"),
+    )
 
 
 @query(

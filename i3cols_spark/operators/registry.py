@@ -443,13 +443,117 @@ POST_R8_ADDITIONS: tuple[str, ...] = (
 )
 
 
+#: The POST_R7/POST_R8 names still with no DuckDB oracle after the
+#: round-9 flips (rows-only by design): a window slot spent on one
+#: records ``no_oracle`` instead of a green hash row, so they are
+#: excluded from official windows and stay covered by sim + pytest.
+#: Round 9 flipped the other three (q_agg_approx_percentile,
+#: q_dedup_near_minhash, q_multimodal_audio_pcm) to oracle-checkable
+#: audit/bound output forms — the q_agg_approx_distinct r8 precedent.
+_R9_ROWS_ONLY: tuple[str, ...] = (
+    "q_dedup_minhash_cluster_rep",
+    "q_dedup_simhash",
+    "q_similarity_ann_ivfpq",
+)
+
+
+#: Operators registered in round 9, after the r9 window was frozen:
+#: first candidates for the round-10 rotation (with _R10_DEFERRED),
+#: sim + soak covered meanwhile.
+POST_R9_ADDITIONS: tuple[str, ...] = ()
+
+#: Round-9 rotation (VERDICT r08 item 1 + item 4).  After round 8 the
+#: names without official CORRECTNESS rows are the 29 POST_R7 overflow
+#: + the 24 POST_R8_ADDITIONS (53 oracle-backed), plus
+#: q_multimodal_audio_pcm, whose round-9 oracle flip makes it checkable
+#: for the first time — 54 never-checked candidates.  Round 9 also
+#: changed the OUTPUT CONTRACT of two already-checked names
+#: (q_dedup_near_minhash r7 rows-only → audited-bound form;
+#: q_agg_approx_percentile r5 rows-only → rank-bound form), which per
+#: the r8 q_agg_approx_distinct precedent need fresh official rows and
+#: lead the window.  56 claims on 50 slots:
+#:   * slots 1–3: the flipped names (near_minhash, approx_percentile,
+#:     audio_pcm — the last is also first-time evidence);
+#:   * slots 4–32: the 29 POST_R7 overflow, registration order;
+#:   * slots 33–50: 18 of the 24 POST_R8 names, registration order.
+#: The 6 POST_R8 names deferred to round 10 (``_R10_DEFERRED``) are
+#: exactly names the round-8 judge independently spot-checked green
+#: (VERDICT r08 headline: 14/14 hash-green incl. Theil–Sen, winsorized
+#: mean, TPC-H Q8/Q17, time-decay, silence-runs), so every deferral
+#: already has third-party evidence; all stay sim + soak covered.
+_R10_DEFERRED: tuple[str, ...] = (
+    "q_stats_theil_sen",
+    "q_feature_time_decay",
+    "q_agg_winsorized_mean",
+    "q_sql_tpch_q8",
+    "q_sql_tpch_q17",
+    "q_multimodal_silence_runs",
+)
+
+_R9_PRIORITY: tuple[str, ...] = (
+    # output-contract flips needing fresh official rows (r8 precedent)
+    "q_dedup_near_minhash",
+    "q_agg_approx_percentile",
+    "q_multimodal_audio_pcm",
+    # 29 POST_R7 overflow — registration (oldest-first) order
+    "q_text_kneser_ney",
+    "q_ts_seasonal_decompose",
+    "q_entity_resolution",
+    "q_dedup_embedding_cluster_rep",
+    "q_ts_cusum_changepoint",
+    "q_stats_ks_test",
+    "q_stats_benford",
+    "q_ts_autocorrelation",
+    "q_window_islands",
+    "q_quality_l_diversity",
+    "q_agg_pareto",
+    "q_join_asof_nearest",
+    "q_text_feature_hashing",
+    "q_sample_balanced",
+    "q_text_zipf_fit",
+    "q_merge_cdc_tombstones",
+    "q_quality_psi_drift",
+    "q_ts_cross_correlation",
+    "q_multimodal_pixel_histogram",
+    "q_multimodal_sample_histogram",
+    "q_anomaly_seasonal_residual",
+    "q_dedup_lsh_bucket_audit",
+    "q_ts_seasonality_strength",
+    "q_ml_eval_langid",
+    "q_stats_mann_whitney",
+    "q_agg_trimmed_mean",
+    "q_stats_anova_oneway",
+    "q_stats_proportion_ztest",
+    "q_text_js_divergence",
+    # 18 POST_R8 names — registration order, minus _R10_DEFERRED
+    "q_dedup_minhash_lsh_verified",
+    "q_basket_assoc_rules_rel",
+    "q_dedup_phash64_hamming",
+    "q_similarity_ivf_recall_curve",
+    "q_sql_tpch_q6",
+    "q_sql_tpch_q7",
+    "q_sql_tpch_q13",
+    "q_sql_tpch_q14",
+    "q_sql_tpch_q15",
+    "q_sql_tpch_q18",
+    "q_dedup_minhash_cluster_rep_verified",
+    "q_text_bm25_search",
+    "q_embedding_random_projection",
+    "q_multimodal_scene_cuts",
+    "q_source_arrow_version_diff",
+    "q_graph_kcore_peel",
+    "q_text_bpe_merges",
+    "q_text_bpe_tokenize",
+)
+
+
 def surface_order() -> list[str]:
-    """Driver-facing ordering: the round-8 evidence-rotation block
-    first (see ``_R8_PRIORITY``), the remaining contract + extras in
+    """Driver-facing ordering: the round-9 evidence-rotation block
+    first (see ``_R9_PRIORITY``), the remaining contract + extras in
     §-order after, then any registered name the tuples don't know
     about (fail-open so a new operator is never silently dropped from
     the surface)."""
-    prio = set(_R8_PRIORITY)
+    prio = set(_R9_PRIORITY)
     rest = [
         q
         for q in (
@@ -457,10 +561,11 @@ def surface_order() -> list[str]:
             *EXTRA_QUERIES,
             *POST_R7_ADDITIONS,
             *POST_R8_ADDITIONS,
+            *POST_R9_ADDITIONS,
         )
         if q not in prio
     ]
-    known = list(_R8_PRIORITY) + rest
+    known = list(_R9_PRIORITY) + rest
     missing = [k for k in known if k not in QUERIES]
     if missing:
         raise KeyError(f"surface_order: unregistered contract/extra names: {missing}")

@@ -287,35 +287,57 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", split.alias("split"))
 
 
-@query("q_agg_approx_percentile")  # no oracle: t-digest-style sketch is engine-specific
+@query(
+    "q_agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           TRUE AS p25_rank_ok,
+           TRUE AS p50_rank_ok,
+           TRUE AS p75_rank_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile of extended price per return flag — the
-    bounded-state sketch twin of q_agg_percentile.
+    bounded-state sketch twin of q_agg_percentile, emitted as the
+    SURVEY §2.3 weak check itself (the q_agg_approx_distinct r8
+    precedent): per group, the exact row count plus one boolean per
+    quantile asserting the estimate sits within the ±1% RANK band —
+    ``p_rank_ok`` = |fraction of rows ≤ estimate − p| ≤ 0.01.
 
-    No SQL oracle: approximate-quantile sketches differ across engines
-    by design, so the driver records rows-only; tests/test_properties.py
-    bounds each estimate within the exact p±1% rank band.  At 100 TB
-    this is the percentile you run when even the distinct-value
-    histogram of exact_percentiles is too wide: state is a fixed-size
-    sketch per group, merged map-side.
+    The raw estimate is engine-specific (Spark's G-K sketch vs
+    DuckDB's t-digest), so the VALUE can't ride a hash oracle — but
+    the rank-accuracy CONTRACT can: the oracle asserts TRUE per
+    group/quantile, so a drifted sketch flips the official row red
+    instead of hiding behind a rows-only record (VERDICT r08 item 4).
+    tests/test_properties.py still bounds the raw estimates.
 
-    The sketch's array result is unpacked to scalar columns in the
-    final projection so the driver's pandas-sort canonicalizer can
-    hash the output (it crashes on ArrayType columns).
+    Scale shape: pass 1 is the fixed-size sketch per group (map-side
+    merged — THE quantile you run at 100 TB); pass 2 broadcasts the
+    ≤|groups| estimate rows back onto the scan to measure each
+    estimate's true rank, an audit that costs one more scan at test
+    SF and is dropped (not the operator) in production.
     """
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
     q = F.approx_percentile(
         "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000)
     )
-    return (
-        li.groupBy("l_returnflag")
-        .agg(q.alias("__q"))
-        .select(
-            "l_returnflag",
-            F.col("__q")[0].alias("approx_p25"),
-            F.col("__q")[1].alias("approx_p50"),
-            F.col("__q")[2].alias("approx_p75"),
+    est = li.groupBy("l_returnflag").agg(q.alias("__q"))
+    joined = li.join(F.broadcast(est), "l_returnflag")
+
+    def rank_ok(idx: int, p: float):
+        frac = F.avg(
+            (F.col("l_extendedprice") <= F.col("__q")[idx]).cast("double")
         )
+        return F.abs(frac - F.lit(p)) <= F.lit(0.01)
+
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        rank_ok(0, 0.25).alias("p25_rank_ok"),
+        rank_ok(1, 0.50).alias("p50_rank_ok"),
+        rank_ok(2, 0.75).alias("p75_rank_ok"),
     )
 
 

@@ -50,77 +50,89 @@ def test_entry_smoke(spark):
     assert set(df.columns) == {"n_name", "revenue", "n_items"}
 
 
-def test_surface_order_round8_rotation():
+def test_surface_order_round9_rotation():
     """The driver consumes queries() in dict order under a 50-row
-    budget.  Round 7 grew the surface from 150 to 231 names, leaving
-    the 81 POST_R7_ADDITIONS with zero official CORRECTNESS rows;
-    round 8's window (VERDICT r07 item 1) is spent entirely on
-    first-time official evidence — recomputed here from the committed
-    artifacts so a drifted rotation fails loudly:
-      * every window name except q_agg_approx_distinct must have NO
-        row in any committed artifact (never officially checked);
-      * q_agg_approx_distinct holds slot 1 because its only r7 row is
-        the erring ``no_oracle`` record and its output contract
-        changed to the oracle-checkable ±5%-bound form (item 5);
+    budget.  After round 8, the names without official CORRECTNESS
+    rows are the 29 POST_R7 overflow + 24 POST_R8_ADDITIONS, plus
+    q_multimodal_audio_pcm (first checkable after its round-9 oracle
+    flip); round 9 also changed the output contract of two
+    already-checked names.  The window (VERDICT r08 items 1+4) is
+    recomputed here from the committed artifacts so a drifted
+    rotation fails loudly:
+      * slots 1–3 are the three output-contract flips (the r8
+        q_agg_approx_distinct precedent) — every one must now HAVE
+        an oracle;
+      * every other window name must have NO row in any committed
+        artifact r1–r8 (first-time official evidence);
       * every window name must HAVE a DuckDB oracle — rows-only names
         waste slots on ``no_oracle`` records and are excluded;
-      * window ∖ {q_agg_approx_distinct} ⊆ POST_R7_ADDITIONS, and the
-        oracle-checked overflow (29 names) waits for round 9."""
+      * the only oracle-backed never-checked names left OUT are the
+        six _R10_DEFERRED (each independently spot-checked green by
+        the round-8 judge) — nothing silently dropped."""
     import json
     import pathlib
 
     import __spark_entry__ as entrymod
     from i3cols_spark.operators import CONTRACT_QUERIES, EXTRA_QUERIES
     from i3cols_spark.operators.registry import (
-        _POST_R7_ROWS_ONLY,
-        _R8_PRIORITY,
+        _R9_PRIORITY,
+        _R9_ROWS_ONLY,
+        _R10_DEFERRED,
         POST_R7_ADDITIONS,
+        POST_R8_ADDITIONS,
     )
 
     order = list(entrymod.queries())
     assert len(CONTRACT_QUERIES) == 60
-    assert len(_R8_PRIORITY) == 50
-    assert len(set(_R8_PRIORITY)) == 50
-    assert order[:50] == list(_R8_PRIORITY)
+    assert len(_R9_PRIORITY) == 50
+    assert len(set(_R9_PRIORITY)) == 50
+    assert order[:50] == list(_R9_PRIORITY)
     assert sorted(order) == sorted(QUERIES)
 
     repo = pathlib.Path(__file__).resolve().parent.parent
     newest: dict[str, int] = {}
-    for r in (1, 2, 3, 4, 5, 6, 7):
+    for r in (1, 2, 3, 4, 5, 6, 7, 8):
         art = repo / f"CORRECTNESS_r0{r}.json"
         if art.exists():
             for name in json.loads(art.read_text()):
                 newest[name] = r
 
-    window = list(_R8_PRIORITY)
-    assert window[0] == "q_agg_approx_distinct"
-    never_checked = [n for n in window[1:] if n in newest]
-    assert not never_checked, (
-        f"window names that already have official rows: {never_checked}"
+    window = list(_R9_PRIORITY)
+    flips = (
+        "q_dedup_near_minhash",
+        "q_agg_approx_percentile",
+        "q_multimodal_audio_pcm",
     )
-    not_post_r7 = [n for n in window[1:] if n not in POST_R7_ADDITIONS]
-    assert not_post_r7 == [], not_post_r7
+    assert tuple(window[:3]) == flips
+
+    already_checked = [n for n in window[3:] if n in newest]
+    assert not already_checked, (
+        f"window names that already have official rows: {already_checked}"
+    )
+    stray = [
+        n
+        for n in window[3:]
+        if n not in POST_R7_ADDITIONS and n not in POST_R8_ADDITIONS
+    ]
+    assert stray == [], stray
 
     # Slots must not be wasted on rows-only names.
     no_oracle_in_window = [n for n in window if n not in ORACLES]
     assert not no_oracle_in_window, no_oracle_in_window
-    assert not set(_POST_R7_ROWS_ONLY) & set(window)
-    assert all(n not in ORACLES for n in _POST_R7_ROWS_ONLY)
+    assert not set(_R9_ROWS_ONLY) & set(window)
+    assert all(n not in ORACLES for n in _R9_ROWS_ONLY)
 
-    # Every POST_R7 name is either in the window, rows-only by
-    # design, or explicit r9 overflow — nothing silently dropped.
-    overflow = [
-        n
-        for n in POST_R7_ADDITIONS
-        if n not in set(window) and n not in _POST_R7_ROWS_ONLY
+    # Accounting: every oracle-backed name with no official row is in
+    # the window or explicitly deferred — nothing silently dropped.
+    never_checked = [
+        n for n in QUERIES if n not in newest and n in ORACLES
     ]
-    assert len(overflow) == 29, (len(overflow), overflow)
-    assert all(n in ORACLES for n in overflow)
+    left_out = sorted(set(never_checked) - set(window))
+    assert left_out == sorted(_R10_DEFERRED), left_out
+    assert all(n in ORACLES for n in _R10_DEFERRED)
 
-    # Every contract query has an oracle entry except the declared
-    # weak-by-design one (SURVEY §2.3: minhash LSH, whose output set
-    # is defined by the engine-side 64-bit hash family; construction
-    # pinned by q_text_minhash_signature + q_dedup_lsh_bucket_audit).
-    weak_ok = {"q_dedup_near_minhash"}
-    missing = [n for n in CONTRACT_QUERIES if n not in ORACLES and n not in weak_ok]
+    # Every contract query now has an oracle entry (the last weak-by-
+    # design one, q_dedup_near_minhash, flipped to the audited-bound
+    # form in round 9).
+    missing = [n for n in CONTRACT_QUERIES if n not in ORACLES]
     assert not missing, f"contract queries without oracle: {missing}"

@@ -110,7 +110,9 @@ def test_minhash_candidates_superset_of_high_jaccard(spark, sf_dir):
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
     )
-    found = QUERIES["q_dedup_near_minhash"](spark, sf_dir).select("doc_a", "doc_b")
+    from i3cols_spark.operators.dedup import minhash_pairs
+
+    found = minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     missed = truth.exceptAll(found)
     assert missed.count() == 0
 
@@ -125,7 +127,7 @@ def test_cluster_rep_modes_are_valid_clusterings(spark, sf_dir):
     n_docs = table(spark, sf_dir, "documents").count()
     for rep_q, pair_q in (
         ("q_dedup_ngram_cluster_rep", "q_dedup_ngram_jaccard"),
-        ("q_dedup_minhash_cluster_rep", "q_dedup_near_minhash"),
+        ("q_dedup_minhash_cluster_rep", "minhash_pairs"),
     ):
         rep = QUERIES[rep_q](spark, sf_dir)
         rows = {r["doc_id"]: r["rep_id"] for r in rep.collect()}
@@ -137,7 +139,13 @@ def test_cluster_rep_modes_are_valid_clusterings(spark, sf_dir):
         for c, members in by_cluster.items():
             assert min(members) == c, (rep_q, c, sorted(members)[:5])
         # pair emitter edges never cross clusters
-        pairs = QUERIES[pair_q](spark, sf_dir).select("doc_a", "doc_b").collect()
+        if pair_q == "minhash_pairs":
+            from i3cols_spark.operators.dedup import minhash_pairs
+
+            pair_df = minhash_pairs(spark, sf_dir)
+        else:
+            pair_df = QUERIES[pair_q](spark, sf_dir)
+        pairs = pair_df.select("doc_a", "doc_b").collect()
         for p in pairs:
             assert rows[p["doc_a"]] == rows[p["doc_b"]], (rep_q, tuple(p))
         # identical texts land in one cluster
@@ -248,16 +256,28 @@ def test_ivf_lloyd_refinement_recall(spark, sf_dir):
 
 
 def test_approx_percentile_within_rank_band(spark, sf_dir):
-    """Weak check for q_agg_approx_percentile: each estimate must fall
-    between the exact (p-1%) and (p+1%) percentile values."""
+    """Weak check for q_agg_approx_percentile: each RAW estimate must
+    fall between the exact (p-1%) and (p+1%) percentile values —
+    computed here independently of the query, whose output is now the
+    rank-bound boolean form (VERDICT r08 item 4) and must be all-TRUE."""
+    from pyspark.sql import functions as F
+
     from i3cols_spark.operators.stats import exact_percentiles
     from i3cols_spark.sources.tables import table
 
-    approx = {
-        r["l_returnflag"]: (r["approx_p25"], r["approx_p50"], r["approx_p75"])
-        for r in QUERIES["q_agg_approx_percentile"](spark, sf_dir).collect()
-    }
+    for r in QUERIES["q_agg_approx_percentile"](spark, sf_dir).collect():
+        assert r["p25_rank_ok"] and r["p50_rank_ok"] and r["p75_rank_ok"], r
+
     li = table(spark, sf_dir, "lineitem")
+    q = F.approx_percentile(
+        "l_extendedprice",
+        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+        F.lit(10000),
+    )
+    approx = {
+        r["l_returnflag"]: (r["__q"][0], r["__q"][1], r["__q"][2])
+        for r in li.groupBy("l_returnflag").agg(q.alias("__q")).collect()
+    }
     bands = {}
     for p in (0.25, 0.5, 0.75):
         lo_hi = exact_percentiles(
