@@ -91,6 +91,13 @@ HEADLINE = [
     # lacks) and the k-core peel.
     "q_text_bpe_merges",
     "q_graph_kcore_peel",
+    # Round-9 additions (VERDICT r08 items 6+8): the interval-grid
+    # join — the most expensive plan in the engine on driver_sim's
+    # local[8], previously invisible to regression tracking — and the
+    # partition-column IVF mirror probe (the production serving
+    # layout).  First-inclusion baselines in BASELINE.md §round-9.
+    "q_join_interval_grid",
+    "q_similarity_ann_ivf_partitioned",
 ]
 
 

@@ -460,7 +460,9 @@ _R9_ROWS_ONLY: tuple[str, ...] = (
 #: Operators registered in round 9, after the r9 window was frozen:
 #: first candidates for the round-10 rotation (with _R10_DEFERRED),
 #: sim + soak covered meanwhile.
-POST_R9_ADDITIONS: tuple[str, ...] = ()
+POST_R9_ADDITIONS: tuple[str, ...] = (
+    "q_similarity_ann_ivf_partitioned",
+)
 
 #: Round-9 rotation (VERDICT r08 item 1 + item 4).  After round 8 the
 #: names without official CORRECTNESS rows are the 29 POST_R7 overflow

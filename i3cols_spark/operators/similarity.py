@@ -537,9 +537,10 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, refine_iters: int = 0) -> 
     return out
 
 
-@query(
-    "q_similarity_ann_ivf",
-    oracle=f"""
+#: Shared oracle for the two IVF probe flavors (same seed centroids,
+#: same probe selection, same top-k contract) — the partitioned-mirror
+#: query must return EXACTLY what the warehouse-sidecar query returns.
+_IVF_ORACLE = f"""
     WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
@@ -572,8 +573,10 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, refine_iters: int = 0) -> 
     WHERE a.cid IN (SELECT cid FROM probe) AND a.vec_id <> 0
     ORDER BY cos_sim DESC, a.vec_id
     LIMIT 5
-    """,
-)
+    """
+
+
+@query("q_similarity_ann_ivf", oracle=_IVF_ORACLE)
 def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via IVF coarse quantization: probe only the
     ``_IVF_NPROBE`` cells nearest the query vector (~nprobe/ncells of
@@ -603,10 +606,23 @@ def ivf_topk(
     selects the k-means-refined index flavor (built on demand, cached
     separately); the recall property test compares the two at equal
     nprobe."""
+    idx = build_ivf_index(spark, sf_dir, refine_iters=refine_iters)
+    return _probe_ivf(spark, sf_dir, idx, query_vec_id=query_vec_id, k=k)
+
+
+def _probe_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    idx: str,
+    query_vec_id: int = 0,
+    k: int = 5,
+) -> DataFrame:
+    """Probe one cell-partitioned IVF index directory (with its
+    ``_CENTROIDS.json`` sidecar): driver-side O(nlist) probe
+    selection, then a PARTITION-PRUNED scan of the nprobe cells."""
     import json
     import os
 
-    idx = build_ivf_index(spark, sf_dir, refine_iters=refine_iters)
     with open(os.path.join(idx, "_CENTROIDS.json")) as fh:
         meta = json.load(fh)
     cid = np.array(meta["cid"], dtype=np.int64)
@@ -646,6 +662,76 @@ def ivf_topk(
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def ivf_partitioned_mirror(spark: SparkSession, sf_dir: str) -> str:
+    """The IVF production layout as a ``sources/mirrors.write_once``
+    mirror (VERDICT r08 item 6): the cell assignment written as a
+    parquet dataset PARTITIONED BY the cell id, cached by source
+    CONTENT + layout parameters under the shared warehouse protocol
+    every other derived layout (bucketed join, Z-order) uses.
+    Centroids land in a ``_CENTROIDS.json`` sidecar inside the mirror
+    (written before the mirror marker, so a killed build can never
+    publish a marker over missing centroids)."""
+    import json
+    import os
+
+    from i3cols_spark.sources.mirrors import dataset_tag, write_once
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+
+    def build(out: str) -> None:
+        emb = table(spark, sf_dir, "embeddings")
+        stride = max(1, -(-emb.count() // _IVF_NLIST))
+        cents = (
+            emb.filter(F.col("vec_id") % stride == 1)
+            .select("vec_id", as_double("embedding").alias("v"))
+            .orderBy("vec_id")
+            .collect()
+        )
+        cid = np.array([r["vec_id"] for r in cents], dtype=np.int64)
+        cmat = np.array([r["v"] for r in cents], dtype=np.float64)
+        ivf_assignment(emb, cid, cmat).write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(out)
+        marker = os.path.join(out, "_CENTROIDS.json")
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"cid": cid.tolist(), "cmat": cmat.tolist()}, fh)
+        os.replace(tmp, marker)
+
+    path, _ = write_once(
+        spark,
+        "ivf_cells",
+        dataset_tag(sf_dir),
+        [src],
+        build,
+        layout_meta={"nlist": _IVF_NLIST},
+    )
+    return path
+
+
+@query("q_similarity_ann_ivf_partitioned", oracle=_IVF_ORACLE)
+def q_similarity_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe against the ``write_once`` PARTITION-COLUMN mirror —
+    the production layout claim of BASELINE.md made evidence (VERDICT
+    r08 item 6): the cell id is a real partition column of a shared
+    warehouse dataset, the probe's ``cell IN probed`` binds as a
+    PartitionFilter, and the scan reads exactly ``_IVF_NPROBE`` of the
+    ``_IVF_NLIST`` cell directories (tests/test_plans.py counts the
+    scanned ``cell=`` directories from inputFiles()).
+
+    Same seed centroids, same probe selection, same oracle as
+    q_similarity_ann_ivf — the two flavors must agree row-for-row;
+    only the cache protocol differs (mirrors.write_once content
+    fingerprint + layout meta vs the index's centroid sidecar).
+
+    At 100 TB this is THE serving layout: nprobe/nlist of the bytes
+    per query before any distance math, no per-query index work, and
+    the mirror rebuilds itself the moment the source content changes.
+    """
+    idx = ivf_partitioned_mirror(spark, sf_dir)
+    return _probe_ivf(spark, sf_dir, idx)
 
 
 @query("q_similarity_ann_ivfpq")  # PQ codes have no SQL twin → rows-only

@@ -123,12 +123,15 @@ def test_surface_order_round9_rotation():
     assert all(n not in ORACLES for n in _R9_ROWS_ONLY)
 
     # Accounting: every oracle-backed name with no official row is in
-    # the window or explicitly deferred — nothing silently dropped.
+    # the window, explicitly deferred, or registered AFTER the window
+    # froze (POST_R9_ADDITIONS) — nothing silently dropped.
+    from i3cols_spark.operators.registry import POST_R9_ADDITIONS
+
     never_checked = [
         n for n in QUERIES if n not in newest and n in ORACLES
     ]
     left_out = sorted(set(never_checked) - set(window))
-    assert left_out == sorted(_R10_DEFERRED), left_out
+    assert left_out == sorted((*_R10_DEFERRED, *POST_R9_ADDITIONS)), left_out
     assert all(n in ORACLES for n in _R10_DEFERRED)
 
     # Every contract query now has an oracle entry (the last weak-by-

@@ -4,6 +4,8 @@ join strategy.  A regression here is correct-but-100×-slower."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from i3cols_spark.operators import QUERIES
@@ -98,7 +100,7 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     # (also shuffle-free, but that wouldn't prove bucket co-location).
     bl, bo = spark.table("b_lineitem").hint("merge"), spark.table("b_orders")
     joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey).groupBy("l_orderkey").count()
-    import re
+
 
     plan = explain_str(joined)
     assert "SortMergeJoin" in plan
@@ -120,7 +122,7 @@ def test_star_join_leaves_fact_dim_join_to_aqe(spark, sf_dir):
     explicitly told about, with the big join left to runtime sizing."""
     df = QUERIES["q_join_multiway_star"](spark, sf_dir)
     logical = df._jdf.queryExecution().logical().toString()
-    import re
+
 
     hints = re.findall(r"UnresolvedHint broadcast", logical)
     assert len(hints) <= 2, f"fact-dim join must be AQE's call:\n{logical}"
@@ -247,7 +249,7 @@ def test_stratified_sample_is_shuffle_free_scan_filter(spark, sf_dir):
     """Hash-threshold sampling must stay a pure projection+filter over
     the scan: no Exchange at any SF, and only the three output columns
     (plus the filter inputs) in the read schema."""
-    import re
+
 
     df = QUERIES["q_sample_stratified"](spark, sf_dir)
     plan = explain_str(df)
@@ -334,7 +336,7 @@ def test_quantize_and_repetition_are_shuffle_free(spark, sf_dir):
     """Per-row HOF operators must plan as pure scans: a shuffle in
     int8 quantization or repetition scoring would be a 100 TB-scale
     regression (both are per-document arithmetic)."""
-    import re
+
 
     for q in ("q_embedding_quantize", "q_text_repetition"):
         plan = explain_str(QUERIES[q](spark, sf_dir))
@@ -350,7 +352,7 @@ def test_pack_and_keep_best_single_window_shuffle(spark, sf_dir):
     window each: exactly one Exchange, no join.  (q_merge_latest_state
     left this list in round 5: it became a max_by aggregate — see
     test_merge_latest_is_partial_maxby_not_window.)"""
-    import re
+
 
     for q in ("q_pack_sequences", "q_dedup_keep_best"):
         plan = explain_str(QUERIES[q](spark, sf_dir))
@@ -399,7 +401,7 @@ def test_percentile_scans_lineitem_once(spark, sf_dir):
     """q_agg_percentile profiles two value columns; the stacked
     exact_percentiles_multi form must read lineitem ONCE (the two-call
     form planned two FileScans — VERDICT r04 item 5)."""
-    import re
+
 
     plan = explain_str(QUERIES["q_agg_percentile"](spark, sf_dir))
     # formatted mode prints each node twice (tree + detail); count the
@@ -449,7 +451,7 @@ def test_chunking_and_pii_scrub_are_shuffle_free(spark, sf_dir):
     """Chunking and PII scrubbing are per-row generators/projections —
     they must pipeline with the scan (spread() may add one round-robin
     repartition of the single-split fixture; nothing else)."""
-    import re
+
 
     for q in ("q_text_chunking", "q_text_pii_scrub"):
         plan = explain_str(QUERIES[q](spark, sf_dir))
@@ -481,7 +483,7 @@ def test_source_overlap_collapses_texts_first(spark, sf_dir):
 def test_scd2_is_single_window_exchange(spark, sf_dir):
     """SCD2 interval build is ONE lead window on the user key: exactly
     one Exchange, no join, no second pass."""
-    import re
+
 
     plan = explain_str(QUERIES["q_scd2_intervals"](spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
@@ -561,7 +563,7 @@ def test_registered_bucketed_join_is_exchange_free(spark, sf_dir):
     """q_join_bucketed's mirror tables co-locate both join sides: the
     join subplan is a SortMergeJoin with ZERO shuffle exchanges (the
     full query's only exchange belongs to the final groupBy)."""
-    import re
+
 
     from pyspark.sql import functions as F
 
@@ -833,7 +835,7 @@ def test_cooccurrence_support_filter_precedes_jaccard_join(spark, sf_dir):
     """The HAVING >= 2 support filter must apply to the aggregated
     pair counts BEFORE the two per-part count joins — the jaccard join
     may only see recurring pairs, and no nested-loop shape appears."""
-    import re
+
 
     from i3cols_spark.plans.checks import explain_str
 
@@ -847,7 +849,7 @@ def test_media_hash_dedups_shuffle_only_scalars(spark, sf_dir):
     """Image aHash / audio fingerprint dedup: exactly ONE exchange in
     the plan (the 16-bit-key groupBy), placed AFTER the mapInPandas
     decode — payload bytes must never shuffle."""
-    import re
+
 
     from i3cols_spark.plans.checks import explain_str
 
@@ -1185,3 +1187,70 @@ def test_kcore_rounds_use_semi_joins(spark, sf_dir):
     plan = explain_str(QUERIES["q_graph_kcore_peel"](spark, sf_dir))
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_ann_ivf_partitioned_scans_exactly_nprobe_cells(spark, sf_dir):
+    """VERDICT r08 item 6 evidence: the write_once partition-column
+    mirror's probe must READ exactly _IVF_NPROBE of the cell
+    directories (partition pruning at the file-listing level, not a
+    post-scan filter), agree row-for-row with q_similarity_ann_ivf,
+    and carry the cell PartitionFilter in its plan."""
+
+
+    from i3cols_spark.operators.similarity import (
+        _IVF_NLIST,
+        _IVF_NPROBE,
+        ivf_partitioned_mirror,
+    )
+
+    df = QUERIES["q_similarity_ann_ivf_partitioned"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "PartitionFilters" in plan and "cell#" in plan, plan
+    assert "MapInPandas" not in plan  # mirror reused, not rebuilt inline
+
+    # File-level evidence from the EXECUTED scan's own metrics (the
+    # logical inputFiles() listing ignores pruning): the scan must
+    # report exactly nprobe partitions read.
+    df.collect()
+
+    def walk(n, out):
+        out.append(n)
+        ch = n.children()
+        for i in range(ch.length()):
+            walk(ch.apply(i), out)
+        cls = n.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            walk(n.executedPlan(), out)
+        if cls.endswith("QueryStageExec"):
+            walk(n.plan(), out)
+        return out
+
+    scans = [
+        n
+        for n in walk(df._jdf.queryExecution().executedPlan(), [])
+        if "FileSourceScan" in n.getClass().getSimpleName()
+    ]
+    assert scans, "no FileSourceScan in the executed plan"
+    read = {
+        k: scans[0].metrics().apply(k).value()
+        for k in ("numFiles", "numPartitions")
+    }
+    assert read["numPartitions"] == _IVF_NPROBE, read
+    assert read["numFiles"] >= _IVF_NPROBE, read
+
+    # The mirror itself holds (up to) _IVF_NLIST cell directories —
+    # pruning, not a tiny index, is what kept the scan narrow.
+    import os
+
+    root = ivf_partitioned_mirror(spark, sf_dir)
+    n_dirs = sum(1 for e in os.listdir(root) if e.startswith("cell="))
+    assert n_dirs > _IVF_NPROBE
+    assert n_dirs <= _IVF_NLIST
+
+    # Row-for-row agreement with the sidecar-protocol flavor.
+    a = sorted(tuple(r) for r in df.collect())
+    b = sorted(
+        tuple(r)
+        for r in QUERIES["q_similarity_ann_ivf"](spark, sf_dir).collect()
+    )
+    assert a == b
