@@ -250,6 +250,104 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pack_bpe_oracle() -> str:
+    """Packing oracle under the LEARNED tokenizer: the BPE learner's
+    unrolled CTE chain (shared with q_text_bpe_merges/_tokenize) gives
+    per-word symbol counts; per-doc BPE token counts then run the same
+    running-offset pack window as q_pack_sequences."""
+    from i3cols_spark.operators.textops import _BPE_ROUNDS, _bpe_learn_ctes
+
+    m = "chr(31)"
+    ctes = ",\n    ".join(_bpe_learn_ctes(_BPE_ROUNDS))
+    return f"""WITH {ctes},
+    wl AS MATERIALIZED (
+        SELECT word,
+               len(string_split(substring(seq, 2, length(seq) - 2),
+                                {m} || {m})) AS n_syms
+        FROM w{_BPE_ROUNDS}
+    ),
+    doctok AS (
+        SELECT doc_id, source,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+        FROM documents
+    ),
+    t AS (
+        SELECT d.doc_id, d.source,
+               CAST(sum(wl.n_syms) AS BIGINT) AS n_bpe_tokens
+        FROM doctok d JOIN wl ON d.word = wl.word
+        GROUP BY d.doc_id, d.source
+    )
+    SELECT doc_id, source, n_bpe_tokens,
+           CAST(floor(
+               (sum(n_bpe_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) - n_bpe_tokens) / {_PACK_BUDGET}.0
+           ) AS BIGINT) AS pack_seq,
+           source || '/' || CAST(CAST(floor(
+               (sum(n_bpe_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) - n_bpe_tokens) / {_PACK_BUDGET}.0
+           ) AS BIGINT) AS VARCHAR) AS pack_id
+    FROM t"""
+
+
+@query("q_pack_sequences_bpe", oracle=_pack_bpe_oracle())
+def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing under the pipeline's OWN LEARNED TOKENIZER —
+    the composite a real training-shard builder runs: learn the BPE
+    vocabulary (textops.bpe_learn, the q_text_bpe_merges trainer),
+    price every document in BPE tokens (the q_text_bpe_tokenize
+    serving join), then assign contiguous first-fit packs against the
+    fixed token budget exactly like q_pack_sequences — but billed in
+    real tokenizer tokens, not the whitespace proxy.
+
+    The oracle re-derives the vocabulary through the same unrolled
+    CTE chain and repacks with the same window, so tokenizer training,
+    token pricing AND shard assignment are value-hash-checked
+    end-to-end as one pipeline.
+
+    Scale shape: learning is vocabulary-sized (2 jobs per merge round
+    — see bpe_learn's cost model); pricing is the doc→word explode
+    joined to the vocabulary-sized symbol-count table; packing is one
+    window over (shard, order) with no global state.  The whole
+    composite adds ONE extra shuffle (the word join) over the
+    whitespace packer.
+    """
+    from i3cols_spark.operators.textops import _BPE_M, _BPE_ROUNDS, bpe_learn
+
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    m = _BPE_M
+    _, wtab = bpe_learn(spark, docs, _BPE_ROUNDS)
+    wl = wtab.select(
+        "word",
+        F.size(
+            F.split(F.substr(F.col("seq"), F.lit(2), F.length("seq") - 2), m + m)
+        ).alias("n_syms"),
+    )
+    priced = (
+        docs.select("doc_id", "source", F.explode(tokens("text")).alias("word"))
+        .join(wl, "word")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("n_syms").cast("long").alias("n_bpe_tokens"))
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offset = F.sum("n_bpe_tokens").over(w) - F.col("n_bpe_tokens")
+    pack_seq = F.floor(offset / F.lit(float(_PACK_BUDGET))).cast("long")
+    return priced.select(
+        "doc_id",
+        "source",
+        "n_bpe_tokens",
+        pack_seq.alias("pack_seq"),
+        F.concat_ws("/", "source", pack_seq.cast("string")).alias("pack_id"),
+    )
+
+
 @query(
     "q_text_repetition",
     oracle="""

@@ -462,6 +462,9 @@ _R9_ROWS_ONLY: tuple[str, ...] = (
 #: sim + soak covered meanwhile.
 POST_R9_ADDITIONS: tuple[str, ...] = (
     "q_similarity_ann_ivf_partitioned",
+    "q_pack_sequences_bpe",
+    "q_ts_holt_winters",
+    "q_similarity_maxsim",
 )
 
 #: Round-9 rotation (VERDICT r08 item 1 + item 4).  After round 8 the

@@ -1793,3 +1793,102 @@ def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame
         round_half_up(F.avg(err), 6).alias("mean_abs_err"),
         round_half_up(F.max(err), 6).alias("max_abs_err"),
     )
+
+
+#: MaxSim geometry: the 64-dim embedding viewed as 8 token vectors of
+#: 8 dims — the ColBERT-style late-interaction stand-in the fixture
+#: supports (it has one vector per id, not per-token matrices).
+_MAXSIM_TOKENS = 8
+_MAXSIM_DIM = 8
+
+
+@query(
+    "q_similarity_maxsim",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    tok AS (
+        SELECT vec_id,
+               list_transform(range({_MAXSIM_TOKENS}),
+                   i -> v[i * {_MAXSIM_DIM} + 1 : i * {_MAXSIM_DIM} + {_MAXSIM_DIM}]
+               ) AS tk
+        FROM e
+    ),
+    q AS (SELECT tk AS qtk FROM tok WHERE vec_id = 0)
+    SELECT t.vec_id,
+           round(
+               list_reduce(
+                   list_transform(range({_MAXSIM_TOKENS}), i ->
+                       list_max(list_transform(range({_MAXSIM_TOKENS}), j ->
+                           list_reduce(
+                               list_transform(range({_MAXSIM_DIM}), k ->
+                                   q.qtk[i + 1][k + 1] * t.tk[j + 1][k + 1]),
+                               (x, y) -> x + y)
+                       ))
+                   ),
+                   (x, y) -> x + y),
+               6) AS maxsim
+    FROM tok t, q
+    WHERE t.vec_id <> 0
+    ORDER BY maxsim DESC, t.vec_id
+    LIMIT 5
+    """,
+)
+def q_similarity_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction MaxSim retrieval (the ColBERT scoring rule):
+    score(doc) = Σ over QUERY token vectors of the MAX dot product
+    against any DOC token vector — the multi-vector rerank stage of a
+    modern retrieval pipeline, where a single pooled cosine
+    (q_similarity_knn_cosine) loses term-level matching.  The fixture
+    carries one 64-dim vector per id, so each is viewed as 8 token
+    vectors of 8 dims; with real per-token matrices only the slicing
+    changes.
+
+    Exactness: every token dot is the sequential left fold
+    (F.aggregate ≡ DuckDB list_reduce, 0.0 seed — the registry rule),
+    max over 8 is order-free, the outer 8-term sum folds in the same
+    order both engines — bit-identical pre-rounding, rounded 6 dp.
+
+    Scale shape: entirely in-row JVM HOF arithmetic over the scan (no
+    shuffle, no UDF) ending in a TakeOrderedAndProject top-k heap.
+    In production this is the RERANK over an ANN-pruned candidate set
+    (compose with q_similarity_ann_ivf's probe to bound the scan);
+    brute force here is what makes the oracle total.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select(as_double("embedding")).head()
+    qv = [float(x) for x in qrow[0]]
+    nt, dm = _MAXSIM_TOKENS, _MAXSIM_DIM
+    v = as_double("embedding")
+
+    def dot_lit(dsub, qsub: list) -> "F.Column":
+        qlit = F.array(*[F.lit(x) for x in qsub])
+        return F.aggregate(
+            F.zip_with(dsub, qlit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    maxdots = [
+        F.array_max(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(nt - 1)),
+                lambda j: dot_lit(
+                    F.slice(v, j * dm + 1, dm), qv[i * dm : (i + 1) * dm]
+                ),
+            )
+        )
+        for i in range(nt)
+    ]
+    score = maxdots[0]
+    for md in maxdots[1:]:
+        score = score + md
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(score, 6).alias("maxsim"))
+        .orderBy(F.desc("maxsim"), F.asc("vec_id"))
+        .limit(5)
+    )

@@ -1365,12 +1365,17 @@ def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule); the top-10 orders on the ROUNDED score with doc_id
     tie-break so both engines cut the same list.
 
-    Scale shape: one explode → two map-side-combined aggregates (tf
-    by (doc, term), df by term); the query side is a ≤3-row broadcast
-    (the df top-k), the corpus stats a 1-row broadcast — the only
-    corpus-sized shuffle is the tf groupBy, and the per-doc score
-    join touches only documents containing a query term (the
+    Scale shape: ONE tokenize pass feeds ONE corpus-sized shuffle (the
+    tf groupBy), localCheckpointed and reused by all four consumers —
+    document length is Σtf per doc, df/qterms/corpus stats are
+    vocabulary- or 1-row aggregates OF tf, and the per-doc score join
+    touches only documents containing a query term (the
     inverted-index access pattern, ~|postings| not |corpus|).
+    Without the checkpoint, the unshared lineage re-tokenized and
+    re-shuffled the corpus once per consumer AND sorted two
+    corpus-sized join inputs — a single unfixed x100 run did not
+    finish inside the 9.5-minute probe budget; checkpointed, the same
+    run is 16 s (measured back-to-back in one session, round 9).
     """
     from i3cols_spark.functions.rounding import round_half_up
     from i3cols_spark.functions.text import tokens
@@ -1379,8 +1384,10 @@ def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
-    )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("len"))
+    ).localCheckpoint()
+    # |d| = Σ tf over the doc's terms — derived from the checkpointed
+    # aggregate, NOT a second pass over the raw text.
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("len"))
     corpus = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         (F.sum("len").cast("double") / F.count(F.lit(1))).alias("avgdl"),

@@ -1201,3 +1201,136 @@ def q_ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(vr, 6).alias("var_remainder"),
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
     )
+
+
+@query(
+    "q_ts_holt_winters",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT date_trunc('day', ts) AS day, round(sum(value), 2) AS y
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    d AS (
+        SELECT row_number() OVER (ORDER BY day) AS t,
+               epoch_us(day) AS day_us, CAST(y AS DOUBLE) AS y
+        FROM daily
+    ),
+    hw AS (
+        SELECT t, day_us, y,
+               y AS level,
+               (SELECT y FROM d WHERE t = 2) - y AS trend,
+               CAST(NULL AS DOUBLE) AS fitted
+        FROM d WHERE t = 1
+        UNION ALL
+        SELECT d.t, d.day_us, d.y,
+               CAST(0.5 AS DOUBLE) * d.y
+                   + CAST(0.5 AS DOUBLE) * (hw.level + hw.trend),
+               CAST(0.25 AS DOUBLE)
+                   * ((CAST(0.5 AS DOUBLE) * d.y
+                       + CAST(0.5 AS DOUBLE) * (hw.level + hw.trend))
+                      - hw.level)
+                   + CAST(0.75 AS DOUBLE) * hw.trend,
+               hw.level + hw.trend
+        FROM hw JOIN d ON d.t = hw.t + 1
+    )
+    SELECT day_us, y,
+           round(level, 6) AS level,
+           round(trend, 6) AS trend,
+           round(fitted, 6) AS fitted
+    FROM hw
+    """,
+)
+def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + trend) of the daily
+    purchase series, with the one-step-ahead forecast per day — the
+    UNBOUNDED-RECURRENCE statistic the window grammar cannot express
+    (q_ts_ewma's docstring names exactly this gap; its truncated-EWMA
+    sidesteps it, this operator closes it).
+
+    level_t = α·y_t + (1−α)·(level_{t−1} + trend_{t−1})
+    trend_t = β·(level_t − level_{t−1}) + (1−β)·trend_{t−1}
+    fitted_t (one-step forecast) = level_{t−1} + trend_{t−1}
+    with α = 0.5, β = 0.25 — DYADIC constants, so every recurrence
+    step is exact IEEE arithmetic and the two engines agree
+    bit-for-bit pre-rounding (the F.aggregate ≡ sequential-fold rule,
+    registry docstring).  Spark runs the recurrence as ONE JVM-side
+    ``F.aggregate`` left fold over the sorted day array; the oracle
+    runs the identical recurrence as a recursive CTE advancing one
+    row per iteration (the CC-closure precedent).
+
+    Scale shape: raw events collapse map-side to the DAILY grain
+    before anything sequential happens, so the fold state is
+    series-sized (days, not events) — the correct structure for any
+    per-entity forecasting fold at 100 TB (partitionBy entity, one
+    fold per entity; here the fixture has one global series, the
+    degenerate single-group case).  Day values are rounded to 2 dp
+    BEFORE the recurrence in both engines (multi-row float reduction
+    discipline), outputs at 6 dp.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.round(F.sum("value"), 2).alias("y")
+    )
+    series = daily.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.unix_micros("day").alias("day_us"), F.col("y"))
+            )
+        ).alias("s")
+    )
+    s = F.col("s")
+    null_d = F.lit(None).cast("double")
+    init = F.struct(
+        s[0]["y"].alias("level"),
+        (s[1]["y"] - s[0]["y"]).alias("trend"),
+        F.array(
+            F.struct(
+                s[0]["day_us"].alias("day_us"),
+                s[0]["y"].alias("y"),
+                s[0]["y"].alias("level"),
+                (s[1]["y"] - s[0]["y"]).alias("trend"),
+                null_d.alias("fitted"),
+            )
+        ).alias("rows"),
+    )
+
+    def step(acc, x):
+        fitted = acc["level"] + acc["trend"]
+        level = F.lit(0.5) * x["y"] + F.lit(0.5) * fitted
+        trend = (
+            F.lit(0.25) * (level - acc["level"]) + F.lit(0.75) * acc["trend"]
+        )
+        return F.struct(
+            level.alias("level"),
+            trend.alias("trend"),
+            F.concat(
+                acc["rows"],
+                F.array(
+                    F.struct(
+                        x["day_us"].alias("day_us"),
+                        x["y"].alias("y"),
+                        level.alias("level"),
+                        trend.alias("trend"),
+                        fitted.alias("fitted"),
+                    )
+                ),
+            ).alias("rows"),
+        )
+
+    folded = series.select(
+        F.aggregate(
+            F.slice(s, 2, F.greatest(F.size(s) - 1, F.lit(0))),
+            init,
+            step,
+            lambda acc: acc["rows"],
+        ).alias("rows")
+    )
+    r = F.col("r")
+    return folded.select(F.explode("rows").alias("r")).select(
+        r["day_us"].alias("day_us"),
+        r["y"].alias("y"),
+        F.round(r["level"], 6).alias("level"),
+        F.round(r["trend"], 6).alias("trend"),
+        F.round(r["fitted"], 6).alias("fitted"),
+    )

@@ -975,3 +975,88 @@ def test_bpe_empty_word_cross_engine_parity(spark, tmp_path):
         compare_query(
             QUERIES[name](spark, d), ORACLES[name], d, f"{name}[empty-doc]"
         )
+
+
+def test_holt_winters_recurrence_matches_numpy(spark, sf_dir):
+    """q_ts_holt_winters: re-run the level/trend recurrence in plain
+    Python from the collected daily series — every emitted level,
+    trend and one-step forecast must match the independent
+    recomputation (6 dp), and the first row must carry the y0/(y1-y0)
+    initialization with a NULL forecast."""
+    rows = sorted(
+        (r["day_us"], r["y"], r["level"], r["trend"], r["fitted"])
+        for r in QUERIES["q_ts_holt_winters"](spark, sf_dir).collect()
+    )
+    assert len(rows) >= 3
+    ys = [r[1] for r in rows]
+    level, trend = ys[0], ys[1] - ys[0]
+    assert rows[0][2] == round(level, 6) and rows[0][3] == round(trend, 6)
+    assert rows[0][4] is None
+    for t in range(1, len(rows)):
+        fitted = level + trend
+        new_level = 0.5 * ys[t] + 0.5 * fitted
+        trend = 0.25 * (new_level - level) + 0.75 * trend
+        level = new_level
+        assert rows[t][2] == round(level, 6), (t, rows[t])
+        assert rows[t][3] == round(trend, 6), (t, rows[t])
+        assert rows[t][4] == round(fitted, 6), (t, rows[t])
+
+
+def test_maxsim_matches_numpy_brute_force(spark, sf_dir):
+    """q_similarity_maxsim: the top-5 and their scores must equal a
+    numpy reimplementation of the ColBERT MaxSim rule over the same
+    8×8 token view."""
+    import numpy as np
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in table(spark, sf_dir, "embeddings").collect()
+    }
+    q = emb[0].reshape(8, 8)
+    scores = {}
+    for vid, v in emb.items():
+        if vid == 0:
+            continue
+        d = v.reshape(8, 8)
+        sims = q @ d.T  # [i, j] = dot(q_i, d_j)
+        scores[vid] = round(float(sims.max(axis=1).sum()), 6)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = [
+        (r["vec_id"], r["maxsim"])
+        for r in QUERIES["q_similarity_maxsim"](spark, sf_dir).collect()
+    ]
+    assert [v for v, _ in got] == [v for v, _ in want], (got, want)
+    for (gv, gs), (wv, ws) in zip(got, want):
+        assert abs(gs - ws) <= 1e-6, (gv, gs, ws)
+
+
+def test_pack_sequences_bpe_consistent_with_tokenize_and_budget(spark, sf_dir):
+    """q_pack_sequences_bpe: its per-doc token prices must equal
+    q_text_bpe_tokenize's n_bpe_tokens exactly, packs must be
+    contiguous (non-decreasing pack_seq in doc order per source), and
+    each pack's START offset must sit below the budget boundary its
+    id names (first-fit running-offset semantics)."""
+    from i3cols_spark.operators.pipeline import _PACK_BUDGET
+
+    packed = QUERIES["q_pack_sequences_bpe"](spark, sf_dir).collect()
+    priced = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in QUERIES["q_text_bpe_tokenize"](spark, sf_dir).collect()
+    }
+    assert len(packed) == len(priced)
+    for r in packed:
+        assert r["n_bpe_tokens"] == priced[r["doc_id"]], r
+
+    by_source: dict[str, list] = {}
+    for r in sorted(packed, key=lambda r: (r["source"], r["doc_id"])):
+        by_source.setdefault(r["source"], []).append(r)
+    for source, rows in by_source.items():
+        offset = 0
+        prev_seq = 0
+        for r in rows:
+            want_seq = offset // _PACK_BUDGET
+            assert r["pack_seq"] == want_seq, (source, dict(r), offset)
+            assert r["pack_seq"] >= prev_seq
+            assert r["pack_id"] == f"{source}/{want_seq}"
+            prev_seq = r["pack_seq"]
+            offset += r["n_bpe_tokens"]
