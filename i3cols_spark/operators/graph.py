@@ -1490,3 +1490,148 @@ def q_graph_kcore_peel(spark, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         trace, "round bigint, n_nodes bigint, n_edges bigint"
     ).orderBy("round")
+
+
+@query(
+    "q_graph_link_prediction",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    und AS (
+        SELECT a.p AS u, b.p AS v
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p
+        HAVING count(*) >= 2
+    ),
+    sym AS (
+        SELECT u AS z, v AS x FROM und
+        UNION ALL
+        SELECT v, u FROM und
+    ),
+    deg AS (
+        SELECT z, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY z
+    ),
+    wedge AS (
+        SELECT a.x AS pa, b.x AS pb, CAST(count(*) AS BIGINT) AS n_common
+        FROM sym a JOIN sym b ON a.z = b.z AND a.x < b.x
+        GROUP BY a.x, b.x
+    ),
+    cand AS (
+        SELECT w.pa, w.pb, w.n_common, da.d AS da, db.d AS db
+        FROM wedge w
+        JOIN deg da ON w.pa = da.z
+        JOIN deg db ON w.pb = db.z
+        WHERE NOT EXISTS (
+            SELECT 1 FROM und WHERE und.u = w.pa AND und.v = w.pb
+        )
+    )
+    SELECT pa, pb, n_common,
+           floor(CAST(n_common AS DOUBLE) / (da + db - n_common)
+                 * 1000000 + 0.5) / 1000000.0 AS jaccard,
+           CAST(da * db AS BIGINT) AS pref_attach
+    FROM cand
+    ORDER BY jaccard DESC, pa, pb
+    LIMIT 20
+    """,
+)
+def q_graph_link_prediction(spark, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION over the REPEAT co-purchase graph (edges =
+    part pairs sharing ≥ 2 orders — the q_graph_cooccurrence support
+    floor, which is what turns the dense random co-purchase
+    projection into a meaningful signal graph): for every
+    NON-adjacent part pair reachable in 2 hops, the neighbor-set
+    Jaccard (|N(a)∩N(b)| / |N(a)∪N(b)|) and the preferential-
+    attachment score (deg·deg) — the two classic exact-arithmetic
+    predictors (Liben-Nowell & Kleinberg 2003); top-20 pairs most
+    likely to co-occur NEXT.  Differs from q_graph_cooccurrence on
+    every axis that matters: unipartite neighbor sets (not bipartite
+    order sets), NON-edges only (prediction, not description), and
+    2-hop candidate generation.
+
+    Both scores are integer-exact (one integer-ratio HALF_UP division
+    for Jaccard, a BIGINT product for PA) — no float summation, so
+    no reduction-order hazard (the reason Adamic–Adar's Σ1/ln(deg)
+    is NOT emitted: an unordered float sum across engines is exactly
+    the divergence class the registry discipline exists to avoid).
+
+    Scale shape: candidate generation IS the wedge space
+    (Σ_z C(deg z, 2)) and every wedge is output-bearing, so degree
+    orientation cannot shrink it — the EDGE support floor is what
+    bounds it instead (measured: the unfloored co-purchase graph has
+    148M wedges at sf0.1 and OOMs a vanilla 1g session; the ≥2-order
+    repeat graph has 1.4k).  On a graph where strong edges are still
+    dense, the further production lever is the standard hub cap
+    (drop z with deg > τ — a documented recall trade).  The
+    non-adjacency check is one anti-join against the edge list.
+    """
+    from i3cols_spark.functions.rounding import round_half_up
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.distinct()
+    und = (
+        op.alias("a")
+        .join(
+            op.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+        .select("u", "v")
+    )
+    sym = und.select(F.col("u").alias("z"), F.col("v").alias("x")).unionByName(
+        und.select(F.col("v").alias("z"), F.col("u").alias("x"))
+    )
+    deg = sym.groupBy("z").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    # shuffle_hash on every build side: under a vanilla session AQE's
+    # size estimates can promote the multi-million-row sym/edge tables
+    # to a driver-built broadcast, which is exactly the 1g-heap OOM the
+    # driver gate runs with (observed live at sf0.1, round 9); the
+    # triangles query established the hint pattern.
+    wedge = (
+        sym.alias("wa")
+        .join(
+            sym.alias("wb").hint("shuffle_hash"),
+            (F.col("wa.z") == F.col("wb.z")) & (F.col("wa.x") < F.col("wb.x")),
+        )
+        .groupBy(F.col("wa.x").alias("pa"), F.col("wb.x").alias("pb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    nonadj = wedge.join(
+        und.select(F.col("u").alias("pa"), F.col("v").alias("pb")).hint(
+            "shuffle_hash"
+        ),
+        ["pa", "pb"],
+        "left_anti",
+    )
+    cand = nonadj.join(
+        deg.select(F.col("z").alias("pa"), F.col("d").alias("da")).hint(
+            "shuffle_hash"
+        ),
+        "pa",
+    ).join(
+        deg.select(F.col("z").alias("pb"), F.col("d").alias("db")).hint(
+            "shuffle_hash"
+        ),
+        "pb",
+    )
+    jaccard = round_half_up(
+        F.col("n_common").cast("double")
+        / (F.col("da") + F.col("db") - F.col("n_common")),
+        6,
+    )
+    return (
+        cand.select(
+            "pa",
+            "pb",
+            "n_common",
+            jaccard.alias("jaccard"),
+            (F.col("da") * F.col("db")).cast("long").alias("pref_attach"),
+        )
+        .orderBy(F.desc("jaccard"), "pa", "pb")
+        .limit(20)
+    )

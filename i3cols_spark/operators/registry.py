@@ -465,6 +465,8 @@ POST_R9_ADDITIONS: tuple[str, ...] = (
     "q_pack_sequences_bpe",
     "q_ts_holt_winters",
     "q_similarity_maxsim",
+    "q_text_llr_collocations",
+    "q_graph_link_prediction",
 )
 
 #: Round-9 rotation (VERDICT r08 item 1 + item 4).  After round 8 the

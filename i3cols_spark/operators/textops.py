@@ -829,6 +829,142 @@ def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_text_llr_collocations",
+    oracle=rf"""
+    WITH t AS (
+        SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents
+    ),
+    b AS (
+        SELECT toks[i] AS w1, toks[i + 1] AS w2
+        FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+        WHERE toks[i] <> '' AND toks[i + 1] <> ''
+    ),
+    cnt AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+        FROM b GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(n_pair) AS BIGINT) AS n FROM cnt),
+    m AS (
+        SELECT w1, w2, n_pair,
+               sum(n_pair) OVER (PARTITION BY w1) AS n_left,
+               sum(n_pair) OVER (PARTITION BY w2) AS n_right
+        FROM cnt
+    ),
+    cells AS (
+        SELECT w1, w2, n_pair,
+               CAST(n_pair AS DOUBLE)                       AS k11,
+               CAST(n_left - n_pair AS DOUBLE)              AS k12,
+               CAST(n_right - n_pair AS DOUBLE)             AS k21,
+               CAST(n - n_left - n_right + n_pair AS DOUBLE) AS k22,
+               CAST(n AS DOUBLE)        AS nd,
+               CAST(n_left AS DOUBLE)   AS r1,
+               CAST(n - n_left AS DOUBLE)  AS r2,
+               CAST(n_right AS DOUBLE)  AS c1,
+               CAST(n - n_right AS DOUBLE) AS c2
+        FROM m, tot
+    )
+    SELECT w1, w2, n_pair,
+           floor(2.0 * (
+                 (CASE WHEN k11 > 0 THEN k11 * ln(k11 * nd / (r1 * c1))
+                       ELSE 0.0 END)
+               + (CASE WHEN k12 > 0 THEN k12 * ln(k12 * nd / (r1 * c2))
+                       ELSE 0.0 END)
+               + (CASE WHEN k21 > 0 THEN k21 * ln(k21 * nd / (r2 * c1))
+                       ELSE 0.0 END)
+               + (CASE WHEN k22 > 0 THEN k22 * ln(k22 * nd / (r2 * c2))
+                       ELSE 0.0 END)
+           ) * 1000000 + 0.5) / 1000000.0 AS llr
+    FROM cells
+    WHERE n_pair >= {_PMI_MIN_SUPPORT}
+    ORDER BY llr DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def q_text_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-likelihood-ratio collocations (Dunning 1993) — the
+    significance-TESTED twin of q_text_pmi_collocations: PMI rewards
+    rare coincidences (two hapaxes that co-occur once get a huge
+    score, floored away only by the support cut), while G² weighs the
+    full 2×2 contingency (pair / left-only / right-only / neither),
+    so frequent genuinely-associated pairs rank above frequent-but-
+    independent ones.  This is the collocation statistic phrase-mining
+    pipelines actually ship (Dunning's G² is the Mahout/NLTK default).
+
+    G² = 2·Σ k·ln(k·N / (R·C)) over the four cells, zero-guarded —
+    four ln terms summed in a FIXED order on both engines (HALF_UP
+    6 dp absorbs the ≤1-ulp libm/JVM ln divergence, the PMI
+    precedent through a transcendental ×4).
+
+    Shape: identical to PMI — one collapse-first bigram stream, one
+    map-side-combined pair groupBy, marginals as windows over the
+    vocabulary²-sized pair table, the grand total a 1-row broadcast.
+    Everything after the bigram aggregation is vocabulary-sized.
+    """
+
+    def build(tk: F.Column) -> F.Column:
+        return F.when(
+            F.size(tk) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - 2),
+                lambda i: F.struct(
+                    F.element_at(tk, i + 1).alias("w1"),
+                    F.element_at(tk, i + 2).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array())
+
+    bigrams = F.get(F.transform(F.array(tokens("text")), build), 0)
+    distinct_texts = (
+        spread(table(spark, sf_dir, "documents"), spark)
+        .groupBy(F.xxhash64(F.col("text")).alias("th"))
+        .agg(F.count(F.lit(1)).alias("mult"), F.first("text").alias("text"))
+    )
+    pairs = (
+        distinct_texts.select("mult", F.explode(bigrams).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"), "mult")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.sum("mult").alias("n_pair"))
+    )
+    tot = pairs.agg(F.sum("n_pair").alias("n"))
+    marg = pairs.select(
+        "w1",
+        "w2",
+        "n_pair",
+        F.sum("n_pair").over(W.partitionBy("w1")).alias("n_left"),
+        F.sum("n_pair").over(W.partitionBy("w2")).alias("n_right"),
+    )
+    k11 = F.col("n_pair").cast("double")
+    k12 = (F.col("n_left") - F.col("n_pair")).cast("double")
+    k21 = (F.col("n_right") - F.col("n_pair")).cast("double")
+    k22 = (
+        F.col("n") - F.col("n_left") - F.col("n_right") + F.col("n_pair")
+    ).cast("double")
+    nd = F.col("n").cast("double")
+    r1 = F.col("n_left").cast("double")
+    r2 = (F.col("n") - F.col("n_left")).cast("double")
+    c1 = F.col("n_right").cast("double")
+    c2 = (F.col("n") - F.col("n_right")).cast("double")
+
+    def term(k, r, c):
+        return F.when(k > 0, k * F.log(k * nd / (r * c))).otherwise(F.lit(0.0))
+
+    llr = round_half_up(
+        F.lit(2.0)
+        * (term(k11, r1, c1) + term(k12, r1, c2) + term(k21, r2, c1) + term(k22, r2, c2)),
+        6,
+    )
+    return (
+        marg.join(F.broadcast(tot))
+        .filter(F.col("n_pair") >= _PMI_MIN_SUPPORT)
+        .select("w1", "w2", "n_pair", llr.alias("llr"))
+        .orderBy(F.desc("llr"), "w1", "w2")
+        .limit(20)
+    )
+
+
 #: Kneser–Ney absolute discount: ¾ is the textbook fixed-D choice and
 #: EXACTLY dyadic, so c − D stays bit-exact in both engines.
 _KN_DISCOUNT = 0.75
