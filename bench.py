@@ -100,6 +100,14 @@ HEADLINE = [
     "q_similarity_ann_ivf_partitioned",
 ]
 
+#: Timed in pass 1 only: q_join_interval_grid's cost is the inherent
+#: N²-density floor of overlap COUNTING on a fixed-time-span fixture
+#: (~1.7 B true pairs at sf0.1 — see its docstring), ~305 s/pass at
+#: local[32].  One pass keeps it regression-visible without tripling
+#: a 5-minute query; its relative noise at that duration is far below
+#: the ±70% band the min-of-3 convention exists to absorb.
+HEAVY = {"q_join_interval_grid"}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -127,8 +135,10 @@ def main() -> None:
     # count() pass.
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
-    for _ in range(3):
+    for pass_i in range(3):
         for name in HEADLINE:
+            if name in HEAVY and pass_i > 0:
+                continue
             df = QUERIES[name](spark, sf_dir)
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
