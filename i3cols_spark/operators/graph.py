@@ -1498,11 +1498,16 @@ def q_graph_kcore_peel(spark, sf_dir: str) -> DataFrame:
     WITH op AS (
         SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
     ),
+    floor_n AS (
+        SELECT greatest(2, CAST(ceil(1e-4 * count(DISTINCT o)) AS BIGINT))
+            AS f
+        FROM op
+    ),
     und AS (
         SELECT a.p AS u, b.p AS v
         FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
         GROUP BY a.p, b.p
-        HAVING count(*) >= 2
+        HAVING count(*) >= (SELECT f FROM floor_n)
     ),
     sym AS (
         SELECT u AS z, v AS x FROM und
@@ -1537,9 +1542,13 @@ def q_graph_kcore_peel(spark, sf_dir: str) -> DataFrame:
 )
 def q_graph_link_prediction(spark, sf_dir: str) -> DataFrame:
     """LINK PREDICTION over the REPEAT co-purchase graph (edges =
-    part pairs sharing ≥ 2 orders — the q_graph_cooccurrence support
-    floor, which is what turns the dense random co-purchase
-    projection into a meaningful signal graph): for every
+    part pairs sharing ≥ max(2, ceil(1e-4 · |orders|)) orders — a
+    RELATIVE support floor, the q_basket_assoc_rules_rel discipline:
+    an absolute ≥2 floor measured 13.7× at the x10 probe because
+    replicated orders mint repeat co-purchases by construction, while
+    a floor that scales with the corpus keeps the signal graph
+    invariant under growth.  The floor is what turns the dense random
+    co-purchase projection into a meaningful signal graph): for every
     NON-adjacent part pair reachable in 2 hops, the neighbor-set
     Jaccard (|N(a)∩N(b)| / |N(a)∪N(b)|) and the preferential-
     attachment score (deg·deg) — the two classic exact-arithmetic
@@ -1569,6 +1578,12 @@ def q_graph_link_prediction(spark, sf_dir: str) -> DataFrame:
 
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     op = li.distinct()
+    floor_n = op.agg(
+        F.greatest(
+            F.lit(2),
+            F.ceil(F.lit(1e-4) * F.countDistinct("l_orderkey")).cast("bigint"),
+        ).alias("edge_floor")
+    )
     und = (
         op.alias("a")
         .join(
@@ -1580,7 +1595,8 @@ def q_graph_link_prediction(spark, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
         )
         .agg(F.count(F.lit(1)).alias("n_orders"))
-        .where(F.col("n_orders") >= 2)
+        .join(F.broadcast(floor_n))
+        .where(F.col("n_orders") >= F.col("edge_floor"))
         .select("u", "v")
     )
     sym = und.select(F.col("u").alias("z"), F.col("v").alias("x")).unionByName(
