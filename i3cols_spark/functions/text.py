@@ -44,6 +44,22 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return F.get(F.transform(F.array(tokens(text)), build), 0)
 
 
+def shingles_all(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles WITHOUT the distinct collapse — the
+    multiset twin of ``shingles`` for consumers that need a term
+    FREQUENCY (TF-IDF vectors), where a repeated shingle must count
+    twice.  Same positional identity: one shingle per start position
+    0..max(len−n, 0), short documents yield their full token join."""
+
+    def build(tkv: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(tkv) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(tkv, i + 1, n), " "),
+        )
+
+    return F.get(F.transform(F.array(tokens(text)), build), 0)
+
+
 def shingle_hashes(text: Column | str, n: int = 3) -> Column:
     """Distinct 64-bit shingle fingerprints as array<bigint> — the
     hash-identity twin of ``shingles``.

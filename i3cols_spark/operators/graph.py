@@ -1651,3 +1651,136 @@ def q_graph_link_prediction(spark, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), "pa", "pb")
         .limit(20)
     )
+
+
+@query(
+    "q_graph_hits",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    a1r AS (
+        SELECT supp, CAST(count(*) AS BIGINT) AS raw
+        FROM edges GROUP BY supp
+    ),
+    a1 AS (
+        SELECT supp,
+               floor(CAST(raw AS DOUBLE)
+                     / (SELECT max(raw) FROM a1r) * 1000000000000 + 0.5)
+                   / 1000000000000.0 AS a
+        FROM a1r
+    ),
+    h1r AS (
+        SELECT e.cust, round(sum(a1.a), 12) AS raw
+        FROM edges e JOIN a1 ON a1.supp = e.supp
+        GROUP BY e.cust
+    ),
+    h1 AS (
+        SELECT cust, round(raw / (SELECT max(raw) FROM h1r), 12) AS h
+        FROM h1r
+    ),
+    a2r AS (
+        SELECT e.supp, round(sum(h1.h), 12) AS raw
+        FROM edges e JOIN h1 ON h1.cust = e.cust
+        GROUP BY e.supp
+    ),
+    a2 AS (
+        SELECT supp, round(raw / (SELECT max(raw) FROM a2r), 6) AS s
+        FROM a2r
+    ),
+    h2r AS (
+        SELECT e.cust, round(sum(a2.s), 12) AS raw
+        FROM edges e JOIN a2 ON a2.supp = e.supp
+        GROUP BY e.cust
+    ),
+    h2 AS (
+        SELECT cust, round(raw / (SELECT max(raw) FROM h2r), 6) AS s
+        FROM h2r
+    ),
+    topa AS (
+        SELECT 'auth' AS kind, supp AS node, s AS score
+        FROM a2 ORDER BY s DESC, supp LIMIT 20
+    ),
+    toph AS (
+        SELECT 'hub' AS kind, cust AS node, s AS score
+        FROM h2 ORDER BY s DESC, cust LIMIT 20
+    )
+    SELECT kind, node, score FROM topa
+    UNION ALL
+    SELECT kind, node, score FROM toph
+    """,
+)
+def q_graph_hits(spark, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg's hubs-and-authorities) over the DIRECTED
+    customer→supplier trading graph — the bipartite companion to
+    q_graph_pagerank's undirected rank: customers are hubs (they
+    point), suppliers are authorities (they are pointed at).  Two
+    full mutual-reinforcement rounds unrolled (a₁ = AᵀΗ₀, h₁ = A a₁,
+    a₂ = Aᵀh₁, h₂ = A a₂), top-20 of each side.
+
+    Normalization is by MAX rather than the textbook L1/L2 norm, on
+    purpose: max() of a column is order-INDEPENDENT, while Σ over all
+    nodes of engine-ordered float sums is not — the same cross-engine
+    determinism constraint that shaped q_graph_pagerank, which
+    max-normalization satisfies with zero semantic loss (HITS scores
+    are defined up to scale; the fixpoint direction is unchanged).
+    a₁ is exact integer in-degree over max in-degree (exact-ratio →
+    HALF_UP at 12 dp); later rounds round per-node contribution sums
+    at 12 dp before each normalize (the pagerank error-compounding
+    rule), final scores at 6 dp.
+
+    Shape per half-step: edges ⋈ current scores, map-side-combined
+    sum per opposite endpoint — one |E|-row shuffle, the same
+    hash-partitioning reused round to round; the max is a 1-row
+    broadcast.  The open-ended fixpoint form would reuse the
+    localCheckpoint loop of ``_cc_loop``; 2 rounds keeps the oracle
+    SQL-expressible.
+    """
+    from i3cols_spark.functions.rounding import round_half_up
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+
+    def normalize(raw: DataFrame, key: str, out: str, dp: int, exact: bool) -> DataFrame:
+        mx = raw.agg(F.max("raw").alias("mx"))
+        val = F.col("raw").cast("double") / F.col("mx")
+        rounded = round_half_up(val, dp) if exact else F.round(val, dp)
+        return raw.crossJoin(F.broadcast(mx)).select(
+            F.col(key), rounded.alias(out)
+        )
+
+    a1_raw = edges.groupBy("supp").agg(F.count(F.lit(1)).cast("long").alias("raw"))
+    a1 = normalize(a1_raw, "supp", "a", 12, exact=True)
+    h1_raw = edges.join(a1, "supp").groupBy("cust").agg(
+        F.round(F.sum("a"), 12).alias("raw")
+    )
+    h1 = normalize(h1_raw, "cust", "h", 12, exact=False)
+    a2_raw = edges.join(h1, "cust").groupBy("supp").agg(
+        F.round(F.sum("h"), 12).alias("raw")
+    )
+    a2 = normalize(a2_raw, "supp", "s", 6, exact=False)
+    h2_raw = edges.join(a2, "supp").groupBy("cust").agg(
+        F.round(F.sum("s"), 12).alias("raw")
+    )
+    h2 = normalize(h2_raw, "cust", "s", 6, exact=False)
+    topa = (
+        a2.select(
+            F.lit("auth").alias("kind"), F.col("supp").alias("node"), F.col("s").alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("node"))
+        .limit(20)
+    )
+    toph = (
+        h2.select(
+            F.lit("hub").alias("kind"), F.col("cust").alias("node"), F.col("s").alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("node"))
+        .limit(20)
+    )
+    return topa.unionAll(toph)

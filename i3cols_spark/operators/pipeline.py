@@ -1080,3 +1080,101 @@ def q_feature_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("decayed_value"), F.asc("user_id"))
         .limit(50)
     )
+
+
+@query(
+    "q_embedding_outliers",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, i, round(avg(v[i]), 9) AS c
+        FROM e CROSS JOIN range(1, 65) t(i)
+        GROUP BY label, i
+    ),
+    d2 AS (
+        SELECT e.vec_id, e.label,
+               round(sum((e.v[t.i] - c.c) * (e.v[t.i] - c.c)), 9) AS d2
+        FROM e CROSS JOIN range(1, 65) t(i)
+        JOIN cent c ON c.label = e.label AND c.i = t.i
+        GROUP BY e.vec_id, e.label
+    ),
+    d AS (SELECT vec_id, label, sqrt(d2) AS dist FROM d2),
+    st AS (
+        SELECT label, round(avg(dist), 9) AS mu,
+               round(stddev_pop(dist), 9) AS sg
+        FROM d GROUP BY label
+    ),
+    z AS (
+        SELECT d.vec_id, d.label, d.dist,
+               round(CASE WHEN st.sg > 0 THEN (d.dist - st.mu) / st.sg
+                          ELSE 0.0 END, 6) AS z
+        FROM d JOIN st ON st.label = d.label
+    )
+    SELECT vec_id, label, round(dist, 6) AS dist, z
+    FROM z WHERE abs(z) > 2
+    ORDER BY label, vec_id
+    """,
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier screening — the semantic-quality filter
+    of a curation pipeline: per label (cluster), each vector's L2
+    distance to the label centroid, z-scored against the label's
+    distance distribution; |z| > 2 rows are the candidates a human or
+    a downstream filter reviews (mislabeled samples, embedding-model
+    failures, adversarial inserts).
+
+    Shape: posexplode → one groupBy(label, pos) for centroids (the
+    q_embedding_centroids plan — the shuffle carries |labels|×dim
+    partial sums, never vectors); the distance pass re-joins the tiny
+    centroid table (broadcast) against the exploded stream and
+    reduces per vector; label stats are |labels|-row aggregates.  At
+    100 TB every stage is map-side-combined partial aggregation over
+    the exploded stream — nothing materializes per-pair or holds
+    vectors on the driver.
+
+    Cross-engine FP: centroid means, per-vector Σ(x−c)², and label
+    μ/σ are multi-row float reductions → rounded 9 dp in both
+    dialects at each stage boundary (the pagerank compounding rule);
+    final dist/z at 6 dp.  σ = 0 labels (all-identical distances)
+    define z = 0.
+    """
+    from i3cols_spark.functions.vectors import as_double
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    ex = emb.select("vec_id", "label", F.posexplode("v").alias("pos", "x"))
+    cent = ex.groupBy("label", "pos").agg(F.round(F.avg("x"), 9).alias("c"))
+    d2 = (
+        ex.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))), 9
+            ).alias("d2")
+        )
+    )
+    d = d2.select("vec_id", "label", F.sqrt("d2").alias("dist"))
+    st = d.groupBy("label").agg(
+        F.round(F.avg("dist"), 9).alias("mu"),
+        F.round(F.stddev_pop("dist"), 9).alias("sg"),
+    )
+    z = d.join(F.broadcast(st), "label").select(
+        "vec_id",
+        "label",
+        "dist",
+        F.round(
+            F.when(F.col("sg") > 0, (F.col("dist") - F.col("mu")) / F.col("sg"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("z"),
+    )
+    return (
+        z.filter(F.abs("z") > 2)
+        .select("vec_id", "label", F.round("dist", 6).alias("dist"), "z")
+        .orderBy("label", "vec_id")
+    )

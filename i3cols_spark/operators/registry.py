@@ -467,6 +467,18 @@ POST_R9_ADDITIONS: tuple[str, ...] = (
     "q_similarity_maxsim",
     "q_text_llr_collocations",
     "q_graph_link_prediction",
+    # round-9 wave 4 — retrieval / curation / graph depth
+    "q_similarity_hybrid_rrf",
+    "q_text_tfidf_cosine",
+    "q_graph_hits",
+    "q_embedding_outliers",
+    "q_text_gopher_rules",
+    "q_ts_sax_symbolic",
+    # round-9 wave 5 — sampling policy / corpus growth / serving audits
+    "q_sample_temperature",
+    "q_text_ngram_novelty",
+    "q_similarity_dim_truncation",
+    "q_stats_spearman",
 )
 
 #: Round-9 rotation (VERDICT r08 item 1 + item 4).  After round 8 the

@@ -1892,3 +1892,279 @@ def q_similarity_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("maxsim"), F.asc("vec_id"))
         .limit(5)
     )
+
+
+#: Hybrid-retrieval fusion knobs: the RRF smoothing constant (k=60,
+#: the value from Cormack/Clarke/Buettcher 2009 that every production
+#: hybrid-search stack defaults to), per-ranker candidate depth, and
+#: the fused result size.
+_RRF_K = 60
+_RRF_DEPTH = 50
+_RRF_TOPN = 10
+
+
+def _rrf_oracle() -> str:
+    from i3cols_spark.operators.textops import BM25_SCORED_SQL
+
+    return f"""
+    WITH {BM25_SCORED_SQL},
+    lex AS (
+        SELECT doc_id, floor(score * 1000000 + 0.5) / 1000000.0 AS s
+        FROM scored ORDER BY s DESC, doc_id LIMIT {_RRF_DEPTH}
+    ),
+    lexr AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT)
+                   AS rank_lex
+        FROM lex
+    ),
+    e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+    den AS (
+        SELECT e.vec_id AS doc_id,
+               round(list_cosine_similarity(e.v, qv.q), 6) AS c
+        FROM e, qv WHERE e.vec_id <> 0
+        ORDER BY c DESC, e.vec_id LIMIT {_RRF_DEPTH}
+    ),
+    denr AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY c DESC, doc_id) AS BIGINT)
+                   AS rank_dense
+        FROM den
+    )
+    SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+           l.rank_lex AS rank_lex,
+           d.rank_dense AS rank_dense,
+           round(coalesce(CAST(1 AS DOUBLE) / ({_RRF_K} + l.rank_lex), 0.0)
+                 + coalesce(CAST(1 AS DOUBLE) / ({_RRF_K} + d.rank_dense), 0.0),
+                 6) AS rrf
+    FROM lexr l FULL OUTER JOIN denr d ON l.doc_id = d.doc_id
+    ORDER BY rrf DESC, doc_id
+    LIMIT {_RRF_TOPN}
+    """
+
+
+@query("q_similarity_hybrid_rrf", oracle=_rrf_oracle())
+def q_similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion — the standard way
+    a RAG stack combines a LEXICAL ranker (BM25) with a DENSE ranker
+    (embedding cosine) without score calibration: each ranker
+    contributes 1/(k + rank), k = 60, and documents are re-ranked by
+    the sum (Cormack et al., SIGIR 2009).  Ranker A is the
+    self-contained BM25 query of q_text_bm25_search (top-50 cut);
+    ranker B is brute-force cosine of every embedding against the
+    query vector vec_id = 0 (top-50 cut) under the fixture's shared
+    key convention vec_id == doc_id (the embeddings table is a prefix
+    subset of documents — 2 000 of 5 000 docs carry a vector at
+    sf0.1, which is exactly the hybrid-search reality RRF handles:
+    a doc ranked by only one ranker simply gets that ranker's term).
+
+    Determinism: both ranked lists order by (score rounded 6 dp DESC,
+    id ASC) before row_number, so ranks are integers both engines
+    agree on; the RRF sum is ≤ 2 per-row IEEE terms in a fixed
+    coalesce order.  Scale shape: each ranker is its own proven plan
+    (BM25 = checkpointed inverted index; dense = one corpus scan with
+    a 10-row heap per partition); fusion itself joins two ≤ depth-row
+    lists — driver-trivial at any corpus size, and the depth cut is
+    the knob that keeps it so.
+    """
+    from pyspark.sql.window import Window as W
+
+    from i3cols_spark.functions.rounding import round_half_up
+    from i3cols_spark.operators.textops import bm25_scored
+
+    lex = (
+        bm25_scored(spark, sf_dir)
+        .select("doc_id", round_half_up(F.col("score"), 6).alias("s"))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(_RRF_DEPTH)
+    )
+    lex = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("s"), F.asc("doc_id")))
+        .cast("long")
+        .alias("rank_lex"),
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(as_double("embedding").alias("qv"))
+    den = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine("embedding", "qv"), 6).alias("c"),
+        )
+        .orderBy(F.desc("c"), F.asc("doc_id"))
+        .limit(_RRF_DEPTH)
+    )
+    den = den.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("c"), F.asc("doc_id")))
+        .cast("long")
+        .alias("rank_dense"),
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_lex")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_dense")), F.lit(0.0))
+    return (
+        lex.join(den, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "rank_lex",
+            "rank_dense",
+            F.round(rrf, 6).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(_RRF_TOPN)
+    )
+
+
+#: Truncated-dimension audit knobs: the prefix kept (the Matryoshka
+#: representation-learning serving trick) and the k sweep depth.
+_TRUNC_DIM = 16
+_TRUNC_TOPK = 10
+
+
+@query(
+    "q_similarity_dim_truncation",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    q AS (SELECT v FROM e WHERE vec_id = 0),
+    fullr AS (
+        SELECT vec_id,
+               CAST(row_number() OVER (ORDER BY c DESC, vec_id) AS BIGINT)
+                   AS rk
+        FROM (
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.v, q.v), 6) AS c
+            FROM e, q WHERE e.vec_id <> 0
+            ORDER BY c DESC, e.vec_id LIMIT {_TRUNC_TOPK}
+        )
+    ),
+    truncr AS (
+        SELECT vec_id,
+               CAST(row_number() OVER (ORDER BY c DESC, vec_id) AS BIGINT)
+                   AS rk
+        FROM (
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(
+                       e.v[1:{_TRUNC_DIM}], q.v[1:{_TRUNC_DIM}]), 6) AS c
+            FROM e, q WHERE e.vec_id <> 0
+            ORDER BY c DESC, e.vec_id LIMIT {_TRUNC_TOPK}
+        )
+    ),
+    ks AS (SELECT unnest(range(1, {_TRUNC_TOPK} + 1)) AS k)
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           CAST(count(j.vec_id) AS BIGINT) AS n_overlap,
+           floor(CAST(count(j.vec_id) AS DOUBLE) / ks.k * 1000000 + 0.5)
+               / 1000000.0 AS recall_at_k
+    FROM ks
+    LEFT JOIN (
+        SELECT f.vec_id, f.rk AS rf, t.rk AS rt
+        FROM fullr f JOIN truncr t ON f.vec_id = t.vec_id
+    ) j ON j.rf <= ks.k AND j.rt <= ks.k
+    GROUP BY ks.k
+    ORDER BY ks.k
+    """,
+)
+def q_similarity_dim_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation recall audit — brute-force cosine top-10
+    on the FULL 64-dim embedding vs the same search using only the
+    first {_TRUNC_DIM} dimensions (the Matryoshka / dimension-pruned
+    serving trick: store one vector, ANSWER cheap queries from a
+    prefix), reported as recall@k for k = 1..{_TRUNC_TOPK}.  The
+    audit a serving stack runs before committing to a truncated
+    index tier — the dimensional sibling of
+    q_similarity_ivf_recall_curve's cell-probe audit.
+
+    Shape: two exact top-k scans (each a corpus scan with a k-row
+    heap per partition — the q_similarity_knn_cosine plan, the
+    truncated one reading {_TRUNC_DIM}/64 of each vector's arithmetic)
+    joined on the ≤ k surviving ids; the k-sweep is a broadcast of a
+    10-row literal range against a ≤ 10-row join — driver-trivial
+    always.  Both rankings order on (rounded score, id) so ranks are
+    cross-engine integers; recall is an exact-integer ratio →
+    HALF_UP 6 dp.
+    """
+    from pyspark.sql.window import Window as W
+
+    from i3cols_spark.functions.rounding import round_half_up
+
+    emb = table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select(
+        as_double("embedding").alias("qv")
+    )
+
+    def ranked(dim: int | None) -> DataFrame:
+        v, qv = F.col("v"), F.col("qv")
+        if dim is not None:
+            v, qv = F.slice(v, 1, dim), F.slice(qv, 1, dim)
+        c = F.round(
+            F.aggregate(
+                F.zip_with(v, qv, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / (
+                F.sqrt(
+                    F.aggregate(
+                        F.transform(v, lambda x: x * x),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                )
+                * F.sqrt(
+                    F.aggregate(
+                        F.transform(qv, lambda x: x * x),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                )
+            ),
+            6,
+        )
+        base = (
+            emb.filter(F.col("vec_id") != 0)
+            .select("vec_id", as_double("embedding").alias("v"))
+            .join(F.broadcast(qrow))
+            .select("vec_id", c.alias("c"))
+            .orderBy(F.desc("c"), F.asc("vec_id"))
+            .limit(_TRUNC_TOPK)
+        )
+        return base.select(
+            "vec_id",
+            F.row_number()
+            .over(W.orderBy(F.desc("c"), F.asc("vec_id")))
+            .cast("long")
+            .alias("rk"),
+        )
+
+    fullr = ranked(None).withColumnRenamed("rk", "rf")
+    truncr = ranked(_TRUNC_DIM).withColumnRenamed("rk", "rt")
+    joined = fullr.join(truncr, "vec_id")
+    ks = spark.range(1, _TRUNC_TOPK + 1).select(F.col("id").alias("k"))
+    return (
+        ks.join(
+            F.broadcast(joined),
+            (F.col("rf") <= F.col("k")) & (F.col("rt") <= F.col("k")),
+            "left",
+        )
+        .groupBy("k")
+        .agg(F.count("vec_id").cast("long").alias("n_overlap"))
+        .select(
+            "k",
+            "n_overlap",
+            round_half_up(
+                F.col("n_overlap").cast("double") / F.col("k"), 6
+            ).alias("recall_at_k"),
+        )
+        .orderBy("k")
+    )

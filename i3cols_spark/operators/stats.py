@@ -2054,3 +2054,150 @@ def q_agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+#: Temperature-sampling exponent (Lample & Conneau 2019, XLM — the
+#: multilingual rebalancing default every multilingual LLM data stack
+#: uses) .
+_TEMP_ALPHA = 0.7
+
+
+@query(
+    "q_sample_temperature",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM counts),
+    s AS (
+        SELECT lang, n_docs,
+               pow(CAST(n_docs AS DOUBLE) / tot.n, {_TEMP_ALPHA}) AS sc
+        FROM counts, tot
+    ),
+    z AS (SELECT round(sum(sc), 9) AS zsum FROM s)
+    SELECT s.lang, s.n_docs,
+           floor(CAST(s.n_docs AS DOUBLE) / tot.n * 1000000 + 0.5)
+               / 1000000.0 AS p,
+           round(s.sc / z.zsum, 6) AS q_temp,
+           CAST(floor(round(s.sc / z.zsum, 6) * tot.n + 0.5) AS BIGINT)
+               AS target_n,
+           floor(floor(round(s.sc / z.zsum, 6) * tot.n + 0.5)
+                 / s.n_docs * 1000000 + 0.5) / 1000000.0 AS epochs
+    FROM s, z, tot
+    ORDER BY lang
+    """,
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture quotas (α = {_TEMP_ALPHA}, the
+    Lample & Conneau 2019 multilingual default) — the sampling POLICY
+    table of training-data assembly: per language, the natural share
+    p = n/N, the temperature share q ∝ p^α (flattens the head,
+    boosts the tail), the integer document quota at corpus size N,
+    and the epoch factor quota/n (> 1 ⇒ the shard repeats — the
+    up-sampling multilingual training actually does).
+    q_sample_mixture is this policy's α = 0 extreme (uniform), made
+    concrete as row selection; this operator emits the general-α
+    planning artifact a scheduler feeds to per-shard samplers.
+
+    One tiny aggregation (|langs| rows) + scalar broadcasts — the
+    corpus is touched once for counts regardless of size.
+    Cross-engine FP: the partition function Σ p^α is a multi-row
+    float sum → rounded 9 dp in both dialects; shares at 6 dp; the
+    quota is floor(q·N + ½) of the ROUNDED share so both engines
+    round identical doubles; p and epochs are exact-integer ratios →
+    HALF_UP 6 dp.
+    """
+    from i3cols_spark.functions.rounding import round_half_up
+
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").cast("long").alias("n"))
+    s = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n",
+        F.pow(F.col("n_docs").cast("double") / F.col("n"), _TEMP_ALPHA).alias("sc"),
+    )
+    z = s.agg(F.round(F.sum("sc"), 9).alias("zsum"))
+    q_temp = F.round(F.col("sc") / F.col("zsum"), 6)
+    target_n = F.floor(q_temp * F.col("n") + F.lit(0.5)).cast("long")
+    return (
+        s.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "n_docs",
+            round_half_up(F.col("n_docs").cast("double") / F.col("n"), 6).alias("p"),
+            q_temp.alias("q_temp"),
+            target_n.alias("target_n"),
+            round_half_up(
+                target_n.cast("double") / F.col("n_docs"), 6
+            ).alias("epochs"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q_stats_spearman",
+    oracle="""
+    WITH v AS (
+        SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+    ),
+    r AS (
+        SELECT x, y,
+               rank() OVER (ORDER BY x) + (count(*) OVER (PARTITION BY x) - 1)
+                   / CAST(2 AS DOUBLE) AS rx,
+               rank() OVER (ORDER BY y) + (count(*) OVER (PARTITION BY y) - 1)
+                   / CAST(2 AS DOUBLE) AS ry
+        FROM v
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(corr(rx, ry), 6) AS spearman_rho,
+           round(corr(x, y), 6) AS pearson_r
+    FROM r
+    """,
+)
+def q_stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (with the textbook average-rank tie
+    correction: min-rank + (ties−1)/2) between quantity and extended
+    price over lineitem, beside the Pearson r on the raw values —
+    the robust monotone-association member of the stats family
+    (Pearson: q_agg_stats_corr; both emitted here so the rank-vs-raw
+    gap is the one-row answer to "is the relation monotone but
+    non-linear?").
+
+    Shape: the exact_percentiles/mann_whitney discipline — NEVER a
+    row-level rank of the corpus (a no-partition rank window funnels
+    every row into one task: measured 6.4× at a 10× probe before
+    this form).  Per-axis midranks come from one map-side-combined
+    reduction to per-DISTINCT-VALUE counts plus ONE ordered
+    cumulative window over the support-sized table (midrank =
+    preceding count + (t+1)/2), joined back to the row stream by
+    value — two value-keyed shuffles the optimizer can broadcast
+    when the support is small (quantity: 50 values).  Midranks are
+    exact dyadic halves → the join carries exact doubles; corr over
+    them is a multi-row float reduction → rounded 6 dp in both
+    dialects.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    )
+
+    def midranks(col: str, out: str) -> DataFrame:
+        dist = li.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("ct"))
+        w_cum = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return dist.select(
+            col,
+            (
+                (F.sum("ct").over(w_cum) - F.col("ct"))
+                + (F.col("ct") + 1.0) / 2.0
+            ).alias(out),
+        )
+
+    r = li.join(midranks("x", "rx"), "x").join(midranks("y", "ry"), "y")
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.corr("rx", "ry"), 6).alias("spearman_rho"),
+        F.round(F.corr("x", "y"), 6).alias("pearson_r"),
+    )

@@ -1436,10 +1436,10 @@ _BM25_TOPN = 10
 _BM25_QTERMS = 3
 
 
-@query(
-    "q_text_bm25_search",
-    oracle=f"""
-    WITH tok AS (
+#: The BM25 scored-frame CTE chain (tok → … → scored), shared verbatim
+#: by the q_text_bm25_search oracle and the hybrid-RRF fusion oracle
+#: (operators/similarity.py) so both dialects score identically.
+BM25_SCORED_SQL = f"""tok AS (
         SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
         FROM documents
     ),
@@ -1476,7 +1476,55 @@ _BM25_QTERMS = 3
         JOIN dl d ON d.doc_id = t.doc_id
         CROSS JOIN corpus
         GROUP BY t.doc_id
+    )"""
+
+
+def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25 scored frame ``(doc_id, score double, n_match long)``
+    over the self-contained query (the {_BM25_QTERMS} highest-df
+    terms) — the shared engine behind q_text_bm25_search (top-10 cut)
+    and the hybrid-RRF fusion ranker (top-{{depth}} cut,
+    operators/similarity.py).  See q_text_bm25_search for scoring,
+    determinism and plan-shape discussion."""
+    from i3cols_spark.functions.text import tokens
+
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    ).localCheckpoint()
+    # |d| = Σ tf over the doc's terms — derived from the checkpointed
+    # aggregate, NOT a second pass over the raw text.
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("len"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("len").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    qterms = df_.orderBy(F.desc("df"), F.asc("term")).limit(_BM25_QTERMS)
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(_BM25_K1) * (
+        F.lit(1.0) - F.lit(_BM25_B) + F.lit(_BM25_B) * F.col("len") / F.col("avgdl")
+    )
+    return (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(idf * (F.col("tf") * F.lit(_BM25_K1 + 1)) / denom).alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_match"),
+        )
+    )
+
+
+@query(
+    "q_text_bm25_search",
+    oracle=f"""
+    WITH {BM25_SCORED_SQL}
     SELECT doc_id,
            floor(score * 1000000 + 0.5) / 1000000.0 AS bm25,
            n_match
@@ -1514,39 +1562,8 @@ def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     run is 16 s (measured back-to-back in one session, round 9).
     """
     from i3cols_spark.functions.rounding import round_half_up
-    from i3cols_spark.functions.text import tokens
 
-    docs = spread(table(spark, sf_dir, "documents"), spark)
-    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
-    ).localCheckpoint()
-    # |d| = Σ tf over the doc's terms — derived from the checkpointed
-    # aggregate, NOT a second pass over the raw text.
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("len"))
-    corpus = dl.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        (F.sum("len").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    )
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    qterms = df_.orderBy(F.desc("df"), F.asc("term")).limit(_BM25_QTERMS)
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-        + F.lit(1.0)
-    )
-    denom = F.col("tf") + F.lit(_BM25_K1) * (
-        F.lit(1.0) - F.lit(_BM25_B) + F.lit(_BM25_B) * F.col("len") / F.col("avgdl")
-    )
-    scored = (
-        tf.join(F.broadcast(qterms), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(corpus))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(idf * (F.col("tf") * F.lit(_BM25_K1 + 1)) / denom).alias("score"),
-            F.count(F.lit(1)).cast("long").alias("n_match"),
-        )
-    )
+    scored = bm25_scored(spark, sf_dir)
     return (
         scored.select(
             "doc_id",
@@ -1838,3 +1855,427 @@ def q_text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: TF-IDF pair-similarity knobs: the document-frequency cap that prunes
+#: ubiquitous terms from the vector space (the scale lever bounding
+#: per-term posting fanout at C(cap, 2)) and the result size.
+_TFIDF_DFCAP = 200
+_TFIDF_TOPN = 20
+
+
+@query(
+    "q_text_tfidf_cosine",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(toks) - 2, 1)),
+                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+               )) AS term
+        FROM tok
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM sh GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    vocab AS (SELECT term, df FROM df WHERE df <= {_TFIDF_DFCAP}),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    w AS MATERIALIZED (
+        SELECT t.doc_id, t.term,
+               t.tf * ln(CAST(nd.n_docs AS DOUBLE) / v.df) AS w
+        FROM tf t JOIN vocab v ON t.term = v.term CROSS JOIN nd
+    ),
+    norms AS (
+        SELECT doc_id, round(sum(w * w), 9) AS n2 FROM w GROUP BY doc_id
+    ),
+    num AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(sum(a.w * b.w), 9) AS num,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_shared,
+           round(num / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos_sim
+    FROM num
+    JOIN norms na ON na.doc_id = num.doc_a
+    JOIN norms nb ON nb.doc_id = num.doc_b
+    ORDER BY cos_sim DESC, doc_a, doc_b
+    LIMIT {_TFIDF_TOPN}
+    """,
+)
+def q_text_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity — top-20 most similar document
+    pairs in the 3-gram-shingle vector space, w(d, t) = tf · ln(N/df).
+    The LEXICAL near-duplicate/similar-content ranker that sits
+    between set Jaccard (q_dedup_ngram_jaccard — unweighted) and dense
+    embedding cosine (q_similarity_pairs_threshold — needs vectors):
+    rare shared phrases dominate the score, ubiquitous boilerplate
+    contributes nothing.
+
+    Terms are word 3-grams, NOT unigrams, by design: this fixture's
+    unigram vocabulary is 31 tokens with df ≈ 0.8 N — a unigram
+    posting join would be all-pairs quadratic — while shingle df
+    maxes at 25 (sf0.1).  The df cap (≤ {_TFIDF_DFCAP}) makes that a
+    GUARANTEE rather than an observation: vector space = terms with
+    df ≤ cap, so per-term posting fanout is bounded by C(cap, 2) and
+    stop-phrases drop out of the space entirely (they carry ≈ 0
+    idf weight anyway — the cap discards what TF-IDF already
+    ignores).
+
+    Shape: stage 0 COLLAPSES EXACT-DUPLICATE TEXTS (the standing
+    dedup.py rule — the uncollapsed posting join measured 8.7× at a
+    10×-replicated probe because every df, and so every Σ C(df, 2),
+    multiplies with the duplication factor; collapsed, quadratic work
+    runs over DISTINCT texts only and duplication is pure output
+    expansion).  df still counts member DOCUMENTS (Σ group size per
+    term) so the weights are unchanged.  Then ONE shingle pass → tf
+    groupBy over reps; the weighted posting table is
+    localCheckpointed (three consumers: norms + both self-join sides
+    — the q_text_bm25_search lineage lesson); rep pairs materialize
+    only for reps sharing a capped term (inverted-index access,
+    Σ_t C(df_t, 2) rows, 1.3 M at sf0.1); member expansion emits
+    cross pairs at the rep cosine and intra-group pairs at exactly
+    1.0 (identical vectors; groups with an empty capped vector are
+    excluded — their cosine is undefined in the oracle too).
+    Cross-engine FP: Σw² and Σw_a·w_b are multi-term float sums →
+    rounded 9 dp in both dialects before the per-row ratio, final
+    cosine 6 dp (identical-text pairs: num ≡ n2, so the ratio is
+    1/(1+ε), ε ≤ 2 ulp — rounds to exactly 1.0).
+    """
+    from i3cols_spark.functions.arrays import pair_structs
+    from i3cols_spark.functions.text import normalize, shingles_all
+
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    grp = docs.groupBy(F.xxhash64(normalize(F.col("text"))).alias("th")).agg(
+        F.min("doc_id").alias("rep"),
+        F.sort_array(F.collect_list("doc_id")).alias("ids"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.first("text").alias("text"),
+    )
+    sh = grp.select(
+        "rep", "cnt", F.explode(shingles_all("text")).alias("term")
+    )
+    tf = sh.groupBy("rep", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.first("cnt").alias("cnt"),
+    )
+    df_ = tf.groupBy("term").agg(F.sum("cnt").cast("long").alias("df"))
+    vocab = df_.filter(F.col("df") <= _TFIDF_DFCAP)
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    w = (
+        tf.join(vocab, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "rep",
+            "term",
+            (
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("w"),
+        )
+        .localCheckpoint()
+    )
+    norms = w.groupBy("rep").agg(
+        F.round(F.sum(F.col("w") * F.col("w")), 9).alias("n2"),
+        F.count(F.lit(1)).cast("long").alias("nterms"),
+    )
+    a, b = w.alias("a"), w.alias("b")
+    num = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.rep") < F.col("b.rep")),
+        )
+        .groupBy(F.col("a.rep").alias("rep_a"), F.col("b.rep").alias("rep_b"))
+        .agg(
+            F.round(F.sum(F.col("a.w") * F.col("b.w")), 9).alias("num"),
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+        )
+    )
+    na = norms.select(F.col("rep").alias("rep_a"), F.col("n2").alias("n2a"))
+    nb = norms.select(F.col("rep").alias("rep_b"), F.col("n2").alias("n2b"))
+    rep_sims = (
+        num.join(na, "rep_a")
+        .join(nb, "rep_b")
+        .select(
+            "rep_a",
+            "rep_b",
+            "n_shared",
+            F.round(
+                F.col("num") / (F.sqrt("n2a") * F.sqrt("n2b")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    mem = grp.select("rep", "ids")
+    cross = (
+        rep_sims.join(
+            mem.select(F.col("rep").alias("rep_a"), F.col("ids").alias("ids_a")),
+            "rep_a",
+        )
+        .join(
+            mem.select(F.col("rep").alias("rep_b"), F.col("ids").alias("ids_b")),
+            "rep_b",
+        )
+        .select(F.explode("ids_a").alias("ia"), "ids_b", "n_shared", "cos_sim")
+        .select("ia", F.explode("ids_b").alias("ib"), "n_shared", "cos_sim")
+        .select(
+            F.least("ia", "ib").alias("doc_a"),
+            F.greatest("ia", "ib").alias("doc_b"),
+            "n_shared",
+            "cos_sim",
+        )
+    )
+    intra = (
+        grp.filter(F.col("cnt") >= 2)
+        .join(norms.select("rep", "nterms"), "rep")
+        .select(
+            F.explode(pair_structs(F.col("ids"), "doc_a", "doc_b")).alias("p"),
+            "nterms",
+        )
+        .select(
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.col("nterms").alias("n_shared"),
+            F.lit(1.0).alias("cos_sim"),
+        )
+    )
+    return (
+        cross.unionByName(intra)
+        .orderBy(F.desc("cos_sim"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(_TFIDF_TOPN)
+    )
+
+
+#: Gopher quality-rule thresholds (Rae et al. 2021, "Scaling Language
+#: Models: ... Gopher", Table A1 — the published repetition-free
+#: document filters every production curation stack reimplements).
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with", "a", "in")
+
+
+@query(
+    "q_text_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lower(trim(text)) AS txt,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           w -> w <> '') AS toks
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(toks, w -> length(w)))
+                    AS BIGINT) AS sum_wlen,
+               CAST(len(list_filter(toks,
+                    w -> regexp_matches(w, '[a-z]'))) AS BIGINT)
+                   AS n_alpha,
+               CAST((length(txt) - length(replace(txt, '#', '')))
+                    + (length(txt) - length(replace(txt, '...', ''))) / 3
+                    AS BIGINT) AS n_sym,
+               CAST(len(list_intersect(list_distinct(toks),
+                    {list(_GOPHER_STOPWORDS)!r})) AS BIGINT) AS n_stop
+        FROM t
+    )
+    SELECT doc_id, n_words,
+           floor(CAST(sum_wlen AS DOUBLE) / n_words * 1000000 + 0.5)
+               / 1000000.0 AS mean_wlen,
+           floor(CAST(n_alpha AS DOUBLE) / n_words * 1000000 + 0.5)
+               / 1000000.0 AS frac_alpha,
+           floor(CAST(n_sym AS DOUBLE) / n_words * 1000000 + 0.5)
+               / 1000000.0 AS sym_ratio,
+           n_stop,
+           (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+           AND (floor(CAST(sum_wlen AS DOUBLE) / n_words * 1000000 + 0.5)
+                / 1000000.0 BETWEEN 3 AND 10)
+           AND (floor(CAST(n_sym AS DOUBLE) / n_words * 1000000 + 0.5)
+                / 1000000.0 <= 0.1)
+           AND (floor(CAST(n_alpha AS DOUBLE) / n_words * 1000000 + 0.5)
+                / 1000000.0 >= 0.8)
+           AND n_stop >= 2 AS keep
+    FROM feat
+    WHERE n_words > 0
+    ORDER BY doc_id
+    """,
+)
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021) — the published
+    heuristic filter suite production LLM curation runs before any
+    model-based scoring: word count in [50, 100 000], mean word
+    length in [3, 10], symbol-to-word ratio (# and …) ≤ 0.1, ≥ 80 %
+    of words contain an alphabetic character, ≥ 2 distinct stopwords
+    present.  Output = per-document feature values + the fused
+    ``keep`` verdict, so a pipeline can either filter on ``keep`` or
+    re-threshold the features.
+
+    Entirely per-row: every feature is in-row token-array arithmetic
+    (fold for Σ word length, filter for alpha-words, array_intersect
+    for stopwords, replace-count for symbols) — zero shuffles beyond
+    the scan, embarrassingly parallel at any corpus size, and the
+    whole filter fuses into the scan stage of whatever pipeline
+    consumes it.  All ratios are exact-integer ratios → HALF_UP 6 dp
+    (functions/rounding.py) in both dialects; rule booleans compare
+    the ROUNDED values so both engines decide identically.
+    """
+    from i3cols_spark.functions.rounding import round_half_up
+    from i3cols_spark.functions.text import normalize
+
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    txt = normalize(F.col("text"))
+    toks = F.filter(F.split(txt, r"\s+"), lambda w: w != "")
+    n_words = F.size(toks).cast("long")
+    sum_wlen = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))).cast("long")
+    n_sym = (
+        (F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit(""))))
+        + (F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))) / 3
+    ).cast("long")
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
+        )
+    ).cast("long")
+    feat = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        sum_wlen.alias("sum_wlen"),
+        n_alpha.alias("n_alpha"),
+        n_sym.alias("n_sym"),
+        n_stop.alias("n_stop"),
+    ).filter(F.col("n_words") > 0)
+    mean_wlen = round_half_up(
+        F.col("sum_wlen").cast("double") / F.col("n_words"), 6
+    )
+    frac_alpha = round_half_up(
+        F.col("n_alpha").cast("double") / F.col("n_words"), 6
+    )
+    sym_ratio = round_half_up(
+        F.col("n_sym").cast("double") / F.col("n_words"), 6
+    )
+    keep = (
+        F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+        & mean_wlen.between(3, 10)
+        & (sym_ratio <= 0.1)
+        & (frac_alpha >= 0.8)
+        & (F.col("n_stop") >= 2)
+    )
+    return feat.select(
+        "doc_id",
+        "n_words",
+        mean_wlen.alias("mean_wlen"),
+        frac_alpha.alias("frac_alpha"),
+        sym_ratio.alias("sym_ratio"),
+        "n_stop",
+        keep.alias("keep"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_text_ngram_novelty",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, unnest(shs) AS term
+        FROM (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                   )) AS shs
+            FROM (SELECT doc_id,
+                         string_split_regex(lower(trim(text)), '\\s+') AS toks
+                  FROM documents)
+        )
+    ),
+    fst AS (
+        SELECT term, min(doc_id) AS first_doc FROM sh GROUP BY term
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           floor(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000.0
+               AS novelty
+    FROM sh s JOIN fst f ON f.term = s.term
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — the fraction of a document's
+    distinct 3-gram shingles whose FIRST corpus occurrence (min
+    doc_id, i.e. ingestion order) is this document.  The freshness /
+    diversity diagnostic of incremental corpus growth: a crawl batch
+    whose novelty collapses toward 0 is re-crawling what the corpus
+    already holds, long before any pairwise dedup runs — this is the
+    cheap linear-time signal that GATES the quadratic near-dup
+    machinery.
+
+    Shape: stage 0 collapses exact-duplicate texts (standing rule;
+    the uncollapsed form measured 4.0× at a 10× replication probe).
+    The collapse is EXACT here, not just an optimization, because
+    first-occurrence ids compose: a term's first doc is the min over
+    groups containing it of the group's min member (= the rep id),
+    so only reps can be novel — members inherit n_shingles and score
+    n_novel = 0.  Then one rep-level shingle pass → min-aggregate
+    per shingle (vocabulary-sized shuffle, map-side combined) →
+    re-join the exploded rep stream on shingle, reduce per rep, and
+    expand members arithmetically.  Both shuffles are linear in
+    Σ|distinct-text shingles| and the join key is the shingle, so
+    AQE handles frequent-shingle skew.  All outputs are exact
+    integers and one exact-integer ratio → HALF_UP 6 dp.
+    """
+    from i3cols_spark.functions.rounding import round_half_up
+    from i3cols_spark.functions.text import normalize, shingles
+
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    grp = docs.groupBy(F.xxhash64(normalize(F.col("text"))).alias("th")).agg(
+        F.min("doc_id").alias("rep"),
+        F.sort_array(F.collect_list("doc_id")).alias("ids"),
+        F.first("text").alias("text"),
+    )
+    sh = grp.select("rep", F.explode(shingles("text")).alias("term"))
+    fst = sh.groupBy("term").agg(F.min("rep").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("rep"), 1).otherwise(0)
+    ).cast("long")
+    rep_stats = (
+        sh.join(fst, "term")
+        .groupBy("rep")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            novel.alias("n_novel"),
+        )
+    )
+    per_doc = (
+        grp.select("rep", F.explode("ids").alias("doc_id"))
+        .join(rep_stats, "rep")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.when(F.col("doc_id") == F.col("rep"), F.col("n_novel"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        round_half_up(
+            F.col("n_novel").cast("double") / F.col("n_shingles"), 6
+        ).alias("novelty"),
+    ).orderBy("doc_id")

@@ -1334,3 +1334,131 @@ def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r["trend"], 6).alias("trend"),
         F.round(r["fitted"], 6).alias("fitted"),
     )
+
+
+#: SAX knobs (Lin/Keogh et al. 2003): series length, PAA word length,
+#: and the alphabet-4 Gaussian breakpoints (±0.6745 = Φ⁻¹(¾)).
+_SAX_LEN = 64
+_SAX_SEG = 8
+_SAX_BREAKS = (-0.6745, 0.0, 0.6745)
+
+
+@query(
+    "q_ts_sax_symbolic",
+    oracle=f"""
+    WITH s AS (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    s64 AS (SELECT * FROM s WHERE rn <= {_SAX_LEN}),
+    q AS (
+        SELECT user_id, round(avg(value), 9) AS mu,
+               round(stddev_pop(value), 9) AS sg
+        FROM s64 GROUP BY user_id HAVING count(*) = {_SAX_LEN}
+    ),
+    z AS (
+        SELECT s.user_id,
+               CAST(floor((s.rn - 1) / {_SAX_LEN // _SAX_SEG}) AS BIGINT)
+                   AS seg,
+               CASE WHEN q.sg > 0 THEN (s.value - q.mu) / q.sg
+                    ELSE CAST(0 AS DOUBLE) END AS z
+        FROM s64 s JOIN q ON q.user_id = s.user_id
+    ),
+    paa AS (
+        SELECT user_id, seg, round(avg(z), 9) AS m
+        FROM z GROUP BY user_id, seg
+    ),
+    sym AS (
+        SELECT user_id, seg,
+               CASE WHEN m < {_SAX_BREAKS[0]} THEN 'a'
+                    WHEN m < {_SAX_BREAKS[1]} THEN 'b'
+                    WHEN m < {_SAX_BREAKS[2]} THEN 'c'
+                    ELSE 'd' END AS c
+        FROM paa
+    )
+    SELECT sym.user_id,
+           string_agg(c, '' ORDER BY seg) AS sax,
+           round(any_value(q.mu), 6) AS mu,
+           round(any_value(q.sg), 6) AS sg
+    FROM sym JOIN q ON q.user_id = sym.user_id
+    GROUP BY sym.user_id
+    ORDER BY sym.user_id
+    """,
+)
+def q_ts_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (Lin & Keogh 2003) — each user's first
+    {_SAX_LEN} event values (ordered by ts, event_id) z-normalized,
+    PAA-compressed to {_SAX_SEG} segment means, and quantized against
+    the alphabet-4 Gaussian breakpoints ±0.6745/0 into an 8-character
+    word.  The symbolic fingerprint is what motif discovery, series
+    dedup and index-accelerated similarity run on INSTEAD of raw
+    floats — the time-series twin of document fingerprinting.  Users
+    with fewer than {_SAX_LEN} events are out of scope (no partial
+    words).
+
+    Shape: one window pass (row_number per user) → per-user stats →
+    per-segment means → one symbol concat; every stage is keyed by
+    user_id, so the SAME hash partitioning carries through and the
+    per-user state is 8 segment rows — linear in users at any scale.
+    Cross-engine FP: μ, σ and segment means are multi-row float
+    reductions → rounded 9 dp in both dialects before any breakpoint
+    comparison (so both engines quantize identical doubles); σ = 0
+    series z-map to 0.  Symbol assembly orders by segment index in
+    both dialects (array_sort on the struct / ORDER BY inside
+    string_agg).
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+    s64 = ev.withColumn("rn", rn).filter(F.col("rn") <= _SAX_LEN)
+    q = (
+        s64.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 9).alias("mu"),
+            F.round(F.stddev_pop("value"), 9).alias("sg"),
+        )
+        .filter(F.col("n") == _SAX_LEN)
+        .drop("n")
+    )
+    z = s64.join(q, "user_id").select(
+        "user_id",
+        "mu",
+        "sg",
+        F.floor((F.col("rn") - 1) / (_SAX_LEN // _SAX_SEG))
+        .cast("long")
+        .alias("seg"),
+        F.when(
+            F.col("sg") > 0, (F.col("value") - F.col("mu")) / F.col("sg")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("z"),
+    )
+    paa = z.groupBy("user_id", "seg").agg(
+        F.round(F.avg("z"), 9).alias("m"),
+        F.first("mu").alias("mu"),
+        F.first("sg").alias("sg"),
+    )
+    sym = (
+        F.when(F.col("m") < _SAX_BREAKS[0], "a")
+        .when(F.col("m") < _SAX_BREAKS[1], "b")
+        .when(F.col("m") < _SAX_BREAKS[2], "c")
+        .otherwise("d")
+    )
+    return (
+        paa.select("user_id", "seg", sym.alias("c"), "mu", "sg")
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg", "c"))),
+                    lambda x: x["c"],
+                ),
+                "",
+            ).alias("sax"),
+            F.round(F.first("mu"), 6).alias("mu"),
+            F.round(F.first("sg"), 6).alias("sg"),
+        )
+        .orderBy("user_id")
+    )

@@ -1060,3 +1060,357 @@ def test_pack_sequences_bpe_consistent_with_tokenize_and_budget(spark, sf_dir):
             assert r["pack_id"] == f"{source}/{want_seq}"
             prev_seq = r["pack_seq"]
             offset += r["n_bpe_tokens"]
+
+
+def _rhu(x: float, dp: int) -> float:
+    """HALF_UP rounding matching functions/rounding.py (python round()
+    is half-to-even and would diverge on exact boundaries)."""
+    import math
+
+    s = 10.0**dp
+    return math.floor(x * s + 0.5) / s
+
+
+def test_hybrid_rrf_consistent_with_component_rankers(spark, sf_dir):
+    """q_similarity_hybrid_rrf: every fused score must equal the RRF
+    formula applied to its own rank columns, ranks must be valid
+    (1..depth, unique per ranker), and the lexical rank-1 doc must be
+    BM25's own top hit."""
+    rows = QUERIES["q_similarity_hybrid_rrf"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        want = (1.0 / (60 + r["rank_lex"]) if r["rank_lex"] else 0.0) + (
+            1.0 / (60 + r["rank_dense"]) if r["rank_dense"] else 0.0
+        )
+        assert abs(r["rrf"] - want) <= 2e-6, r
+        assert r["rank_lex"] is not None or r["rank_dense"] is not None
+        for k in ("rank_lex", "rank_dense"):
+            assert r[k] is None or 1 <= r[k] <= 50
+    lex1 = [r["doc_id"] for r in rows if r["rank_lex"] == 1]
+    if lex1:
+        bm = QUERIES["q_text_bm25_search"](spark, sf_dir).collect()
+        assert lex1 == [bm[0]["doc_id"]]
+
+
+def test_tfidf_cosine_matches_python_brute_force(spark, sf_dir):
+    """q_text_tfidf_cosine: the top-20 pairs and their cosines must
+    equal an independent all-pairs python recomputation of the
+    3-gram-shingle TF-IDF space (df ≤ 200)."""
+    import math
+    from collections import Counter
+
+    docs = {
+        r["doc_id"]: r["text"].strip().lower().split()
+        for r in table(spark, sf_dir, "documents").collect()
+    }
+    vecs = {}
+    for d, toks in docs.items():
+        n = max(len(toks) - 2, 1)
+        vecs[d] = Counter(" ".join(toks[i : i + 3]) for i in range(n))
+    df = Counter(t for v in vecs.values() for t in v)
+    nd = len(docs)
+    w = {
+        d: {t: c * math.log(nd / df[t]) for t, c in v.items() if df[t] <= 200}
+        for d, v in vecs.items()
+    }
+    n2 = {d: _rhu(sum(x * x for x in v.values()), 9) for d, v in w.items()}
+    sims = []
+    ids = sorted(w)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            shared = set(w[a]) & set(w[b])
+            if not shared:
+                continue
+            num = _rhu(sum(w[a][t] * w[b][t] for t in shared), 9)
+            sims.append(
+                (a, b, len(shared), num / (math.sqrt(n2[a]) * math.sqrt(n2[b])))
+            )
+    want = sorted(sims, key=lambda s: (-round(s[3], 6), s[0], s[1]))[:20]
+    got = [
+        (r["doc_a"], r["doc_b"], r["n_shared"], r["cos_sim"])
+        for r in QUERIES["q_text_tfidf_cosine"](spark, sf_dir).collect()
+    ]
+    assert [(g[0], g[1], g[2]) for g in got] == [(x[0], x[1], x[2]) for x in want]
+    for g, x in zip(got, want):
+        assert abs(g[3] - x[3]) <= 2e-6, (g, x)
+
+
+def test_graph_hits_matches_python(spark, sf_dir):
+    """q_graph_hits: both top-20 lists must match a python
+    recomputation of the 2-round max-normalized mutual reinforcement
+    over the distinct customer→supplier edge set."""
+    from collections import defaultdict
+
+    o = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in table(spark, sf_dir, "orders").collect()
+    }
+    edges = sorted(
+        {
+            (o[r["l_orderkey"]], r["l_suppkey"])
+            for r in table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_suppkey")
+            .collect()
+            if r["l_orderkey"] in o
+        }
+    )
+
+    def half_step(score, src_side, dp):
+        raw = defaultdict(float)
+        for c, s in edges:
+            if src_side == "cust":
+                raw[s] += score.get(c, 0.0)
+            else:
+                raw[c] += score.get(s, 0.0)
+        raw = {k: _rhu(v, 12) for k, v in raw.items()}
+        mx = max(raw.values())
+        return {k: _rhu(v / mx, dp) for k, v in raw.items()}
+
+    h0 = {c: 1.0 for c, _ in edges}
+    a1 = half_step(h0, "cust", 12)
+    h1 = half_step(a1, "supp", 12)
+    a2 = half_step(h1, "cust", 6)
+    h2 = half_step(a2, "supp", 6)
+    want_a = sorted(a2.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    want_h = sorted(h2.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = QUERIES["q_graph_hits"](spark, sf_dir).collect()
+    got_a = [(r["node"], r["score"]) for r in got if r["kind"] == "auth"]
+    got_h = [(r["node"], r["score"]) for r in got if r["kind"] == "hub"]
+    assert [n for n, _ in got_a] == [n for n, _ in want_a]
+    assert [n for n, _ in got_h] == [n for n, _ in want_h]
+    for gl, wl in ((got_a, want_a), (got_h, want_h)):
+        for (gn, gs), (wn, ws) in zip(gl, wl):
+            assert abs(gs - ws) <= 2e-6, (gn, gs, ws)
+
+
+def test_embedding_outliers_matches_numpy(spark, sf_dir):
+    """q_embedding_outliers: flagged set and z-scores must match a
+    numpy recomputation (same staged rounding)."""
+    import numpy as np
+
+    rows = table(spark, sf_dir, "embeddings").collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(
+            (r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+        )
+    want = []
+    for lbl, vs in by_label.items():
+        cent = np.round(np.mean([v for _, v in vs], axis=0), 9)
+        dists = {
+            vid: float(np.sqrt(_rhu(float(((v - cent) ** 2).sum()), 9)))
+            for vid, v in vs
+        }
+        mu = _rhu(float(np.mean(list(dists.values()))), 9)
+        sg = _rhu(float(np.std(list(dists.values()))), 9)
+        for vid, d in dists.items():
+            z = _rhu((d - mu) / sg, 6) if sg > 0 else 0.0
+            if abs(z) > 2:
+                want.append((lbl, vid, z))
+    got = [
+        (r["label"], r["vec_id"], r["z"])
+        for r in QUERIES["q_embedding_outliers"](spark, sf_dir).collect()
+    ]
+    assert sorted((l, v) for l, v, _ in want) == [(l, v) for l, v, _ in got]
+    wz = {(l, v): z for l, v, z in want}
+    for l, v, z in got:
+        assert abs(z - wz[(l, v)]) <= 2e-6, (l, v, z)
+
+
+def test_gopher_rules_matches_python(spark, sf_dir):
+    """q_text_gopher_rules: per-doc features must match a direct
+    python recomputation, and keep must be the conjunction of the
+    five published rules."""
+    from i3cols_spark.operators.textops import _GOPHER_STOPWORDS
+
+    docs = {
+        r["doc_id"]: r["text"].strip().lower()
+        for r in table(spark, sf_dir, "documents").collect()
+    }
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["q_text_gopher_rules"](spark, sf_dir).collect()
+    }
+    assert set(got) == {d for d, t in docs.items() if t.split()}
+    for d, txt in docs.items():
+        toks = [w for w in txt.split() if w]
+        if not toks:
+            continue
+        n = len(toks)
+        r = got[d]
+        assert r["n_words"] == n
+        mean_wlen = _rhu(sum(map(len, toks)) / n, 6)
+        frac_alpha = _rhu(
+            sum(1 for w in toks if any(c.isalpha() for c in w)) / n, 6
+        )
+        n_sym = txt.count("#") + txt.count("...")
+        sym_ratio = _rhu(n_sym / n, 6)
+        n_stop = len(set(toks) & set(_GOPHER_STOPWORDS))
+        assert abs(r["mean_wlen"] - mean_wlen) <= 1e-9
+        assert abs(r["frac_alpha"] - frac_alpha) <= 1e-9
+        assert abs(r["sym_ratio"] - sym_ratio) <= 1e-9
+        assert r["n_stop"] == n_stop
+        keep = (
+            50 <= n <= 100_000
+            and 3 <= mean_wlen <= 10
+            and sym_ratio <= 0.1
+            and frac_alpha >= 0.8
+            and n_stop >= 2
+        )
+        assert r["keep"] == keep, (d, r)
+
+
+def test_sax_symbolic_matches_python(spark, sf_dir):
+    """q_ts_sax_symbolic: every emitted word must match a python
+    recomputation (first 64 events by (ts, event_id), z-norm with the
+    staged 9 dp rounding, PAA-8, breakpoints ±0.6745/0), and users
+    with < 64 events must be absent."""
+    import math
+
+    ev = sorted(
+        (
+            (r["user_id"], r["ts"], r["event_id"], r["value"])
+            for r in table(spark, sf_dir, "events").collect()
+        ),
+        key=lambda x: (x[0], x[1], x[2]),
+    )
+    series = {}
+    for u, _, _, v in ev:
+        series.setdefault(u, []).append(v)
+    want = {}
+    for u, vals in series.items():
+        if len(vals) < 64:
+            continue
+        s = vals[:64]
+        mu = _rhu(sum(s) / 64, 9)
+        sg = _rhu(math.sqrt(sum((x - mu) ** 2 for x in s) / 64), 9)
+        z = [(x - mu) / sg if sg > 0 else 0.0 for x in s]
+        word = ""
+        for seg in range(8):
+            m = _rhu(sum(z[seg * 8 : seg * 8 + 8]) / 8, 9)
+            word += "a" if m < -0.6745 else "b" if m < 0 else "c" if m < 0.6745 else "d"
+        want[u] = word
+    got = {
+        r["user_id"]: r["sax"]
+        for r in QUERIES["q_ts_sax_symbolic"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_sample_temperature_matches_python(spark, sf_dir):
+    """q_sample_temperature: the α=0.7 policy table must match a
+    python recomputation, shares must sum to ~1, and the temperature
+    must compress the spread (max/min of q_temp ≤ max/min of p)."""
+    from collections import Counter
+
+    langs = Counter(
+        r["lang"] for r in table(spark, sf_dir, "documents").collect()
+    )
+    n = sum(langs.values())
+    sc = {l: (c / n) ** 0.7 for l, c in langs.items()}
+    zsum = _rhu(sum(sc.values()), 9)
+    rows = QUERIES["q_sample_temperature"](spark, sf_dir).collect()
+    assert sorted(r["lang"] for r in rows) == sorted(langs)
+    for r in rows:
+        q = sc[r["lang"]] / zsum
+        assert abs(r["q_temp"] - q) <= 2e-6
+        assert r["n_docs"] == langs[r["lang"]]
+        assert r["target_n"] == int((round(q, 6) * n + 0.5) // 1)
+        assert abs(r["epochs"] - _rhu(r["target_n"] / r["n_docs"], 6)) <= 1e-9
+    ps = [r["p"] for r in rows]
+    qs = [r["q_temp"] for r in rows]
+    assert abs(sum(qs) - 1.0) <= 1e-4
+    assert max(qs) / min(qs) <= max(ps) / min(ps) + 1e-9
+
+
+def test_ngram_novelty_first_doc_is_fully_novel(spark, sf_dir):
+    """q_text_ngram_novelty: the smallest doc_id is 100% novel by
+    construction; per-doc 0 ≤ n_novel ≤ n_shingles; and Σ n_novel
+    over all docs equals the distinct-shingle vocabulary size."""
+    rows = QUERIES["q_text_ngram_novelty"](spark, sf_dir).collect()
+    first = min(rows, key=lambda r: r["doc_id"])
+    assert first["n_novel"] == first["n_shingles"]
+    assert first["novelty"] == 1.0
+    for r in rows:
+        assert 0 <= r["n_novel"] <= r["n_shingles"]
+    from i3cols_spark.functions.text import shingles
+
+    vocab = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(shingles("text")).alias("t"))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_novel"] for r in rows) == vocab
+
+
+def test_dim_truncation_recall_sane_and_self_consistent(spark, sf_dir):
+    """q_similarity_dim_truncation: recall@k = n_overlap/k, overlap
+    is monotone non-decreasing in k, and recall@k = 1 would require
+    the truncated ranking to agree exactly — verify overlap counts
+    against an independent numpy recomputation of both rankings."""
+    import numpy as np
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in table(spark, sf_dir, "embeddings").collect()
+    }
+    q = emb[0]
+
+    def topk(dim):
+        scored = []
+        for vid, v in emb.items():
+            if vid == 0:
+                continue
+            a, b = v[:dim], q[:dim]
+            c = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            scored.append((vid, round(c, 6)))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        return [vid for vid, _ in scored[:10]]
+
+    full, trunc = topk(64), topk(16)
+    rows = sorted(
+        QUERIES["q_similarity_dim_truncation"](spark, sf_dir).collect(),
+        key=lambda r: r["k"],
+    )
+    prev = 0
+    for r in rows:
+        k = r["k"]
+        want = len(set(full[:k]) & set(trunc[:k]))
+        assert r["n_overlap"] == want, (k, r["n_overlap"], want)
+        assert r["n_overlap"] >= prev
+        prev = r["n_overlap"]
+        assert abs(r["recall_at_k"] - _rhu(r["n_overlap"] / k, 6)) <= 1e-9
+
+
+def test_spearman_matches_scipy_free_recomputation(spark, sf_dir):
+    """q_stats_spearman: ρ must equal a numpy average-rank
+    recomputation (no scipy in the container), and Spearman of a
+    strictly monotone transform of x against x must be 1."""
+    import numpy as np
+
+    rows = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_quantity", "l_extendedprice")
+        .collect()
+    )
+    x = np.array([r["l_quantity"] for r in rows])
+    y = np.array([r["l_extendedprice"] for r in rows])
+
+    def avg_ranks(v):
+        order = np.argsort(v, kind="stable")
+        ranks = np.empty(len(v), dtype=np.float64)
+        sv = v[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            ranks[order[i:j]] = (i + 1 + j) / 2.0
+            i = j
+        return ranks
+
+    rho = float(np.corrcoef(avg_ranks(x), avg_ranks(y))[0, 1])
+    got = QUERIES["q_stats_spearman"](spark, sf_dir).collect()[0]
+    assert got["n"] == len(rows)
+    assert abs(got["spearman_rho"] - rho) <= 2e-6
