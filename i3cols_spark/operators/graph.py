@@ -1784,3 +1784,117 @@ def q_graph_hits(spark, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return topa.unionAll(toph)
+
+
+@query(
+    "q_graph_modularity",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    lab AS (
+        SELECT e.cust, e.supp,
+               c.c_nationkey AS nc, s.s_nationkey AS ns
+        FROM edges e
+        JOIN customer c ON c.c_custkey = e.cust
+        JOIN supplier s ON s.s_suppkey = e.supp
+    ),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM lab),
+    intra AS (
+        SELECT nc AS community, CAST(count(*) AS BIGINT) AS e_c
+        FROM lab WHERE nc = ns GROUP BY nc
+    ),
+    deg AS (
+        SELECT community, CAST(sum(d) AS BIGINT) AS deg_c
+        FROM (
+            SELECT nc AS community, count(*) AS d FROM lab GROUP BY nc
+            UNION ALL
+            SELECT ns AS community, count(*) AS d FROM lab GROUP BY ns
+        )
+        GROUP BY community
+    ),
+    terms AS (
+        SELECT d.community,
+               coalesce(i.e_c, 0) AS e_c,
+               d.deg_c,
+               round(CAST(coalesce(i.e_c, 0) AS DOUBLE) / m.m
+                     - (CAST(d.deg_c AS DOUBLE) / (2 * m.m))
+                       * (CAST(d.deg_c AS DOUBLE) / (2 * m.m)), 9) AS q_term
+        FROM deg d LEFT JOIN intra i ON i.community = d.community, m
+    )
+    SELECT CAST(community AS BIGINT) AS community, e_c, deg_c, q_term,
+           round(sum(q_term) OVER (), 6) AS q_modularity
+    FROM terms
+    ORDER BY community
+    """,
+)
+def q_graph_modularity(spark, sf_dir: str) -> DataFrame:
+    """Newman modularity of the NATION partition over the undirected
+    customer↔supplier trading graph — the partition-quality metric
+    community detection optimizes, here evaluating the a-priori
+    geographic communities: Q = Σ_c [e_c/m − (deg_c/2m)²], emitted
+    per community (its intra-community edge count, total degree and
+    modularity term) with the global Q as a window sum — the
+    decomposition says WHICH communities are denser than chance.
+
+    Shape: one |E|-row edge build (the pagerank/HITS edge set) with
+    two dimension joins for endpoint labels (customer/supplier are
+    broadcastable dims), then |communities|-row aggregates; the Q
+    fold is a window over ≤ |nations| rows.  e_c, deg_c, m are exact
+    integers; per-community terms are per-row IEEE on exact inputs →
+    rounded 9 dp; the global sum over the tiny community table
+    rounds 6 dp (both dialects).
+    """
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    lab = (
+        edges.join(F.broadcast(cust), edges.cust == cust.c_custkey)
+        .join(F.broadcast(supp), edges.supp == supp.s_suppkey)
+        .select(F.col("c_nationkey").alias("nc"), F.col("s_nationkey").alias("ns"))
+        .localCheckpoint()
+    )
+    m = lab.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    intra = (
+        lab.filter(F.col("nc") == F.col("ns"))
+        .groupBy(F.col("nc").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_c"))
+    )
+    deg = (
+        lab.select(F.col("nc").alias("community"))
+        .unionAll(lab.select(F.col("ns").alias("community")))
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg_c"))
+    )
+    q_term = F.round(
+        F.coalesce("e_c", F.lit(0)).cast("double") / F.col("m")
+        - (F.col("deg_c").cast("double") / (2 * F.col("m")))
+        * (F.col("deg_c").cast("double") / (2 * F.col("m"))),
+        9,
+    )
+    from pyspark.sql.window import Window as W
+
+    terms = (
+        deg.join(intra, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("community").cast("long").alias("community"),
+            F.coalesce("e_c", F.lit(0).cast("long")).alias("e_c"),
+            "deg_c",
+            q_term.alias("q_term"),
+        )
+    )
+    return terms.select(
+        "community",
+        "e_c",
+        "deg_c",
+        "q_term",
+        F.round(F.sum("q_term").over(W.partitionBy()), 6).alias("q_modularity"),
+    ).orderBy("community")

