@@ -98,6 +98,15 @@ HEADLINE = [
     # layout).  First-inclusion baselines in BASELINE.md §round-9.
     "q_join_interval_grid",
     "q_similarity_ann_ivf_partitioned",
+    # Round-9 waves 4-6: the heaviest new plans — the collapsed
+    # TF-IDF posting self-join, the two-ranker RRF fusion, the
+    # two-round HITS iteration, and the full Lloyd k-means iteration
+    # (two argmin folds + an M-step).  First-inclusion baselines in
+    # BASELINE.md §round-9 wave-4/5/6.
+    "q_text_tfidf_cosine",
+    "q_similarity_hybrid_rrf",
+    "q_graph_hits",
+    "q_embedding_kmeans_update",
 ]
 
 #: Timed in pass 1 only: q_join_interval_grid's cost is the inherent

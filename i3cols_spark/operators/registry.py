@@ -484,6 +484,9 @@ POST_R9_ADDITIONS: tuple[str, ...] = (
     "q_graph_modularity",
     "q_text_heaps_law",
     "q_stats_kendall_tau",
+    # round-9 wave 7 — greedy-selection pattern (coreset / RAG rerank)
+    "q_sample_kcenter",
+    "q_similarity_mmr",
 )
 
 #: Round-9 rotation (VERDICT r08 item 1 + item 4).  After round 8 the

@@ -2310,3 +2310,351 @@ def q_embedding_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+
+
+#: Greedy farthest-point (k-center) coreset rounds and the MMR
+#: diversification knobs (Carbonell & Goldstein 1998: lambda trades
+#: relevance against redundancy).
+_KCENTER_ROUNDS = 8
+_MMR_LAMBDA = 0.7
+_MMR_K = 5
+_MMR_CAND = 20
+
+
+@query(
+    "q_sample_kcenter",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    m0 AS MATERIALIZED (
+        SELECT e.vec_id, e.v,
+               round(list_distance(e.v, s.v), 6) AS d
+        FROM e, (SELECT v FROM e WHERE vec_id = 0) s
+        WHERE e.vec_id <> 0
+    ),
+    sel1 AS MATERIALIZED (
+        SELECT vec_id, v, d FROM m0 ORDER BY d DESC, vec_id LIMIT 1
+    ),
+    m1 AS MATERIALIZED (
+        SELECT m.vec_id, m.v,
+               least(m.d, round(list_distance(m.v, s.v), 6)) AS d
+        FROM m0 m, sel1 s
+        WHERE m.vec_id <> s.vec_id
+    ),
+    sel2 AS MATERIALIZED (
+        SELECT vec_id, v, d FROM m1 ORDER BY d DESC, vec_id LIMIT 1
+    ),
+    m2 AS MATERIALIZED (
+        SELECT m.vec_id, m.v,
+               least(m.d, round(list_distance(m.v, s.v), 6)) AS d
+        FROM m1 m, sel2 s
+        WHERE m.vec_id <> s.vec_id
+    ),
+    sel3 AS MATERIALIZED (
+        SELECT vec_id, v, d FROM m2 ORDER BY d DESC, vec_id LIMIT 1
+    ),
+    m3 AS MATERIALIZED (
+        SELECT m.vec_id, m.v,
+               least(m.d, round(list_distance(m.v, s.v), 6)) AS d
+        FROM m2 m, sel3 s
+        WHERE m.vec_id <> s.vec_id
+    ),
+    sel4 AS MATERIALIZED (
+        SELECT vec_id, v, d FROM m3 ORDER BY d DESC, vec_id LIMIT 1
+    ),
+    m4 AS MATERIALIZED (
+        SELECT m.vec_id, m.v,
+               least(m.d, round(list_distance(m.v, s.v), 6)) AS d
+        FROM m3 m, sel4 s
+        WHERE m.vec_id <> s.vec_id
+    ),
+    sel5 AS MATERIALIZED (
+        SELECT vec_id, v, d FROM m4 ORDER BY d DESC, vec_id LIMIT 1
+    ),
+    m5 AS MATERIALIZED (
+        SELECT m.vec_id, m.v,
+               least(m.d, round(list_distance(m.v, s.v), 6)) AS d
+        FROM m4 m, sel5 s
+        WHERE m.vec_id <> s.vec_id
+    ),
+    sel6 AS MATERIALIZED (
+        SELECT vec_id, v, d FROM m5 ORDER BY d DESC, vec_id LIMIT 1
+    ),
+    m6 AS MATERIALIZED (
+        SELECT m.vec_id, m.v,
+               least(m.d, round(list_distance(m.v, s.v), 6)) AS d
+        FROM m5 m, sel6 s
+        WHERE m.vec_id <> s.vec_id
+    ),
+    sel7 AS MATERIALIZED (
+        SELECT vec_id, v, d FROM m6 ORDER BY d DESC, vec_id LIMIT 1
+    ),
+    m7 AS MATERIALIZED (
+        SELECT m.vec_id, m.v,
+               least(m.d, round(list_distance(m.v, s.v), 6)) AS d
+        FROM m6 m, sel7 s
+        WHERE m.vec_id <> s.vec_id
+    ),
+    sel8 AS MATERIALIZED (
+        SELECT vec_id, v, d FROM m7 ORDER BY d DESC, vec_id LIMIT 1
+    )
+    SELECT CAST(1 AS BIGINT) AS round, vec_id, d AS covering_dist FROM sel1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT) AS round, vec_id, d AS covering_dist FROM sel2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT) AS round, vec_id, d AS covering_dist FROM sel3
+    UNION ALL
+    SELECT CAST(4 AS BIGINT) AS round, vec_id, d AS covering_dist FROM sel4
+    UNION ALL
+    SELECT CAST(5 AS BIGINT) AS round, vec_id, d AS covering_dist FROM sel5
+    UNION ALL
+    SELECT CAST(6 AS BIGINT) AS round, vec_id, d AS covering_dist FROM sel6
+    UNION ALL
+    SELECT CAST(7 AS BIGINT) AS round, vec_id, d AS covering_dist FROM sel7
+    UNION ALL
+    SELECT CAST(8 AS BIGINT) AS round, vec_id, d AS covering_dist FROM sel8
+    ORDER BY round
+    """,
+)
+def q_sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy farthest-point (k-center / Gonzalez 1985) coreset
+    selection over the embedding corpus — 8 rounds from the
+    vec_id = 0 seed, each picking the point FARTHEST from the chosen
+    set (max over points of min distance to the set) and emitting the
+    covering radius at selection time.  The diversity-sampling
+    primitive of data curation: the k selected rows are the 2-approx
+    optimal coverage skeleton a labeling/inspection budget buys, and
+    the decreasing covering_dist sequence IS the coverage curve.
+
+    This is the engine's greedy-selection pattern (new beside the
+    fixpoint loops): per round ONE argmax — an orderBy(desc d,
+    id).limit(1), i.e. a TakeOrdered 1-row heap, never a window —
+    then a 1-row broadcast updates the running min-distance column
+    and the frame localCheckpoints (the _cc_loop discipline; lineage
+    would otherwise deepen k-fold).  Cost: k corpus scans, each
+    embarrassingly parallel.  Distances round 6 dp BEFORE every
+    comparison (both dialects) so argmax ties break identically on
+    vec_id.
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    seed = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("sv"))
+
+    def dist_to(col_other: str) -> "F.Column":
+        return F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with("v", col_other, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            6,
+        )
+
+    m = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(seed))
+        .select("vec_id", "v", dist_to("sv").alias("d"))
+        .localCheckpoint()
+    )
+    outs = []
+    for r in range(1, _KCENTER_ROUNDS + 1):
+        sel = m.orderBy(F.desc("d"), F.asc("vec_id")).limit(1)
+        outs.append(
+            sel.select(
+                F.lit(r).cast("long").alias("round"),
+                "vec_id",
+                F.col("d").alias("covering_dist"),
+            )
+        )
+        if r < _KCENTER_ROUNDS:
+            sel_b = F.broadcast(
+                sel.select(
+                    F.col("vec_id").alias("sel_id"), F.col("v").alias("sv")
+                )
+            )
+            m = (
+                m.crossJoin(sel_b)
+                .filter(F.col("vec_id") != F.col("sel_id"))
+                .select(
+                    "vec_id",
+                    "v",
+                    F.least(F.col("d"), dist_to("sv")).alias("d"),
+                )
+                .localCheckpoint()
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("round")
+
+
+@query(
+    "q_similarity_mmr",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    cand AS MATERIALIZED (
+        SELECT e.vec_id, e.v,
+               round(list_cosine_similarity(e.v, q.v), 6) AS simq
+        FROM e, (SELECT v FROM e WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+        ORDER BY simq DESC, e.vec_id LIMIT 20
+    ),
+    pairs AS MATERIALIZED (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               round(list_cosine_similarity(a.v, b.v), 6) AS s
+        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    sel1 AS MATERIALIZED (
+        SELECT vec_id, simq FROM cand ORDER BY simq DESC, vec_id LIMIT 1
+    ),
+    chosen1 AS MATERIALIZED (SELECT vec_id FROM sel1),
+    sel2 AS MATERIALIZED (
+        SELECT c.vec_id, c.simq,
+               round(0.7 * c.simq - 0.3 * max(p.s), 6) AS mmr
+        FROM cand c
+        JOIN pairs p ON p.ia = c.vec_id
+        JOIN chosen1 ch ON ch.vec_id = p.ib
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM chosen1)
+        GROUP BY c.vec_id, c.simq
+        ORDER BY mmr DESC, c.vec_id LIMIT 1
+    ),
+    chosen2 AS MATERIALIZED (
+        SELECT vec_id FROM chosen1 UNION ALL SELECT vec_id FROM sel2
+    ),
+    sel3 AS MATERIALIZED (
+        SELECT c.vec_id, c.simq,
+               round(0.7 * c.simq - 0.3 * max(p.s), 6) AS mmr
+        FROM cand c
+        JOIN pairs p ON p.ia = c.vec_id
+        JOIN chosen2 ch ON ch.vec_id = p.ib
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM chosen2)
+        GROUP BY c.vec_id, c.simq
+        ORDER BY mmr DESC, c.vec_id LIMIT 1
+    ),
+    chosen3 AS MATERIALIZED (
+        SELECT vec_id FROM chosen2 UNION ALL SELECT vec_id FROM sel3
+    ),
+    sel4 AS MATERIALIZED (
+        SELECT c.vec_id, c.simq,
+               round(0.7 * c.simq - 0.3 * max(p.s), 6) AS mmr
+        FROM cand c
+        JOIN pairs p ON p.ia = c.vec_id
+        JOIN chosen3 ch ON ch.vec_id = p.ib
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM chosen3)
+        GROUP BY c.vec_id, c.simq
+        ORDER BY mmr DESC, c.vec_id LIMIT 1
+    ),
+    chosen4 AS MATERIALIZED (
+        SELECT vec_id FROM chosen3 UNION ALL SELECT vec_id FROM sel4
+    ),
+    sel5 AS MATERIALIZED (
+        SELECT c.vec_id, c.simq,
+               round(0.7 * c.simq - 0.3 * max(p.s), 6) AS mmr
+        FROM cand c
+        JOIN pairs p ON p.ia = c.vec_id
+        JOIN chosen4 ch ON ch.vec_id = p.ib
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM chosen4)
+        GROUP BY c.vec_id, c.simq
+        ORDER BY mmr DESC, c.vec_id LIMIT 1
+    ),
+    chosen5 AS MATERIALIZED (
+        SELECT vec_id FROM chosen4 UNION ALL SELECT vec_id FROM sel5
+    )
+    SELECT CAST(1 AS BIGINT) AS rank, vec_id, simq,
+           round(0.7 * simq, 6) AS mmr
+    FROM sel1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT) AS rank, vec_id, simq, mmr FROM sel2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT) AS rank, vec_id, simq, mmr FROM sel3
+    UNION ALL
+    SELECT CAST(4 AS BIGINT) AS rank, vec_id, simq, mmr FROM sel4
+    UNION ALL
+    SELECT CAST(5 AS BIGINT) AS rank, vec_id, simq, mmr FROM sel5
+    ORDER BY rank
+    """,
+)
+def q_similarity_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998)
+    diversified top-5 for the query vector vec_id = 0:
+    candidates are the cosine top-20; selection is greedy by
+    mmr = λ·sim(q, d) − (1 − λ)·max over selected of sim(d, s),
+    λ = 0.7 — THE re-ranking step a RAG stack runs between
+    retrieval (q_similarity_hybrid_rrf) and the context window, so
+    near-duplicate passages don't crowd out coverage.
+
+    Scale shape: ONE corpus scan produces the 20-candidate
+    pool (TakeOrdered heap); everything after operates on ≤ 20
+    rows (the 20²-pair sim table and 5 greedy argmax
+    rounds are metadata-sized by construction — the candidate-depth
+    knob is what keeps the quadratic term constant at any corpus
+    size).  Similarities round 6 dp before every comparison; greedy
+    ties break on vec_id; the unrolled 5-round trajectory is
+    value-hash-checked end-to-end by the MATERIALIZED-CTE oracle
+    (the BPE-learner precedent).
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "v", F.round(cosine("v", "qv"), 6).alias("simq"))
+        .orderBy(F.desc("simq"), F.asc("vec_id"))
+        .limit(_MMR_CAND)
+        .localCheckpoint()
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    pairs = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("ia"),
+            F.col("b.vec_id").alias("ib"),
+            F.round(cosine("a.v", "b.v"), 6).alias("s"),
+        )
+        .localCheckpoint()
+    )
+    sel = cand.orderBy(F.desc("simq"), F.asc("vec_id")).limit(1)
+    outs = [
+        sel.select(
+            F.lit(1).cast("long").alias("rank"),
+            "vec_id",
+            "simq",
+            F.round(F.lit(_MMR_LAMBDA) * F.col("simq"), 6).alias("mmr"),
+        )
+    ]
+    chosen = sel.select("vec_id")
+    for t in range(2, _MMR_K + 1):
+        scored = (
+            cand.join(chosen, "vec_id", "left_anti")
+            .join(pairs, cand.vec_id == pairs.ia)
+            .join(chosen.withColumnRenamed("vec_id", "ib"), "ib")
+            .groupBy(cand.vec_id, "simq")
+            .agg(
+                F.round(
+                    F.lit(_MMR_LAMBDA) * F.first("simq")
+                    - F.lit(round(1 - _MMR_LAMBDA, 1)) * F.max("s"),
+                    6,
+                ).alias("mmr")
+            )
+        )
+        pick = scored.orderBy(F.desc("mmr"), F.asc("vec_id")).limit(1)
+        outs.append(
+            pick.select(
+                F.lit(t).cast("long").alias("rank"), "vec_id", "simq", "mmr"
+            )
+        )
+        chosen = chosen.unionAll(pick.select("vec_id"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("rank")

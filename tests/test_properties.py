@@ -1564,3 +1564,83 @@ def test_kendall_tau_matches_python_contingency(spark, sf_dir):
 
     tau = (conc - disc) / math.sqrt((n0 - n1) * (n0 - n2))
     assert abs(got["tau_b"] - tau) <= 2e-6
+
+
+def test_kcenter_matches_python_greedy(spark, sf_dir):
+    """q_sample_kcenter: the 8 selections and covering distances must
+    match a python farthest-point recomputation, and the covering
+    radius must be non-increasing (the Gonzalez invariant)."""
+    import numpy as np
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in table(spark, sf_dir, "embeddings").collect()
+    }
+    mind = {
+        vid: round(float(np.linalg.norm(v - emb[0])), 6)
+        for vid, v in emb.items()
+        if vid != 0
+    }
+    want = []
+    for _ in range(8):
+        pick = max(mind.items(), key=lambda kv: (kv[1], -kv[0]))
+        best = min(k for k, d in mind.items() if d == pick[1])
+        want.append((best, mind[best]))
+        sel = emb[best]
+        del mind[best]
+        for vid in mind:
+            mind[vid] = min(
+                mind[vid], round(float(np.linalg.norm(emb[vid] - sel)), 6)
+            )
+    rows = sorted(
+        QUERIES["q_sample_kcenter"](spark, sf_dir).collect(),
+        key=lambda r: r["round"],
+    )
+    got = [(r["vec_id"], r["covering_dist"]) for r in rows]
+    assert [g[0] for g in got] == [w[0] for w in want], (got, want)
+    for (gv, gd), (wv, wd) in zip(got, want):
+        assert abs(gd - wd) <= 2e-6
+    dists = [d for _, d in got]
+    assert all(dists[i] >= dists[i + 1] - 1e-9 for i in range(len(dists) - 1))
+
+
+def test_mmr_matches_python_greedy(spark, sf_dir):
+    """q_similarity_mmr: the 5-row greedy trajectory must match a
+    python MMR recomputation over the same top-20 candidate pool,
+    selections must be distinct, and rank 1 must be the pure-cosine
+    top hit."""
+    import numpy as np
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in table(spark, sf_dir, "embeddings").collect()
+    }
+    q = emb[0]
+
+    def cos(a, b):
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    simq = {vid: cos(v, q) for vid, v in emb.items() if vid != 0}
+    cand = sorted(simq.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    pool = dict(cand)
+    sel = [cand[0][0]]
+    traj = [(cand[0][0], round(0.7 * cand[0][1], 6))]
+    for _ in range(4):
+        best = None
+        for vid, s in pool.items():
+            if vid in sel:
+                continue
+            mmr = round(0.7 * s - 0.3 * max(cos(emb[vid], emb[x]) for x in sel), 6)
+            key = (-mmr, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, mmr)
+        sel.append(best[1])
+        traj.append((best[1], best[2]))
+    rows = sorted(
+        QUERIES["q_similarity_mmr"](spark, sf_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert len({r["vec_id"] for r in rows}) == 5
+    assert [r["vec_id"] for r in rows] == [v for v, _ in traj]
+    for r, (wv, wm) in zip(rows, traj):
+        assert abs(r["mmr"] - wm) <= 2e-6, (r, wm)
