@@ -487,6 +487,9 @@ POST_R9_ADDITIONS: tuple[str, ...] = (
     # round-9 wave 7 — greedy-selection pattern (coreset / RAG rerank)
     "q_sample_kcenter",
     "q_similarity_mmr",
+    # round-9 wave 8 — PQ/ADC under the oracle + multivariate OLS
+    "q_similarity_pq_adc_verified",
+    "q_stats_ols2",
 )
 
 #: Round-9 rotation (VERDICT r08 item 1 + item 4).  After round 8 the

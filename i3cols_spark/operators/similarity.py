@@ -2658,3 +2658,171 @@ def q_similarity_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out.orderBy("rank")
+
+
+#: PQ-ADC verified-twin knobs: 4 subspaces × 16 dims, 8 codewords
+#: per subspace (the first-8-vectors prefix sample — the same
+#: deterministic seeding the IVF/PQ production path uses), top-10.
+_PQV_BLOCKS = 4
+_PQV_SUBDIM = 16
+_PQV_K = 8
+_PQV_TOPN = 10
+
+
+@query(
+    "q_similarity_pq_adc_verified",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    q AS (SELECT v FROM e WHERE vec_id = 0),
+    cb AS (SELECT vec_id AS cid, v FROM e ORDER BY vec_id LIMIT {_PQV_K}),
+    blocks AS (SELECT unnest(range(0, {_PQV_BLOCKS})) AS b),
+    enc AS (
+        SELECT vec_id, b, cid,
+               row_number() OVER (PARTITION BY vec_id, b
+                                  ORDER BY d2, cid) AS rn
+        FROM (
+            SELECT e.vec_id, blk.b, c.cid,
+                   round(list_sum(list_transform(range(1, {_PQV_SUBDIM} + 1),
+                       i -> (e.v[blk.b * {_PQV_SUBDIM} + i]
+                             - c.v[blk.b * {_PQV_SUBDIM} + i])
+                            * (e.v[blk.b * {_PQV_SUBDIM} + i]
+                               - c.v[blk.b * {_PQV_SUBDIM} + i]))), 9) AS d2
+            FROM e CROSS JOIN blocks blk CROSS JOIN cb c
+            WHERE e.vec_id <> 0
+        )
+    ),
+    lut AS (
+        SELECT blk.b, c.cid,
+               round(list_sum(list_transform(range(1, {_PQV_SUBDIM} + 1),
+                   i -> (q.v[blk.b * {_PQV_SUBDIM} + i]
+                         - c.v[blk.b * {_PQV_SUBDIM} + i])
+                        * (q.v[blk.b * {_PQV_SUBDIM} + i]
+                           - c.v[blk.b * {_PQV_SUBDIM} + i]))), 9) AS qd2
+        FROM q CROSS JOIN blocks blk CROSS JOIN cb c
+    ),
+    adc AS (
+        SELECT enc.vec_id,
+               round(sqrt(round(sum(lut.qd2), 9)), 6) AS adc_dist
+        FROM enc JOIN lut ON lut.b = enc.b AND lut.cid = enc.cid
+        WHERE enc.rn = 1
+        GROUP BY enc.vec_id
+    ),
+    exact AS (
+        SELECT e.vec_id, round(list_distance(e.v, q.v), 6) AS exact_dist
+        FROM e, q WHERE e.vec_id <> 0
+    ),
+    exact10 AS (
+        SELECT vec_id FROM exact ORDER BY exact_dist, vec_id
+        LIMIT {_PQV_TOPN}
+    )
+    SELECT a.vec_id, a.adc_dist, x.exact_dist,
+           a.vec_id IN (SELECT vec_id FROM exact10) AS in_exact_top10
+    FROM adc a JOIN exact x ON x.vec_id = a.vec_id
+    ORDER BY a.adc_dist, a.vec_id
+    LIMIT {_PQV_TOPN}
+    """,
+)
+def q_similarity_pq_adc_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search fully under the oracle — the
+    verified twin of q_similarity_ann_ivfpq's rows-only code path
+    (the q_dedup_minhash_lsh_verified precedent: re-express the
+    engine-side construction with cross-engine-computable pieces and
+    hash-check the WHOLE trajectory).  4 subspaces × 16 dims, 8
+    deterministic codewords per subspace (first-{_PQV_K}-vectors
+    prefix sample — the production path's own seeding), every vector
+    encoded to its per-block argmin codeword, query distances
+    table-looked-up (ADC: approx d² = Σ_b d²(q_b, c_b,code)), top-10
+    by ADC distance with the exact distance and an exact-top-10
+    membership audit on every emitted row.
+
+    Scale shape: encoding is n×{_PQV_BLOCKS}×{_PQV_K} rows against a
+    broadcast {_PQV_K}-row codebook with a map-side-combined
+    min(struct) argmin (production fuses this in-row; the explode
+    keeps the SQL twin symmetric); the LUT is {_PQV_BLOCKS}×{_PQV_K}
+    rows; the audit side is one exact scan.  Subspace distances are
+    in-order fixed-length folds (identical fold order in both
+    dialects) rounded 9 dp before the argmin; ADC sums round 9 dp,
+    distances 6 dp; ties break on codeword/vector id.
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    cb = (
+        emb.orderBy("vec_id")
+        .limit(_PQV_K)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    blocks = spark.range(0, _PQV_BLOCKS).select(F.col("id").cast("int").alias("b"))
+
+    def sub_d2(a: str, c: str) -> "F.Column":
+        lo = F.col("b") * _PQV_SUBDIM + 1
+        sa = F.slice(F.col(a), lo, _PQV_SUBDIM)
+        sc = F.slice(F.col(c), lo, _PQV_SUBDIM)
+        return F.round(
+            F.aggregate(
+                F.zip_with(sa, sc, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            9,
+        )
+
+    enc = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(blocks))
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "vec_id",
+            "b",
+            F.struct(sub_d2("v", "cv").alias("d2"), F.col("cid")).alias("dc"),
+        )
+        .groupBy("vec_id", "b")
+        .agg(F.min("dc").alias("best"))
+        .select("vec_id", "b", F.col("best.cid").alias("cid"))
+    )
+    lut = (
+        q.crossJoin(F.broadcast(blocks))
+        .crossJoin(F.broadcast(cb))
+        .select("b", "cid", sub_d2("qv", "cv").alias("qd2"))
+    )
+    adc = (
+        enc.join(F.broadcast(lut), ["b", "cid"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sqrt(F.round(F.sum("qd2"), 9)), 6).alias("adc_dist"))
+    )
+    exact = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with("v", "qv", lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ),
+                6,
+            ).alias("exact_dist"),
+        )
+    )
+    exact10 = exact.orderBy(F.asc("exact_dist"), F.asc("vec_id")).limit(
+        _PQV_TOPN
+    ).select(F.col("vec_id").alias("e10"), F.lit(True).alias("hit"))
+    return (
+        adc.join(exact, "vec_id")
+        .join(F.broadcast(exact10), adc.vec_id == F.col("e10"), "left")
+        .select(
+            "vec_id",
+            "adc_dist",
+            "exact_dist",
+            F.coalesce("hit", F.lit(False)).alias("in_exact_top10"),
+        )
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(_PQV_TOPN)
+    )

@@ -2312,3 +2312,100 @@ def q_stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(ty)
         .select("n", "n0", "n1", "n2", "conc", "disc", tau.alias("tau_b"))
     )
+
+
+@query(
+    "q_stats_ols2",
+    oracle="""
+    WITH v AS (
+        SELECT l_quantity AS x1, l_discount AS x2, l_extendedprice AS y
+        FROM lineitem
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               round(sum(x1), 6) AS s1, round(sum(x2), 6) AS s2,
+               round(sum(y), 6) AS sy,
+               round(sum(x1 * x1), 6) AS s11, round(sum(x2 * x2), 6) AS s22,
+               round(sum(x1 * x2), 6) AS s12,
+               round(sum(x1 * y), 6) AS s1y, round(sum(x2 * y), 6) AS s2y,
+               round(sum(y * y), 6) AS syy
+        FROM v
+    ),
+    c AS (
+        SELECT n, sy, syy,
+               s11 - s1 * s1 / n AS a11, s12 - s1 * s2 / n AS a12,
+               s22 - s2 * s2 / n AS a22,
+               s1y - s1 * sy / n AS b1v, s2y - s2 * sy / n AS b2v,
+               s1 / CAST(n AS DOUBLE) AS m1, s2 / CAST(n AS DOUBLE) AS m2,
+               sy / CAST(n AS DOUBLE) AS my
+        FROM s
+    ),
+    f AS (
+        SELECT n,
+               round((b1v * a22 - b2v * a12) / (a11 * a22 - a12 * a12), 9)
+                   AS b1,
+               round((b2v * a11 - b1v * a12) / (a11 * a22 - a12 * a12), 9)
+                   AS b2,
+               m1, m2, my, b1v, b2v, syy, sy
+        FROM c
+    )
+    SELECT n,
+           round(my - b1 * m1 - b2 * m2, 6) AS b0,
+           round(b1, 6) AS beta1, round(b2, 6) AS beta2,
+           round((b1 * b1v + b2 * b2v) / (syy - sy * sy / n), 6) AS r2
+    FROM f
+    """,
+)
+def q_stats_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-regressor OLS in closed form — extended price regressed on
+    quantity and discount via the centered normal equations (Cramer
+    on the 2×2 scatter matrix), with R² = explained/total sum of
+    squares from the same moments.  The multivariate member of the
+    stats family (the bivariate slope/intercept aggregates are §2.3;
+    this is the smallest genuinely multi-feature fit, and the shape —
+    ONE pass of second-order moments, algebra on a 1-row table — is
+    exactly how a distributed OLS of any small width runs at 100 TB:
+    p² moment sums, never a row-level matrix).
+
+    Cross-engine FP: all nine moment sums are multi-row float
+    reductions → rounded 6 dp in both dialects (they are O(n · x²)
+    magnitudes, so 6 dp is far below 1 ulp of the sums); everything
+    after is per-row IEEE algebra on identical doubles, coefficients
+    rounded 9 dp, outputs 6 dp.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x1"),
+        F.col("l_discount").alias("x2"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    s = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("x1"), 6).alias("s1"),
+        F.round(F.sum("x2"), 6).alias("s2"),
+        F.round(F.sum("y"), 6).alias("sy"),
+        F.round(F.sum(F.col("x1") * F.col("x1")), 6).alias("s11"),
+        F.round(F.sum(F.col("x2") * F.col("x2")), 6).alias("s22"),
+        F.round(F.sum(F.col("x1") * F.col("x2")), 6).alias("s12"),
+        F.round(F.sum(F.col("x1") * F.col("y")), 6).alias("s1y"),
+        F.round(F.sum(F.col("x2") * F.col("y")), 6).alias("s2y"),
+        F.round(F.sum(F.col("y") * F.col("y")), 6).alias("syy"),
+    )
+    a11 = F.col("s11") - F.col("s1") * F.col("s1") / F.col("n")
+    a12 = F.col("s12") - F.col("s1") * F.col("s2") / F.col("n")
+    a22 = F.col("s22") - F.col("s2") * F.col("s2") / F.col("n")
+    b1v = F.col("s1y") - F.col("s1") * F.col("sy") / F.col("n")
+    b2v = F.col("s2y") - F.col("s2") * F.col("sy") / F.col("n")
+    det = a11 * a22 - a12 * a12
+    b1 = F.round((b1v * a22 - b2v * a12) / det, 9)
+    b2 = F.round((b2v * a11 - b1v * a12) / det, 9)
+    m1 = F.col("s1") / F.col("n").cast("double")
+    m2 = F.col("s2") / F.col("n").cast("double")
+    my = F.col("sy") / F.col("n").cast("double")
+    sst = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    return s.select(
+        "n",
+        F.round(my - b1 * m1 - b2 * m2, 6).alias("b0"),
+        F.round(b1, 6).alias("beta1"),
+        F.round(b2, 6).alias("beta2"),
+        F.round((b1 * b1v + b2 * b2v) / sst, 6).alias("r2"),
+    )

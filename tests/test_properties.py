@@ -1644,3 +1644,79 @@ def test_mmr_matches_python_greedy(spark, sf_dir):
     assert [r["vec_id"] for r in rows] == [v for v, _ in traj]
     for r, (wv, wm) in zip(rows, traj):
         assert abs(r["mmr"] - wm) <= 2e-6, (r, wm)
+
+
+def test_pq_adc_verified_matches_numpy(spark, sf_dir):
+    """q_similarity_pq_adc_verified: codes, ADC distances and the
+    exact-top-10 audit must match a numpy PQ recomputation with the
+    same staged rounding (subspace d² at 9 dp before argmin)."""
+    import numpy as np
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in table(spark, sf_dir, "embeddings").collect()
+    }
+    q = emb[0]
+    cids = sorted(emb)[:8]
+
+    def d2(a, b):
+        return round(float(((a - b) ** 2).sum()), 9)
+
+    lut, codes = {}, {}
+    for b in range(4):
+        sl = slice(b * 16, b * 16 + 16)
+        for cid in cids:
+            lut[(b, cid)] = d2(q[sl], emb[cid][sl])
+    adc = {}
+    for vid, v in emb.items():
+        if vid == 0:
+            continue
+        tot = 0.0
+        for b in range(4):
+            sl = slice(b * 16, b * 16 + 16)
+            code = min((d2(v[sl], emb[c][sl]), c) for c in cids)[1]
+            tot += lut[(b, code)]
+        adc[vid] = round(float(np.sqrt(round(tot, 9))), 6)
+    exact = {
+        vid: round(float(np.linalg.norm(v - q)), 6)
+        for vid, v in emb.items()
+        if vid != 0
+    }
+    e10 = {v for v, _ in sorted(exact.items(), key=lambda kv: (kv[1], kv[0]))[:10]}
+    want = sorted(adc.items(), key=lambda kv: (kv[1], kv[0]))[:10]
+    rows = QUERIES["q_similarity_pq_adc_verified"](spark, sf_dir).collect()
+    assert [(r["vec_id"]) for r in rows] == [v for v, _ in want]
+    for r, (wv, wd) in zip(rows, want):
+        assert abs(r["adc_dist"] - wd) <= 2e-6
+        assert abs(r["exact_dist"] - exact[wv]) <= 2e-6
+        assert r["in_exact_top10"] == (wv in e10)
+    # PQ must be USEFUL, not vacuous: some emitted row hits the truth.
+    assert any(r["in_exact_top10"] for r in rows)
+
+
+def test_ols2_matches_numpy_lstsq(spark, sf_dir):
+    """q_stats_ols2: coefficients and R² must match numpy's exact
+    least-squares on the same design matrix (tolerances cover the
+    staged cross-engine rounding of the moment sums)."""
+    import numpy as np
+
+    rows = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_quantity", "l_discount", "l_extendedprice")
+        .collect()
+    )
+    x1 = np.array([r["l_quantity"] for r in rows])
+    x2 = np.array([r["l_discount"] for r in rows])
+    y = np.array([r["l_extendedprice"] for r in rows])
+    A = np.column_stack([np.ones_like(x1), x1, x2])
+    coef, *_ = np.linalg.lstsq(A, y, rcond=None)
+    pred = A @ coef
+    sst = float(((y - y.mean()) ** 2).sum())
+    r2 = 1.0 - float(((y - pred) ** 2).sum()) / sst
+    got = QUERIES["q_stats_ols2"](spark, sf_dir).collect()[0]
+    assert got["n"] == len(rows)
+    assert abs(got["b0"] - coef[0]) <= max(1e-3, abs(coef[0]) * 1e-4)
+    assert abs(got["beta1"] - coef[1]) <= max(1e-4, abs(coef[1]) * 1e-4)
+    assert abs(got["beta2"] - coef[2]) <= max(1e-3, abs(coef[2]) * 1e-4)
+    assert abs(got["r2"] - r2) <= 1e-4
+    assert 0 <= got["r2"] <= 1
