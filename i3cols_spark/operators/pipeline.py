@@ -1178,3 +1178,116 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", F.round("dist", 6).alias("dist"), "z")
         .orderBy("label", "vec_id")
     )
+
+
+#: Hard-negative mining knobs: how many query vectors get pairs.
+_HARDNEG_QUERIES = 20
+
+
+@query(
+    "q_embedding_hard_negatives",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    q AS (SELECT * FROM e WHERE vec_id < {_HARDNEG_QUERIES}),
+    pos AS (
+        SELECT vec_id, pos_id, pos_sim FROM (
+            SELECT q.vec_id, c.vec_id AS pos_id,
+                   round(list_cosine_similarity(q.v, c.v), 6) AS pos_sim,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
+                                               c.vec_id) AS rn
+            FROM q JOIN e c
+              ON c.label = q.label AND c.vec_id <> q.vec_id
+        ) WHERE rn = 1
+    ),
+    neg AS (
+        SELECT vec_id, neg_id, neg_sim FROM (
+            SELECT q.vec_id, c.vec_id AS neg_id,
+                   round(list_cosine_similarity(q.v, c.v), 6) AS neg_sim,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
+                                               c.vec_id) AS rn
+            FROM q JOIN e c ON c.label <> q.label
+        ) WHERE rn = 1
+    )
+    SELECT p.vec_id, p.pos_id, p.pos_sim, n.neg_id, n.neg_sim,
+           round(p.pos_sim - n.neg_sim, 6) AS margin,
+           p.pos_sim > n.neg_sim AS margin_ok
+    FROM pos p JOIN neg n ON n.vec_id = p.vec_id
+    ORDER BY p.vec_id
+    """,
+)
+def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining — for each of the first
+    {_HARDNEG_QUERIES} vectors: its nearest SAME-label neighbor (the
+    positive) and its nearest OTHER-label neighbor (the hard
+    negative), with the margin and a margin-violation flag.  This is
+    the triplet-assembly step of embedding-model training data: hard
+    negatives (high-similarity wrong-label rows) are what make a
+    contrastive batch informative, and margin_ok = false rows are
+    exactly the confusable pairs a curriculum surfaces first.
+
+    Shape: the query side is a fixed-size slice (broadcastable); both
+    neighbor searches are one corpus scan each with a per-query 1-row
+    argmax — min/max(struct) folds after the similarity projection,
+    map-side combined, never a corpus-wide window (the row_number in
+    the ORACLE is over the per-query partition only).  At 100 TB the
+    label block structure is the same blocked-pair discipline as
+    blocked_pair_sims; similarities round 6 dp before every argmax so
+    ties break identically on vec_id in both engines.
+    """
+    from i3cols_spark.functions.vectors import as_double, cosine
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < _HARDNEG_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    sim = F.round(cosine("v", "qv"), 6)
+
+    def nearest(cond, id_alias: str, sim_alias: str) -> DataFrame:
+        # argmax by (sim, -vec_id): max(struct) picks the highest
+        # rounded similarity and the SMALLEST id on ties (negated id).
+        return (
+            emb.join(F.broadcast(q), cond)
+            .select(
+                "qid",
+                F.struct(
+                    sim.alias("s"), (-F.col("vec_id")).alias("nid")
+                ).alias("sc"),
+            )
+            .groupBy("qid")
+            .agg(F.max("sc").alias("best"))
+            .select(
+                "qid",
+                (-F.col("best.nid")).alias(id_alias),
+                F.col("best.s").alias(sim_alias),
+            )
+        )
+
+    pos = nearest(
+        (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("qid")),
+        "pos_id",
+        "pos_sim",
+    )
+    neg = nearest(F.col("label") != F.col("qlabel"), "neg_id", "neg_sim")
+    return (
+        pos.join(neg, "qid")
+        .select(
+            F.col("qid").alias("vec_id"),
+            "pos_id",
+            "pos_sim",
+            "neg_id",
+            "neg_sim",
+            F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
+            (F.col("pos_sim") > F.col("neg_sim")).alias("margin_ok"),
+        )
+        .orderBy("vec_id")
+    )

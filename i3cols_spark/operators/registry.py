@@ -490,6 +490,9 @@ POST_R9_ADDITIONS: tuple[str, ...] = (
     # round-9 wave 8 — PQ/ADC under the oracle + multivariate OLS
     "q_similarity_pq_adc_verified",
     "q_stats_ols2",
+    # round-9 wave 9 — policy application + contrastive mining
+    "q_sample_temperature_apply",
+    "q_embedding_hard_negatives",
 )
 
 #: Round-9 rotation (VERDICT r08 item 1 + item 4).  After round 8 the

@@ -2409,3 +2409,100 @@ def q_stats_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(b2, 6).alias("beta2"),
         F.round((b1 * b1v + b2 * b2v) / sst, 6).alias("r2"),
     )
+
+
+@query(
+    "q_sample_temperature_apply",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM counts),
+    s AS (
+        SELECT lang, n_docs,
+               pow(CAST(n_docs AS DOUBLE) / tot.n, {_TEMP_ALPHA}) AS sc
+        FROM counts, tot
+    ),
+    z AS (SELECT round(sum(sc), 9) AS zsum FROM s),
+    quota AS (
+        SELECT s.lang, s.n_docs,
+               CAST(floor(round(s.sc / z.zsum, 6) * tot.n + 0.5) AS BIGINT)
+                   AS target_n
+        FROM s, z, tot
+    ),
+    ranked AS (
+        SELECT d.doc_id, d.lang,
+               CAST(row_number() OVER (
+                   PARTITION BY d.lang
+                   ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+               ) AS BIGINT) AS shard_rank
+        FROM documents d
+    )
+    SELECT r.doc_id, r.lang, r.shard_rank
+    FROM ranked r JOIN quota q ON q.lang = r.lang
+    WHERE r.shard_rank <= least(q.target_n, q.n_docs)
+    ORDER BY r.lang, r.shard_rank
+    """,
+)
+def q_sample_temperature_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-COUNT application of the temperature policy — the row
+    selection q_sample_temperature only plans: per language, exactly
+    min(target_n, n_docs) documents, chosen by md5-hash order with
+    doc_id tie-break (deterministic, stable under any partitioning,
+    and NESTED: raising a quota strictly grows the selection — the
+    property incremental re-mixes rely on).  This closes the loop the
+    q_sample_mixture docstring left open ("an exact-count variant
+    would need a per-source rank, one window"): hash-threshold
+    sampling is exact-per-row but only binomially close in COUNT;
+    training-shard assembly needs the exact quota.
+
+    Shape: the policy side is |langs| rows; the selection is ONE
+    rank window per language partition (the per-shard sort a 100 TB
+    run pays once per mix, keyed and parallel by lang) against a
+    broadcast quota.  Up-sampling quotas (target_n > n_docs — the
+    epochs > 1 case) cap at the shard size here; the repeat factor
+    is the policy table's epochs column.
+    """
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = counts.agg(F.sum("n_docs").cast("long").alias("n"))
+    s = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n",
+        F.pow(F.col("n_docs").cast("double") / F.col("n"), _TEMP_ALPHA).alias("sc"),
+    )
+    z = s.agg(F.round(F.sum("sc"), 9).alias("zsum"))
+    quota = (
+        s.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "n_docs",
+            F.floor(
+                F.round(F.col("sc") / F.col("zsum"), 6) * F.col("n") + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("target_n"),
+        )
+    )
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        F.row_number()
+        .over(
+            Window.partitionBy("lang").orderBy(
+                F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+            )
+        )
+        .cast("long")
+        .alias("shard_rank"),
+    )
+    return (
+        ranked.join(F.broadcast(quota), "lang")
+        .filter(F.col("shard_rank") <= F.least("target_n", "n_docs"))
+        .select("doc_id", "lang", "shard_rank")
+        .orderBy("lang", "shard_rank")
+    )

@@ -1720,3 +1720,72 @@ def test_ols2_matches_numpy_lstsq(spark, sf_dir):
     assert abs(got["beta2"] - coef[2]) <= max(1e-3, abs(coef[2]) * 1e-4)
     assert abs(got["r2"] - r2) <= 1e-4
     assert 0 <= got["r2"] <= 1
+
+
+def test_temperature_apply_counts_match_policy_and_nested(spark, sf_dir):
+    """q_sample_temperature_apply: per-language counts must equal
+    min(target_n, n_docs) from the policy table, shard ranks must be
+    1..count with no gaps, and the selection must be NESTED: the
+    prefix property means the rank-k row set is independent of the
+    quota (ranks come from the hash order alone)."""
+    from collections import Counter
+
+    policy = {
+        r["lang"]: r
+        for r in QUERIES["q_sample_temperature"](spark, sf_dir).collect()
+    }
+    rows = QUERIES["q_sample_temperature_apply"](spark, sf_dir).collect()
+    got = Counter(r["lang"] for r in rows)
+    for lang, p in policy.items():
+        assert got[lang] == min(p["target_n"], p["n_docs"]), lang
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["shard_rank"])
+    import hashlib
+
+    for lang, ranks in by_lang.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # hash-order determinism: rank 1 of each lang is the md5-smallest
+    docs = [
+        (r["lang"], hashlib.md5(str(r["doc_id"]).encode()).hexdigest(), r["doc_id"])
+        for r in table(spark, sf_dir, "documents").collect()
+    ]
+    first = {
+        r["lang"]: r["doc_id"] for r in rows if r["shard_rank"] == 1
+    }
+    for lang in first:
+        want = min((h, d) for l, h, d in docs if l == lang)[1]
+        assert first[lang] == want, lang
+
+
+def test_hard_negatives_match_numpy(spark, sf_dir):
+    """q_embedding_hard_negatives: positives/negatives and margins
+    must match a numpy recomputation over the same query slice."""
+    import numpy as np
+
+    rows_e = table(spark, sf_dir, "embeddings").collect()
+    emb = {r["vec_id"]: (r["label"], np.array(r["embedding"], dtype=np.float64)) for r in rows_e}
+
+    def cos(a, b):
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    got = {
+        r["vec_id"]: r
+        for r in QUERIES["q_embedding_hard_negatives"](spark, sf_dir).collect()
+    }
+    assert set(got) == {v for v in emb if v < 20}
+    for qid in got:
+        qlabel, qv = emb[qid]
+        pos = max(
+            ((cos(v, qv), -vid) for vid, (l, v) in emb.items()
+             if l == qlabel and vid != qid),
+            default=None,
+        )
+        neg = max(
+            ((cos(v, qv), -vid) for vid, (l, v) in emb.items() if l != qlabel),
+            default=None,
+        )
+        r = got[qid]
+        assert r["pos_id"] == -pos[1] and abs(r["pos_sim"] - pos[0]) <= 2e-6
+        assert r["neg_id"] == -neg[1] and abs(r["neg_sim"] - neg[0]) <= 2e-6
+        assert r["margin_ok"] == (r["pos_sim"] > r["neg_sim"])
