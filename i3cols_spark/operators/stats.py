@@ -2368,10 +2368,12 @@ def q_stats_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
     p² moment sums, never a row-level matrix).
 
     Cross-engine FP: all nine moment sums are multi-row float
-    reductions → rounded 6 dp in both dialects (they are O(n · x²)
-    magnitudes, so 6 dp is far below 1 ulp of the sums); everything
-    after is per-row IEEE algebra on identical doubles, coefficients
-    rounded 9 dp, outputs 6 dp.
+    reductions, rounded 6 dp in both dialects — at their O(n · x²)
+    magnitudes that rounding is sub-ulp (a no-op), so the real
+    protection is the corr/stddev precedent: summation-order noise is
+    O(ulp) RELATIVE, carries through the per-row algebra at the same
+    relative size, and is absorbed by the 9 dp coefficient / 6 dp
+    output rounding except on measure-zero boundaries.
     """
     li = table(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").alias("x1"),
