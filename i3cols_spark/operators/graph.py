@@ -1898,3 +1898,94 @@ def q_graph_modularity(spark, sf_dir: str) -> DataFrame:
         "q_term",
         F.round(F.sum("q_term").over(W.partitionBy()), 6).alias("q_modularity"),
     ).orderBy("community")
+
+
+@query(
+    "q_graph_degree_powerlaw",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS d
+        FROM (
+            SELECT cust AS node FROM pairs
+            UNION ALL
+            SELECT supp + 1099511627776 AS node FROM pairs
+        )
+        GROUP BY node
+    ),
+    hist AS (
+        SELECT d AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY d
+    ),
+    logs AS (
+        SELECT degree, n_nodes,
+               ln(CAST(degree AS DOUBLE)) AS lx,
+               ln(CAST(n_nodes AS DOUBLE)) AS ly
+        FROM hist WHERE degree > 0
+    ),
+    fit AS (
+        SELECT round((avg(lx * ly) - avg(lx) * avg(ly))
+                     / (avg(lx * lx) - avg(lx) * avg(lx)), 9) AS slope
+        FROM logs
+    )
+    SELECT l.degree, l.n_nodes, round(f.slope, 6) AS powerlaw_slope
+    FROM logs l, fit f
+    ORDER BY l.degree
+    """,
+)
+def q_graph_degree_powerlaw(spark, sf_dir: str) -> DataFrame:
+    """Degree distribution + power-law slope of the customer↔supplier
+    trading graph — the degree histogram with the log-log OLS slope
+    broadcast onto every row (q_text_zipf_fit's machinery pointed at
+    graph degrees; natural graphs sit near slope −2..−3, and a
+    synthetic/bot-inflated edge load flattens it).  The first
+    diagnostic a graph pipeline prints: it decides whether skew
+    mitigation (salting, AQE skew joins) is even needed downstream.
+
+    Shape: |E|-row degree aggregate → |distinct degrees|-row
+    histogram → ≤ |degrees|-row OLS fold: after the first aggregate
+    everything is metadata-sized.  Counts are exact integers; ln is
+    the only libm surface → fit moments rounded 9 dp, slope 6 dp.
+    """
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + (1 << 40)).alias("supp"),
+        )
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("cust").alias("node"))
+        .unionAll(pairs.select(F.col("supp").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    hist = deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    logs = hist.filter(F.col("degree") > 0).select(
+        "degree",
+        "n_nodes",
+        F.log(F.col("degree").cast("double")).alias("lx"),
+        F.log(F.col("n_nodes").cast("double")).alias("ly"),
+    )
+    fit = logs.agg(
+        F.round(
+            (F.avg(F.col("lx") * F.col("ly")) - F.avg("lx") * F.avg("ly"))
+            / (F.avg(F.col("lx") * F.col("lx")) - F.avg("lx") * F.avg("lx")),
+            9,
+        ).alias("slope")
+    )
+    return (
+        logs.crossJoin(F.broadcast(fit))
+        .select(
+            "degree", "n_nodes", F.round(F.col("slope"), 6).alias("powerlaw_slope")
+        )
+        .orderBy("degree")
+    )

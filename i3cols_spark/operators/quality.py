@@ -1090,3 +1090,176 @@ def q_source_arrow_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q_quality_referential_integrity",
+    oracle="""
+    WITH rels AS (
+        SELECT 'orders->customer' AS relation,
+               (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_child,
+               (SELECT CAST(count(*) AS BIGINT) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+                   AS n_orphans
+        UNION ALL
+        SELECT 'lineitem->orders',
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+        UNION ALL
+        SELECT 'lineitem->part',
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM part p
+                                  WHERE p.p_partkey = l.l_partkey))
+        UNION ALL
+        SELECT 'lineitem->supplier',
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                  WHERE s.s_suppkey = l.l_suppkey))
+        UNION ALL
+        SELECT 'customer->nation',
+               (SELECT CAST(count(*) AS BIGINT) FROM customer),
+               (SELECT CAST(count(*) AS BIGINT) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                  WHERE n.n_nationkey = c.c_nationkey))
+    )
+    SELECT relation, n_child, n_orphans, n_orphans = 0 AS fk_ok
+    FROM rels ORDER BY relation
+    """,
+)
+def q_quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — orphan counts for the five FK
+    relations of the star schema (orders→customer, lineitem→orders/
+    part/supplier, customer→nation), one row per relation with the
+    pass/fail verdict.  The declarative-DQ sibling of
+    q_quality_rules: every warehouse load gate runs exactly this
+    before exposing a partition, because ONE orphan silently turns
+    every downstream inner join into row loss.
+
+    Shape: each relation is a LEFT ANTI join counted — broadcastable
+    dimension sides where small, shuffle-hash otherwise, always the
+    null-safe anti-join plan (never NOT IN's null trap); the five
+    audits are independent scans a scheduler can overlap.  Output is
+    five rows of exact integers.
+    """
+
+    def audit(child: DataFrame, ckey: str, parent: DataFrame, pkey: str,
+              name: str) -> DataFrame:
+        orphans = child.join(
+            parent, child[ckey] == parent[pkey], "left_anti"
+        )
+        return (
+            child.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
+            .crossJoin(
+                orphans.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_orphans")
+                )
+            )
+            .select(
+                F.lit(name).alias("relation"),
+                "n_child",
+                "n_orphans",
+                (F.col("n_orphans") == 0).alias("fk_ok"),
+            )
+        )
+
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    out = (
+        audit(orders, "o_custkey", table(spark, sf_dir, "customer"),
+              "c_custkey", "orders->customer")
+        .unionAll(audit(li, "l_orderkey", orders, "o_orderkey",
+                        "lineitem->orders"))
+        .unionAll(audit(li, "l_partkey", table(spark, sf_dir, "part"),
+                        "p_partkey", "lineitem->part"))
+        .unionAll(audit(li, "l_suppkey", table(spark, sf_dir, "supplier"),
+                        "s_suppkey", "lineitem->supplier"))
+        .unionAll(audit(table(spark, sf_dir, "customer"), "c_nationkey",
+                        table(spark, sf_dir, "nation"), "n_nationkey",
+                        "customer->nation"))
+    )
+    return out.orderBy("relation")
+
+
+@query(
+    "q_quality_embedding_audit",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    st AS (
+        SELECT vec_id, label,
+               CAST(len(v) AS BIGINT) AS dim,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+               CAST(len(list_filter(v, x -> isnan(x) OR x IS NULL))
+                    AS BIGINT) AS n_bad
+        FROM e
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(count(CASE WHEN dim <> 64 THEN 1 END) AS BIGINT)
+               AS n_wrong_dim,
+           CAST(count(CASE WHEN n_bad > 0 THEN 1 END) AS BIGINT)
+               AS n_nonfinite,
+           CAST(count(CASE WHEN nrm = 0 THEN 1 END) AS BIGINT) AS n_zero,
+           round(min(nrm), 6) AS min_norm,
+           round(max(nrm), 6) AS max_norm,
+           round(avg(nrm), 6) AS mean_norm
+    FROM st GROUP BY label
+    ORDER BY label
+    """,
+)
+def q_quality_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column QA — the vector-side declarative audit a
+    similarity/ANN pipeline gates on before building any index: per
+    label, counts of wrong-dimension rows, non-finite components and
+    zero vectors, plus the norm range (an unnormalized batch or a
+    scale drift shows up as a norm-range explosion long before recall
+    degrades).  Complements q_profile_columns (scalar columns) and
+    q_embedding_outliers (semantic outliers) with the STRUCTURAL
+    checks.
+
+    Shape: pure in-row array arithmetic (length / in-order fold for
+    the norm / filter-count for non-finites) + one |labels|-row
+    aggregate — fuses into the scan; min/max are order-independent,
+    the mean norm is the one multi-row float reduction → all three
+    rounded 6 dp in both dialects.
+    """
+    from i3cols_spark.functions.vectors import as_double
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("v", lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    n_bad = F.size(F.filter("v", lambda x: F.isnan(x) | x.isNull())).cast("long")
+    st = emb.select(
+        "label",
+        F.size("v").cast("long").alias("dim"),
+        nrm.alias("nrm"),
+        n_bad.alias("n_bad"),
+    )
+    return (
+        st.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.count(F.when(F.col("dim") != 64, 1)).cast("long").alias("n_wrong_dim"),
+            F.count(F.when(F.col("n_bad") > 0, 1)).cast("long").alias("n_nonfinite"),
+            F.count(F.when(F.col("nrm") == 0, 1)).cast("long").alias("n_zero"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+            F.round(F.avg("nrm"), 6).alias("mean_norm"),
+        )
+        .orderBy("label")
+    )

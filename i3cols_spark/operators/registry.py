@@ -493,6 +493,10 @@ POST_R9_ADDITIONS: tuple[str, ...] = (
     # round-9 wave 9 — policy application + contrastive mining
     "q_sample_temperature_apply",
     "q_embedding_hard_negatives",
+    # round-9 wave 10 — structural data-quality audits + graph diag
+    "q_quality_referential_integrity",
+    "q_quality_embedding_audit",
+    "q_graph_degree_powerlaw",
 )
 
 #: Round-9 rotation (VERDICT r08 item 1 + item 4).  After round 8 the

@@ -1789,3 +1789,89 @@ def test_hard_negatives_match_numpy(spark, sf_dir):
         assert r["pos_id"] == -pos[1] and abs(r["pos_sim"] - pos[0]) <= 2e-6
         assert r["neg_id"] == -neg[1] and abs(r["neg_sim"] - neg[0]) <= 2e-6
         assert r["margin_ok"] == (r["pos_sim"] > r["neg_sim"])
+
+
+def test_referential_integrity_clean_fixture_and_detects_orphans(spark, sf_dir):
+    """q_quality_referential_integrity: the shipped fixture must be
+    FK-clean (5 relations, 0 orphans), and the audit must actually
+    FIRE on a corrupted copy — an injected orphan order flips the
+    orders->customer row."""
+    import os
+    import tempfile
+
+    rows = QUERIES["q_quality_referential_integrity"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert all(r["fk_ok"] and r["n_orphans"] == 0 for r in rows)
+    from i3cols_spark.sources.tables import TABLES
+
+    d = tempfile.mkdtemp(prefix="fkaudit")
+    orders = table(spark, sf_dir, "orders")
+    bad = orders.limit(1).withColumn("o_custkey", F.lit(-999_999))
+    orders.unionByName(bad).write.mode("overwrite").parquet(
+        f"{d}/orders.parquet"
+    )
+    for t in TABLES:
+        if t != "orders" and not os.path.exists(f"{d}/{t}.parquet"):
+            os.symlink(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+    rows2 = {
+        r["relation"]: r
+        for r in QUERIES["q_quality_referential_integrity"](spark, d).collect()
+    }
+    assert rows2["orders->customer"]["n_orphans"] == 1
+    assert not rows2["orders->customer"]["fk_ok"]
+    assert rows2["customer->nation"]["fk_ok"]
+
+
+def test_embedding_audit_matches_numpy(spark, sf_dir):
+    """q_quality_embedding_audit: per-label norm stats must match a
+    numpy recomputation, and the structural counts must be zero on
+    the clean fixture."""
+    import numpy as np
+
+    by_label = {}
+    for r in table(spark, sf_dir, "embeddings").collect():
+        by_label.setdefault(r["label"], []).append(
+            np.array(r["embedding"], dtype=np.float64)
+        )
+    rows = QUERIES["q_quality_embedding_audit"](spark, sf_dir).collect()
+    assert [r["label"] for r in rows] == sorted(by_label)
+    for r in rows:
+        vs = by_label[r["label"]]
+        norms = [float(np.sqrt((v * v).sum())) for v in vs]
+        assert r["n_vecs"] == len(vs)
+        assert r["n_wrong_dim"] == 0 and r["n_nonfinite"] == 0
+        assert abs(r["min_norm"] - min(norms)) <= 2e-6
+        assert abs(r["max_norm"] - max(norms)) <= 2e-6
+        assert abs(r["mean_norm"] - sum(norms) / len(norms)) <= 2e-6
+
+
+def test_degree_powerlaw_matches_python(spark, sf_dir):
+    """q_graph_degree_powerlaw: histogram and slope must match a
+    python recomputation over the same bipartite degree multiset."""
+    import math
+    from collections import Counter
+
+    o = {r["o_orderkey"]: r["o_custkey"] for r in table(spark, sf_dir, "orders").collect()}
+    pairs = {
+        (o[r["l_orderkey"]], r["l_suppkey"] + (1 << 40))
+        for r in table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").collect()
+        if r["l_orderkey"] in o
+    }
+    deg = Counter()
+    for c, s in pairs:
+        deg[c] += 1
+        deg[s] += 1
+    hist = Counter(deg.values())
+    rows = sorted(
+        QUERIES["q_graph_degree_powerlaw"](spark, sf_dir).collect(),
+        key=lambda r: r["degree"],
+    )
+    assert {(r["degree"], r["n_nodes"]) for r in rows} == set(hist.items())
+    lx = [math.log(d) for d in hist]
+    ly = [math.log(n) for n in hist.values()]
+    n = len(lx)
+    mlx, mly = sum(lx) / n, sum(ly) / n
+    slope = (sum(a * b for a, b in zip(lx, ly)) / n - mlx * mly) / (
+        sum(a * a for a in lx) / n - mlx * mlx
+    )
+    assert abs(rows[0]["powerlaw_slope"] - slope) <= 1e-4
