@@ -148,3 +148,83 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O"), F.lit(0.0)).alias("status_O"),
         F.coalesce(F.col("F"), F.lit(0.0)).alias("status_F"),
     )
+
+
+@query(
+    "q_agg_log_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(length(bin(CAST(floor(o_totalprice) AS BIGINT))) - 1
+                    AS BIGINT) AS bucket,
+               o_totalprice AS v
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b)
+    SELECT bucket,
+           pow(2, bucket) AS lo,
+           pow(2, bucket + 1) AS hi,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(v), 2) AS min_val,
+           round(max(v), 2) AS max_val,
+           floor(CAST(count(*) AS DOUBLE) / tot.n * 1000000 + 0.5)
+               / 1000000.0 AS frac
+    FROM b, tot
+    GROUP BY bucket, tot.n
+    ORDER BY bucket
+    """,
+)
+def q_agg_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log₂-bucketed histogram of order totals — the LONG-TAIL
+    companion of the equi-width q_agg_histogram: bucket =
+    ⌊log₂(v)⌋, so each bucket doubles its span and a distribution
+    spanning five orders of magnitude (latencies, payload sizes,
+    money) reads in ~17 rows where equi-width needs thousands or
+    saturates one bin.  This is the HdrHistogram/DDSketch bucketing
+    idea as a plain aggregate — and because the bucket function is a
+    PURE per-row expression, log-histograms of 100 TB are one
+    map-side-combined groupBy with |buckets| ≈ 64 reduce rows.
+
+    Cross-engine exactness: ⌊log₂ v⌋ via libm diverges by 1 ulp
+    exactly at integer powers of two (1024.00 is a real price), so
+    the bucket is computed as PURE INTEGER/STRING arithmetic instead:
+    bit_length(⌊v⌋) − 1 == ⌊log₂ v⌋ for every v ≥ 1 (⌊v⌋ and v never
+    straddle a power of two — powers of two are integers), using the
+    registry-documented portable ``bin()`` no-leading-zeros identity
+    (the oracle-checked-HLL trick).  Counts are exact integers, the
+    fraction is an exact-integer ratio → HALF_UP 6 dp; 2^bucket is
+    exact in double for every bucket ≤ 52.
+    """
+    from i3cols_spark.functions.rounding import round_half_up
+
+    b = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 1)
+        .select(
+            (
+                F.length(F.bin(F.floor("o_totalprice").cast("long"))) - 1
+            ).cast("long").alias("bucket"),
+            F.col("o_totalprice").alias("v"),
+        )
+    )
+    tot = b.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .groupBy("bucket", "n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.min("v"), 2).alias("min_val"),
+            F.round(F.max("v"), 2).alias("max_val"),
+        )
+        .select(
+            "bucket",
+            F.pow(F.lit(2.0), F.col("bucket")).alias("lo"),
+            F.pow(F.lit(2.0), F.col("bucket") + 1).alias("hi"),
+            "n_rows",
+            "min_val",
+            "max_val",
+            round_half_up(
+                F.col("n_rows").cast("double") / F.col("n"), 6
+            ).alias("frac"),
+        )
+        .orderBy("bucket")
+    )

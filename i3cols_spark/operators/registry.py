@@ -497,6 +497,9 @@ POST_R9_ADDITIONS: tuple[str, ...] = (
     "q_quality_referential_integrity",
     "q_quality_embedding_audit",
     "q_graph_degree_powerlaw",
+    # round-9 wave 11 — attribution + long-tail histogram
+    "q_event_attribution",
+    "q_agg_log_histogram",
 )
 
 #: Round-9 rotation (VERDICT r08 item 1 + item 4).  After round 8 the

@@ -1462,3 +1462,79 @@ def q_ts_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_event_attribution",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id, ts, event_type,
+               count(CASE WHEN event_type = 'click' THEN 1 END)
+                   OVER w AS n_prior_clicks,
+               min(CASE WHEN event_type = 'click' THEN ts END)
+                   OVER w AS first_click_ts,
+               max(CASE WHEN event_type = 'click' THEN ts END)
+                   OVER w AS last_click_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+           CAST(n_prior_clicks AS BIGINT) AS n_prior_clicks,
+           first_click_ts, last_click_ts,
+           CAST(date_diff('second', last_click_ts, ts) AS BIGINT)
+               AS secs_since_last_click
+    FROM ev
+    WHERE event_type = 'purchase'
+    ORDER BY purchase_id
+    """,
+)
+def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch attribution — for every purchase, the count
+    of the user's prior clicks and the first/last click timestamps
+    strictly before it (by (ts, event_id) order), plus
+    time-since-last-touch.  The marketing-attribution primitive that
+    sits between q_funnel_conversion (did the path happen) and
+    q_event_transitions (which step follows which): WHICH touch gets
+    credit, and how stale it was.
+
+    Shape: one per-user ordered window pass with conditional
+    accumulators (count/min/max over the UNBOUNDED-to-1-PRECEDING
+    frame — running state, no self-join, no per-pair rows), then a
+    filter to purchases.  The same user-keyed shuffle every
+    sessionization query pays; purchases without any prior click
+    keep NULL touch columns (unattributed conversions are exactly
+    what the report must surface).  All outputs are exact integers
+    and timestamps — no FP discipline needed.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_click = F.col("event_type") == "click"
+    enriched = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.count(F.when(is_click, 1)).over(w).cast("long").alias("n_prior_clicks"),
+        F.min(F.when(is_click, F.col("ts"))).over(w).alias("first_click_ts"),
+        F.max(F.when(is_click, F.col("ts"))).over(w).alias("last_click_ts"),
+    )
+    return (
+        enriched.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "n_prior_clicks",
+            "first_click_ts",
+            "last_click_ts",
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp("last_click_ts")
+            ).cast("long").alias("secs_since_last_click"),
+        )
+        .orderBy("purchase_id")
+    )

@@ -1875,3 +1875,72 @@ def test_degree_powerlaw_matches_python(spark, sf_dir):
         sum(a * a for a in lx) / n - mlx * mlx
     )
     assert abs(rows[0]["powerlaw_slope"] - slope) <= 1e-4
+
+
+def test_event_attribution_matches_python(spark, sf_dir):
+    """q_event_attribution: every purchase row must match a python
+    replay of the per-user event stream (strictly-before semantics,
+    (ts, event_id) order), and unattributed purchases keep NULLs."""
+    ev = sorted(
+        (
+            (r["user_id"], r["ts"], r["event_id"], r["event_type"])
+            for r in table(spark, sf_dir, "events").collect()
+        ),
+        key=lambda x: (x[0], x[1], x[2]),
+    )
+    want = {}
+    state = {}
+    for u, ts, eid, et in ev:
+        st = state.setdefault(u, {"n": 0, "first": None, "last": None})
+        if et == "purchase":
+            # engines truncate each timestamp to whole seconds BEFORE
+            # subtracting (unix_timestamp / date_diff('second'));
+            # subtract-then-truncate differs on sub-second tails.
+            import calendar
+
+            def _floor_epoch(t):
+                return calendar.timegm(t.timetuple())
+
+            want[eid] = (
+                st["n"],
+                st["first"],
+                st["last"],
+                (_floor_epoch(ts) - _floor_epoch(st["last"]))
+                if st["last"]
+                else None,
+            )
+        if et == "click":
+            st["n"] += 1
+            st["first"] = st["first"] or ts
+            st["last"] = ts
+    rows = QUERIES["q_event_attribution"](spark, sf_dir).collect()
+    assert {r["purchase_id"] for r in rows} == set(want)
+    for r in rows:
+        n, first, last, secs = want[r["purchase_id"]]
+        assert r["n_prior_clicks"] == n
+        assert r["first_click_ts"] == first
+        assert r["last_click_ts"] == last
+        assert r["secs_since_last_click"] == secs
+
+
+def test_log_histogram_matches_python(spark, sf_dir):
+    """q_agg_log_histogram: buckets, counts and bounds must match a
+    python bit_length recomputation, buckets must tile the value
+    range, and fractions must sum to 1."""
+    vals = [
+        r["o_totalprice"]
+        for r in table(spark, sf_dir, "orders").collect()
+        if r["o_totalprice"] >= 1
+    ]
+    from collections import Counter
+
+    want = Counter(int(v).bit_length() - 1 for v in vals)
+    rows = sorted(
+        QUERIES["q_agg_log_histogram"](spark, sf_dir).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert {(r["bucket"], r["n_rows"]) for r in rows} == set(want.items())
+    for r in rows:
+        assert r["lo"] == 2.0 ** r["bucket"] and r["hi"] == 2.0 ** (r["bucket"] + 1)
+        assert r["lo"] <= r["min_val"] <= r["max_val"] < r["hi"]
+    assert abs(sum(r["frac"] for r in rows) - 1.0) <= 1e-4
