@@ -500,6 +500,9 @@ POST_R9_ADDITIONS: tuple[str, ...] = (
     # round-9 wave 11 — attribution + long-tail histogram
     "q_event_attribution",
     "q_agg_log_histogram",
+    # round-9 wave 12 — offline model evaluation (classifier + ranker)
+    "q_ml_eval_roc_pr",
+    "q_ml_eval_ndcg",
 )
 
 #: Round-9 rotation (VERDICT r08 item 1 + item 4).  After round 8 the

@@ -27,6 +27,8 @@ percentiles at 4 dp.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -2507,4 +2509,277 @@ def q_sample_temperature_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shard_rank") <= F.least("target_n", "n_docs"))
         .select("doc_id", "lang", "shard_rank")
         .orderBy("lang", "shard_rank")
+    )
+
+
+@query(
+    "q_ml_eval_roc_pr",
+    oracle="""
+    WITH lab AS (
+      SELECT CAST(l_quantity AS BIGINT) AS s,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+      FROM lineitem
+    ), g AS (
+      SELECT s, CAST(sum(pos) AS BIGINT) AS p,
+             CAST(count(*) - sum(pos) AS BIGINT) AS q
+      FROM lab GROUP BY s
+    ), cum AS (
+      SELECT s,
+             CAST(sum(p) OVER (ORDER BY s DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS tp,
+             CAST(sum(q) OVER (ORDER BY s DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS fp
+      FROM g
+    ), tot AS (
+      SELECT CAST(sum(p) AS BIGINT) AS pp, CAST(sum(q) AS BIGINT) AS nn
+      FROM g
+    ), tz AS (
+      SELECT CAST(sum(term) AS BIGINT) AS numer FROM (
+        SELECT (fp - lag(fp, 1, 0) OVER (ORDER BY s DESC))
+               * (tp + lag(tp, 1, 0) OVER (ORDER BY s DESC)) AS term
+        FROM cum)
+    )
+    SELECT c.s AS threshold, c.tp, c.fp,
+           t.pp - c.tp AS fn, t.nn - c.fp AS tn,
+           floor(c.tp * 1.0 / t.pp * 1000000 + 0.5) / 1000000.0 AS tpr,
+           floor(c.fp * 1.0 / t.nn * 1000000 + 0.5) / 1000000.0 AS fpr,
+           floor(c.tp * 1.0 / (c.tp + c.fp) * 1000000 + 0.5) / 1000000.0
+               AS precision_,
+           floor(2.0 * c.tp / (2 * c.tp + c.fp + (t.pp - c.tp))
+                 * 1000000 + 0.5) / 1000000.0 AS f1,
+           floor(z.numer / (2.0 * t.pp * t.nn) * 1000000 + 0.5)
+               / 1000000.0 AS auc
+    FROM cum c CROSS JOIN tot t CROSS JOIN tz z
+    ORDER BY threshold DESC
+    """,
+)
+def q_ml_eval_roc_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-classifier threshold sweep: the full ROC/PR curve (one
+    row per distinct score = candidate threshold, predicting positive
+    at score >= t) with cumulative TP/FP/FN/TN, tpr/fpr, precision,
+    F1, and the exact trapezoid ROC AUC as a constant column — the
+    eval block a model-gating pipeline renders before picking an
+    operating point.  Trapezoid-over-tie-groups IS the tie-aware
+    rank-sum AUC (each distinct-score group contributes one ROC
+    segment), so this single sweep yields both the curve and the
+    scalar without a second pass; q_stats_mann_whitney is the
+    hypothesis-test spelling of the same rank statistic.
+
+    Fixture framing: score = l_quantity (integer, 50 distinct values
+    — deliberately low-cardinality so tie handling is exercised hard),
+    label = (l_returnflag = 'R').
+
+    Scale shape: one map-side-combined per-score groupBy (|scores|
+    reduce rows), then every window/lag runs on that tiny sweep table
+    — a 100 TB scan folds to 50 rows before any window sorts.  A
+    continuous score would be bucketed first (q_feature_scale /
+    q_agg_histogram), keeping the sweep table bounded by design.
+    Cross-engine exactness: every metric is a ratio of exact BIGINT
+    counts; the trapezoid numerator Σ Δfp·(tp+tp_prev) stays in
+    integer arithmetic until the single final division → HALF_UP 6 dp.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("s"),
+        (F.col("l_returnflag") == "R").cast("long").alias("pos"),
+    )
+    g = li.groupBy("s").agg(
+        F.sum("pos").cast("long").alias("p"),
+        (F.count(F.lit(1)) - F.sum("pos")).cast("long").alias("q"),
+    )
+    w = Window.orderBy(F.desc("s")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wl = Window.orderBy(F.desc("s"))
+    cum = g.select(
+        "s",
+        F.sum("p").over(w).cast("long").alias("tp"),
+        F.sum("q").over(w).cast("long").alias("fp"),
+    )
+    tot = g.agg(
+        F.sum("p").cast("long").alias("pp"),
+        F.sum("q").cast("long").alias("nn"),
+    )
+    numer = (
+        cum.select(
+            (
+                (F.col("fp") - F.lag("fp", 1, 0).over(wl))
+                * (F.col("tp") + F.lag("tp", 1, 0).over(wl))
+            ).alias("term")
+        )
+        .agg(F.sum("term").cast("long").alias("numer"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(numer))
+        .select(
+            F.col("s").alias("threshold"),
+            "tp",
+            "fp",
+            (F.col("pp") - F.col("tp")).alias("fn"),
+            (F.col("nn") - F.col("fp")).alias("tn"),
+            round_half_up(F.col("tp") * 1.0 / F.col("pp"), 6).alias("tpr"),
+            round_half_up(F.col("fp") * 1.0 / F.col("nn"), 6).alias("fpr"),
+            round_half_up(
+                F.col("tp") * 1.0 / (F.col("tp") + F.col("fp")), 6
+            ).alias("precision_"),
+            round_half_up(
+                F.lit(2.0)
+                * F.col("tp")
+                / (2 * F.col("tp") + F.col("fp") + (F.col("pp") - F.col("tp"))),
+                6,
+            ).alias("f1"),
+            round_half_up(
+                F.col("numer") / (F.lit(2.0) * F.col("pp") * F.col("nn")), 6
+            ).alias("auc"),
+        )
+        .orderBy(F.desc("threshold"))
+    )
+
+
+#: NDCG@10 discount weights, integer-scaled: w_i = round(10^6 / log2(i+1)).
+#: ONE Python computation feeds BOTH engines (the Spark array literal and
+#: the generated oracle CASE), so the discount table is identical by
+#: construction and per-query DCG stays in exact BIGINT arithmetic.
+_NDCG_K = 10
+_NDCG_W = tuple(
+    int(math.floor(1_000_000.0 / math.log2(i + 1) + 0.5))
+    for i in range(1, _NDCG_K + 1)
+)
+_NDCG_W_SQL = " ".join(f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W))
+
+
+@query(
+    "q_ml_eval_ndcg",
+    oracle=f"""
+    WITH r AS (
+      SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS rel,
+             row_number() OVER (PARTITION BY l_orderkey
+                 ORDER BY l_extendedprice DESC) AS rk,
+             row_number() OVER (PARTITION BY l_orderkey
+                 ORDER BY CAST(l_quantity AS BIGINT) DESC,
+                          l_extendedprice DESC) AS ik
+      FROM lineitem
+    ), per AS (
+      SELECT l_orderkey,
+             CAST(sum(CASE WHEN rk <= {_NDCG_K}
+                      THEN rel * (CASE rk {_NDCG_W_SQL} END)
+                      ELSE 0 END) AS BIGINT) AS dcg,
+             CAST(sum(CASE WHEN ik <= {_NDCG_K}
+                      THEN rel * (CASE ik {_NDCG_W_SQL} END)
+                      ELSE 0 END) AS BIGINT) AS idcg,
+             min(CASE WHEN rk <= {_NDCG_K} AND rel >= 40 THEN rk END)
+                 AS first_rel
+      FROM r GROUP BY l_orderkey
+    ), micro AS (
+      SELECT CAST(floor(dcg * 1000000.0 / idcg + 0.5) AS BIGINT) AS ndcg_u,
+             CAST(coalesce(floor(1000000.0 / first_rel + 0.5), 0)
+                  AS BIGINT) AS rr_u,
+             CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM per
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           floor(sum(ndcg_u) / (count(*) * 1000000.0) * 1000000 + 0.5)
+               / 1000000.0 AS avg_ndcg10,
+           floor(sum(rr_u) / (count(*) * 1000000.0) * 1000000 + 0.5)
+               / 1000000.0 AS avg_mrr10,
+           floor(sum(hit) * 1.0 / count(*) * 1000000 + 0.5) / 1000000.0
+               AS hit_rate10
+    FROM micro
+    """,
+)
+def q_ml_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded-relevance ranking evaluation: NDCG@10, MRR@10 and
+    hit-rate@10 averaged over every order, treating each order as a
+    retrieval query, price-descending as the ranker under evaluation,
+    and l_quantity as the graded relevance judgment (binary-relevant
+    at rel >= 40 for MRR/hit-rate).  This is the offline-eval loop of
+    a retrieval/reranking pipeline (q_similarity_* produce the
+    rankings; this scores them) — q_ml_eval_roc_pr grades a
+    classifier, this grades a RANKER.
+
+    Determinism: the ranker key l_extendedprice is unique within an
+    order (fixture-verified), so rk is total with no tie-break; the
+    ideal ordering ties on rel are broken by the same unique price key
+    — and NDCG's ideal sum is tie-order-invariant anyway (equal-rel
+    items swap positions without changing Σ rel·w).
+
+    Cross-engine exactness: the log2 discounts are pre-scaled BIGINTs
+    computed ONCE in Python and inlined into both plans (libm log2
+    never runs in either engine), so per-query DCG/IDCG are exact
+    integers; ndcg/rr are micro-int-quantized (floor(x·10⁶+0.5))
+    before averaging so the corpus mean is a ratio of exact integers
+    → HALF_UP 6 dp.
+
+    Scale shape: two row_number windows over the SAME per-order
+    partitioning (one shuffle, two sorts — Catalyst reuses the
+    exchange), a per-order map-side-combinable aggregate, and a
+    single-row final fold.  Per-query state is O(k); nothing is
+    proportional to corpus size on any single node.
+    """
+    k = _NDCG_K
+    warr = F.array(*[F.lit(x) for x in _NDCG_W])
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_quantity").cast("long").alias("rel"),
+        "l_extendedprice",
+    )
+    wr = Window.partitionBy("l_orderkey").orderBy(F.desc("l_extendedprice"))
+    wi = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("rel"), F.desc("l_extendedprice")
+    )
+    r = li.select(
+        "l_orderkey",
+        "rel",
+        F.row_number().over(wr).alias("rk"),
+        F.row_number().over(wi).alias("ik"),
+    )
+    per = r.groupBy("l_orderkey").agg(
+        F.sum(
+            F.when(
+                F.col("rk") <= k,
+                F.col("rel") * F.element_at(warr, F.col("rk").cast("int")),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("dcg"),
+        F.sum(
+            F.when(
+                F.col("ik") <= k,
+                F.col("rel") * F.element_at(warr, F.col("ik").cast("int")),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("idcg"),
+        F.min(
+            F.when((F.col("rk") <= k) & (F.col("rel") >= 40), F.col("rk"))
+        ).alias("first_rel"),
+    )
+    micro = per.select(
+        F.floor(F.col("dcg") * F.lit(1000000.0) / F.col("idcg") + F.lit(0.5))
+        .cast("long")
+        .alias("ndcg_u"),
+        F.coalesce(
+            F.floor(F.lit(1000000.0) / F.col("first_rel") + F.lit(0.5)).cast(
+                "long"
+            ),
+            F.lit(0).cast("long"),
+        ).alias("rr_u"),
+        F.when(F.col("first_rel").isNotNull(), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("hit"),
+    )
+    return micro.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        round_half_up(
+            F.sum("ndcg_u") / (F.count(F.lit(1)) * F.lit(1000000.0)), 6
+        ).alias("avg_ndcg10"),
+        round_half_up(
+            F.sum("rr_u") / (F.count(F.lit(1)) * F.lit(1000000.0)), 6
+        ).alias("avg_mrr10"),
+        round_half_up(F.sum("hit") * 1.0 / F.count(F.lit(1)), 6).alias(
+            "hit_rate10"
+        ),
     )

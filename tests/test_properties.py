@@ -1944,3 +1944,105 @@ def test_log_histogram_matches_python(spark, sf_dir):
         assert r["lo"] == 2.0 ** r["bucket"] and r["hi"] == 2.0 ** (r["bucket"] + 1)
         assert r["lo"] <= r["min_val"] <= r["max_val"] < r["hi"]
     assert abs(sum(r["frac"] for r in rows) - 1.0) <= 1e-4
+
+
+def test_roc_pr_matches_python(spark, sf_dir):
+    """q_ml_eval_roc_pr: cumulative confusion counts, curve metrics
+    and the trapezoid AUC must match a pure-python recomputation
+    (including the tie-aware midrank identity for AUC)."""
+    li = [
+        (int(r["l_quantity"]), 1 if r["l_returnflag"] == "R" else 0)
+        for r in table(spark, sf_dir, "lineitem")
+        .select("l_quantity", "l_returnflag")
+        .collect()
+    ]
+    pp = sum(p for _, p in li)
+    nn = len(li) - pp
+    by_s: dict = {}
+    for s, p in li:
+        ps, qs = by_s.get(s, (0, 0))
+        by_s[s] = (ps + p, qs + (1 - p))
+    rows = sorted(
+        QUERIES["q_ml_eval_roc_pr"](spark, sf_dir).collect(),
+        key=lambda r: -r["threshold"],
+    )
+    assert len(rows) == len(by_s)
+    tp = fp = 0
+    numer = 0
+    for r, s in zip(rows, sorted(by_s, reverse=True)):
+        ptp, pfp = tp, fp
+        tp += by_s[s][0]
+        fp += by_s[s][1]
+        numer += (fp - pfp) * (tp + ptp)
+        assert r["threshold"] == s
+        assert (r["tp"], r["fp"]) == (tp, fp)
+        assert (r["fn"], r["tn"]) == (pp - tp, nn - fp)
+        assert abs(r["tpr"] - tp / pp) <= 1e-6
+        assert abs(r["fpr"] - fp / nn) <= 1e-6
+        assert abs(r["precision_"] - tp / (tp + fp)) <= 1e-6
+        assert abs(r["f1"] - 2 * tp / (2 * tp + fp + pp - tp)) <= 1e-6
+    # trapezoid == tie-aware midrank AUC
+    auc = numer / (2.0 * pp * nn)
+    ranked = sorted(li)
+    i, rank_sum = 0, 0.0
+    while i < len(ranked):
+        j = i
+        while j < len(ranked) and ranked[j][0] == ranked[i][0]:
+            j += 1
+        mid = (i + 1 + j) / 2.0
+        rank_sum += mid * sum(p for _, p in ranked[i:j])
+        i = j
+    auc_rank = (rank_sum - pp * (pp + 1) / 2.0) / (pp * nn)
+    assert abs(auc - auc_rank) <= 1e-9
+    assert all(abs(r["auc"] - auc) <= 1e-6 for r in rows)
+    # curve sanity: ends at (1,1), monotone in both axes
+    assert rows[-1]["tp"] == pp and rows[-1]["fp"] == nn
+
+
+def test_ndcg_matches_python(spark, sf_dir):
+    """q_ml_eval_ndcg: per-order DCG/IDCG under the shared integer
+    discount table, micro-int quantization and corpus means must match
+    a pure-python recomputation."""
+    from i3cols_spark.operators.stats import _NDCG_K, _NDCG_W
+
+    import math
+
+    per: dict = {}
+    for r in (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .collect()
+    ):
+        per.setdefault(r["l_orderkey"], []).append(
+            (int(r["l_quantity"]), r["l_extendedprice"])
+        )
+    n = len(per)
+    s_ndcg = s_rr = s_hit = 0
+    for items in per.values():
+        ranker = sorted(items, key=lambda t: -t[1])
+        ideal = sorted(items, key=lambda t: (-t[0], -t[1]))
+        dcg = sum(
+            rel * _NDCG_W[i] for i, (rel, _) in enumerate(ranker[:_NDCG_K])
+        )
+        idcg = sum(
+            rel * _NDCG_W[i] for i, (rel, _) in enumerate(ideal[:_NDCG_K])
+        )
+        s_ndcg += int(math.floor(dcg * 1_000_000.0 / idcg + 0.5))
+        first = next(
+            (
+                i + 1
+                for i, (rel, _) in enumerate(ranker[:_NDCG_K])
+                if rel >= 40
+            ),
+            None,
+        )
+        if first is not None:
+            s_rr += int(math.floor(1_000_000.0 / first + 0.5))
+            s_hit += 1
+    row = QUERIES["q_ml_eval_ndcg"](spark, sf_dir).collect()[0]
+    assert row["n_queries"] == n
+    assert abs(row["avg_ndcg10"] - s_ndcg / (n * 1e6)) <= 1e-6
+    assert abs(row["avg_mrr10"] - s_rr / (n * 1e6)) <= 1e-6
+    assert abs(row["hit_rate10"] - s_hit / n) <= 1e-6
+    # NDCG of a perfect ranker is 1 by construction; ours must be <= 1
+    assert 0.0 < row["avg_ndcg10"] <= 1.0
