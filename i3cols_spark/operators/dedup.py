@@ -1638,3 +1638,207 @@ def q_dedup_minhash_cluster_rep_verified(spark: SparkSession, sf_dir: str) -> Da
         )
         .orderBy("doc_id")
     )
+
+
+#: md5-family SimHash twin — shared SQL fragments.  One Python
+#: generator feeds BOTH the oracle CTE chain and (structurally) the
+#: Spark expression tree, so the 64 vote accumulators, the nibble
+#: reassembly and the hamming verify are the same construction by
+#: code generation, not by careful parallel maintenance.
+_SIMHASH_NIB_SQL = ",\n               ".join(
+    f"strpos('0123456789abcdef', substr(md5(tok), {i + 1}, 1)) - 1 AS n{i}"
+    for i in range(16)
+)
+_SIMHASH_VOTES_SQL = ",\n               ".join(
+    f"CAST(sum(cnt * (2 * ((n{b // 4} >> {b % 4}) & 1) - 1)) AS BIGINT)"
+    f" AS v{b}"
+    for b in range(64)
+)
+_SIMHASH_OUTN_SQL = ",\n               ".join(
+    "("
+    + " + ".join(
+        f"{1 << j} * (CASE WHEN v{4 * i + j} >= 0 THEN 1 ELSE 0 END)"
+        for j in range(4)
+    )
+    + f") AS m{i}"
+    for i in range(16)
+)
+_SIMHASH_SIG_SQL = " || ".join(
+    f"substr('0123456789abcdef', m{i} + 1, 1)" for i in range(16)
+)
+_SIMHASH_KEYED_SQL = " UNION ALL ".join(
+    f"SELECT rep, CAST({k} AS BIGINT) AS band,"
+    f" substr(simhash, {1 + 4 * k}, 4) AS bucket FROM sig"
+    for k in range(4)
+)
+_SIMHASH_HAM_SQL = " + ".join(
+    f"bit_count(xor(sa.m{i}, sb.m{i}))" for i in range(16)
+)
+
+
+@query(
+    "q_dedup_simhash_verified",
+    oracle=f"""
+    WITH d AS (
+      SELECT md5(lower(trim(text))) AS th, min(doc_id) AS rep,
+             min(lower(trim(text))) AS norm
+      FROM documents GROUP BY md5(lower(trim(text)))
+    ), tk AS (
+      SELECT th, tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT th, unnest(string_split_regex(norm, '\\s+')) AS tok
+            FROM d)
+      GROUP BY th, tok
+    ), nb AS (
+      SELECT th, cnt,
+               {_SIMHASH_NIB_SQL}
+      FROM tk
+    ), v AS (
+      SELECT th,
+               {_SIMHASH_VOTES_SQL}
+      FROM nb GROUP BY th
+    ), sk AS (
+      SELECT th,
+               {_SIMHASH_OUTN_SQL}
+      FROM v
+    ), sig AS (
+      SELECT d.rep, sk.*, {_SIMHASH_SIG_SQL} AS simhash
+      FROM sk JOIN d USING (th)
+    ), keyed AS ( {_SIMHASH_KEYED_SQL} ),
+    cand AS (
+      SELECT DISTINCT a.rep AS doc_a, b.rep AS doc_b
+      FROM keyed a JOIN keyed b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.rep < b.rep
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST({_SIMHASH_HAM_SQL} AS BIGINT) AS hamming
+    FROM cand c
+    JOIN sig sa ON sa.rep = c.doc_a
+    JOIN sig sb ON sb.rep = c.doc_b
+    WHERE ({_SIMHASH_HAM_SQL}) <= 3
+    """,
+)
+def q_dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SimHash near-dup pairs under a FULL value-hash
+    oracle — the checked twin of the rows-only production sketch
+    (q_dedup_simhash), completing the verified-twin triangle for the
+    LAST rows-only dedup family (MinHash-LSH got its md5 twin in r8;
+    pHash is banded under the oracle via q_dedup_phash64_hamming).
+    Pipeline: exact-dup collapse → per-token md5-derived 64-bit hash
+    (first 16 hex nibbles) → multiset bit voting → 64-bit signature
+    reassembled as a hex string → 4×16-bit band keys → bucket
+    collision candidates → exact hamming verify ≤ 3 → (doc_a, doc_b,
+    hamming) at one-representative-per-distinct-text level.
+
+    The cross-engine md5 family makes every stage SQL-expressible, so
+    the emitted PAIR SET itself — which band collisions happened and
+    which survived the hamming verify — is hash-checked against
+    DuckDB running the identical construction (both sides are CODE-
+    GENERATED from the same Python loops, not hand-mirrored).  The
+    production path keeps the xxhash64 sketch; this twin pins the
+    SEMANTICS: pigeonhole over 4 bands of 16 bits guarantees every
+    pair at hamming ≤ 3 collides in at least one band, so the output
+    is the complete hamming-≤3 pair set, not a sample.
+
+    Scale shape (same as production q_dedup_simhash): collapse-first
+    so votes are computed once per DISTINCT text; token-frequency
+    pre-aggregation so the 64 vote accumulators stream over distinct
+    (text, token) rows; band keys explode 4×reps (never a 64-bit
+    all-pairs join); the verify joins only colliding candidates on
+    16 nibble ints (64 bits of state per side).
+    """
+    hexd = "0123456789abcdef"
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    d = docs.groupBy(F.md5(normalize("text")).alias("th")).agg(
+        F.min("doc_id").alias("rep"),
+        F.min(normalize("text")).alias("norm"),
+    )
+    tk = (
+        d.select("th", F.explode(F.split("norm", r"\s+")).alias("tok"))
+        .groupBy("th", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    h = F.md5("tok")
+    nb = tk.select(
+        "th",
+        "cnt",
+        *[
+            (F.conv(F.substring(h, i + 1, 1), 16, 10).cast("int")).alias(f"n{i}")
+            for i in range(16)
+        ],
+    )
+    v = nb.groupBy("th").agg(
+        *[
+            F.sum(
+                F.col("cnt")
+                * (
+                    2 * F.shiftright(F.col(f"n{b // 4}"), b % 4).bitwiseAND(F.lit(1))
+                    - 1
+                )
+            )
+            .cast("long")
+            .alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    sk = v.select(
+        "th",
+        *[
+            sum(
+                [
+                    F.when(F.col(f"v{4 * i + j}") >= 0, F.lit(1 << j)).otherwise(
+                        F.lit(0)
+                    )
+                    for j in range(4)
+                ],
+                F.lit(0),
+            )
+            .cast("int")
+            .alias(f"m{i}")
+            for i in range(16)
+        ],
+    )
+    sig = sk.join(d.select("th", "rep"), "th").select(
+        "rep",
+        *[f"m{i}" for i in range(16)],
+        F.concat(
+            *[F.lit(hexd).substr(F.col(f"m{i}") + 1, F.lit(1)) for i in range(16)]
+        ).alias("simhash"),
+    )
+    keyed = None
+    for k in range(4):
+        part = sig.select(
+            "rep",
+            F.lit(k).cast("bigint").alias("band"),
+            F.substring("simhash", 1 + 4 * k, 4).alias("bucket"),
+        )
+        keyed = part if keyed is None else keyed.unionAll(part)
+    buckets = (
+        keyed.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("rep")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    cand = (
+        buckets.select(F.explode(_pair_structs(F.col("ids"))).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .dropDuplicates()
+    )
+    sa = sig.select(
+        F.col("rep").alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(16)]
+    )
+    sb = sig.select(
+        F.col("rep").alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(16)]
+    )
+    ham = sum(
+        [
+            F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}")))
+            for i in range(16)
+        ],
+        F.lit(0),
+    ).cast("long")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -503,6 +503,9 @@ POST_R9_ADDITIONS: tuple[str, ...] = (
     # round-9 wave 12 — offline model evaluation (classifier + ranker)
     "q_ml_eval_roc_pr",
     "q_ml_eval_ndcg",
+    # round-9 wave 13 — md5-family SimHash twin (last rows-only dedup
+    # family now semantics-pinned under the oracle)
+    "q_dedup_simhash_verified",
 )
 
 #: Round-9 rotation (VERDICT r08 item 1 + item 4).  After round 8 the

@@ -2046,3 +2046,46 @@ def test_ndcg_matches_python(spark, sf_dir):
     assert abs(row["hit_rate10"] - s_hit / n) <= 1e-6
     # NDCG of a perfect ranker is 1 by construction; ours must be <= 1
     assert 0.0 < row["avg_ndcg10"] <= 1.0
+
+
+def test_simhash_verified_matches_python_bruteforce(spark, sf_dir):
+    """q_dedup_simhash_verified: a pure-python recomputation of the
+    md5-family SimHash (collapse -> token votes -> 64-bit signature)
+    followed by BRUTE-FORCE all-pairs hamming must equal the query's
+    banded output exactly — proving both the signature math and the
+    pigeonhole recall claim (4 bands of 16 bits find EVERY pair at
+    hamming <= 3, not a sample)."""
+    import hashlib
+    import re
+    from itertools import combinations
+
+    groups: dict = {}
+    for r in table(spark, sf_dir, "documents").select("doc_id", "text").collect():
+        norm = r["text"].strip().lower()
+        key = hashlib.md5(norm.encode()).hexdigest()
+        rep, _ = groups.get(key, (None, None))
+        if rep is None or r["doc_id"] < rep:
+            groups[key] = (r["doc_id"], norm)
+        # min(norm) == norm for every member (identical normalized text)
+    sigs = {}
+    for rep, norm in groups.values():
+        votes = [0] * 64
+        for tok in re.split(r"\s+", norm):
+            h = hashlib.md5(tok.encode()).hexdigest()[:16]
+            for b in range(64):
+                nib = int(h[b // 4], 16)
+                votes[b] += 1 if (nib >> (b % 4)) & 1 else -1
+        sigs[rep] = sum(
+            (1 if votes[b] >= 0 else 0) << b for b in range(64)
+        )
+    want = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in QUERIES["q_dedup_simhash_verified"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want, "fixture must make the check non-vacuous"
