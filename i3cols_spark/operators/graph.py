@@ -1989,3 +1989,112 @@ def q_graph_degree_powerlaw(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("degree")
     )
+
+
+#: Synchronous label-propagation rounds.  Like _BFS_HOPS, the round
+#: budget IS the semantics: both engines compute the identical
+#: well-defined "labels after 4 sync rounds" quantity, so the check
+#: needs no convergence tolerance.
+_LPA_ROUNDS = 4
+
+
+def _lpa_round_sql(k: int) -> str:
+    return f"""lab{k} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                   ORDER BY cnt DESC, label) AS rn
+        FROM (SELECT e.dst AS node, l.label, count(*) AS cnt
+              FROM edges e JOIN lab{k - 1} l ON l.node = e.src
+              GROUP BY e.dst, l.label))
+      WHERE rn = 1
+    )"""
+
+
+_LPA_ROUNDS_SQL = ",\n    ".join(
+    _lpa_round_sql(k) for k in range(1, _LPA_ROUNDS + 1)
+)
+
+
+@query(
+    "q_graph_label_propagation",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+        SELECT cust AS src, supp + 1099511627776 AS dst FROM pairs
+        UNION ALL
+        SELECT supp + 1099511627776 AS src, cust AS dst FROM pairs
+    ),
+    lab0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+    {_LPA_ROUNDS_SQL}
+    SELECT node, CAST(label AS BIGINT) AS community
+    FROM lab{_LPA_ROUNDS}
+    ORDER BY node
+    """,
+)
+def q_graph_label_propagation(spark, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    customer↔supplier trading graph (supplier ids offset by 2^40,
+    the q_graph_pagerank construction): every node starts as its own
+    label; each round every node adopts the most frequent label among
+    its neighbors, ties to the SMALLEST label — the classic LPA with
+    the deterministic tie-break that makes it engine-checkable.
+    After {_LPA_ROUNDS} sync rounds the surviving labels are the
+    communities.  Complements the graph family: connected components
+    (q_dedup_clusters) finds REACHABILITY groups, modularity
+    (q_graph_modularity) SCORES a partition — LPA PRODUCES one
+    without a quality-function optimization loop.
+
+    Per-round plan (and the 100 TB story): ONE edge-sized map-side-
+    combinable (dst, label) count aggregate, then the argmax as a
+    second hash aggregate via min(struct(-cnt, label)) — NO window
+    sort anywhere (the oracle spells the same argmax as row_number
+    for SQL clarity; min-struct and rank-1 pick identical rows under
+    the total (cnt DESC, label ASC) order).  Labels are
+    localCheckpointed per round (_cc_loop discipline) so round k's
+    plan does not replay rounds 1..k-1; per-round shuffle is bounded
+    by |distinct (dst,label)| ≤ |E|, and rounds are a CONSTANT —
+    driver-side control only, all data distributed.
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("cust")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("supp")
+    )
+    pairs = (
+        orders.join(li, "ok")
+        .select("cust", (F.col("supp") + F.lit(1099511627776)).alias("supp"))
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
+        .union(pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_LPA_ROUNDS):
+        counted = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("n2"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            counted.groupBy(F.col("n2").alias("node"))
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"), F.col("label").alias("lb")
+                    )
+                )["lb"].alias("label")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(
+        "node", F.col("label").cast("bigint").alias("community")
+    ).orderBy("node")

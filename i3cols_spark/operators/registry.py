@@ -506,6 +506,9 @@ POST_R9_ADDITIONS: tuple[str, ...] = (
     # round-9 wave 13 — md5-family SimHash twin (last rows-only dedup
     # family now semantics-pinned under the oracle)
     "q_dedup_simhash_verified",
+    # round-9 wave 14 — LPA communities + robust rolling baseline
+    "q_graph_label_propagation",
+    "q_ts_rolling_median",
 )
 
 #: Round-9 rotation (VERDICT r08 item 1 + item 4).  After round 8 the

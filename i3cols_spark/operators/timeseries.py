@@ -1538,3 +1538,71 @@ def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+@query(
+    "q_ts_rolling_median",
+    oracle="""
+    WITH fr AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+             list_sort(list(value) OVER w) AS arr
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, ts_us, value,
+           CAST(len(arr) AS BIGINT) AS n_window,
+           (arr[(len(arr) + 1) // 2]
+            + arr[len(arr) // 2 + 1]) / 2 AS roll_median
+    FROM fr
+    ORDER BY user_id, ts_us, event_id
+    """,
+)
+def q_ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling MEDIAN over a trailing 10-row frame per user —
+    the robust companion of q_ts_ewma's exponentially-weighted mean:
+    one outlier event shifts an EWMA for ten rows but moves the
+    rolling median not at all, which is why monitoring baselines and
+    spike detectors prefer it.  Spark has no median window function,
+    so the frame is materialized with collect_list, sorted in-row,
+    and the median selected positionally — (arr[(n+1)/2] + arr[n/2+1])
+    / 2 handles odd and even frames in one expression (odd frames
+    select the same element twice).  The oracle mirrors the SAME
+    positional construction — deliberately NOT DuckDB's native
+    windowed median(), whose even-count interpolation x+(y-x)/2 can
+    differ from (x+y)/2 by one ulp; the property test pins the
+    convention against python statistics.median (which computes
+    (x+y)/2) as the independent third implementation.
+
+    Scale shape: ONE per-user window pass; per-row state is the
+    10-element frame (O(frame), never O(partition) — the same bounded
+    -frame discipline as q_window_sliding_frame), so a 100 TB events
+    table streams through whole-stage codegen after one user-keyed
+    shuffle.  Determinism: (ts, event_id) is a total order per user.
+    No rounding is needed: the median is a SELECTION (plus one
+    two-operand mean) of input doubles, not a multi-row float
+    reduction, so both engines emit bit-identical values.
+    """
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, W.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    med = (
+        F.element_at(arr, ((n + 1) / 2).cast("int"))
+        + F.element_at(arr, (n / 2 + 1).cast("int"))
+    ) / 2
+    return (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+            n.cast("long").alias("n_window"),
+            med.alias("roll_median"),
+        )
+        .orderBy("user_id", "ts_us", "event_id")
+    )

@@ -2089,3 +2089,66 @@ def test_simhash_verified_matches_python_bruteforce(spark, sf_dir):
     }
     assert got == want
     assert want, "fixture must make the check non-vacuous"
+
+
+def test_rolling_median_matches_python(spark, sf_dir):
+    """q_ts_rolling_median: the trailing 10-row frame median must
+    match python statistics.median (the independent third
+    implementation of the (x+y)/2 even-count convention)."""
+    import statistics
+    from collections import defaultdict
+
+    evs = defaultdict(list)
+    for r in (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .collect()
+    ):
+        evs[r["user_id"]].append((r["ts"], r["event_id"], r["value"]))
+    want = {}
+    for uid, rows in evs.items():
+        rows.sort()
+        for i, (_, eid, _v) in enumerate(rows):
+            frame = [v for _, _, v in rows[max(0, i - 9) : i + 1]]
+            want[eid] = (len(frame), statistics.median(frame))
+    out = QUERIES["q_ts_rolling_median"](spark, sf_dir).collect()
+    assert len(out) == len(want)
+    for r in out:
+        n, med = want[r["event_id"]]
+        assert r["n_window"] == n
+        assert r["roll_median"] == med  # bit-exact: selection, not reduction
+
+
+def test_label_propagation_matches_python(spark, sf_dir):
+    """q_graph_label_propagation: 4 sync rounds of most-frequent-
+    neighbor-label (ties to smallest) recomputed in pure python over
+    the same trading graph must match exactly, and communities must
+    be non-trivial (fewer communities than nodes)."""
+    from collections import Counter, defaultdict
+
+    OFF = 1099511627776
+    orders = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in table(spark, sf_dir, "orders").collect()
+    }
+    pairs = {
+        (orders[r["l_orderkey"]], r["l_suppkey"] + OFF)
+        for r in table(spark, sf_dir, "lineitem").collect()
+        if r["l_orderkey"] in orders
+    }
+    adj = defaultdict(list)
+    for c, s in pairs:
+        adj[c].append(s)
+        adj[s].append(c)
+    label = {n: n for n in adj}
+    for _ in range(4):
+        nxt = {}
+        for n in adj:
+            cnt = Counter(label[m] for m in adj[n])
+            best = min(((-c, lb) for lb, c in cnt.items()))[1]
+            nxt[n] = best
+        label = nxt
+    rows = QUERIES["q_graph_label_propagation"](spark, sf_dir).collect()
+    got = {r["node"]: r["community"] for r in rows}
+    assert got == label
+    assert len(set(label.values())) < len(label)
