@@ -509,6 +509,9 @@ POST_R9_ADDITIONS: tuple[str, ...] = (
     # round-9 wave 14 — LPA communities + robust rolling baseline
     "q_graph_label_propagation",
     "q_ts_rolling_median",
+    # round-9 wave 15 — keyphrase extraction + term dispersion
+    "q_text_rake_keywords",
+    "q_text_burstiness",
 )
 
 #: Round-9 rotation (VERDICT r08 item 1 + item 4).  After round 8 the

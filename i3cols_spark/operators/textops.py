@@ -2416,3 +2416,242 @@ def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+#: RAKE configuration.  The stopword list is the phrase DELIMITER set
+#: (only 'the'/'a' occur in the fixture vocabulary; the rest are
+#: standard members kept for real corpora); runs longer than
+#: _RAKE_MAX_LEN words are discarded as non-keyphrases (sparse-
+#: stopword texts otherwise yield sentence-length "phrases").
+_RAKE_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+_RAKE_MAX_LEN = 4
+_RAKE_TOPK = 20
+_RAKE_STOP_SQL = ", ".join(f"'{s}'" for s in _RAKE_STOPWORDS)
+
+
+@query(
+    "q_text_rake_keywords",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, u.i AS idx, u.tok
+      FROM (SELECT doc_id,
+                   unnest(list_transform(
+                       string_split_regex(lower(trim(text)), '\\s+'),
+                       (x, i) -> {{'tok': x, 'i': i}})) AS u
+            FROM documents)
+    ), runs AS (
+      SELECT doc_id, idx, tok,
+             idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx)
+                 AS grp
+      FROM words WHERE tok NOT IN ({_RAKE_STOP_SQL})
+    ), ph AS (
+      SELECT doc_id, grp, idx, tok,
+             count(*) OVER (PARTITION BY doc_id, grp) AS phrase_len
+      FROM runs
+    ), capped AS (
+      SELECT * FROM ph WHERE phrase_len <= {_RAKE_MAX_LEN}
+    ), ws AS (
+      SELECT tok,
+             CAST(floor(sum(phrase_len) * 1000000.0 / count(*) + 0.5)
+                  AS BIGINT) AS ws_u
+      FROM capped GROUP BY tok
+    ), phrases AS (
+      SELECT c.doc_id, c.grp,
+             string_agg(c.tok, ' ' ORDER BY c.idx) AS phrase,
+             CAST(min(c.phrase_len) AS BIGINT) AS n_words,
+             CAST(sum(w.ws_u) AS BIGINT) AS score_u
+      FROM capped c JOIN ws w ON w.tok = c.tok
+      GROUP BY c.doc_id, c.grp
+    ), corpus AS (
+      SELECT phrase, min(n_words) AS n_words,
+             CAST(count(*) AS BIGINT) AS n_occurrences,
+             min(score_u) AS score_u
+      FROM phrases GROUP BY phrase
+    )
+    SELECT phrase, n_words, n_occurrences,
+           score_u / 1000000.0 AS score
+    FROM (SELECT *, row_number() OVER (ORDER BY score_u DESC, phrase)
+                        AS rk
+          FROM corpus)
+    WHERE rk <= {_RAKE_TOPK}
+    ORDER BY score DESC, phrase
+    """,
+)
+def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs (<= _RAKE_MAX_LEN words);
+    each
+    word scores deg(w)/freq(w) over the candidate corpus (deg = Σ of
+    containing-phrase lengths — co-occurrence degree including self);
+    a phrase scores the SUM of its word scores; output is the corpus
+    top-_RAKE_TOPK phrases.  This is the unsupervised keyphrase
+    extractor
+    pipelines run where TF-IDF (q_tfidf_topterms) ranks single terms
+    and PMI/LLR (q_text_*_collocations) rank exactly-2-gram pairs —
+    RAKE is the variable-length-phrase member of the family.
+
+    Determinism/exactness: word scores deg/freq are ratios of exact
+    integers, micro-int-quantized (floor(x·10⁶+0.5)) BEFORE the
+    per-phrase sum so phrase scores stay exact BIGINTs regardless of
+    float summation order; the top-k rank orders by (score_u DESC,
+    phrase ASC) — a total integer/string order, no float ties.
+
+    Scale shape: tokenize-explode (the one data-sized pass), a
+    row_number island window per doc (the q_window_islands pattern),
+    one vocabulary-sized word-score aggregate joined back broadcast-
+    style, a phrase-sized aggregate, and the final top-k over the
+    DISTINCT-phrase table — everything after the explode is bounded
+    by vocabulary/phrase counts, not corpus size.
+    """
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    words = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("idx", "tok")
+    )
+    stop = list(_RAKE_STOPWORDS)
+    runs = words.filter(~F.col("tok").isin(stop)).withColumn(
+        "grp",
+        F.col("idx")
+        - F.row_number().over(W.partitionBy("doc_id").orderBy("idx")),
+    )
+    ph = runs.withColumn(
+        "phrase_len", F.count(F.lit(1)).over(W.partitionBy("doc_id", "grp"))
+    )
+    capped = ph.filter(F.col("phrase_len") <= _RAKE_MAX_LEN)
+    ws = capped.groupBy("tok").agg(
+        F.floor(
+            F.sum("phrase_len") * F.lit(1000000.0) / F.count(F.lit(1))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("ws_u")
+    )
+    phrases = (
+        capped.join(ws, "tok")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("idx", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.min("phrase_len").cast("long").alias("n_words"),
+            F.sum("ws_u").cast("long").alias("score_u"),
+        )
+    )
+    corpus = phrases.groupBy("phrase").agg(
+        F.min("n_words").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.min("score_u").alias("score_u"),
+    )
+    ranked = corpus.withColumn(
+        "rk",
+        F.row_number().over(
+            W.orderBy(F.desc("score_u"), F.asc("phrase"))
+        ),
+    )
+    return (
+        ranked.filter(F.col("rk") <= _RAKE_TOPK)
+        .select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            (F.col("score_u") / F.lit(1000000.0)).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("phrase"))
+    )
+
+
+@query(
+    "q_text_burstiness",
+    oracle="""
+    WITH tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS d FROM documents
+    ), tc AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS tok
+            FROM documents)
+      GROUP BY doc_id, tok
+    ), stats AS (
+      SELECT tok,
+             CAST(sum(c) AS BIGINT) AS total_count,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(c * c) AS BIGINT) AS sumsq
+      FROM tc GROUP BY tok
+    )
+    SELECT tok AS word, total_count, n_docs,
+           floor(n_docs * 1.0 / t.d * 1000000 + 0.5) / 1000000.0
+               AS doc_freq,
+           floor((t.d * sumsq - total_count * total_count)
+                 / (CAST(t.d AS DOUBLE) * total_count)
+                 * 1000000 + 0.5) / 1000000.0 AS vmr
+    FROM (SELECT *,
+                 row_number() OVER (ORDER BY total_count DESC, tok) AS rk
+          FROM stats) s CROSS JOIN tot t
+    WHERE rk <= 50
+    ORDER BY total_count DESC, word
+    """,
+)
+def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church & Gale): the variance-to-mean ratio
+    (VMR, index of dispersion) of each word's per-document count over
+    ALL documents (zeros included), for the corpus top-50 words.
+    VMR ≈ 1 means Poisson scatter (function words: 'the', 'a'); VMR
+    >> 1 means the word CLUMPS into few documents (topical words) —
+    the signal that separates content terms from glue at EQUAL total
+    frequency, complementing the corpus-shape fits (q_text_zipf_fit,
+    q_text_heaps_law) with a per-term dispersion diagnostic.
+
+    Exactness: with D docs, total T = Σc and S = Σc², population
+    variance over all D docs is (S − T²/D)/D and the mean is T/D, so
+    VMR = (D·S − T²)/(D·T) — kept in BIGINT until the single final
+    division → HALF_UP 6 dp (T² ≤ 9·10¹⁸ holds far beyond any real
+    vocabulary's top terms; the subtraction is exact).
+
+    Scale shape: one tokenize-explode into a map-side-combined
+    (doc, token) count, one vocabulary-sized stats aggregate, a 1-row
+    doc-count broadcast, top-50 rank on the vocabulary table.  The
+    all-docs variance needs NO per-doc zero rows — zeros enter through
+    the closed form, which is what makes the op linear.
+    """
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    d = docs.agg(F.count(F.lit(1)).cast("long").alias("d"))
+    tc = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    stats = tc.groupBy("tok").agg(
+        F.sum("c").cast("long").alias("total_count"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sumsq"),
+    )
+    ranked = stats.withColumn(
+        "rk",
+        F.row_number().over(W.orderBy(F.desc("total_count"), F.asc("tok"))),
+    ).filter(F.col("rk") <= 50)
+    return (
+        ranked.crossJoin(F.broadcast(d))
+        .select(
+            F.col("tok").alias("word"),
+            "total_count",
+            "n_docs",
+            round_half_up(F.col("n_docs") * 1.0 / F.col("d"), 6).alias(
+                "doc_freq"
+            ),
+            round_half_up(
+                (
+                    F.col("d") * F.col("sumsq")
+                    - F.col("total_count") * F.col("total_count")
+                )
+                / (F.col("d").cast("double") * F.col("total_count")),
+                6,
+            ).alias("vmr"),
+        )
+        .orderBy(F.desc("total_count"), F.asc("word"))
+    )

@@ -2152,3 +2152,84 @@ def test_label_propagation_matches_python(spark, sf_dir):
     got = {r["node"]: r["community"] for r in rows}
     assert got == label
     assert len(set(label.values())) < len(label)
+
+
+def test_rake_keywords_matches_python(spark, sf_dir):
+    """q_text_rake_keywords: full python RAKE recomputation — runs,
+    cap, deg/freq micro-quantization, phrase scores, top-k order —
+    must match exactly."""
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    from i3cols_spark.operators.textops import (
+        _RAKE_MAX_LEN,
+        _RAKE_STOPWORDS,
+        _RAKE_TOPK,
+    )
+
+    phrases_all = []
+    for r in table(spark, sf_dir, "documents").select("text").collect():
+        toks = re.split(r"\s+", r["text"].strip().lower())
+        run: list = []
+        for t in toks + [None]:
+            if t is None or t in _RAKE_STOPWORDS:
+                if run and len(run) <= _RAKE_MAX_LEN:
+                    phrases_all.append(tuple(run))
+                run = []
+            else:
+                run.append(t)
+    freq: Counter = Counter()
+    deg: Counter = Counter()
+    for ph in phrases_all:
+        for w in ph:
+            freq[w] += 1
+            deg[w] += len(ph)
+    ws_u = {
+        w: int(math.floor(deg[w] * 1_000_000.0 / freq[w] + 0.5)) for w in freq
+    }
+    by_phrase: dict = defaultdict(int)
+    meta: dict = {}
+    for ph in phrases_all:
+        by_phrase[ph] += 1
+        meta[ph] = (len(ph), sum(ws_u[w] for w in ph))
+    ranked = sorted(
+        by_phrase,
+        key=lambda p: (-meta[p][1], " ".join(p)),
+    )[:_RAKE_TOPK]
+    want = [
+        (" ".join(p), meta[p][0], by_phrase[p], meta[p][1] / 1e6)
+        for p in ranked
+    ]
+    got = [
+        (r["phrase"], r["n_words"], r["n_occurrences"], r["score"])
+        for r in QUERIES["q_text_rake_keywords"](spark, sf_dir).collect()
+    ]
+    assert got == want
+    assert want, "fixture must produce candidate phrases"
+
+
+def test_burstiness_matches_python(spark, sf_dir):
+    """q_text_burstiness: VMR closed form over all-docs counts
+    (zeros included) must match a direct python variance/mean, and
+    stopword-like glue must scatter less than content words clump."""
+    import re
+    from collections import Counter, defaultdict
+
+    per_doc: dict = defaultdict(Counter)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    d = len(docs)
+    for r in docs:
+        for t in re.split(r"\s+", r["text"].strip().lower()):
+            per_doc[t][r["doc_id"]] += 1
+    rows = QUERIES["q_text_burstiness"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 50
+    for r in rows:
+        counts = per_doc[r["word"]]
+        total = sum(counts.values())
+        assert r["total_count"] == total
+        assert r["n_docs"] == len(counts)
+        mean = total / d
+        var = (sum(c * c for c in counts.values()) - total * total / d) / d
+        assert abs(r["vmr"] - var / mean) <= 1e-6
+        assert abs(r["doc_freq"] - len(counts) / d) <= 1e-6
