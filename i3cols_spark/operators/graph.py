@@ -2098,3 +2098,125 @@ def q_graph_label_propagation(spark, sf_dir: str) -> DataFrame:
     return labels.select(
         "node", F.col("label").cast("bigint").alias("community")
     ).orderBy("node")
+
+
+@query(
+    "q_graph_conductance",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+        SELECT cust AS src, supp + 1099511627776 AS dst FROM pairs
+        UNION ALL
+        SELECT supp + 1099511627776 AS src, cust AS dst FROM pairs
+    ),
+    lab0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+    {{_LPA_ROUNDS_SQL}},
+    labeled AS (
+        SELECT e.src, e.dst, ls.label AS c_src, ld.label AS c_dst
+        FROM edges e
+        JOIN lab{{K}} ls ON ls.node = e.src
+        JOIN lab{{K}} ld ON ld.node = e.dst
+    ),
+    m2 AS (SELECT CAST(count(*) AS BIGINT) AS dm FROM edges),
+    comm AS (
+        SELECT c_src AS community,
+               CAST(count(*) AS BIGINT) AS vol,
+               CAST(sum(CASE WHEN c_src <> c_dst THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cut
+        FROM labeled GROUP BY c_src
+    ),
+    sizes AS (
+        SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM lab{{K}} GROUP BY label
+    )
+    SELECT s.community, s.n_nodes, c.vol, c.cut,
+           CASE WHEN least(c.vol, t.dm - c.vol) > 0
+                THEN floor(c.cut * 1.0 / least(c.vol, t.dm - c.vol)
+                           * 1000000 + 0.5) / 1000000.0
+                ELSE 0.0 END AS conductance
+    FROM comm c JOIN sizes s ON s.community = c.community
+    CROSS JOIN m2 t
+    ORDER BY s.n_nodes DESC, s.community
+    """.replace("{_LPA_ROUNDS_SQL}", _LPA_ROUNDS_SQL).replace(
+        "{K}", str(_LPA_ROUNDS)
+    ),
+)
+def q_graph_conductance(spark, sf_dir: str) -> DataFrame:
+    """Per-community conductance φ(C) = cut(C) / min(vol(C), 2m −
+    vol(C)) of the q_graph_label_propagation partition — the
+    community-QUALITY diagnostic that closes the loop the family
+    opened: LPA PRODUCES a partition, q_graph_modularity SCORES a
+    partition globally, conductance says PER COMMUNITY how leaky its
+    boundary is (φ → 0: well-separated; φ → 1: every edge leaves).
+    Directed-double-counting bookkeeping: the edge list holds both
+    directions, so vol(C) = directed edges leaving members = Σ deg,
+    2m = |directed edges|, and cut(C) counts each undirected cut edge
+    exactly once from its C-side endpoint.
+
+    Composition: REUSES the registered LPA operator for labels (the
+    verified-twin composition discipline — cluster_rep_verified rides
+    on lsh_verified the same way), then one |E|-sized two-sided label
+    join and |communities|-row aggregates; the oracle replays the
+    identical unrolled CTE chain.  φ is a ratio of exact BIGINTs →
+    HALF_UP 6 dp; a community with no complement (one community =
+    whole component volume) gets φ = 0 by convention (guarded in both
+    engines).
+
+    Scale: the label join shuffles |E| rows twice (src, dst keys) —
+    the same bound as one LPA round; everything downstream is
+    community-sized.
+    """
+    labels = q_graph_label_propagation(spark, sf_dir).select(
+        "node", F.col("community").alias("label")
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("cust")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("supp")
+    )
+    pairs = (
+        orders.join(li, "ok")
+        .select("cust", (F.col("supp") + F.lit(1099511627776)).alias("supp"))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cust").alias("src"), F.col("supp").alias("dst")
+    ).union(
+        pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    )
+    ls = labels.select(F.col("node").alias("src"), F.col("label").alias("c_src"))
+    ld = labels.select(F.col("node").alias("dst"), F.col("label").alias("c_dst"))
+    labeled = edges.join(ls, "src").join(ld, "dst")
+    dm = edges.agg(F.count(F.lit(1)).cast("long").alias("dm"))
+    comm = labeled.groupBy(F.col("c_src").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("vol"),
+        F.sum(F.when(F.col("c_src") != F.col("c_dst"), 1).otherwise(0))
+        .cast("long")
+        .alias("cut"),
+    )
+    sizes = labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    denom = F.least(F.col("vol"), F.col("dm") - F.col("vol"))
+    from i3cols_spark.functions.rounding import round_half_up
+
+    return (
+        comm.join(sizes, "community")
+        .crossJoin(F.broadcast(dm))
+        .select(
+            "community",
+            "n_nodes",
+            "vol",
+            "cut",
+            F.when(
+                denom > 0, round_half_up(F.col("cut") * 1.0 / denom, 6)
+            )
+            .otherwise(F.lit(0.0))
+            .alias("conductance"),
+        )
+        .orderBy(F.desc("n_nodes"), F.asc("community"))
+    )

@@ -512,6 +512,9 @@ POST_R9_ADDITIONS: tuple[str, ...] = (
     # round-9 wave 15 — keyphrase extraction + term dispersion
     "q_text_rake_keywords",
     "q_text_burstiness",
+    # round-9 wave 16 — temporal union + community boundary quality
+    "q_ts_interval_merge",
+    "q_graph_conductance",
 )
 
 #: Round-9 rotation (VERDICT r08 item 1 + item 4).  After round 8 the

@@ -1606,3 +1606,101 @@ def q_ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts_us", "event_id")
     )
+
+
+@query(
+    "q_ts_interval_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT o_custkey AS cust, o_orderkey AS ok,
+             epoch_us(o_orderdate) AS s,
+             epoch_us(o_orderdate) + 2592000000000 AS e
+      FROM orders
+    ), flagged AS (
+      SELECT cust, ok, s, e,
+             CASE WHEN max(e) OVER (PARTITION BY cust ORDER BY s, ok
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      IS NULL
+                  OR s > max(e) OVER (PARTITION BY cust ORDER BY s, ok
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM iv
+    ), islands AS (
+      SELECT cust, s, e,
+             sum(is_new) OVER (PARTITION BY cust ORDER BY s, ok
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS episode
+      FROM flagged
+    )
+    SELECT cust AS o_custkey, CAST(episode AS BIGINT) AS episode,
+           min(s) AS episode_start_us, max(e) AS episode_end_us,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           (max(e) - min(s)) / 86400000000.0 AS span_days
+    FROM islands
+    GROUP BY cust, episode
+    ORDER BY o_custkey, episode
+    """,
+)
+def q_ts_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (temporal UNION): each order opens a
+    30-day activity window [orderdate, orderdate+30d); overlapping or
+    touching windows of the same customer merge into one episode —
+    the primitive behind contiguous-coverage questions (subscription
+    spans, sensor uptime, SLA windows) and the COMPLEMENT of the
+    family's other temporal ops: q_window_islands finds gaps in a
+    discrete sequence, q_scd2_intervals builds disjoint validity
+    intervals from change events, THIS op unions overlapping ones.
+
+    Algorithm: per key, a running max(end) over the start-sorted
+    PRECEDING rows; a row opens a new episode iff its start exceeds
+    that max (touching merges — half-open convention); the episode id
+    is the running sum of open flags.  Two window passes over the
+    SAME (cust, start, ok) sort order + one aggregate — Catalyst
+    reuses the exchange AND the sort, so a 100 TB order stream pays
+    one shuffle.  Per-row window state is O(1) (a running max and a
+    running sum, never a frame buffer).
+
+    Exactness: all interval arithmetic is integer epoch-microseconds
+    (2592000000000 = 30 days); span_days is one division of exact
+    integers — identical doubles cross-engine, no rounding needed.
+    """
+    iv = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("ok"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("s"),
+        (
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            + F.lit(2592000000000)
+        ).alias("e"),
+    )
+    w_prev = (
+        W.partitionBy("cust")
+        .orderBy("s", "ok")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = (
+        W.partitionBy("cust")
+        .orderBy("s", "ok")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    prev_max = F.max("e").over(w_prev)
+    flagged = iv.withColumn(
+        "is_new",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    )
+    islands = flagged.withColumn("episode", F.sum("is_new").over(w_run))
+    return (
+        islands.groupBy(
+            F.col("cust").alias("o_custkey"),
+            F.col("episode").cast("long").alias("episode"),
+        )
+        .agg(
+            F.min("s").alias("episode_start_us"),
+            F.max("e").alias("episode_end_us"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            (
+                (F.max("e") - F.min("s")) / F.lit(86400000000.0)
+            ).alias("span_days"),
+        )
+        .orderBy("o_custkey", "episode")
+    )

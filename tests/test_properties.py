@@ -2233,3 +2233,90 @@ def test_burstiness_matches_python(spark, sf_dir):
         var = (sum(c * c for c in counts.values()) - total * total / d) / d
         assert abs(r["vmr"] - var / mean) <= 1e-6
         assert abs(r["doc_freq"] - len(counts) / d) <= 1e-6
+
+
+def test_interval_merge_matches_python(spark, sf_dir):
+    """q_ts_interval_merge: coalesced episodes must match a direct
+    python sweep (sort by start, merge when start <= running max
+    end), cover every order exactly once, and never overlap."""
+    import calendar
+    from collections import defaultdict
+
+    W30 = 2_592_000_000_000
+    per: dict = defaultdict(list)
+    for r in table(spark, sf_dir, "orders").collect():
+        t = r["o_orderdate"]
+        us = calendar.timegm(t.timetuple()) * 1_000_000 + t.microsecond
+        per[r["o_custkey"]].append((us, r["o_orderkey"]))
+    want = {}
+    for cust, ivs in per.items():
+        ivs.sort()
+        episodes = []
+        for s, _ok in ivs:
+            e = s + W30
+            if episodes and s <= episodes[-1][1]:
+                episodes[-1][1] = max(episodes[-1][1], e)
+                episodes[-1][2] += 1
+            else:
+                episodes.append([s, e, 1])
+        for i, (s, e, n) in enumerate(episodes, 1):
+            want[(cust, i)] = (s, e, n)
+    rows = QUERIES["q_ts_interval_merge"](spark, sf_dir).collect()
+    assert len(rows) == len(want)
+    prev_end: dict = {}
+    for r in rows:
+        s, e, n = want[(r["o_custkey"], r["episode"])]
+        assert (r["episode_start_us"], r["episode_end_us"], r["n_orders"]) == (
+            s,
+            e,
+            n,
+        )
+        assert abs(r["span_days"] - (e - s) / 86_400_000_000) <= 1e-9
+        if r["o_custkey"] in prev_end:
+            assert r["episode_start_us"] > prev_end[r["o_custkey"]]
+        prev_end[r["o_custkey"]] = r["episode_end_us"]
+    assert sum(r["n_orders"] for r in rows) == sum(len(v) for v in per.values())
+
+
+def test_conductance_matches_python(spark, sf_dir):
+    """q_graph_conductance: phi recomputed in python from the LPA
+    labels (which test_label_propagation_matches_python already pins)
+    and the raw edge set must match; volumes must sum to 2m and cuts
+    must be symmetric in total."""
+    from collections import Counter, defaultdict
+
+    OFF = 1099511627776
+    orders = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in table(spark, sf_dir, "orders").collect()
+    }
+    pairs = {
+        (orders[r["l_orderkey"]], r["l_suppkey"] + OFF)
+        for r in table(spark, sf_dir, "lineitem").collect()
+        if r["l_orderkey"] in orders
+    }
+    label = {
+        r["node"]: r["community"]
+        for r in QUERIES["q_graph_label_propagation"](spark, sf_dir).collect()
+    }
+    vol: Counter = Counter()
+    cut: Counter = Counter()
+    dm = 0
+    for c, s in pairs:
+        for a, b in ((c, s), (s, c)):
+            dm += 1
+            vol[label[a]] += 1
+            if label[a] != label[b]:
+                cut[label[a]] += 1
+    sizes = Counter(label.values())
+    rows = QUERIES["q_graph_conductance"](spark, sf_dir).collect()
+    assert {r["community"] for r in rows} == set(sizes)
+    for r in rows:
+        com = r["community"]
+        assert r["n_nodes"] == sizes[com]
+        assert r["vol"] == vol[com]
+        assert r["cut"] == cut[com]
+        denom = min(vol[com], dm - vol[com])
+        want = cut[com] / denom if denom > 0 else 0.0
+        assert abs(r["conductance"] - want) <= 1e-6
+    assert sum(vol.values()) == dm
