@@ -515,6 +515,9 @@ POST_R9_ADDITIONS: tuple[str, ...] = (
     # round-9 wave 16 — temporal union + community boundary quality
     "q_ts_interval_merge",
     "q_graph_conductance",
+    # round-9 wave 17 — distribution-free monitoring tests
+    "q_ts_mann_kendall",
+    "q_stats_runs_test",
 )
 
 #: Round-9 rotation (VERDICT r08 item 1 + item 4).  After round 8 the

@@ -2783,3 +2783,112 @@ def q_ml_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hit_rate10"
         ),
     )
+
+
+@query(
+    "q_stats_runs_test",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, round(sum(value), 2) AS v
+      FROM events GROUP BY 1
+    ), med AS (
+      SELECT (arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1]) / 2 AS m
+      FROM (SELECT list_sort(list(v)) AS arr FROM daily)
+    ), seq AS (
+      SELECT day, v > m.m AS above
+      FROM daily, med m WHERE v <> m.m
+    ), flagged AS (
+      SELECT above,
+             CASE WHEN lag(above) OVER (ORDER BY day) IS NULL
+                  OR above <> lag(above) OVER (ORDER BY day)
+                  THEN 1 ELSE 0 END AS chg
+      FROM seq
+    ), agg AS (
+      SELECT CAST(sum(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN above THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+             CAST(sum(chg) AS BIGINT) AS runs
+      FROM flagged
+    )
+    SELECT n1, n2, runs,
+           floor((1 + 2.0 * n1 * n2 / (n1 + n2)) * 1000000 + 0.5)
+               / 1000000.0 AS e_runs,
+           floor((runs - (1 + 2.0 * n1 * n2 / (n1 + n2)))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * CAST(n1 + n2 AS DOUBLE)
+                           * (n1 + n2 - 1)))
+                 * 1000000 + 0.5) / 1000000.0 AS z_stat
+    FROM agg
+    """,
+)
+def q_stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test for RANDOMNESS of the daily event-
+    value series: binarize each day against the series median (ties
+    to the median dropped, the standard convention), count runs of
+    consecutive same-side days, and compare against the exact null
+    moments E[R] = 1 + 2n₁n₂/n and Var[R] = 2n₁n₂(2n₁n₂−n) /
+    (n²(n−1)).  Too FEW runs means the series clumps (trend,
+    autocorrelation — cross-check q_ts_autocorrelation); too MANY
+    means oscillation.  Completes the distribution-free monitoring
+    kit: KS tests SHAPE, Mann–Whitney tests LOCATION, Mann–Kendall
+    tests TREND, runs tests SERIAL INDEPENDENCE.
+
+    Exactness: daily values are round(sum,2)-canonicalized; the
+    median uses the SAME positional (x+y)/2 selection as
+    q_ts_rolling_median (no interpolation-form divergence); n₁, n₂
+    and R are exact integers, the z moments are integer rationals →
+    HALF_UP 6 dp.  Scale: one day-keyed aggregate is the only
+    data-sized pass; the runs scan is one lag window over a
+    days-long series (calendar-bounded, like Mann–Kendall's pair
+    stage).
+    """
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+    )
+    arr = F.sort_array(F.collect_list("v"))
+    n_arr = F.size(arr)
+    med = daily.agg(
+        (
+            (
+                F.element_at(arr, ((n_arr + 1) / 2).cast("int"))
+                + F.element_at(arr, (n_arr / 2 + 1).cast("int"))
+            )
+            / 2
+        ).alias("m")
+    )
+    seq = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("v") != F.col("m"))
+        .select("day", (F.col("v") > F.col("m")).alias("above"))
+    )
+    w = Window.orderBy("day")
+    flagged = seq.select(
+        "above",
+        F.when(
+            F.lag("above").over(w).isNull()
+            | (F.col("above") != F.lag("above").over(w)),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    agg = flagged.agg(
+        F.sum(F.when(F.col("above"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("above"), 0).otherwise(1)).cast("long").alias("n2"),
+        F.sum("chg").cast("long").alias("runs"),
+    )
+    n1, n2, runs = F.col("n1"), F.col("n2"), F.col("runs")
+    nn = n1 + n2
+    e_runs = 1 + 2.0 * n1 * n2 / nn
+    var_runs = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / (nn * nn.cast("double") * (nn - 1))
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "runs",
+        round_half_up(e_runs, 6).alias("e_runs"),
+        round_half_up((runs - e_runs) / F.sqrt(var_runs), 6).alias("z_stat"),
+    )

@@ -1704,3 +1704,120 @@ def q_ts_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "episode")
     )
+
+
+@query(
+    "q_ts_mann_kendall",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag AS rf, date_trunc('month', l_shipdate) AS mon,
+             round(sum(l_extendedprice), 2) AS v
+      FROM lineitem GROUP BY 1, 2
+    ), s AS (
+      SELECT a.rf,
+             CAST(sum(CASE WHEN b.v > a.v THEN 1
+                           WHEN b.v < a.v THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s_stat
+      FROM m a JOIN m b ON b.rf = a.rf AND b.mon > a.mon
+      GROUP BY a.rf
+    ), n AS (
+      SELECT rf, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY rf
+    ), ties AS (
+      SELECT rf, coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS tie_term
+      FROM (SELECT rf, CAST(count(*) AS BIGINT) AS t
+            FROM m GROUP BY rf, v)
+      WHERE t > 1 GROUP BY rf
+    )
+    SELECT n.rf AS l_returnflag, n.n AS n_periods, s.s_stat,
+           floor((n.n * (n.n - 1) * (2 * n.n + 5) - coalesce(t.tie_term, 0))
+                 / 18.0 * 1000000 + 0.5) / 1000000.0 AS var_s,
+           floor(CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                      WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+                      ELSE 0 END
+                 / sqrt((n.n * (n.n - 1) * (2 * n.n + 5)
+                         - coalesce(t.tie_term, 0)) / 18.0)
+                 * 1000000 + 0.5) / 1000000.0 AS z_stat
+    FROM n JOIN s ON s.rf = n.rf LEFT JOIN ties t ON t.rf = n.rf
+    ORDER BY l_returnflag
+    """,
+)
+def q_ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotonic-trend test per return flag over the
+    monthly revenue series — the NON-PARAMETRIC trend detector
+    monitoring pipelines run where OLS slope (q_stats_ols2,
+    q_stats_theil_sen) assumes linearity: S = Σ_{i<j} sign(x_j −
+    x_i) counts concordant minus discordant month pairs, the
+    tie-corrected variance Var = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18
+    and the continuity-corrected z follow Kendall (1975).  Theil–Sen
+    gives the trend's SLOPE; Mann–Kendall gives its SIGNIFICANCE —
+    the two are the standard pairing.
+
+    Scale shape: the data-sized pass is ONE map-side-combined
+    (flag, month) aggregate; the O(n²) pair join runs on the
+    AGGREGATED series (n ≈ dozens of months per flag — at 100 TB the
+    series length is a calendar property, not a data property, so the
+    quadratic stage is bounded by design; the same collapse-first
+    argument as the Kendall-tau operator).  Monthly values are
+    round(sum,2)-canonicalized before ANY comparison so sign() sees
+    identical doubles in both engines; S, n and the tie term are
+    exact integers → HALF_UP 6 dp.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        F.date_trunc("month", "l_shipdate").alias("mon"),
+        "l_extendedprice",
+    )
+    m = li.groupBy("rf", "mon").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("v")
+    )
+    a, b = m.alias("a"), m.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("b.rf") == F.col("a.rf")) & (F.col("b.mon") > F.col("a.mon")),
+        )
+        .groupBy(F.col("a.rf").alias("rf"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.v") > F.col("a.v"), 1)
+                .when(F.col("b.v") < F.col("a.v"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    n = m.groupBy("rf").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        m.groupBy("rf", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("rf")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)).alias(
+                "tie_term"
+            )
+        )
+    )
+    from i3cols_spark.functions.rounding import round_half_up
+
+    joined = (
+        n.join(s, "rf")
+        .join(ties, "rf", "left")
+        .withColumn("tt", F.coalesce(F.col("tie_term"), F.lit(0)))
+    )
+    var_expr = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tt")
+    ) / 18.0
+    z_num = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(0)
+    )
+    return joined.select(
+        F.col("rf").alias("l_returnflag"),
+        F.col("n").alias("n_periods"),
+        "s_stat",
+        round_half_up(var_expr, 6).alias("var_s"),
+        round_half_up(z_num / F.sqrt(var_expr), 6).alias("z_stat"),
+    ).orderBy("l_returnflag")

@@ -2320,3 +2320,71 @@ def test_conductance_matches_python(spark, sf_dir):
         want = cut[com] / denom if denom > 0 else 0.0
         assert abs(r["conductance"] - want) <= 1e-6
     assert sum(vol.values()) == dm
+
+
+def test_mann_kendall_matches_python(spark, sf_dir):
+    """q_ts_mann_kendall: S, tie-corrected variance and z recomputed
+    in pure python over the rounded monthly series must match."""
+    import math
+    from collections import Counter, defaultdict
+
+    series: dict = defaultdict(dict)
+    for r in (
+        table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_shipdate", "l_extendedprice")
+        .collect()
+    ):
+        key = (r["l_shipdate"].year, r["l_shipdate"].month)
+        series[r["l_returnflag"]][key] = (
+            series[r["l_returnflag"]].get(key, 0.0) + r["l_extendedprice"]
+        )
+    rows = {
+        r["l_returnflag"]: r
+        for r in QUERIES["q_ts_mann_kendall"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(series)
+    for rf, months in series.items():
+        vals = [round(v, 2) for _, v in sorted(months.items())]
+        n = len(vals)
+        s = sum(
+            (vals[j] > vals[i]) - (vals[j] < vals[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        tie_term = sum(
+            t * (t - 1) * (2 * t + 5)
+            for t in Counter(vals).values()
+            if t > 1
+        )
+        var_s = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+        z = (s - (1 if s > 0 else -1 if s < 0 else s)) / math.sqrt(var_s)
+        r = rows[rf]
+        assert r["n_periods"] == n
+        assert r["s_stat"] == s
+        assert abs(r["var_s"] - var_s) <= 1e-5
+        assert abs(r["z_stat"] - z) <= 1e-6
+
+
+def test_runs_test_matches_python(spark, sf_dir):
+    """q_stats_runs_test: runs count against the median-binarized
+    daily series and the exact null moments must match python."""
+    import math
+    import statistics
+    from collections import defaultdict
+
+    day_sum: dict = defaultdict(float)
+    for r in table(spark, sf_dir, "events").select("ts", "value").collect():
+        day_sum[r["ts"].date()] += r["value"]
+    vals = [(d, round(v, 2)) for d, v in sorted(day_sum.items())]
+    med = statistics.median([v for _, v in vals])
+    seq = [v > med for _, v in vals if v != med]
+    n1 = sum(seq)
+    n2 = len(seq) - n1
+    runs = 1 + sum(1 for a, b in zip(seq, seq[1:]) if a != b)
+    n = n1 + n2
+    e = 1 + 2 * n1 * n2 / n
+    var = 2 * n1 * n2 * (2 * n1 * n2 - n) / (n * n * (n - 1))
+    row = QUERIES["q_stats_runs_test"](spark, sf_dir).collect()[0]
+    assert (row["n1"], row["n2"], row["runs"]) == (n1, n2, runs)
+    assert abs(row["e_runs"] - e) <= 1e-6
+    assert abs(row["z_stat"] - (runs - e) / math.sqrt(var)) <= 1e-6
