@@ -518,6 +518,9 @@ POST_R9_ADDITIONS: tuple[str, ...] = (
     # round-9 wave 17 — distribution-free monitoring tests
     "q_ts_mann_kendall",
     "q_stats_runs_test",
+    # round-9 wave 18 — temporal allocation + clickstream paths
+    "q_ts_active_days",
+    "q_event_path_summary",
 )
 
 #: Round-9 rotation (VERDICT r08 item 1 + item 4).  After round 8 the

@@ -1821,3 +1821,253 @@ def q_ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(var_expr, 6).alias("var_s"),
         round_half_up(z_num / F.sqrt(var_expr), 6).alias("z_stat"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "q_ts_active_days",
+    oracle="""
+    WITH iv AS (
+      SELECT o_custkey AS cust, o_orderkey AS ok,
+             epoch_us(o_orderdate) AS s,
+             epoch_us(o_orderdate) + 2592000000000 AS e
+      FROM orders
+    ), flagged AS (
+      SELECT cust, ok, s, e,
+             CASE WHEN max(e) OVER (PARTITION BY cust ORDER BY s, ok
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      IS NULL
+                  OR s > max(e) OVER (PARTITION BY cust ORDER BY s, ok
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM iv
+    ), islands AS (
+      SELECT cust, s, e,
+             sum(is_new) OVER (PARTITION BY cust ORDER BY s, ok
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS episode
+      FROM flagged
+    ), ep AS (
+      SELECT cust, min(s) AS s, max(e) AS e
+      FROM islands GROUP BY cust, episode
+    ), alloc AS (
+      SELECT cust,
+             epoch_us(mon) AS mon_us,
+             least(e, epoch_us(mon + INTERVAL 1 MONTH))
+               - greatest(s, epoch_us(mon)) AS ov_us
+      FROM ep, unnest(generate_series(
+               date_trunc('month', make_timestamp(s)),
+               date_trunc('month', make_timestamp(e - 1)),
+               INTERVAL 1 MONTH)) AS t(mon)
+    )
+    SELECT mon_us AS month_us,
+           CAST(count(DISTINCT cust) AS BIGINT) AS n_customers,
+           CAST(sum(ov_us) AS BIGINT) AS active_us,
+           sum(ov_us) / 86400000000.0 AS active_days
+    FROM alloc
+    GROUP BY mon_us
+    ORDER BY month_us
+    """,
+)
+def q_ts_active_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal ALLOCATION: distribute each customer's merged
+    activity episodes (the q_ts_interval_merge construction, replayed
+    end-to-end here and in the oracle) across the calendar months
+    they span, clamping at month boundaries — yielding per-month
+    active-customer counts and exact active-days, the utilization /
+    billing / capacity primitive ("customer-days in March") that a
+    plain groupBy-by-event-month CANNOT produce because an episode
+    contributes to every month it crosses.
+
+    Episodes are non-overlapping by construction (the merge step), so
+    the allocation never double-counts; the month explode is bounded
+    by episode span (≤ span/30d + 1 rows per episode).  All overlap
+    arithmetic stays in integer epoch-microseconds, summed exactly as
+    BIGINT (active_us), with ONE final division to days — no
+    float-summation-order exposure.  The exclusive episode end is
+    handled by truncating e−1 for the month series so a boundary-
+    aligned end contributes no empty month.
+
+    Scale: interval merge is one shuffle (see q_ts_interval_merge);
+    the allocation adds an in-row explode (calendar-bounded fan-out)
+    and one month-keyed aggregate whose cardinality is the calendar,
+    not the data.
+    """
+    iv = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("ok"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("s"),
+        (
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            + F.lit(2592000000000)
+        ).alias("e"),
+    )
+    w_prev = (
+        W.partitionBy("cust")
+        .orderBy("s", "ok")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = (
+        W.partitionBy("cust")
+        .orderBy("s", "ok")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    prev_max = F.max("e").over(w_prev)
+    ep = (
+        iv.withColumn(
+            "is_new",
+            F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+        )
+        .withColumn("episode", F.sum("is_new").over(w_run))
+        .groupBy("cust", "episode")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    months = F.sequence(
+        F.date_trunc("month", F.timestamp_micros(F.col("s"))),
+        F.date_trunc("month", F.timestamp_micros(F.col("e") - 1)),
+        F.expr("interval 1 month"),
+    )
+    alloc = ep.select(
+        "cust",
+        "s",
+        "e",
+        F.explode(months).alias("mon"),
+    ).select(
+        "cust",
+        F.unix_micros("mon").alias("mon_us"),
+        (
+            F.least(
+                F.col("e"),
+                F.unix_micros(F.col("mon") + F.expr("interval 1 month")),
+            )
+            - F.greatest(F.col("s"), F.unix_micros("mon"))
+        ).alias("ov_us"),
+    )
+    return (
+        alloc.groupBy(F.col("mon_us").alias("month_us"))
+        .agg(
+            F.countDistinct("cust").cast("long").alias("n_customers"),
+            F.sum("ov_us").cast("long").alias("active_us"),
+            (F.sum("ov_us") / F.lit(86400000000.0)).alias("active_days"),
+        )
+        .orderBy("month_us")
+    )
+
+
+@query(
+    "q_event_path_summary",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts)
+                       - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)
+                       > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sess AS (
+      SELECT user_id, event_id, event_type, us,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+      FROM g
+    ), paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY us, event_id) AS path,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY user_id, session_id
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM paths
+    ), corpus AS (
+      SELECT path, min(n_events) AS path_len,
+             CAST(count(*) AS BIGINT) AS n_sessions
+      FROM paths GROUP BY path
+    )
+    SELECT path, path_len, n_sessions,
+           floor(n_sessions * 1.0 / t.n * 1000000 + 0.5) / 1000000.0
+               AS share
+    FROM (SELECT *, row_number() OVER (ORDER BY n_sessions DESC, path)
+                        AS rk
+          FROM corpus) c CROSS JOIN tot t
+    WHERE rk <= 20
+    ORDER BY n_sessions DESC, path
+    """,
+)
+def q_event_path_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path analysis: sessionize (the q_window_sessionid
+    30-minute-gap construction, replayed verbatim), render each
+    session as its ordered event-type path string, and report the
+    corpus top-20 paths with session counts and share — the
+    "what do users actually DO" summary that funnels
+    (q_funnel_conversion) and Markov transitions
+    (q_event_transitions) both abstract away: a funnel fixes the
+    pattern up front, transitions are memoryless one-steps, paths
+    keep whole trajectories.
+
+    Determinism: path order is (ts, event_id) — a total order; the
+    top-k ranks by (n_sessions DESC, path ASC), integer/string only;
+    share is an exact-integer ratio → HALF_UP 6 dp.
+
+    Scale: the sessionize windows share one user-keyed exchange (see
+    q_window_sessionid); the per-session path build is one aggregate
+    whose state is the session's events (human-bounded, the same
+    argument as the session window ops); the corpus rollup is
+    distinct-path-sized.  Real clickstreams cap path length (head-k
+    events per session) to bound the string — noted, not needed at
+    fixture session lengths.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    g = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+            > 1_800_000_000,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = g.withColumn("session_id", F.sum("is_new").over(run))
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("us", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    tot = paths.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    corpus = paths.groupBy("path").agg(
+        F.min("n_events").alias("path_len"),
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+    )
+    from i3cols_spark.functions.rounding import round_half_up
+
+    ranked = corpus.withColumn(
+        "rk",
+        F.row_number().over(W.orderBy(F.desc("n_sessions"), F.asc("path"))),
+    ).filter(F.col("rk") <= 20)
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "path",
+            "path_len",
+            "n_sessions",
+            round_half_up(F.col("n_sessions") * 1.0 / F.col("n"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+    )

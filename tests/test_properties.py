@@ -2388,3 +2388,106 @@ def test_runs_test_matches_python(spark, sf_dir):
     assert (row["n1"], row["n2"], row["runs"]) == (n1, n2, runs)
     assert abs(row["e_runs"] - e) <= 1e-6
     assert abs(row["z_stat"] - (runs - e) / math.sqrt(var)) <= 1e-6
+
+
+def test_active_days_matches_python(spark, sf_dir):
+    """q_ts_active_days: month-clamped allocation of merged episodes
+    recomputed in python must match, and per-month active_us must
+    never exceed n_customers * month-length."""
+    import calendar
+    from collections import defaultdict
+    from datetime import datetime
+
+    W30 = 2_592_000_000_000
+    per: dict = defaultdict(list)
+    for r in table(spark, sf_dir, "orders").collect():
+        t = r["o_orderdate"]
+        us = calendar.timegm(t.timetuple()) * 1_000_000 + t.microsecond
+        per[r["o_custkey"]].append(us)
+    month_us: dict = defaultdict(lambda: [set(), 0])
+
+    def mon_floor(us):
+        d = datetime.utcfromtimestamp(us / 1_000_000)
+        return calendar.timegm(
+            d.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+            .timetuple()
+        ) * 1_000_000
+
+    def mon_next(mus):
+        d = datetime.utcfromtimestamp(mus / 1_000_000)
+        y, m = (d.year + 1, 1) if d.month == 12 else (d.year, d.month + 1)
+        return calendar.timegm(d.replace(year=y, month=m).timetuple()) * 1_000_000
+
+    for cust, starts in per.items():
+        starts.sort()
+        episodes = []
+        for s in starts:
+            e = s + W30
+            if episodes and s <= episodes[-1][1]:
+                episodes[-1][1] = max(episodes[-1][1], e)
+            else:
+                episodes.append([s, e])
+        for s, e in episodes:
+            m = mon_floor(s)
+            while m < e:
+                nm = mon_next(m)
+                ov = min(e, nm) - max(s, m)
+                if ov > 0:
+                    month_us[m][0].add(cust)
+                    month_us[m][1] += ov
+                m = nm
+    rows = QUERIES["q_ts_active_days"](spark, sf_dir).collect()
+    assert len(rows) == len(month_us)
+    for r in rows:
+        custs, us = month_us[r["month_us"]]
+        assert r["n_customers"] == len(custs)
+        assert r["active_us"] == us
+        assert abs(r["active_days"] - us / 86_400_000_000) <= 1e-9
+        month_len = mon_next(r["month_us"]) - r["month_us"]
+        assert us <= len(custs) * month_len
+
+
+def test_path_summary_matches_python(spark, sf_dir):
+    """q_event_path_summary: sessionization, path strings, top-20
+    rank and shares recomputed in python must match."""
+    import calendar
+    from collections import Counter, defaultdict
+
+    evs: dict = defaultdict(list)
+    for r in (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "event_type", "ts")
+        .collect()
+    ):
+        us = (
+            calendar.timegm(r["ts"].timetuple()) * 1_000_000
+            + r["ts"].microsecond
+        )
+        evs[r["user_id"]].append((us, r["event_id"], r["event_type"]))
+    paths: Counter = Counter()
+    lens: dict = {}
+    n_sessions = 0
+    for rows_ in evs.values():
+        rows_.sort()
+        cur: list = []
+        prev = None
+        for us, _eid, et in rows_:
+            if prev is not None and us - prev > 1_800_000_000:
+                p = ">".join(cur)
+                paths[p] += 1
+                lens[p] = min(lens.get(p, len(cur)), len(cur))
+                n_sessions += 1
+                cur = []
+            cur.append(et)
+            prev = us
+        p = ">".join(cur)
+        paths[p] += 1
+        lens[p] = min(lens.get(p, len(cur)), len(cur))
+        n_sessions += 1
+    top = sorted(paths, key=lambda p: (-paths[p], p))[:20]
+    got = QUERIES["q_event_path_summary"](spark, sf_dir).collect()
+    assert [r["path"] for r in got] == top
+    for r in got:
+        assert r["n_sessions"] == paths[r["path"]]
+        assert r["path_len"] == lens[r["path"]]
+        assert abs(r["share"] - paths[r["path"]] / n_sessions) <= 1e-6
