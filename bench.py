@@ -107,6 +107,15 @@ HEADLINE = [
     "q_similarity_hybrid_rrf",
     "q_graph_hits",
     "q_embedding_kmeans_update",
+    # Round-9 waves 13-16: the heaviest new plans — the md5-family
+    # SimHash twin (64 vote accumulators, the widest codegen
+    # expression in the engine) and LPA-community conductance (the 4
+    # LPA rounds plus an edge-sized two-key label join — conductance
+    # subsumes q_graph_label_propagation's plan, so one entry watches
+    # both).  First-inclusion baselines in BASELINE.md §round-9
+    # wave-13/16.
+    "q_dedup_simhash_verified",
+    "q_graph_conductance",
 ]
 
 #: Timed in pass 1 only: q_join_interval_grid's cost is the inherent

@@ -1842,3 +1842,185 @@ def q_dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+#: Rep-level variant of the shared md5 LSH chain: exact duplicates
+#: collapse to min-doc_id representatives BEFORE any signature work,
+#: so the eval measures NEAR-dup detection, not exact-dup mass.
+_LSH_MD5_CTES_REP = _LSH_MD5_CTES.replace(
+    """t AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+    ),""",
+    """t AS (
+        SELECT min(doc_id) AS doc_id,
+               string_split_regex(min(lower(trim(text))), '\\s+') AS toks
+        FROM documents GROUP BY md5(lower(trim(text)))
+    ),""",
+)
+assert _LSH_MD5_CTES_REP != _LSH_MD5_CTES
+
+
+@query(
+    "q_dedup_lsh_eval",
+    oracle=f"""
+    WITH {_LSH_MD5_CTES_REP},
+    sh_rows AS (
+      SELECT doc_id, len(hsh) AS n, unnest(hsh) AS h FROM hs
+    ),
+    truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh_rows a JOIN sh_rows b
+        ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING CAST(count(*) AS DOUBLE)
+             / (min(a.n) + min(b.n) - count(*)) >= 0.5
+    ),
+    hits AS (
+      SELECT t.doc_a, t.doc_b
+      FROM truth t JOIN cand c
+        ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    ),
+    counts AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+             (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+             (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_hits
+    )
+    SELECT n_truth, n_candidates, n_hits,
+           floor(n_hits * 1.0 / n_candidates * 1000000 + 0.5)
+               / 1000000.0 AS precision_,
+           floor(n_hits * 1.0 / n_truth * 1000000 + 0.5)
+               / 1000000.0 AS recall,
+           floor(2.0 * n_hits / (n_candidates + n_truth) * 1000000 + 0.5)
+               / 1000000.0 AS f1
+    FROM counts
+    """,
+)
+def q_dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURE the near-dup detector instead of trusting its theory:
+    precision/recall/F1 of the MinHash-LSH banding CANDIDATES (the
+    q_dedup_minhash_lsh_verified construction, before its verify
+    step) against exact-Jaccard ground truth (every pair of documents
+    with shingle-set Jaccard ≥ 0.5, computed completely via the
+    inverted-index join — a qualifying pair must share a shingle, so
+    the blocking loses nothing).  Recall here is the empirically
+    REALIZED banding recall the (8 perms, 4 bands × 2 rows) S-curve
+    only promises in expectation; precision quantifies the verify
+    step's workload (candidates that exact verification will throw
+    away).  Together with q_dedup_lsh_bucket_audit (candidate-pair
+    LOAD) this makes the LSH cost/quality trade-off a measured,
+    oracle-checked quantity — the audit a 100 TB dedup run does on a
+    sample before committing the full pass.
+
+    All three counts are exact integers (the same md5 family on both
+    engines), metrics are integer ratios → HALF_UP 6 dp.
+
+    Exact duplicates collapse to min-doc_id representatives BEFORE
+    either side (identical texts have identical signatures AND
+    identical shingle sets, so their pairs are guaranteed hits that
+    would inflate both precision and recall with degenerate mass —
+    and they are q_dedup_exact's jurisdiction anyway).  The collapse
+    also removes the Θ(dup-density²) exposure: the x10 replication
+    probe is flat post-collapse, and the remaining quadratic is REAL
+    near-dup density — the documented audit-at-sample-scale ceiling
+    of the exact path, while the LSH side keeps the linear production
+    shape.
+    """
+    from i3cols_spark.functions.text import shingles
+
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    staged = (
+        docs.groupBy(F.md5(normalize("text")).alias("th"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min(normalize("text")).alias("norm"),
+        )
+        .select("doc_id", shingles("norm").alias("sh"))
+    )
+
+    def salted_min(j: int):
+        return F.array_min(
+            F.transform("sh", lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
+        ).alias(f"sig{j}")
+
+    hs = staged.select(
+        "doc_id",
+        F.array_distinct(F.transform("sh", lambda s: F.md5(s))).alias("hsh"),
+        *[salted_min(j) for j in range(_SIG_PERMS)],
+    )
+    keyed = None
+    for b in range(4):
+        part = hs.select(
+            "doc_id",
+            F.md5(
+                F.concat(
+                    F.lit(f"{b}|"), F.col(f"sig{2*b}"), F.lit("|"),
+                    F.col(f"sig{2*b+1}"),
+                )
+            ).alias("bucket"),
+            F.lit(b).alias("band"),
+        )
+        keyed = part if keyed is None else keyed.unionAll(part)
+    buckets = (
+        keyed.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    cand = (
+        buckets.select(F.explode(_pair_structs(F.col("ids"))).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .dropDuplicates()
+    )
+    sh_rows = hs.select(
+        "doc_id", F.size("hsh").alias("n"), F.explode("hsh").alias("h")
+    )
+    a, b2 = sh_rows.alias("a"), sh_rows.alias("b")
+    truth = (
+        a.join(
+            b2,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.first(F.col("a.n")).alias("n_a"),
+            F.first(F.col("b.n")).alias("n_b"),
+        )
+        .filter(
+            F.col("common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("common"))
+            >= 0.5
+        )
+        .select("doc_a", "doc_b")
+    )
+    hits = truth.join(cand, ["doc_a", "doc_b"])
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    n_hits = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    from i3cols_spark.functions.rounding import round_half_up
+
+    return (
+        n_truth.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hits))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hits",
+            round_half_up(
+                F.col("n_hits") * 1.0 / F.col("n_candidates"), 6
+            ).alias("precision_"),
+            round_half_up(F.col("n_hits") * 1.0 / F.col("n_truth"), 6).alias(
+                "recall"
+            ),
+            round_half_up(
+                F.lit(2.0)
+                * F.col("n_hits")
+                / (F.col("n_candidates") + F.col("n_truth")),
+                6,
+            ).alias("f1"),
+        )
+    )

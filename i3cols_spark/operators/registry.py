@@ -521,6 +521,10 @@ POST_R9_ADDITIONS: tuple[str, ...] = (
     # round-9 wave 18 — temporal allocation + clickstream paths
     "q_ts_active_days",
     "q_event_path_summary",
+    # round-9 wave 19 — measured LSH quality + information-theoretic
+    # feature relevance
+    "q_dedup_lsh_eval",
+    "q_ml_feature_mi",
 )
 
 #: Round-9 rotation (VERDICT r08 item 1 + item 4).  After round 8 the

@@ -2892,3 +2892,126 @@ def q_stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(e_runs, 6).alias("e_runs"),
         round_half_up((runs - e_runs) / F.sqrt(var_runs), 6).alias("z_stat"),
     )
+
+
+@query(
+    "q_ml_feature_mi",
+    oracle="""
+    WITH lab AS (
+      SELECT least(9, CAST(floor((l_quantity - 1) / 5) AS BIGINT)) AS x,
+             l_returnflag AS y
+      FROM lineitem
+    ), cells AS (
+      SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM lab GROUP BY x, y
+    ), marg AS (
+      SELECT x, y, c,
+             sum(c) OVER (PARTITION BY x) AS cx,
+             sum(c) OVER (PARTITION BY y) AS cy,
+             sum(c) OVER ()               AS n,
+             min(y) OVER (PARTITION BY x) AS ymin,
+             min(x) OVER (PARTITION BY y) AS xmin
+      FROM cells
+    ), folded AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_cells,
+             sum(CAST(c AS DOUBLE) / n
+                 * ln(CAST(c AS DOUBLE) * n / (CAST(cx AS DOUBLE) * cy)))
+                 AS mi,
+             -sum(CASE WHEN y = ymin THEN CAST(cx AS DOUBLE) / n
+                            * ln(CAST(cx AS DOUBLE) / n) ELSE 0 END) AS hx,
+             -sum(CASE WHEN x = xmin THEN CAST(cy AS DOUBLE) / n
+                            * ln(CAST(cy AS DOUBLE) / n) ELSE 0 END) AS hy
+      FROM marg
+    )
+    SELECT n_cells,
+           round(mi, 6) AS mi_nats,
+           round(hx, 6) AS h_feature,
+           round(hy, 6) AS h_label,
+           round(mi / sqrt(hx * hy), 6) AS nmi
+    FROM folded
+    """,
+)
+def q_ml_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between a binned numeric feature (quantity
+    in width-5 buckets) and the class label (return flag) — the
+    feature-RELEVANCE score of filter-style feature selection, the
+    information-theoretic member of the dependence family
+    (q_stats_chi2_indep tests the same contingency table's
+    independence, q_agg_entropy measures one margin, q_text_js_
+    divergence compares two distributions): MI = Σ p(x,y)·ln[p(x,y) /
+    (p(x)p(y))], with both marginal entropies and the normalized
+    MI/√(H_x·H_y) for cross-feature comparability.
+
+    The margin-entropy folds dedupe each margin by anchoring each x
+    on ITS OWN min y (and vice versa) — exactly one row per margin
+    value in both engines, dense contingency table or not.  Buckets are integer arithmetic;
+    the log folds run over ≤ |x-bins|·|y-classes| cells (30 here), so
+    the float sums span ~dozens of terms — rounded at 6 dp, the PMI/
+    LLR collocation discipline for ln() folds of exact-integer
+    ratios.
+
+    Scale: ONE map-side-combined (x, y) count over the fact table;
+    everything after is cell-table-sized (bins × classes, a design
+    constant — a continuous feature gets bucketed first, exactly as
+    q_ml_eval_roc_pr's sweep does).
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        F.least(F.lit(9), F.floor((F.col("l_quantity") - 1) / 5))
+        .cast("long")
+        .alias("x"),
+        F.col("l_returnflag").alias("y"),
+    )
+    cells = li.groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wx = Window.partitionBy("x")
+    wy = Window.partitionBy("y")
+    wn = Window.partitionBy()
+    marg = cells.select(
+        "x",
+        "y",
+        "c",
+        F.sum("c").over(wx).alias("cx"),
+        F.sum("c").over(wy).alias("cy"),
+        F.sum("c").over(wn).alias("n"),
+        F.min("y").over(wx).alias("min_y"),
+        F.min("x").over(wy).alias("min_x"),
+    )
+    folded = marg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum(
+            F.col("c").cast("double")
+            / F.col("n")
+            * F.log(
+                F.col("c").cast("double")
+                * F.col("n")
+                / (F.col("cx").cast("double") * F.col("cy"))
+            )
+        ).alias("mi"),
+        (
+            -F.sum(
+                F.when(
+                    F.col("y") == F.col("min_y"),
+                    F.col("cx").cast("double")
+                    / F.col("n")
+                    * F.log(F.col("cx").cast("double") / F.col("n")),
+                ).otherwise(F.lit(0.0))
+            )
+        ).alias("hx"),
+        (
+            -F.sum(
+                F.when(
+                    F.col("x") == F.col("min_x"),
+                    F.col("cy").cast("double")
+                    / F.col("n")
+                    * F.log(F.col("cy").cast("double") / F.col("n")),
+                ).otherwise(F.lit(0.0))
+            )
+        ).alias("hy"),
+    )
+    return folded.select(
+        "n_cells",
+        F.round("mi", 6).alias("mi_nats"),
+        F.round("hx", 6).alias("h_feature"),
+        F.round("hy", 6).alias("h_label"),
+        F.round(F.col("mi") / F.sqrt(F.col("hx") * F.col("hy")), 6).alias(
+            "nmi"
+        ),
+    )

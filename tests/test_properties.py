@@ -2491,3 +2491,91 @@ def test_path_summary_matches_python(spark, sf_dir):
         assert r["n_sessions"] == paths[r["path"]]
         assert r["path_len"] == lens[r["path"]]
         assert abs(r["share"] - paths[r["path"]] / n_sessions) <= 1e-6
+
+
+def test_lsh_eval_matches_python(spark, sf_dir):
+    """q_dedup_lsh_eval: ground truth (exact shingle-set Jaccard >=
+    0.5 over all pairs, brute force), LSH candidates and the
+    precision/recall arithmetic recomputed in pure python must
+    match."""
+    import hashlib
+    import re
+    from itertools import combinations
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    reps: dict = {}
+    for r in table(spark, sf_dir, "documents").select("doc_id", "text").collect():
+        norm = r["text"].strip().lower()
+        key = md5(norm)
+        if key not in reps or r["doc_id"] < reps[key][0]:
+            reps[key] = (r["doc_id"], norm)
+    docs = {}
+    for doc_id, norm in reps.values():
+        toks = re.split(r"\s+", norm)
+        n = max(len(toks) - 3, 0) + 1
+        docs[doc_id] = [" ".join(toks[i : i + 3]) for i in range(n)]
+    hsh = {d: set(md5(x) for x in sh) for d, sh in docs.items()}
+    truth = {
+        (a, b)
+        for a, b in combinations(sorted(docs), 2)
+        if len(hsh[a] & hsh[b]) / len(hsh[a] | hsh[b]) >= 0.5
+    }
+    sigs = {
+        d: [min(md5(f"{j}:{x}") for x in sh) for j in range(8)]
+        for d, sh in docs.items()
+    }
+    buckets: dict = {}
+    for d, sg in sigs.items():
+        for b in range(4):
+            key = (b, md5(f"{b}|{sg[2 * b]}|{sg[2 * b + 1]}"))
+            buckets.setdefault(key, []).append(d)
+    cand = set()
+    for ids in buckets.values():
+        for a, b in combinations(sorted(ids), 2):
+            cand.add((a, b))
+    hits = truth & cand
+    row = QUERIES["q_dedup_lsh_eval"](spark, sf_dir).collect()[0]
+    assert row["n_truth"] == len(truth)
+    assert row["n_candidates"] == len(cand)
+    assert row["n_hits"] == len(hits)
+    assert abs(row["precision_"] - len(hits) / len(cand)) <= 1e-6
+    assert abs(row["recall"] - len(hits) / len(truth)) <= 1e-6
+    assert truth, "fixture must contain true near-dup pairs"
+
+
+def test_feature_mi_matches_python(spark, sf_dir):
+    """q_ml_feature_mi: MI, margin entropies and NMI recomputed in
+    python over the (bucket, flag) contingency table must match; MI
+    must be non-negative and bounded by min(H_x, H_y)."""
+    import math
+    from collections import Counter
+
+    cells: Counter = Counter()
+    for r in (
+        table(spark, sf_dir, "lineitem")
+        .select("l_quantity", "l_returnflag")
+        .collect()
+    ):
+        x = min(9, int((r["l_quantity"] - 1) // 5))
+        cells[(x, r["l_returnflag"])] += 1
+    n = sum(cells.values())
+    cx: Counter = Counter()
+    cy: Counter = Counter()
+    for (x, y), c in cells.items():
+        cx[x] += c
+        cy[y] += c
+    mi = sum(
+        c / n * math.log(c * n / (cx[x] * cy[y]))
+        for (x, y), c in cells.items()
+    )
+    hx = -sum(c / n * math.log(c / n) for c in cx.values())
+    hy = -sum(c / n * math.log(c / n) for c in cy.values())
+    row = QUERIES["q_ml_feature_mi"](spark, sf_dir).collect()[0]
+    assert row["n_cells"] == len(cells)
+    assert abs(row["mi_nats"] - mi) <= 1e-5
+    assert abs(row["h_feature"] - hx) <= 1e-5
+    assert abs(row["h_label"] - hy) <= 1e-5
+    assert abs(row["nmi"] - mi / math.sqrt(hx * hy)) <= 1e-5
+    assert -1e-9 <= row["mi_nats"] <= min(hx, hy) + 1e-9
