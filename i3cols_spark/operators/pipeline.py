@@ -1291,3 +1291,135 @@ def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "q_event_rfm",
+    oracle="""
+    WITH anchor AS (
+      SELECT max(epoch_us(ts)) AS a FROM events
+    ), u AS (
+      SELECT user_id,
+             CAST(floor((t.a - max(epoch_us(ts))) / 86400000000.0)
+                  AS BIGINT) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS monetary_cents
+      FROM events, anchor t
+      WHERE event_type = 'purchase'
+      GROUP BY user_id, t.a
+    ), n AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM u
+    ), scored AS (
+      SELECT u.*,
+             1 + CAST(floor((row_number() OVER (
+                     ORDER BY recency_days DESC, user_id) - 1) * 5.0 / n.n)
+                 AS BIGINT) AS r_score,
+             1 + CAST(floor((row_number() OVER (
+                     ORDER BY frequency, user_id) - 1) * 5.0 / n.n)
+                 AS BIGINT) AS f_score,
+             1 + CAST(floor((row_number() OVER (
+                     ORDER BY monetary_cents, user_id) - 1) * 5.0 / n.n)
+                 AS BIGINT) AS m_score
+      FROM u CROSS JOIN n
+    )
+    SELECT r_score || '-' || f_score || '-' || m_score AS segment,
+           CAST(count(*) AS BIGINT) AS n_users,
+           floor(sum(recency_days) * 1.0 / count(*) * 1000000 + 0.5)
+               / 1000000.0 AS avg_recency_days,
+           floor(sum(frequency) * 1.0 / count(*) * 1000000 + 0.5)
+               / 1000000.0 AS avg_frequency,
+           floor(sum(monetary_cents) / (count(*) * 100.0) * 1000000 + 0.5)
+               / 1000000.0 AS avg_monetary
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY segment
+    """,
+)
+def q_event_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of purchasers: per-user Recency (days since
+    last purchase, against the global max-event-time anchor so the
+    fixture's clock is the clock), Frequency (purchase count) and
+    Monetary (exact integer cents), each quintile-scored 1–5 by a
+    deterministic RANK bucket — score = 1 + ⌊(rank−1)·5/n⌋ under the
+    total (metric, user_id) order, NOT ntile(), whose tie placement
+    is engine-defined — then rolled up to the ≤125 R-F-M segments
+    with user counts and segment means.  The classic marketing /
+    lifecycle segmentation: q_retention_cohorts slices by AGE,
+    q_sample_balanced by CLASS, RFM by VALUE.
+
+    Exactness: recency in whole days, monetary per-event half-up
+    cents, all three metrics exact integers; segment means are
+    integer ratios → HALF_UP 6 dp.
+
+    Scale: one user-keyed aggregate (map-side combined) is the data-
+    sized pass; the three rank windows run over the USER table (one
+    row per purchaser).  At 100 TB the rank windows are single-key
+    sorts of |users| rows — if users outgrow a sort, the quintile
+    thresholds come from q_agg_percentile instead and scoring becomes
+    a broadcast-threshold projection; noted as the documented scale
+    escape, same trade as q_feature_scale.
+    """
+    ev = table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.unix_micros("ts")).alias("a"))
+    u = (
+        ev.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(anchor))
+        .groupBy("user_id", "a")
+        .agg(
+            F.floor(
+                (F.col("a") - F.max(F.unix_micros("ts")))
+                / F.lit(86400000000.0)
+            )
+            .cast("long")
+            .alias("recency_days"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+        .drop("a")
+    )
+    n = u.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    un = u.crossJoin(F.broadcast(n))
+
+    def score(order_cols, name):
+        rk = F.row_number().over(W.orderBy(*order_cols))
+        return (
+            1 + F.floor((rk - 1) * 5.0 / F.col("n")).cast("long")
+        ).alias(name)
+
+    scored = un.select(
+        "*",
+        score([F.desc("recency_days"), F.asc("user_id")], "r_score"),
+        score([F.asc("frequency"), F.asc("user_id")], "f_score"),
+        score([F.asc("monetary_cents"), F.asc("user_id")], "m_score"),
+    )
+    from i3cols_spark.functions.rounding import round_half_up
+
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            round_half_up(
+                F.sum("recency_days") * 1.0 / F.count(F.lit(1)), 6
+            ).alias("avg_recency_days"),
+            round_half_up(
+                F.sum("frequency") * 1.0 / F.count(F.lit(1)), 6
+            ).alias("avg_frequency"),
+            round_half_up(
+                F.sum("monetary_cents") / (F.count(F.lit(1)) * F.lit(100.0)),
+                6,
+            ).alias("avg_monetary"),
+        )
+        .select(
+            F.concat_ws(
+                "-", F.col("r_score"), F.col("f_score"), F.col("m_score")
+            ).alias("segment"),
+            "n_users",
+            "avg_recency_days",
+            "avg_frequency",
+            "avg_monetary",
+        )
+        .orderBy("segment")
+    )

@@ -525,6 +525,9 @@ POST_R9_ADDITIONS: tuple[str, ...] = (
     # feature relevance
     "q_dedup_lsh_eval",
     "q_ml_feature_mi",
+    # round-9 wave 20 — forecast backtest + value segmentation
+    "q_ts_backtest_naive",
+    "q_event_rfm",
 )
 
 #: Round-9 rotation (VERDICT r08 item 1 + item 4).  After round 8 the

@@ -2071,3 +2071,148 @@ def q_event_path_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_sessions"), F.asc("path"))
     )
+
+
+@query(
+    "q_ts_backtest_naive",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', l_shipdate) AS mon,
+             CAST(floor(round(sum(l_extendedprice), 2) * 100 + 0.5)
+                  AS BIGINT) AS vc
+      FROM lineitem GROUP BY 1
+    ), lagd AS (
+      SELECT mon, vc,
+             lag(vc, 1) OVER (ORDER BY mon) AS l1,
+             lag(vc, 12) OVER (ORDER BY mon) AS l12,
+             CAST(floor((lag(vc, 1) OVER (ORDER BY mon)
+                         + lag(vc, 2) OVER (ORDER BY mon)
+                         + lag(vc, 3) OVER (ORDER BY mon)) / 3.0 + 0.5)
+                  AS BIGINT) AS ma3
+      FROM m
+    ), ev AS (
+      SELECT * FROM (
+        SELECT mon, vc,
+               row_number() OVER (ORDER BY mon DESC) AS rev
+        FROM lagd WHERE l12 IS NOT NULL AND ma3 IS NOT NULL
+      ) WHERE rev <= 12
+    ), f AS (
+      SELECT 'naive' AS method, e.mon, e.vc, d.l1 AS fc
+      FROM ev e JOIN lagd d ON d.mon = e.mon
+      UNION ALL
+      SELECT 'seasonal_naive', e.mon, e.vc, d.l12
+      FROM ev e JOIN lagd d ON d.mon = e.mon
+      UNION ALL
+      SELECT 'moving_avg_3', e.mon, e.vc, d.ma3
+      FROM ev e JOIN lagd d ON d.mon = e.mon
+    )
+    SELECT method,
+           CAST(count(*) AS BIGINT) AS n_evals,
+           floor(sum(abs(vc - fc)) / count(*) / 100.0 * 1000000 + 0.5)
+               / 1000000.0 AS mae,
+           floor(sum(CAST(floor(abs(vc - fc) * 1000000.0 / vc + 0.5)
+                          AS BIGINT))
+                 / (count(*) * 10000.0) * 1000000 + 0.5) / 1000000.0
+               AS mape_pct
+    FROM f GROUP BY method
+    ORDER BY method
+    """,
+)
+def q_ts_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast BACKTEST: one-step-ahead forecasts of
+    monthly revenue from three reference methods — naive (last
+    month), seasonal-naive (same month last year), 3-month moving
+    average — scored by MAE and MAPE over the last 12 evaluable
+    months.  This is the eval loop of the forecasting family
+    (q_ts_ewma / q_ts_holt_winters / q_ts_holt_winters PRODUCE
+    forecasts; this MEASURES them): any real forecaster must beat
+    seasonal-naive before it ships, and the reference methods are
+    themselves pure window expressions, so the whole backtest is one
+    window pass — no per-cutoff refit loop.
+
+    Exactness: monthly values are canonicalized to integer CENTS
+    (floor(round(sum,2)·100+0.5)), so forecasts and absolute errors
+    are exact BIGINTs; per-month MAPE terms are micro-int-quantized
+    before averaging (the q_ml_eval_ndcg discipline), leaving one
+    final division per metric → HALF_UP 6 dp.  The moving-average
+    forecast is itself half-up-rounded to whole cents — the pinned
+    cross-engine convention.
+
+    Scale: the data-sized pass is one month-keyed aggregate; lags,
+    eval-window selection and scoring all run on the calendar-bounded
+    series (the Mann–Kendall argument).
+    """
+    m = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("mon"))
+        .agg(
+            F.floor(F.round(F.sum("l_extendedprice"), 2) * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("vc")
+        )
+    )
+    w = W.orderBy("mon")
+    lagd = m.select(
+        "mon",
+        "vc",
+        F.lag("vc", 1).over(w).alias("l1"),
+        F.lag("vc", 12).over(w).alias("l12"),
+        F.floor(
+            (
+                F.lag("vc", 1).over(w)
+                + F.lag("vc", 2).over(w)
+                + F.lag("vc", 3).over(w)
+            )
+            / 3.0
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("ma3"),
+    )
+    ev = (
+        lagd.filter(F.col("l12").isNotNull() & F.col("ma3").isNotNull())
+        .withColumn("rev", F.row_number().over(W.orderBy(F.desc("mon"))))
+        .filter(F.col("rev") <= 12)
+        .select("mon", "vc", "l1", "l12", "ma3")
+    )
+    parts = []
+    for method, col in (
+        ("naive", "l1"),
+        ("seasonal_naive", "l12"),
+        ("moving_avg_3", "ma3"),
+    ):
+        parts.append(
+            ev.select(
+                F.lit(method).alias("method"),
+                "vc",
+                F.col(col).alias("fc"),
+            )
+        )
+    f = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    from i3cols_spark.functions.rounding import round_half_up
+
+    return (
+        f.groupBy("method")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_evals"),
+            round_half_up(
+                F.sum(F.abs(F.col("vc") - F.col("fc")))
+                / F.count(F.lit(1))
+                / F.lit(100.0),
+                6,
+            ).alias("mae"),
+            round_half_up(
+                F.sum(
+                    F.floor(
+                        F.abs(F.col("vc") - F.col("fc"))
+                        * F.lit(1000000.0)
+                        / F.col("vc")
+                        + F.lit(0.5)
+                    ).cast("long")
+                )
+                / (F.count(F.lit(1)) * F.lit(10000.0)),
+                6,
+            ).alias("mape_pct"),
+        )
+        .orderBy("method")
+    )

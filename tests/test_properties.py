@@ -2579,3 +2579,123 @@ def test_feature_mi_matches_python(spark, sf_dir):
     assert abs(row["h_label"] - hy) <= 1e-5
     assert abs(row["nmi"] - mi / math.sqrt(hx * hy)) <= 1e-5
     assert -1e-9 <= row["mi_nats"] <= min(hx, hy) + 1e-9
+
+
+def test_backtest_naive_matches_python(spark, sf_dir):
+    """q_ts_backtest_naive: cents canonicalization, the three
+    reference forecasts, and MAE/MAPE micro-quantization recomputed
+    in python must match."""
+    import math
+    from collections import defaultdict
+
+    monthly: dict = defaultdict(float)
+    for r in (
+        table(spark, sf_dir, "lineitem")
+        .select("l_shipdate", "l_extendedprice")
+        .collect()
+    ):
+        monthly[(r["l_shipdate"].year, r["l_shipdate"].month)] += r[
+            "l_extendedprice"
+        ]
+    vals = [
+        int(math.floor(round(v, 2) * 100 + 0.5))
+        for _, v in sorted(monthly.items())
+    ]
+    rowsd = {}
+    for method in ("naive", "seasonal_naive", "moving_avg_3"):
+        evals = []
+        for i in range(len(vals)):
+            if i < 12:
+                continue
+            if method == "naive":
+                fc = vals[i - 1]
+            elif method == "seasonal_naive":
+                fc = vals[i - 12]
+            else:
+                fc = int(
+                    math.floor((vals[i - 1] + vals[i - 2] + vals[i - 3]) / 3.0 + 0.5)
+                )
+            evals.append((vals[i], fc))
+        evals = evals[-12:]
+        mae = sum(abs(v - f) for v, f in evals) / len(evals) / 100.0
+        mape = sum(
+            int(math.floor(abs(v - f) * 1_000_000.0 / v + 0.5))
+            for v, f in evals
+        ) / (len(evals) * 10_000.0)
+        rowsd[method] = (len(evals), mae, mape)
+    got = QUERIES["q_ts_backtest_naive"](spark, sf_dir).collect()
+    assert len(got) == 3
+    for r in got:
+        n, mae, mape = rowsd[r["method"]]
+        assert r["n_evals"] == n
+        assert abs(r["mae"] - mae) <= 1e-4
+        assert abs(r["mape_pct"] - mape) <= 1e-4
+
+
+def test_rfm_matches_python(spark, sf_dir):
+    """q_event_rfm: user metrics, deterministic rank-quintile scores
+    and segment rollups recomputed in python must match; every score
+    must be 1..5 and user counts must sum to the purchaser count."""
+    import calendar
+    import math
+    from collections import defaultdict
+
+    evs = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value"
+    ).collect()
+
+    def us(t):
+        return calendar.timegm(t.timetuple()) * 1_000_000 + t.microsecond
+
+    anchor = max(us(r["ts"]) for r in evs)
+    agg: dict = defaultdict(lambda: [0, 0, 0])
+    for r in evs:
+        if r["event_type"] != "purchase":
+            continue
+        a = agg[r["user_id"]]
+        a[0] = max(a[0], us(r["ts"]))
+        a[1] += 1
+        a[2] += int(math.floor(r["value"] * 100 + 0.5))
+    users = {
+        uid: (
+            int(math.floor((anchor - last) / 86_400_000_000.0)),
+            freq,
+            cents,
+        )
+        for uid, (last, freq, cents) in agg.items()
+    }
+    n = len(users)
+
+    def scores(key, reverse):
+        order = sorted(
+            users,
+            key=lambda u: (
+                (-users[u][key] if reverse else users[u][key]),
+                u,
+            ),
+        )
+        return {
+            u: 1 + int(math.floor(i * 5.0 / n)) for i, u in enumerate(order)
+        }
+
+    rs, fs, ms = scores(0, True), scores(1, False), scores(2, False)
+    seg: dict = defaultdict(lambda: [0, 0, 0, 0])
+    for u, (rec, fr, mo) in users.items():
+        s = seg[f"{rs[u]}-{fs[u]}-{ms[u]}"]
+        s[0] += 1
+        s[1] += rec
+        s[2] += fr
+        s[3] += mo
+    rows = QUERIES["q_event_rfm"](spark, sf_dir).collect()
+    assert {r["segment"] for r in rows} == set(seg)
+    total = 0
+    for r in rows:
+        c, rec, fr, mo = seg[r["segment"]]
+        total += c
+        assert r["n_users"] == c
+        assert abs(r["avg_recency_days"] - rec / c) <= 1e-6
+        assert abs(r["avg_frequency"] - fr / c) <= 1e-6
+        assert abs(r["avg_monetary"] - mo / (c * 100.0)) <= 1e-6
+        rp, fp, mp = r["segment"].split("-")
+        assert all(1 <= int(x) <= 5 for x in (rp, fp, mp))
+    assert total == n
