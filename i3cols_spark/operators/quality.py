@@ -1263,3 +1263,103 @@ def q_quality_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "q_quality_freshness",
+    oracle="""
+    WITH anchor AS (
+      SELECT max(epoch_us(ts)) AS a FROM events
+    ), f AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             max(epoch_us(ts)) AS last_us,
+             CAST(sum(CASE WHEN epoch_us(ts) >= t.a - 604800000000
+                      THEN 1 ELSE 0 END) AS BIGINT) AS rows_7d,
+             CAST(sum(CASE WHEN epoch_us(ts) >= t.a - 1209600000000
+                       AND epoch_us(ts) < t.a - 604800000000
+                      THEN 1 ELSE 0 END) AS BIGINT) AS rows_prior_7d
+      FROM events, anchor t
+      GROUP BY event_type, t.a
+    )
+    SELECT event_type, n_rows, last_us,
+           floor((t.a - last_us) / 3600000000.0 * 1000000 + 0.5)
+               / 1000000.0 AS staleness_hours,
+           rows_7d, rows_prior_7d,
+           CASE WHEN rows_prior_7d > 0
+                THEN floor(rows_7d * 1.0 / rows_prior_7d * 1000000 + 0.5)
+                     / 1000000.0
+                ELSE CAST(NULL AS DOUBLE) END AS wow_ratio,
+           (t.a - last_us) > 86400000000 AS stale_24h
+    FROM f, anchor t
+    ORDER BY event_type
+    """,
+)
+def q_quality_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feed freshness and volume audit: for every event type
+    (standing in for an ingest feed), last-arrival staleness against
+    the global clock anchor, trailing-7-day row volume vs the prior
+    7-day window (week-over-week ratio), and a 24-hour staleness
+    flag — the data-ops health check a pipeline runs BEFORE trusting
+    a partition for training, complementing the structural audits
+    (q_quality_referential_integrity = FK shape,
+    q_quality_embedding_audit = vector shape, THIS = arrival shape).
+
+    All interval arithmetic is integer epoch-micros against a 1-row
+    broadcast anchor; staleness and the WoW ratio are single
+    divisions of exact integers → HALF_UP 6 dp; a feed with an empty
+    prior week reports NULL ratio (not a fake ∞), and the flag stays
+    a plain boolean so the gate is machine-checkable.
+
+    Scale: ONE map-side-combined pass over the event stream with
+    conditional-count accumulators — |feeds| output rows, no second
+    scan for the window counts.
+    """
+    ev = table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.unix_micros("ts")).alias("a"))
+    us = F.unix_micros("ts")
+    f = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("event_type", "a")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.max(us).alias("last_us"),
+            F.sum(
+                F.when(us >= F.col("a") - F.lit(604800000000), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("rows_7d"),
+            F.sum(
+                F.when(
+                    (us >= F.col("a") - F.lit(1209600000000))
+                    & (us < F.col("a") - F.lit(604800000000)),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("rows_prior_7d"),
+        )
+    )
+    from i3cols_spark.functions.rounding import round_half_up
+
+    return f.select(
+        "event_type",
+        "n_rows",
+        "last_us",
+        round_half_up(
+            (F.col("a") - F.col("last_us")) / F.lit(3600000000.0), 6
+        ).alias("staleness_hours"),
+        "rows_7d",
+        "rows_prior_7d",
+        F.when(
+            F.col("rows_prior_7d") > 0,
+            round_half_up(
+                F.col("rows_7d") * 1.0 / F.col("rows_prior_7d"), 6
+            ),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("wow_ratio"),
+        ((F.col("a") - F.col("last_us")) > F.lit(86400000000)).alias(
+            "stale_24h"
+        ),
+    ).orderBy("event_type")

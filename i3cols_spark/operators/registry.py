@@ -528,6 +528,9 @@ POST_R9_ADDITIONS: tuple[str, ...] = (
     # round-9 wave 20 — forecast backtest + value segmentation
     "q_ts_backtest_naive",
     "q_event_rfm",
+    # round-9 wave 21 — experimentation readout + feed health
+    "q_ml_ab_cuped",
+    "q_quality_freshness",
 )
 
 #: Round-9 rotation (VERDICT r08 item 1 + item 4).  After round 8 the

@@ -3015,3 +3015,171 @@ def q_ml_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nmi"
         ),
     )
+
+
+@query(
+    "q_ml_ab_cuped",
+    oracle="""
+    WITH anchor AS (
+      SELECT max(epoch_us(ts)) AS a FROM events
+    ), u AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN epoch_us(ts) < t.a - 1296000000000
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN epoch_us(ts) >= t.a - 1296000000000
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS y,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || '|ab'), 1, 1)
+                       < '8' THEN 'A' ELSE 'B' END AS grp
+      FROM events, anchor t
+      WHERE event_type = 'purchase'
+      GROUP BY user_id, t.a
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(x AS DOUBLE)) AS sx, sum(CAST(y AS DOUBLE)) AS sy,
+             sum(CAST(x AS DOUBLE) * x) AS sxx,
+             sum(CAST(x AS DOUBLE) * y) AS sxy,
+             sum(CAST(y AS DOUBLE) * y) AS syy
+      FROM u
+    ), th AS (
+      SELECT n, sx, sy, sxx, sxy, syy,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+             (n * syy - sy * sy) / (n * CAST(n AS DOUBLE)) AS var_y,
+             (n * sxy - sx * sy) / (n * CAST(n AS DOUBLE)) AS cov_xy,
+             (n * sxx - sx * sx) / (n * CAST(n AS DOUBLE)) AS var_x
+      FROM s
+    ), g AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+             sum(CAST(x AS DOUBLE)) AS sx_g, sum(CAST(y AS DOUBLE)) AS sy_g
+      FROM u GROUP BY grp
+    ), wide AS (
+      SELECT
+        (SELECT n_g FROM g WHERE grp = 'A') AS n_a,
+        (SELECT n_g FROM g WHERE grp = 'B') AS n_b,
+        (SELECT sy_g FROM g WHERE grp = 'A') AS sy_a,
+        (SELECT sy_g FROM g WHERE grp = 'B') AS sy_b,
+        (SELECT sx_g FROM g WHERE grp = 'A') AS sx_a,
+        (SELECT sx_g FROM g WHERE grp = 'B') AS sx_b
+    )
+    SELECT t.n AS n_users, w.n_a, w.n_b,
+           round(t.theta, 6) AS theta,
+           round(t.cov_xy * t.cov_xy / (t.var_x * t.var_y) * 100, 6)
+               AS var_reduction_pct,
+           round((w.sy_a / w.n_a - w.sy_b / w.n_b) / 100, 6) AS raw_diff,
+           round(((w.sy_a / w.n_a - t.theta * (w.sx_a / w.n_a))
+                  - (w.sy_b / w.n_b - t.theta * (w.sx_b / w.n_b))) / 100,
+                 6) AS adj_diff
+    FROM th t CROSS JOIN wide w
+    """,
+)
+def q_ml_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data,
+    Deng et al. 2013): the variance-reduction readout every modern
+    experimentation platform applies before calling an A/B test —
+    per-user PRE-period spend is the covariate X, post-period spend
+    the metric Y, θ = cov(X,Y)/var(X), and the adjusted metric
+    Y − θX removes the θ²var(X) component of between-user variance
+    (var_reduction_pct = ρ²·100).  Groups come from the engine's
+    deterministic md5-parity split (the q_split_assign convention),
+    the period boundary is anchor − 15 days (half the fixture's 30-day event span), and the output is the
+    raw vs CUPED-adjusted A−B difference side by side.  Completes the
+    experimentation kit: q_stats_welch_ttest / proportion_ztest test
+    a difference, THIS op is how the platform shrinks its error bars
+    first.
+
+    Float discipline: per-user X/Y are EXACT integer cents; the five
+    moment sums then run in double (the q_agg_stats_corr covariance
+    discipline — engine sum orders differ in the last ulps) and every
+    output is rounded at 6 dp.  θ is computed from the raw sums, not
+    the rounded ones.
+
+    Scale: one user-keyed aggregate (map-side combined), then a
+    5-number moment fold and a 2-row group fold — nothing after the
+    first shuffle is data-sized.
+    """
+    ev = table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.unix_micros("ts")).alias("a"))
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    cutoff = F.col("a") - F.lit(1296000000000)
+    u = (
+        ev.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(anchor))
+        .groupBy("user_id", "a")
+        .agg(
+            F.sum(F.when(F.unix_micros("ts") < cutoff, cents).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.unix_micros("ts") >= cutoff, cents).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+        .select(
+            "x",
+            "y",
+            F.when(
+                F.substring(
+                    F.md5(F.concat(F.col("user_id").cast("string"), F.lit("|ab"))),
+                    1,
+                    1,
+                )
+                < "8",
+                "A",
+            )
+            .otherwise("B")
+            .alias("grp"),
+        )
+    )
+    s = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast("double")).alias("sx"),
+        F.sum(F.col("y").cast("double")).alias("sy"),
+        F.sum(F.col("x").cast("double") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("double") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y").cast("double") * F.col("y")).alias("syy"),
+    )
+    g = (
+        u.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum(F.col("x").cast("double")).alias("sx_g"),
+            F.sum(F.col("y").cast("double")).alias("sy_g"),
+        )
+        .groupBy()
+        .pivot("grp", ["A", "B"])
+        .agg(
+            F.first("n_g").alias("n"),
+            F.first("sx_g").alias("sx"),
+            F.first("sy_g").alias("sy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    var_y = (n * syy - sy * sy) / (n * n.cast("double"))
+    cov_xy = (n * sxy - sx * sy) / (n * n.cast("double"))
+    var_x = (n * sxx - sx * sx) / (n * n.cast("double"))
+    mean = lambda tot, cnt: F.col(tot) / F.col(cnt)  # noqa: E731
+    return (
+        s.crossJoin(F.broadcast(g))
+        .select(
+            F.col("n").alias("n_users"),
+            F.col("A_n").alias("n_a"),
+            F.col("B_n").alias("n_b"),
+            F.round(theta, 6).alias("theta"),
+            F.round(cov_xy * cov_xy / (var_x * var_y) * 100, 6).alias(
+                "var_reduction_pct"
+            ),
+            F.round(
+                (mean("A_sy", "A_n") - mean("B_sy", "B_n")) / 100, 6
+            ).alias("raw_diff"),
+            F.round(
+                (
+                    (mean("A_sy", "A_n") - theta * mean("A_sx", "A_n"))
+                    - (mean("B_sy", "B_n") - theta * mean("B_sx", "B_n"))
+                )
+                / 100,
+                6,
+            ).alias("adj_diff"),
+        )
+    )

@@ -2699,3 +2699,93 @@ def test_rfm_matches_python(spark, sf_dir):
         rp, fp, mp = r["segment"].split("-")
         assert all(1 <= int(x) <= 5 for x in (rp, fp, mp))
     assert total == n
+
+
+def test_cuped_matches_python(spark, sf_dir):
+    """q_ml_ab_cuped: per-user cents, md5 split, theta and the
+    adjusted difference recomputed in python must match; CUPED must
+    never increase variance (0 <= var_reduction_pct <= 100)."""
+    import calendar
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    evs = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value"
+    ).collect()
+
+    def us(t):
+        return calendar.timegm(t.timetuple()) * 1_000_000 + t.microsecond
+
+    anchor = max(us(r["ts"]) for r in evs)
+    cutoff = anchor - 1_296_000_000_000
+    xy: dict = defaultdict(lambda: [0, 0])
+    for r in evs:
+        if r["event_type"] != "purchase":
+            continue
+        cents = int(math.floor(r["value"] * 100 + 0.5))
+        xy[r["user_id"]][0 if us(r["ts"]) < cutoff else 1] += cents
+    n = len(xy)
+    sx = sum(v[0] for v in xy.values())
+    sy = sum(v[1] for v in xy.values())
+    sxx = sum(v[0] * v[0] for v in xy.values())
+    sxy = sum(v[0] * v[1] for v in xy.values())
+    syy = sum(v[1] * v[1] for v in xy.values())
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    var_x = (n * sxx - sx * sx) / (n * n)
+    var_y = (n * syy - sy * sy) / (n * n)
+    cov = (n * sxy - sx * sy) / (n * n)
+    groups: dict = defaultdict(lambda: [0, 0, 0])
+    for uid, (x, y) in xy.items():
+        g = "A" if hashlib.md5(f"{uid}|ab".encode()).hexdigest()[0] < "8" else "B"
+        groups[g][0] += 1
+        groups[g][1] += x
+        groups[g][2] += y
+    (na, sxa, sya), (nb, sxb, syb) = groups["A"], groups["B"]
+    raw = (sya / na - syb / nb) / 100
+    adj = ((sya / na - theta * sxa / na) - (syb / nb - theta * sxb / nb)) / 100
+    row = QUERIES["q_ml_ab_cuped"](spark, sf_dir).collect()[0]
+    assert (row["n_users"], row["n_a"], row["n_b"]) == (n, na, nb)
+    assert abs(row["theta"] - theta) <= 1e-5
+    assert abs(row["var_reduction_pct"] - cov * cov / (var_x * var_y) * 100) <= 1e-4
+    assert abs(row["raw_diff"] - raw) <= 1e-5
+    assert abs(row["adj_diff"] - adj) <= 1e-5
+    assert 0 <= row["var_reduction_pct"] <= 100
+
+
+def test_freshness_matches_python(spark, sf_dir):
+    """q_quality_freshness: staleness, window counts and WoW ratio
+    recomputed in python must match; window counts must partition
+    consistently."""
+    import calendar
+    from collections import defaultdict
+
+    evs = table(spark, sf_dir, "events").select("event_type", "ts").collect()
+
+    def us(t):
+        return calendar.timegm(t.timetuple()) * 1_000_000 + t.microsecond
+
+    anchor = max(us(r["ts"]) for r in evs)
+    per: dict = defaultdict(lambda: [0, 0, 0, 0])
+    for r in evs:
+        t = us(r["ts"])
+        p = per[r["event_type"]]
+        p[0] += 1
+        p[1] = max(p[1], t)
+        if t >= anchor - 604_800_000_000:
+            p[2] += 1
+        elif t >= anchor - 1_209_600_000_000:
+            p[3] += 1
+    rows = QUERIES["q_quality_freshness"](spark, sf_dir).collect()
+    assert {r["event_type"] for r in rows} == set(per)
+    for r in rows:
+        n, last, w7, wp7 = per[r["event_type"]]
+        assert r["n_rows"] == n
+        assert r["last_us"] == last
+        assert (r["rows_7d"], r["rows_prior_7d"]) == (w7, wp7)
+        assert abs(r["staleness_hours"] - (anchor - last) / 3_600_000_000) <= 1e-6
+        if wp7 > 0:
+            assert abs(r["wow_ratio"] - w7 / wp7) <= 1e-6
+        else:
+            assert r["wow_ratio"] is None
+        assert r["stale_24h"] == ((anchor - last) > 86_400_000_000)
