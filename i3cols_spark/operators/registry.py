@@ -531,6 +531,10 @@ POST_R9_ADDITIONS: tuple[str, ...] = (
     # round-9 wave 21 — experimentation readout + feed health
     "q_ml_ab_cuped",
     "q_quality_freshness",
+    # round-9 wave 22 — Spark-4 SQL-text surface: WITH RECURSIVE +
+    # correlated LATERAL
+    "q_sql_recursive_cte",
+    "q_sql_lateral_topk",
 )
 
 #: Round-9 rotation (VERDICT r08 item 1 + item 4).  After round 8 the

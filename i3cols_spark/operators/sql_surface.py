@@ -499,3 +499,132 @@ def q_sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter is dropped."""
     _register(spark, sf_dir, ("lineitem", "part"))
     return spark.sql(_Q17_SQL)
+
+
+@query(
+    "q_sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT o_custkey AS c, o_orderkey AS k,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             lag(o_orderkey) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS prev_k
+      FROM orders
+    ),
+    walk(c, k, pos, cum_cents) AS (
+      SELECT c, k, CAST(1 AS BIGINT), cents FROM base WHERE prev_k IS NULL
+      UNION ALL
+      SELECT b.c, b.k, w.pos + 1, w.cum_cents + b.cents
+      FROM walk w JOIN base b ON b.c = w.c AND b.prev_k = w.k
+      WHERE w.pos < 64
+    )
+    SELECT c AS o_custkey, k AS o_orderkey, pos,
+           cum_cents / 100.0 AS cum_spend
+    FROM walk
+    ORDER BY o_custkey, pos
+    """,
+)
+def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE on the SQL-text path: walk each customer's
+    order chain (linked-list via a window-computed prev pointer) from
+    their first order, carrying position and exact cumulative spend —
+    submitted as text so Spark 4's recursive-CTE executor (UnionLoop)
+    is what runs, value-hash-pinned against DuckDB's recursive
+    executor running the IDENTICAL statement.  This is a SURFACE
+    capability entry: the iterative-graph family (BFS/SSSP/CC/LPA)
+    drives recursion through DataFrame loops with explicit
+    checkpoints; a user porting warehouse SQL brings WITH RECURSIVE
+    text, and this query proves the engine honors it end-to-end.
+
+    The recursion is deliberately LIST-shaped (each row has exactly
+    one successor) and LEVEL-BOUNDED at 64 positions in the statement
+    itself (the _BFS_HOPS discipline: the bound IS the semantics —
+    fixture chains max out at 25, and Spark executes recursion one
+    driver-scheduled level per iteration, so an unbounded walk over
+    replication-grown chains would degrade into hundreds of chained
+    jobs); total recursive work is |orders| rows across ≤ 64
+    iterations — data-sized, never the exponential
+    path blow-up a cyclic-graph recursion risks; the equivalent
+    running-sum window spelling is the documented production rewrite
+    at 100 TB (one shuffle, no iteration) and the property test pins
+    the two equal.  Spend stays in exact integer cents through the
+    recursion with ONE final division.
+    """
+    _register(spark, sf_dir, ("orders",))
+    # Total recursive rows = |orders| (each order sits at exactly one
+    # level), which exceeds Spark's 1M-row recursion safety default
+    # once the fixture is replicated; the walk itself is level-bounded
+    # at 64 in the statement, so the LEVEL guard (default 100) needs
+    # no touch.  Raising the ROW guard to data size for a provably
+    # list-shaped recursion is the correct setting, not a bypass.
+    # Runtime conf — the driver's vanilla session is untouched
+    # otherwise.
+    n_orders = table(spark, sf_dir, "orders").count()
+    spark.conf.set(
+        "spark.sql.cteRecursionRowLimit", str(max(1_000_000, n_orders + 1))
+    )
+    return spark.sql("""
+        WITH RECURSIVE base AS (
+          SELECT o_custkey AS c, o_orderkey AS k,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                 lag(o_orderkey) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey) AS prev_k
+          FROM orders
+        ),
+        walk(c, k, pos, cum_cents) AS (
+          SELECT c, k, CAST(1 AS BIGINT), cents FROM base WHERE prev_k IS NULL
+          UNION ALL
+          SELECT b.c, b.k, w.pos + 1, w.cum_cents + b.cents
+          FROM walk w JOIN base b ON b.c = w.c AND b.prev_k = w.k
+          WHERE w.pos < 64
+        )
+        SELECT c AS o_custkey, k AS o_orderkey, pos,
+               cum_cents / CAST(100 AS DOUBLE) AS cum_spend
+        FROM walk
+        ORDER BY o_custkey, pos
+    """)
+
+
+@query(
+    "q_sql_lateral_topk",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate, l.l_linenumber, l.l_extendedprice
+    FROM orders o, LATERAL (
+      SELECT l_linenumber, l_extendedprice
+      FROM lineitem li
+      WHERE li.l_orderkey = o.o_orderkey
+      ORDER BY l_extendedprice DESC
+      LIMIT 2
+    ) l
+    WHERE o.o_orderpriority = '1-URGENT'
+    ORDER BY o.o_orderkey, l.l_extendedprice DESC
+    """,
+)
+def q_sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT on the
+    SQL-text path: the two most expensive line items of every urgent
+    order — the for-each-row-top-k idiom warehouse SQL users write
+    instead of a rank window.  Spark's analyzer DECORRELATES the
+    lateral into a join + per-key limit (the plan the DataFrame
+    top-k-per-group spelling gets), so this entry pins that rewrite's
+    SEMANTICS against DuckDB executing the lateral literally — two
+    very different physical strategies, one hash.  Determinism:
+    l_extendedprice is unique within an order (fixture-verified,
+    the q_ml_eval_ndcg tie-break argument), so LIMIT 2 is a total
+    selection.  At 100 TB the decorrelated plan is exactly
+    q_window_topk_pergroup's shuffle — the lateral TEXT costs nothing
+    over the window spelling.
+    """
+    _register(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql("""
+        SELECT o.o_orderkey, o.o_orderdate, l.l_linenumber, l.l_extendedprice
+        FROM orders o, LATERAL (
+          SELECT l_linenumber, l_extendedprice
+          FROM lineitem li
+          WHERE li.l_orderkey = o.o_orderkey
+          ORDER BY l_extendedprice DESC
+          LIMIT 2
+        ) l
+        WHERE o.o_orderpriority = '1-URGENT'
+        ORDER BY o.o_orderkey, l.l_extendedprice DESC
+    """)

@@ -2789,3 +2789,61 @@ def test_freshness_matches_python(spark, sf_dir):
         else:
             assert r["wow_ratio"] is None
         assert r["stale_24h"] == ((anchor - last) > 86_400_000_000)
+
+
+def test_recursive_cte_matches_window_spelling(spark, sf_dir):
+    """q_sql_recursive_cte: the recursive walk must equal the
+    running-sum window rewrite (the documented production spelling) —
+    position by row_number, cumulative cents by an unbounded-
+    preceding sum."""
+    from pyspark.sql import functions as SF
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cents = SF.floor(SF.col("o_totalprice") * 100 + SF.lit(0.5)).cast("long")
+    want = {
+        (r["o_custkey"], r["o_orderkey"]): (r["pos"], r["cum"])
+        for r in table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            SF.row_number().over(w).cast("long").alias("pos"),
+            (SF.sum(cents).over(wr) / SF.lit(100.0)).alias("cum"),
+        )
+        .collect()
+    }
+    got = QUERIES["q_sql_recursive_cte"](spark, sf_dir).collect()
+    assert len(got) == len(want)
+    for r in got:
+        pos, cum = want[(r["o_custkey"], r["o_orderkey"])]
+        assert r["pos"] == pos
+        assert abs(r["cum_spend"] - cum) <= 1e-9
+
+
+def test_lateral_topk_matches_window_spelling(spark, sf_dir):
+    """q_sql_lateral_topk: the decorrelated lateral must equal the
+    rank-window top-2 rewrite exactly."""
+    from pyspark.sql import functions as SF
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").filter(
+        SF.col("o_orderpriority") == "1-URGENT"
+    )
+    # (l_orderkey, l_linenumber) is NOT unique in the fixture; the
+    # (l_orderkey, l_extendedprice) pair is — compare as multisets of
+    # full triples.
+    w = Window.partitionBy("l_orderkey").orderBy(SF.desc("l_extendedprice"))
+    want = sorted(
+        (r["l_orderkey"], r["l_linenumber"], r["l_extendedprice"])
+        for r in li.withColumn("rk", SF.row_number().over(w))
+        .filter(SF.col("rk") <= 2)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .collect()
+    )
+    got = sorted(
+        (r["o_orderkey"], r["l_linenumber"], r["l_extendedprice"])
+        for r in QUERIES["q_sql_lateral_topk"](spark, sf_dir).collect()
+    )
+    assert got == want
