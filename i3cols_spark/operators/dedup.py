@@ -2024,3 +2024,209 @@ def q_dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("f1"),
         )
     )
+
+
+#: Rep-level exact-Jaccard truth + per-group split flags, shared by
+#: the leakage audit.  Thresholds mirror q_split_assign
+#: (stats._TEST_HI / _VAL_HI); eval = val ∪ test.
+_SPLIT_CASE_SQL = """CASE
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '0800'
+             THEN 'test'
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1000'
+             THEN 'val' ELSE 'train' END"""
+
+
+@query(
+    "q_quality_split_leakage",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lower(trim(text)) AS norm,
+             {_SPLIT_CASE_SQL} AS split
+      FROM documents
+    ), g AS (
+      SELECT md5(norm) AS th, min(doc_id) AS rep, min(norm) AS norm,
+             CAST(count(*) AS BIGINT) AS n_members,
+             max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS has_train,
+             max(CASE WHEN split <> 'train' THEN 1 ELSE 0 END) AS has_eval
+      FROM d GROUP BY md5(norm)
+    ), hs AS (
+      SELECT rep, has_train, has_eval,
+             list_distinct(list_transform(
+                 list_transform(
+                     range(0, greatest(len(string_split_regex(norm, '\\s+'))
+                                       - 3, 0) + 1),
+                     i -> array_to_string(
+                         string_split_regex(norm, '\\s+')[i+1:i+3], ' ')),
+                 x -> md5(x))) AS hsh
+      FROM g
+    ), sh_rows AS (
+      SELECT rep, has_train, has_eval, len(hsh) AS n, unnest(hsh) AS h
+      FROM hs
+    ), truth AS (
+      SELECT a.rep AS rep_a, b.rep AS rep_b,
+             max(a.has_train) AS a_tr, max(a.has_eval) AS a_ev,
+             max(b.has_train) AS b_tr, max(b.has_eval) AS b_ev
+      FROM sh_rows a JOIN sh_rows b
+        ON a.h = b.h AND a.rep < b.rep
+      GROUP BY a.rep, b.rep
+      HAVING CAST(count(*) AS DOUBLE)
+             / (min(a.n) + min(b.n) - count(*)) >= 0.5
+    ), counts AS (
+      SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_docs,
+        (SELECT CAST(count(*) AS BIGINT) FROM g) AS n_groups,
+        (SELECT CAST(count(*) AS BIGINT) FROM g
+          WHERE n_members > 1 AND has_train = 1 AND has_eval = 1)
+            AS n_exact_leak_groups,
+        (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_neardup_pairs,
+        (SELECT CAST(count(*) AS BIGINT) FROM truth
+          WHERE (a_tr = 1 OR b_tr = 1) AND (a_ev = 1 OR b_ev = 1))
+            AS n_neardup_leak_pairs
+    )
+    SELECT n_docs, n_groups, n_exact_leak_groups,
+           n_neardup_pairs, n_neardup_leak_pairs,
+           floor(n_exact_leak_groups * 1.0 / n_groups * 1000000 + 0.5)
+               / 1000000.0 AS exact_leak_rate,
+           CASE WHEN n_neardup_pairs > 0
+                THEN floor(n_neardup_leak_pairs * 1.0 / n_neardup_pairs
+                           * 1000000 + 0.5) / 1000000.0
+                ELSE 0.0 END AS neardup_leak_rate
+    FROM counts
+    """,
+)
+def q_quality_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval LEAKAGE audit of the engine's own deterministic
+    split (the q_split_assign md5-threshold scheme, eval = val ∪
+    test): (1) exact-duplicate groups whose members straddle the
+    train/eval boundary — the worst leakage, found LINEARLY from the
+    per-group split flags, no pair join; (2) near-duplicate pairs
+    (rep-level exact shingle-Jaccard ≥ 0.5, the q_dedup_lsh_eval
+    ground-truth machinery) where one side's group touches train and
+    the other's touches eval.  This is the Lee/Dodge-style
+    decontamination check a training pipeline runs BEFORE trusting
+    held-out numbers: q_text_contamination screens against an
+    EXTERNAL benchmark, THIS audits the split's INTERNAL boundary.
+
+    All counts are exact integers (md5 family in both engines); rates
+    are integer ratios → HALF_UP 6 dp; a corpus with no near-dup
+    pairs reports rate 0 by convention (guarded in both engines).
+
+    Scale: the exact-leak side is one hash groupBy with two
+    max-accumulators; the near-dup side is the collapsed rep-level
+    inverted-index join — audit-at-sample-scale (q_dedup_lsh_eval's
+    documented ceiling) with the LSH path as the linear production
+    screen.
+    """
+    from i3cols_spark.functions.text import shingles
+    from i3cols_spark.operators.stats import _TEST_HI, _VAL_HI
+
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    split = (
+        F.when(bucket < _TEST_HI, "test")
+        .when(bucket < _VAL_HI, "val")
+        .otherwise("train")
+    )
+    d = spread(table(spark, sf_dir, "documents"), spark).select(
+        "doc_id", normalize("text").alias("norm"), split.alias("split")
+    )
+    g = d.groupBy(F.md5("norm").alias("th")).agg(
+        F.min("doc_id").alias("rep"),
+        F.min("norm").alias("norm"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+            "has_train"
+        ),
+        F.max(F.when(F.col("split") != "train", 1).otherwise(0)).alias(
+            "has_eval"
+        ),
+    )
+    hs = g.select(
+        "rep",
+        "has_train",
+        "has_eval",
+        F.array_distinct(
+            F.transform(shingles("norm"), lambda s: F.md5(s))
+        ).alias("hsh"),
+    )
+    sh_rows = hs.select(
+        "rep",
+        "has_train",
+        "has_eval",
+        F.size("hsh").alias("n"),
+        F.explode("hsh").alias("h"),
+    )
+    a, b = sh_rows.alias("a"), sh_rows.alias("b")
+    truth = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.rep") < F.col("b.rep")),
+        )
+        .groupBy(F.col("a.rep").alias("rep_a"), F.col("b.rep").alias("rep_b"))
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.first("a.n").alias("n_a"),
+            F.first("b.n").alias("n_b"),
+            F.max("a.has_train").alias("a_tr"),
+            F.max("a.has_eval").alias("a_ev"),
+            F.max("b.has_train").alias("b_tr"),
+            F.max("b.has_eval").alias("b_ev"),
+        )
+        .filter(
+            F.col("common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("common"))
+            >= 0.5
+        )
+    )
+    n_docs = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    grp_counts = g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(
+            F.when(
+                (F.col("n_members") > 1)
+                & (F.col("has_train") == 1)
+                & (F.col("has_eval") == 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_exact_leak_groups"),
+    )
+    pair_counts = truth.agg(
+        F.count(F.lit(1)).cast("long").alias("n_neardup_pairs"),
+        F.sum(
+            F.when(
+                ((F.col("a_tr") == 1) | (F.col("b_tr") == 1))
+                & ((F.col("a_ev") == 1) | (F.col("b_ev") == 1)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_neardup_leak_pairs"),
+    )
+    from i3cols_spark.functions.rounding import round_half_up
+
+    return (
+        n_docs.crossJoin(F.broadcast(grp_counts))
+        .crossJoin(F.broadcast(pair_counts))
+        .select(
+            "n_docs",
+            "n_groups",
+            "n_exact_leak_groups",
+            "n_neardup_pairs",
+            "n_neardup_leak_pairs",
+            round_half_up(
+                F.col("n_exact_leak_groups") * 1.0 / F.col("n_groups"), 6
+            ).alias("exact_leak_rate"),
+            F.when(
+                F.col("n_neardup_pairs") > 0,
+                round_half_up(
+                    F.col("n_neardup_leak_pairs")
+                    * 1.0
+                    / F.col("n_neardup_pairs"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("neardup_leak_rate"),
+        )
+    )

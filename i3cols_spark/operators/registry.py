@@ -535,6 +535,8 @@ POST_R9_ADDITIONS: tuple[str, ...] = (
     # correlated LATERAL
     "q_sql_recursive_cte",
     "q_sql_lateral_topk",
+    # round-9 wave 23 — split-boundary decontamination audit
+    "q_quality_split_leakage",
 )
 
 #: Round-9 rotation (VERDICT r08 item 1 + item 4).  After round 8 the

@@ -2847,3 +2847,59 @@ def test_lateral_topk_matches_window_spelling(spark, sf_dir):
         for r in QUERIES["q_sql_lateral_topk"](spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_split_leakage_matches_python(spark, sf_dir):
+    """q_quality_split_leakage: groups, splits, rep-level truth pairs
+    and leak classification recomputed in python must match."""
+    import hashlib
+    import re
+    from itertools import combinations
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    groups: dict = {}
+    n_docs = 0
+    for r in table(spark, sf_dir, "documents").select("doc_id", "text").collect():
+        n_docs += 1
+        norm = r["text"].strip().lower()
+        b = md5(str(r["doc_id"]))[:4]
+        split = "test" if b < "0800" else ("val" if b < "1000" else "train")
+        g = groups.setdefault(md5(norm), [None, norm, 0, False, False])
+        if g[0] is None or r["doc_id"] < g[0]:
+            g[0] = r["doc_id"]
+        g[2] += 1
+        if split == "train":
+            g[3] = True
+        else:
+            g[4] = True
+    exact_leak = sum(
+        1 for _, _, n, tr, ev in groups.values() if n > 1 and tr and ev
+    )
+    hsh = {}
+    flags = {}
+    for rep, norm, _n, tr, ev in groups.values():
+        toks = re.split(r"\s+", norm)
+        k = max(len(toks) - 3, 0) + 1
+        hsh[rep] = set(md5(" ".join(toks[i : i + 3])) for i in range(k))
+        flags[rep] = (tr, ev)
+    pairs = [
+        (a, b)
+        for a, b in combinations(sorted(hsh), 2)
+        if len(hsh[a] & hsh[b]) / len(hsh[a] | hsh[b]) >= 0.5
+    ]
+    leak_pairs = sum(
+        1
+        for a, b in pairs
+        if (flags[a][0] or flags[b][0]) and (flags[a][1] or flags[b][1])
+    )
+    row = QUERIES["q_quality_split_leakage"](spark, sf_dir).collect()[0]
+    assert row["n_docs"] == n_docs
+    assert row["n_groups"] == len(groups)
+    assert row["n_exact_leak_groups"] == exact_leak
+    assert row["n_neardup_pairs"] == len(pairs)
+    assert row["n_neardup_leak_pairs"] == leak_pairs
+    assert abs(row["exact_leak_rate"] - exact_leak / len(groups)) <= 1e-6
+    if pairs:
+        assert abs(row["neardup_leak_rate"] - leak_pairs / len(pairs)) <= 1e-6
