@@ -2230,3 +2230,170 @@ def q_quality_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("neardup_leak_rate"),
         )
     )
+
+
+@query(
+    "q_text_minhash_estimate_error",
+    oracle=f"""
+    WITH {_LSH_MD5_CTES_REP},
+    pairs AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST({" + ".join(
+                 f"(CASE WHEN ha.sig{j} = hb.sig{j} THEN 1 ELSE 0 END)"
+                 for j in range(8)
+             )} AS BIGINT) AS est_slots,
+             CAST(len(list_intersect(ha.hsh, hb.hsh)) AS BIGINT) AS common,
+             CAST(len(list_distinct(list_concat(ha.hsh, hb.hsh)))
+                  AS BIGINT) AS uni
+      FROM cand c
+      JOIN hs ha ON ha.doc_id = c.doc_a
+      JOIN hs hb ON hb.doc_id = c.doc_b
+    ), micro AS (
+      SELECT est_slots,
+             CAST(floor(common * 1000000.0 / uni + 0.5) AS BIGINT) AS jac_u,
+             CAST(floor(abs(est_slots * 125000.0
+                            - common * 1000000.0 / uni) + 0.5)
+                  AS BIGINT) AS err_u
+      FROM pairs
+    )
+    SELECT est_slots, est_slots / 8.0 AS est_jaccard,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           floor(sum(jac_u) / (count(*) * 1000000.0) * 1000000 + 0.5)
+               / 1000000.0 AS avg_exact_jaccard,
+           floor(sum(err_u) / (count(*) * 1000000.0) * 1000000 + 0.5)
+               / 1000000.0 AS mae
+    FROM micro
+    GROUP BY est_slots
+    ORDER BY est_slots
+    """,
+)
+def q_text_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR calibration: over the banding candidate
+    pairs (rep-level, the q_dedup_lsh_eval collapse), compare the
+    8-permutation signature estimate (matching slots / 8) against the
+    exact shingle-set Jaccard, grouped by estimate value — the third
+    face of the LSH audit triangle (q_dedup_lsh_bucket_audit =
+    candidate LOAD, q_dedup_lsh_eval = banding RECALL/precision,
+    THIS = signature ACCURACY).  E[matching/8] equals true Jaccard,
+    but 8 permutations quantize to eighths with ±1/√8 noise — this op
+    MEASURES the realized bias/error on exactly the sample the verify
+    step sees (banding-biased toward high similarity, which is the
+    honest population: those are the pairs whose misestimate costs
+    verify work or drops dups).
+
+    Exactness: slot matches and shingle intersections are exact
+    integers (md5 family); per-pair Jaccard and absolute error are
+    micro-int-quantized before group means (the q_ml_eval_ndcg
+    discipline) → HALF_UP 6 dp.  Scale: everything after the
+    collapsed signature build is candidate-pair-sized.
+    """
+    from i3cols_spark.functions.text import shingles
+
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    staged = (
+        docs.groupBy(F.md5(normalize("text")).alias("th"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min(normalize("text")).alias("norm"),
+        )
+        .select("doc_id", shingles("norm").alias("sh"))
+    )
+
+    def salted_min(j: int):
+        return F.array_min(
+            F.transform("sh", lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
+        ).alias(f"sig{j}")
+
+    hs = staged.select(
+        "doc_id",
+        F.array_distinct(F.transform("sh", lambda s: F.md5(s))).alias("hsh"),
+        *[salted_min(j) for j in range(_SIG_PERMS)],
+    )
+    keyed = None
+    for b in range(4):
+        part = hs.select(
+            "doc_id",
+            F.md5(
+                F.concat(
+                    F.lit(f"{b}|"), F.col(f"sig{2*b}"), F.lit("|"),
+                    F.col(f"sig{2*b+1}"),
+                )
+            ).alias("bucket"),
+            F.lit(b).alias("band"),
+        )
+        keyed = part if keyed is None else keyed.unionAll(part)
+    buckets = (
+        keyed.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    cand = (
+        buckets.select(F.explode(_pair_structs(F.col("ids"))).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .dropDuplicates()
+    )
+    ha = hs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hsh").alias("ha"),
+        *[F.col(f"sig{j}").alias(f"a{j}") for j in range(_SIG_PERMS)],
+    )
+    hb = hs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hsh").alias("hb"),
+        *[F.col(f"sig{j}").alias(f"b{j}") for j in range(_SIG_PERMS)],
+    )
+    est_slots = sum(
+        [
+            F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+            for j in range(_SIG_PERMS)
+        ],
+        F.lit(0),
+    ).cast("long")
+    common = F.size(F.array_intersect("ha", "hb")).cast("long")
+    uni = F.size(F.array_union("ha", "hb")).cast("long")
+    pairs = (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select(
+            est_slots.alias("est_slots"),
+            common.alias("common"),
+            uni.alias("uni"),
+        )
+    )
+    micro = pairs.select(
+        "est_slots",
+        F.floor(F.col("common") * F.lit(1000000.0) / F.col("uni") + F.lit(0.5))
+        .cast("long")
+        .alias("jac_u"),
+        F.floor(
+            F.abs(
+                F.col("est_slots") * F.lit(125000.0)
+                - F.col("common") * F.lit(1000000.0) / F.col("uni")
+            )
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("err_u"),
+    )
+    from i3cols_spark.functions.rounding import round_half_up
+
+    return (
+        micro.groupBy("est_slots")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            round_half_up(
+                F.sum("jac_u") / (F.count(F.lit(1)) * F.lit(1000000.0)), 6
+            ).alias("avg_exact_jaccard"),
+            round_half_up(
+                F.sum("err_u") / (F.count(F.lit(1)) * F.lit(1000000.0)), 6
+            ).alias("mae"),
+        )
+        .select(
+            "est_slots",
+            (F.col("est_slots") / F.lit(8.0)).alias("est_jaccard"),
+            "n_pairs",
+            "avg_exact_jaccard",
+            "mae",
+        )
+        .orderBy("est_slots")
+    )

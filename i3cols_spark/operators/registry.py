@@ -537,6 +537,8 @@ POST_R9_ADDITIONS: tuple[str, ...] = (
     "q_sql_lateral_topk",
     # round-9 wave 23 — split-boundary decontamination audit
     "q_quality_split_leakage",
+    # round-9 wave 24 — MinHash estimator calibration
+    "q_text_minhash_estimate_error",
 )
 
 #: Round-9 rotation (VERDICT r08 item 1 + item 4).  After round 8 the

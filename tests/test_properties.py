@@ -2903,3 +2903,61 @@ def test_split_leakage_matches_python(spark, sf_dir):
     assert abs(row["exact_leak_rate"] - exact_leak / len(groups)) <= 1e-6
     if pairs:
         assert abs(row["neardup_leak_rate"] - leak_pairs / len(pairs)) <= 1e-6
+
+
+def test_minhash_estimate_error_matches_python(spark, sf_dir):
+    """q_text_minhash_estimate_error: slot matches, exact Jaccard and
+    micro-quantized means recomputed in python over the same
+    candidate set must match; the estimator must be roughly
+    calibrated (avg exact Jaccard within 2/8 of each estimate)."""
+    import hashlib
+    import math
+    import re
+    from collections import defaultdict
+    from itertools import combinations
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    reps: dict = {}
+    for r in table(spark, sf_dir, "documents").select("doc_id", "text").collect():
+        norm = r["text"].strip().lower()
+        key = md5(norm)
+        if key not in reps or r["doc_id"] < reps[key][0]:
+            reps[key] = (r["doc_id"], norm)
+    hsh, sigs = {}, {}
+    for doc_id, norm in reps.values():
+        toks = re.split(r"\s+", norm)
+        n = max(len(toks) - 3, 0) + 1
+        sh = [" ".join(toks[i : i + 3]) for i in range(n)]
+        hsh[doc_id] = set(md5(x) for x in sh)
+        sigs[doc_id] = [min(md5(f"{j}:{x}") for x in sh) for j in range(8)]
+    buckets: dict = {}
+    for d, sg in sigs.items():
+        for b in range(4):
+            buckets.setdefault(
+                (b, md5(f"{b}|{sg[2 * b]}|{sg[2 * b + 1]}")), []
+            ).append(d)
+    cand = set()
+    for ids in buckets.values():
+        for a, b in combinations(sorted(ids), 2):
+            cand.add((a, b))
+    agg: dict = defaultdict(lambda: [0, 0, 0])
+    for a, b in cand:
+        slots = sum(1 for j in range(8) if sigs[a][j] == sigs[b][j])
+        jac = len(hsh[a] & hsh[b]) / len(hsh[a] | hsh[b])
+        jac_u = int(math.floor(jac * 1_000_000 + 0.5))
+        err_u = int(math.floor(abs(slots * 125_000.0 - jac * 1_000_000) + 0.5))
+        s = agg[slots]
+        s[0] += 1
+        s[1] += jac_u
+        s[2] += err_u
+    rows = QUERIES["q_text_minhash_estimate_error"](spark, sf_dir).collect()
+    assert {r["est_slots"] for r in rows} == set(agg)
+    for r in rows:
+        n, jac_u, err_u = agg[r["est_slots"]]
+        assert r["n_pairs"] == n
+        assert abs(r["avg_exact_jaccard"] - jac_u / (n * 1e6)) <= 1e-6
+        assert abs(r["mae"] - err_u / (n * 1e6)) <= 1e-6
+        assert abs(r["avg_exact_jaccard"] - r["est_jaccard"]) <= 0.25
+    assert agg, "fixture must produce candidate pairs"
