@@ -1862,6 +1862,64 @@ _LSH_MD5_CTES_REP = _LSH_MD5_CTES.replace(
 assert _LSH_MD5_CTES_REP != _LSH_MD5_CTES
 
 
+def _lsh_md5_rep_parts(spark: SparkSession, sf_dir: str):
+    """Collapsed (rep-level) md5-family LSH build shared by the audit
+    ops: exact duplicates collapse to min-doc_id representatives, then
+    per-rep distinct hashed-shingle sets + 8 salted-min signatures
+    (``hs``) and the distinct banding-collision candidate pairs
+    (``cand``) — the Spark twin of the ``_LSH_MD5_CTES_REP`` chain.
+    Consumed by q_dedup_lsh_eval and q_text_minhash_estimate_error;
+    q_dedup_minhash_lsh_verified keeps its own DOC-level build (no
+    collapse) because its contract checks the production granularity.
+    """
+    from i3cols_spark.functions.text import shingles
+
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    staged = (
+        docs.groupBy(F.md5(normalize("text")).alias("th"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min(normalize("text")).alias("norm"),
+        )
+        .select("doc_id", shingles("norm").alias("sh"))
+    )
+
+    def salted_min(j: int):
+        return F.array_min(
+            F.transform("sh", lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
+        ).alias(f"sig{j}")
+
+    hs = staged.select(
+        "doc_id",
+        F.array_distinct(F.transform("sh", lambda s: F.md5(s))).alias("hsh"),
+        *[salted_min(j) for j in range(_SIG_PERMS)],
+    )
+    keyed = None
+    for b in range(4):
+        part = hs.select(
+            "doc_id",
+            F.md5(
+                F.concat(
+                    F.lit(f"{b}|"), F.col(f"sig{2*b}"), F.lit("|"),
+                    F.col(f"sig{2*b+1}"),
+                )
+            ).alias("bucket"),
+            F.lit(b).alias("band"),
+        )
+        keyed = part if keyed is None else keyed.unionAll(part)
+    buckets = (
+        keyed.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    cand = (
+        buckets.select(F.explode(_pair_structs(F.col("ids"))).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .dropDuplicates()
+    )
+    return hs, cand
+
+
 @query(
     "q_dedup_lsh_eval",
     oracle=f"""
@@ -1927,51 +1985,7 @@ def q_dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the exact path, while the LSH side keeps the linear production
     shape.
     """
-    from i3cols_spark.functions.text import shingles
-
-    docs = spread(table(spark, sf_dir, "documents"), spark)
-    staged = (
-        docs.groupBy(F.md5(normalize("text")).alias("th"))
-        .agg(
-            F.min("doc_id").alias("doc_id"),
-            F.min(normalize("text")).alias("norm"),
-        )
-        .select("doc_id", shingles("norm").alias("sh"))
-    )
-
-    def salted_min(j: int):
-        return F.array_min(
-            F.transform("sh", lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
-        ).alias(f"sig{j}")
-
-    hs = staged.select(
-        "doc_id",
-        F.array_distinct(F.transform("sh", lambda s: F.md5(s))).alias("hsh"),
-        *[salted_min(j) for j in range(_SIG_PERMS)],
-    )
-    keyed = None
-    for b in range(4):
-        part = hs.select(
-            "doc_id",
-            F.md5(
-                F.concat(
-                    F.lit(f"{b}|"), F.col(f"sig{2*b}"), F.lit("|"),
-                    F.col(f"sig{2*b+1}"),
-                )
-            ).alias("bucket"),
-            F.lit(b).alias("band"),
-        )
-        keyed = part if keyed is None else keyed.unionAll(part)
-    buckets = (
-        keyed.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    cand = (
-        buckets.select(F.explode(_pair_structs(F.col("ids"))).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .dropDuplicates()
-    )
+    hs, cand = _lsh_md5_rep_parts(spark, sf_dir)
     sh_rows = hs.select(
         "doc_id", F.size("hsh").alias("n"), F.explode("hsh").alias("h")
     )
@@ -2287,51 +2301,7 @@ def q_text_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame
     discipline) → HALF_UP 6 dp.  Scale: everything after the
     collapsed signature build is candidate-pair-sized.
     """
-    from i3cols_spark.functions.text import shingles
-
-    docs = spread(table(spark, sf_dir, "documents"), spark)
-    staged = (
-        docs.groupBy(F.md5(normalize("text")).alias("th"))
-        .agg(
-            F.min("doc_id").alias("doc_id"),
-            F.min(normalize("text")).alias("norm"),
-        )
-        .select("doc_id", shingles("norm").alias("sh"))
-    )
-
-    def salted_min(j: int):
-        return F.array_min(
-            F.transform("sh", lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
-        ).alias(f"sig{j}")
-
-    hs = staged.select(
-        "doc_id",
-        F.array_distinct(F.transform("sh", lambda s: F.md5(s))).alias("hsh"),
-        *[salted_min(j) for j in range(_SIG_PERMS)],
-    )
-    keyed = None
-    for b in range(4):
-        part = hs.select(
-            "doc_id",
-            F.md5(
-                F.concat(
-                    F.lit(f"{b}|"), F.col(f"sig{2*b}"), F.lit("|"),
-                    F.col(f"sig{2*b+1}"),
-                )
-            ).alias("bucket"),
-            F.lit(b).alias("band"),
-        )
-        keyed = part if keyed is None else keyed.unionAll(part)
-    buckets = (
-        keyed.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    cand = (
-        buckets.select(F.explode(_pair_structs(F.col("ids"))).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .dropDuplicates()
-    )
+    hs, cand = _lsh_md5_rep_parts(spark, sf_dir)
     ha = hs.select(
         F.col("doc_id").alias("doc_a"),
         F.col("hsh").alias("ha"),
