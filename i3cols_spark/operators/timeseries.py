@@ -2048,20 +2048,27 @@ def q_event_path_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("path"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
-    tot = paths.agg(F.count(F.lit(1)).cast("long").alias("n"))
     corpus = paths.groupBy("path").agg(
         F.min("n_events").alias("path_len"),
         F.count(F.lit(1)).cast("long").alias("n_sessions"),
     )
     from i3cols_spark.functions.rounding import round_half_up
 
-    ranked = corpus.withColumn(
-        "rk",
-        F.row_number().over(W.orderBy(F.desc("n_sessions"), F.asc("path"))),
+    # Total sessions as a window sum over the (distinct-path-sized)
+    # corpus table — NOT a second paths.agg(): a separate count
+    # consumer would duplicate the whole sessionize subtree (two
+    # user-keyed exchanges, four window passes — caught by the plan
+    # test), while this adds one single-partition window over a tiny
+    # relation the rank window already sorts.
+    ranked = corpus.select(
+        "*",
+        F.sum("n_sessions").over(W.partitionBy()).alias("n"),
+        F.row_number()
+        .over(W.orderBy(F.desc("n_sessions"), F.asc("path")))
+        .alias("rk"),
     ).filter(F.col("rk") <= 20)
     return (
-        ranked.crossJoin(F.broadcast(tot))
-        .select(
+        ranked.select(
             "path",
             "path_len",
             "n_sessions",

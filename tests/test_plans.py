@@ -1254,3 +1254,76 @@ def test_ann_ivf_partitioned_scans_exactly_nprobe_cells(spark, sf_dir):
         for r in QUERIES["q_similarity_ann_ivf"](spark, sf_dir).collect()
     )
     assert a == b
+
+
+def _nodes(plan: str) -> list[str]:
+    """Physical node names from formatted explain (each node appears
+    once as '(id) Name' in the details section)."""
+    return re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+
+
+def test_interval_merge_single_exchange_two_windows(spark, sf_dir):
+    """q_ts_interval_merge: both windows (running-max flag + episode
+    cumsum) must ride ONE customer-keyed exchange and ONE sort — the
+    second Exchange in the plan is only the final presentation
+    ORDER BY."""
+    plan = explain_str(QUERIES["q_ts_interval_merge"](spark, sf_dir))
+    nodes = _nodes(plan)
+    assert nodes.count("Window") == 2, nodes
+    assert nodes.count("Exchange") == 2, nodes
+    assert plan.count("hashpartitioning") == 1
+
+
+def test_roc_pr_folds_before_windows(spark, sf_dir):
+    """q_ml_eval_roc_pr: the scan must fold to the |scores|-row sweep
+    table via a partial+final aggregate BEFORE any window sorts —
+    windows over raw data would be the correct-but-unscalable plan."""
+    plan = explain_str(QUERIES["q_ml_eval_roc_pr"](spark, sf_dir))
+    nodes = _nodes(plan)
+    # partial+final pairs for the per-score fold and the totals fold
+    assert nodes.count("HashAggregate") >= 4, nodes
+    # totals + trapezoid numerator arrive broadcast, never a shuffle join
+    assert "BroadcastNestedLoopJoin" in nodes or "BroadcastHashJoin" in nodes
+    assert "SortMergeJoin" not in nodes
+
+
+def test_ndcg_windows_share_exchange(spark, sf_dir):
+    """q_ml_eval_ndcg: both row_number windows partition by the SAME
+    order key, so exactly one hashpartitioning exchange feeds them;
+    the aggregate then map-side-combines."""
+    plan = explain_str(QUERIES["q_ml_eval_ndcg"](spark, sf_dir))
+    assert plan.count("hashpartitioning(l_orderkey") == 1, plan
+    assert _nodes(plan).count("Window") == 2
+
+
+def test_lpa_final_plan_is_checkpoint_scan(spark, sf_dir):
+    """q_graph_label_propagation: the returned plan must read the
+    localCheckpointed final round (no window sorts, no replay of
+    rounds 1..k-1 — the _cc_loop lineage-truncation discipline)."""
+    plan = explain_str(QUERIES["q_graph_label_propagation"](spark, sf_dir))
+    nodes = _nodes(plan)
+    assert "Window" not in nodes
+    assert "Scan" in nodes or "ExistingRDD" in " ".join(nodes), nodes
+
+
+def test_path_summary_sessionize_shares_exchange(spark, sf_dir):
+    """q_event_path_summary: the lag window, the session cumsum and
+    the per-session path aggregate are all user-keyed — exactly one
+    user-id hashpartitioning exchange, and the sessionize subtree is
+    computed ONCE (a second paths consumer would double it — the
+    regression this test pins after the window-sum-total fix)."""
+    plan = explain_str(QUERIES["q_event_path_summary"](spark, sf_dir))
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    # lag + session cumsum (user-keyed) + total-sum + rank (both over
+    # the tiny distinct-path corpus)
+    assert _nodes(plan).count("Window") == 4
+
+
+def test_lateral_topk_decorrelates_to_window(spark, sf_dir):
+    """q_sql_lateral_topk: Catalyst must decorrelate the LATERAL into
+    the rank-window plan — a correlated nested-loop execution would
+    be the correct-but-quadratic strategy."""
+    plan = explain_str(QUERIES["q_sql_lateral_topk"](spark, sf_dir))
+    nodes = _nodes(plan)
+    assert "Window" in nodes
+    assert "BroadcastNestedLoopJoin" not in nodes
