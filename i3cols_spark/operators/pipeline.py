@@ -1380,8 +1380,15 @@ def q_event_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("a")
     )
-    n = u.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    un = u.crossJoin(F.broadcast(n))
+    # Total-purchaser count as a window count over the user table —
+    # NOT a second u.agg() consumer, which would duplicate the whole
+    # events aggregate subtree.  The quintile rank windows below are
+    # already global sorts over |users| rows, so this adds no new
+    # scale exposure beyond the documented percentile-threshold
+    # escape.
+    un = u.select(
+        "*", F.count(F.lit(1)).over(W.partitionBy()).cast("long").alias("n")
+    )
 
     def score(order_cols, name):
         rk = F.row_number().over(W.orderBy(*order_cols))
