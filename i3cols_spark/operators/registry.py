@@ -539,6 +539,8 @@ POST_R9_ADDITIONS: tuple[str, ...] = (
     "q_quality_split_leakage",
     # round-9 wave 24 — MinHash estimator calibration
     "q_text_minhash_estimate_error",
+    # round-9 wave 25 — variance-homogeneity gatekeeper
+    "q_stats_levene",
 )
 
 #: Round-9 rotation (VERDICT r08 item 1 + item 4).  After round 8 the

@@ -3183,3 +3183,123 @@ def q_ml_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("adj_diff"),
         )
     )
+
+
+@query(
+    "q_stats_levene",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS g, l_extendedprice AS x FROM lineitem
+    ), ranked AS (
+      SELECT g, x,
+             row_number() OVER (PARTITION BY g ORDER BY x) AS rk,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM v
+    ), med AS (
+      SELECT g,
+             (min(CASE WHEN rk = (n + 1) // 2 THEN x END)
+              + min(CASE WHEN rk = n // 2 + 1 THEN x END)) / 2 AS m
+      FROM ranked GROUP BY g
+    ), z AS (
+      SELECT v.g, abs(v.x - med.m) AS z
+      FROM v JOIN med ON med.g = v.g
+    ), grp AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+             sum(z) AS sz, sum(z * z) AS szz
+      FROM z GROUP BY g
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n_g) AS BIGINT) AS n,
+             sum(sz) AS sz_all,
+             sum(n_g * (sz / n_g) * (sz / n_g)) AS ss_grp_means,
+             sum(szz - sz * sz / n_g) AS ss_within
+      FROM grp
+    )
+    SELECT k AS n_groups, n AS n_rows,
+           round((ss_grp_means - sz_all * sz_all / n)
+                 / (k - 1)
+                 / (ss_within / (n - k)), 6) AS f_stat,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(n - k AS BIGINT) AS df_within
+    FROM tot
+    """,
+)
+def q_stats_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe (median-centered Levene) test of variance
+    homogeneity across return-flag groups — the gatekeeper the
+    two-sample family quietly assumes away: Welch (q_stats_
+    welch_ttest) exists BECAUSE variances differ, ANOVA
+    (q_stats_anova_oneway) assumes they don't; this op TESTS it,
+    robustly (median centering, per Brown & Forsythe 1974), as a
+    one-way ANOVA on z = |x − median_group|.
+
+    Cross-engine exactness: group medians use the POSITIONAL
+    (x+y)/2 construction (one per-group rank window — the
+    q_ts_rolling_median convention; DuckDB's interpolating
+    median() would differ by an ulp, which Σ|x−m| over 10⁵ rows
+    amplifies to exactly the rounding boundary).  The z sums follow
+    the q_agg_stats_corr double discipline → round 6 dp.
+
+    Scale: one per-group sort window for the medians (the groupwise-
+    percentile shuffle shape), one broadcastable |groups|-row median
+    join, one map-side-combined moment aggregate.  Nothing driver-
+    side beyond |groups| rows.
+    """
+    v = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("x")
+    )
+    wg = Window.partitionBy("g").orderBy("x")
+    ranked = v.select(
+        "g",
+        "x",
+        F.row_number().over(wg).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("n"),
+    )
+    med = ranked.groupBy("g").agg(
+        (
+            (
+                F.min(
+                    F.when(
+                        F.col("rk") == F.floor((F.col("n") + 1) / 2), F.col("x")
+                    )
+                )
+                + F.min(
+                    F.when(
+                        F.col("rk") == F.floor(F.col("n") / 2) + 1, F.col("x")
+                    )
+                )
+            )
+            / 2
+        ).alias("m")
+    )
+    z = v.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("x") - F.col("m")).alias("z")
+    )
+    grp = z.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+    )
+    tot = grp.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("sz").alias("sz_all"),
+        F.sum(
+            F.col("n_g") * (F.col("sz") / F.col("n_g")) * (F.col("sz") / F.col("n_g"))
+        ).alias("ss_grp_means"),
+        F.sum(F.col("szz") - F.col("sz") * F.col("sz") / F.col("n_g")).alias(
+            "ss_within"
+        ),
+    )
+    return tot.select(
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_rows"),
+        F.round(
+            (F.col("ss_grp_means") - F.col("sz_all") * F.col("sz_all") / F.col("n"))
+            / (F.col("k") - 1)
+            / (F.col("ss_within") / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+        (F.col("k") - 1).cast("long").alias("df_between"),
+        (F.col("n") - F.col("k")).cast("long").alias("df_within"),
+    )

@@ -2961,3 +2961,36 @@ def test_minhash_estimate_error_matches_python(spark, sf_dir):
         assert abs(r["mae"] - err_u / (n * 1e6)) <= 1e-6
         assert abs(r["avg_exact_jaccard"] - r["est_jaccard"]) <= 0.25
     assert agg, "fixture must produce candidate pairs"
+
+
+def test_levene_matches_python(spark, sf_dir):
+    """q_stats_levene: Brown–Forsythe F recomputed in python with
+    positional group medians must match; F must be positive."""
+    from collections import defaultdict
+
+    vals: dict = defaultdict(list)
+    for r in (
+        table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        .collect()
+    ):
+        vals[r["l_returnflag"]].append(r["l_extendedprice"])
+    zs: dict = {}
+    for g, xs in vals.items():
+        xs.sort()
+        n = len(xs)
+        m = (xs[(n + 1) // 2 - 1] + xs[n // 2]) / 2
+        zs[g] = [abs(x - m) for x in xs]
+    k = len(zs)
+    n = sum(len(z) for z in zs.values())
+    zbar = sum(sum(z) for z in zs.values()) / n
+    ss_between = sum(len(z) * (sum(z) / len(z) - zbar) ** 2 for z in zs.values())
+    ss_within = sum(
+        sum((x - sum(z) / len(z)) ** 2 for x in z) for z in zs.values()
+    )
+    f = (ss_between / (k - 1)) / (ss_within / (n - k))
+    row = QUERIES["q_stats_levene"](spark, sf_dir).collect()[0]
+    assert (row["n_groups"], row["n_rows"]) == (k, n)
+    assert (row["df_between"], row["df_within"]) == (k - 1, n - k)
+    assert abs(row["f_stat"] - f) <= max(1e-5, abs(f) * 1e-6)
+    assert row["f_stat"] > 0
