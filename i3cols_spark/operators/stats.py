@@ -3240,10 +3240,16 @@ def q_stats_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     amplifies to exactly the rounding boundary).  The z sums follow
     the q_agg_stats_corr double discipline → round 6 dp.
 
-    Scale: one per-group sort window for the medians (the groupwise-
-    percentile shuffle shape), one broadcastable |groups|-row median
-    join, one map-side-combined moment aggregate.  Nothing driver-
-    side beyond |groups| rows.
+    Scale: one per-group sort window for the medians, one
+    broadcastable |groups|-row median join, one map-side-combined
+    moment aggregate.  NAMED CEILING (x10 probe 3.9): the rank
+    window's parallelism is |groups| (3 tasks here) — the
+    k-small-groups total-sort shape shared with q_stats_mann_whitney.
+    The production escape at 100 TB is the exact_percentiles
+    distribution path over (group, value) COUNTS: real money values
+    repeat (2 dp), so the distinct-value histogram is bounded where
+    this fixture's near-unique prices are not.  Nothing driver-side
+    beyond |groups| rows.
     """
     v = table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("x")
