@@ -541,6 +541,8 @@ POST_R9_ADDITIONS: tuple[str, ...] = (
     "q_text_minhash_estimate_error",
     # round-9 wave 25 — variance-homogeneity gatekeeper
     "q_stats_levene",
+    # round-9 wave 26 — 2-D Pareto frontier (skyline)
+    "q_window_skyline",
 )
 
 #: Round-9 rotation (VERDICT r08 item 1 + item 4).  After round 8 the

@@ -2223,3 +2223,79 @@ def q_ts_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method")
     )
+
+
+@query(
+    "q_window_skyline",
+    oracle="""
+    WITH mx AS (
+      SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS q,
+             max(l_extendedprice) AS best_price,
+             CAST(count(*) AS BIGINT) AS n_at_q
+      FROM lineitem GROUP BY 1, 2
+    ), stair AS (
+      SELECT g, q, best_price, n_at_q,
+             max(best_price) OVER (PARTITION BY g ORDER BY q DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_best
+      FROM mx
+    )
+    SELECT g AS l_returnflag, q AS quantity, best_price, n_at_q
+    FROM stair
+    WHERE prev_best IS NULL OR best_price > prev_best
+    ORDER BY l_returnflag, quantity DESC
+    """,
+)
+def q_window_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D SKYLINE (Pareto frontier) per return flag: the line items
+    not dominated in (quantity, price) — no other item of the flag
+    has both ≥ quantity AND ≥ price with one strict — the classic
+    Börzsönyi et al. (2001) database operator behind "best trade-off"
+    queries (cheapest-per-capacity, fastest-per-cost).  The 2-D case
+    needs NO pairwise dominance join: collapse to max(price) per
+    distinct quantity (map-side combined), then the STAIRCASE window
+    — descending-quantity running max of price over the PRECEDING
+    frame — keeps exactly the points that beat every higher-quantity
+    best.  This is the dominance family's frontier member next to
+    q_topk (1-D order), q_window_topk_pergroup (per-group 1-D) and
+    q_agg_pareto (cumulative-share concentration).
+
+    Determinism/exactness: the collapse makes (g, q) unique so the
+    window order is total; comparisons are raw doubles (no
+    arithmetic, no rounding needed); n_at_q rides along as exact
+    counts.  Scale: the window runs over |flags| × |distinct
+    quantities| collapsed rows — a 100 TB scan folds to a
+    design-constant staircase before any sort; d-dimensional
+    skylines (d > 2) need the block-nested or sort-filter-skyline
+    pair join, noted as out of scope.
+    """
+    mx = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("g"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .agg(
+            F.max("l_extendedprice").alias("best_price"),
+            F.count(F.lit(1)).cast("long").alias("n_at_q"),
+        )
+    )
+    w = (
+        W.partitionBy("g")
+        .orderBy(F.desc("q"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    stair = mx.withColumn("prev_best", F.max("best_price").over(w))
+    return (
+        stair.filter(
+            F.col("prev_best").isNull()
+            | (F.col("best_price") > F.col("prev_best"))
+        )
+        .select(
+            F.col("g").alias("l_returnflag"),
+            F.col("q").alias("quantity"),
+            "best_price",
+            "n_at_q",
+        )
+        .orderBy("l_returnflag", F.desc("quantity"))
+    )

@@ -2994,3 +2994,37 @@ def test_levene_matches_python(spark, sf_dir):
     assert (row["df_between"], row["df_within"]) == (k - 1, n - k)
     assert abs(row["f_stat"] - f) <= max(1e-5, abs(f) * 1e-6)
     assert row["f_stat"] > 0
+
+
+def test_skyline_matches_bruteforce(spark, sf_dir):
+    """q_window_skyline: the staircase output must equal the brute-
+    force O(n²) dominance filter over the collapsed (quantity,
+    best-price) points, per flag."""
+    from collections import defaultdict
+
+    best: dict = defaultdict(dict)
+    counts: dict = defaultdict(int)
+    for r in (
+        table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .collect()
+    ):
+        g, q = r["l_returnflag"], int(r["l_quantity"])
+        best[g][q] = max(best[g].get(q, float("-inf")), r["l_extendedprice"])
+        counts[(g, q)] += 1
+    want = set()
+    for g, pts in best.items():
+        items = list(pts.items())
+        for q, p in items:
+            dominated = any(
+                (q2 >= q and p2 >= p) and (q2 > q or p2 > p)
+                for q2, p2 in items
+            )
+            if not dominated:
+                want.add((g, q, p, counts[(g, q)]))
+    got = {
+        (r["l_returnflag"], r["quantity"], r["best_price"], r["n_at_q"])
+        for r in QUERIES["q_window_skyline"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want, "non-vacuous"
