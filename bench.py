@@ -91,11 +91,12 @@ HEADLINE = [
     # lacks) and the k-core peel.
     "q_text_bpe_merges",
     "q_graph_kcore_peel",
-    # Round-9 additions (VERDICT r08 items 6+8): the interval-grid
-    # join — the most expensive plan in the engine on driver_sim's
-    # local[8], previously invisible to regression tracking — and the
-    # partition-column IVF mirror probe (the production serving
-    # layout).  First-inclusion baselines in BASELINE.md §round-9.
+    # Round-9 additions (VERDICT r08 items 6+8): the interval-overlap
+    # aggregate (rewritten round 10 from the Θ(pairs) grid join to the
+    # O(n log n) sweep-line — VERDICT r09 item 1; was 353 s here, now
+    # seconds) and the partition-column IVF mirror probe (the
+    # production serving layout).  First-inclusion baselines in
+    # BASELINE.md §round-9; post-rewrite baseline in §round-10.
     "q_join_interval_grid",
     "q_similarity_ann_ivf_partitioned",
     # Round-9 waves 4-6: the heaviest new plans — the collapsed
@@ -118,13 +119,28 @@ HEADLINE = [
     "q_graph_conductance",
 ]
 
-#: Timed in pass 1 only: q_join_interval_grid's cost is the inherent
-#: N²-density floor of overlap COUNTING on a fixed-time-span fixture
-#: (~1.7 B true pairs at sf0.1 — see its docstring), ~305 s/pass at
-#: local[32].  One pass keeps it regression-visible without tripling
-#: a 5-minute query; its relative noise at that duration is far below
-#: the ±70% band the min-of-3 convention exists to absorb.
-HEAVY = {"q_join_interval_grid"}
+#: Timed in pass 1 only — queries too expensive to triple.  Empty
+#: since round 10: the one former member (q_join_interval_grid,
+#: ~305 s/pass as the Θ(pairs) grid join) became an O(n log n)
+#: sweep-line (VERDICT r09 item 1) and rides the normal min-of-3.
+#: The mechanism stays for future audit-class heavyweights.
+HEAVY: set[str] = set()
+
+#: The round-1 headline set — the stable cross-round regression
+#: subset (VERDICT r09 item 8: emit the core/heavy split so the
+#: shared-subset ratio is computable without reverse-engineering
+#: query lists).  ``core_suite_wall_seconds`` sums exactly these;
+#: ``heavy_suite_wall_seconds`` is everything added since (the
+#: audit-class / first-inclusion tail).
+LEGACY_CORE = {
+    "q_filter_compound", "q_join_sortmerge", "q_join_multiway_star",
+    "q_agg_groupby", "q_window_topk_pergroup", "q_intersect",
+    "q_array_hof", "q_udaf_grouped", "q_dedup_exact",
+    "q_dedup_near_minhash", "q_dedup_ngram_jaccard",
+    "q_similarity_knn_cosine", "q_similarity_pairs_threshold",
+    "q_similarity_ann_ivf", "q_tfidf_topterms", "q_multimodal_features",
+    "q_source_npy_scan", "q_stream_tumbling", "q_stream_session",
+}
 
 
 def main() -> None:
@@ -167,6 +183,7 @@ def main() -> None:
             print(f"# {name}: {dt}s ({rows[name]} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    core = round(sum(t for n, t in timings.items() if n in LEGACY_CORE), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val: float | str = float(sf)
@@ -178,6 +195,8 @@ def main() -> None:
                 "metric": "headline_suite_wall_seconds",
                 "value": total,
                 "unit": "sec",
+                "core_suite_wall_seconds": core,
+                "heavy_suite_wall_seconds": round(total - core, 3),
                 "queries": timings,
                 "sf": sf_val,
                 "cpus": cpus,

@@ -759,20 +759,23 @@ def test_knn_batch_tile_bound_is_exact_for_strided_ids(spark, sf_dir):
     assert sorted(sizes) == list(range(len(sizes)))
 
 
-def test_interval_grid_join_is_equi_not_nested_loop(spark, sf_dir):
-    """The grid trick's whole point: the interval overlap must run as
-    a shuffle-partitionable EQUI join on (priority, cell) — never a
-    BroadcastNestedLoopJoin or cartesian product (the shapes the
-    broadcast-side q_join_interval_overlap is allowed and this one
-    exists to avoid)."""
+def test_interval_grid_is_sweep_not_pair_join(spark, sf_dir):
+    """VERDICT r09 item 1: the interval-overlap AGGREGATE must run as
+    the O(n log n) sweep-line over the day-value distribution — never
+    by enumerating candidate pairs.  Concretely: no nested-loop or
+    cartesian shape anywhere, no grid-cell explode (the Θ(pairs)
+    plan's signature), and the only self-combination of interval data
+    happens on day-granular aggregates."""
     from i3cols_spark.plans.checks import explain_str
 
     plan = explain_str(QUERIES["q_join_interval_grid"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
-        "BroadcastHashJoin" in plan
-    )
+    # the old quadratic plan exploded every interval to its grid
+    # cells before a (priority, cell) self-join — sequence+explode
+    # must be gone from the sweep plan
+    assert "sequence(" not in plan.lower()
+    assert "explode" not in plan.lower()
 
 
 def test_substring_dedup_joins_on_gram_hash_only(spark, sf_dir):

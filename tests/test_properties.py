@@ -3028,3 +3028,49 @@ def test_skyline_matches_bruteforce(spark, sf_dir):
     }
     assert got == want
     assert want, "non-vacuous"
+
+
+def test_interval_sweep_equals_bruteforce_pairs(spark, sf_dir):
+    """q_join_interval_grid's sweep-line identities (disjoint-pair
+    complement + prior-end running max) vs literal pair enumeration
+    over the same intervals — the check the grid→sweep rewrite
+    (VERDICT r09 item 1) must never drift from."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    ed = lambda c: (F.unix_timestamp(c) / 86400).cast("long")  # noqa: E731
+    iv = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("ship_end"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.least(ed(F.col("o_orderdate")), ed(F.col("ship_end"))).alias("s"),
+            F.greatest(ed(F.col("o_orderdate")), ed(F.col("ship_end"))).alias("e"),
+        )
+        .collect()
+    )
+    want: dict = {}
+    by_prio: dict = {}
+    for r in iv:
+        by_prio.setdefault(r["priority"], []).append((r["s"], r["e"]))
+    for prio, ivs in by_prio.items():
+        n_pairs, widest = 0, None
+        for (s1, e1), (s2, e2) in combinations(ivs, 2):
+            if s1 <= e2 and s2 <= e1:
+                n_pairs += 1
+                ov = min(e1, e2) - max(s1, s2)
+                widest = ov if widest is None else max(widest, ov)
+        if n_pairs:
+            want[prio] = (n_pairs, widest)
+    got = {
+        r["priority"]: (r["n_pairs"], r["max_overlap_days"])
+        for r in QUERIES["q_join_interval_grid"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want, "non-vacuous"
