@@ -555,14 +555,13 @@ def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     # level), which exceeds Spark's 1M-row recursion safety default
     # once the fixture is replicated; the walk itself is level-bounded
     # at 64 in the statement, so the LEVEL guard (default 100) needs
-    # no touch.  Raising the ROW guard to data size for a provably
-    # list-shaped recursion is the correct setting, not a bypass.
-    # Runtime conf — the driver's vanilla session is untouched
-    # otherwise.
-    n_orders = table(spark, sf_dir, "orders").count()
-    spark.conf.set(
-        "spark.sql.cteRecursionRowLimit", str(max(1_000_000, n_orders + 1))
-    )
+    # no touch.  Raising the ROW guard for a provably list-shaped
+    # recursion is the correct setting, not a bypass.  The limit is a
+    # FIXED constant (ADVICE r09: the earlier data-sized form ran an
+    # eager count() job inside the builder — the one impure builder in
+    # the engine; the conf is read at execution time, so save/restore
+    # around sql() would un-raise it before the plan ever runs).
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(2_000_000_000))
     return spark.sql("""
         WITH RECURSIVE base AS (
           SELECT o_custkey AS c, o_orderkey AS k,

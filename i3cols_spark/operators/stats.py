@@ -2812,11 +2812,13 @@ def q_ml_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n1, n2, runs,
            floor((1 + 2.0 * n1 * n2 / (n1 + n2)) * 1000000 + 0.5)
                / 1000000.0 AS e_runs,
-           floor((runs - (1 + 2.0 * n1 * n2 / (n1 + n2)))
-                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
-                        / ((n1 + n2) * CAST(n1 + n2 AS DOUBLE)
-                           * (n1 + n2 - 1)))
-                 * 1000000 + 0.5) / 1000000.0 AS z_stat
+           CASE WHEN 2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) > 0
+                THEN floor((runs - (1 + 2.0 * n1 * n2 / (n1 + n2)))
+                     / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                            / ((n1 + n2) * CAST(n1 + n2 AS DOUBLE)
+                               * (n1 + n2 - 1)))
+                     * 1000000 + 0.5) / 1000000.0
+           END AS z_stat
     FROM agg
     """,
 )
@@ -2890,7 +2892,13 @@ def q_stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n2",
         "runs",
         round_half_up(e_runs, 6).alias("e_runs"),
-        round_half_up((runs - e_runs) / F.sqrt(var_runs), 6).alias("z_stat"),
+        # degenerate-series guard (ADVICE r09): with every non-median
+        # day on one side (n1·n2 = 0) — or the n1 = n2 = 1 corner —
+        # Var[R] is 0 and z would be ±Inf/NaN, whose floor/round
+        # behavior differs across engines; NULL is the statistic's
+        # honest value, matching the oracle's CASE.
+        F.when(var_runs > 0, round_half_up((runs - e_runs) / F.sqrt(var_runs), 6))
+        .alias("z_stat"),
     )
 
 
@@ -3234,44 +3242,50 @@ def q_stats_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-way ANOVA on z = |x − median_group|.
 
     Cross-engine exactness: group medians use the POSITIONAL
-    (x+y)/2 construction (one per-group rank window — the
-    q_ts_rolling_median convention; DuckDB's interpolating
-    median() would differ by an ulp, which Σ|x−m| over 10⁵ rows
-    amplifies to exactly the rounding boundary).  The z sums follow
-    the q_agg_stats_corr double discipline → round 6 dp.
+    (x+y)/2 construction (DuckDB's oracle states it as a rank
+    window; interpolating median() would differ by an ulp, which
+    Σ|x−m| over 10⁵ rows amplifies to exactly the rounding
+    boundary).  The Spark side picks the SAME two order statistics
+    from the (group, value)-count distribution: the r-th order
+    statistic is the smallest value whose cumulative count reaches r
+    — the exact_percentiles bracket trick.  The z sums follow the
+    q_agg_stats_corr double discipline → round 6 dp.
 
-    Scale: one per-group sort window for the medians, one
-    broadcastable |groups|-row median join, one map-side-combined
-    moment aggregate.  NAMED CEILING (x10 probe 3.9): the rank
-    window's parallelism is |groups| (3 tasks here) — the
-    k-small-groups total-sort shape shared with q_stats_mann_whitney.
-    The production escape at 100 TB is the exact_percentiles
-    distribution path over (group, value) COUNTS: real money values
-    repeat (2 dp), so the distinct-value histogram is bounded where
-    this fixture's near-unique prices are not.  Nothing driver-side
-    beyond |groups| rows.
+    Scale (VERDICT r09 item 4 — the named escape, now implemented):
+    the r9 form ranked RAW rows in a window partitioned by |groups|
+    (3 tasks each total-sorting n/3 rows; ×10 probe 3.9×).  Now the
+    heavy reduction is ``groupBy(g, x).count()`` — map-side
+    combinable, state = |distinct values| not |rows| — and the
+    per-group cumsum window rides the distinct-value histogram
+    (money values repeat at 2 dp, so it is domain-bounded while raw
+    rows grow without bound).  Then one broadcastable |groups|-row
+    median join and one map-side-combined moment aggregate.  Nothing
+    driver-side beyond |groups| rows.
     """
     v = table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("x")
     )
-    wg = Window.partitionBy("g").orderBy("x")
-    ranked = v.select(
-        "g",
-        "x",
-        F.row_number().over(wg).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("n"),
+    dist = v.groupBy("g", "x").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    med = ranked.groupBy("g").agg(
+    d = dist.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("g"))
+    )
+    med = d.groupBy("g").agg(
         (
             (
                 F.min(
                     F.when(
-                        F.col("rk") == F.floor((F.col("n") + 1) / 2), F.col("x")
+                        F.col("cum") >= F.floor((F.col("n") + 1) / 2),
+                        F.col("x"),
                     )
                 )
                 + F.min(
                     F.when(
-                        F.col("rk") == F.floor(F.col("n") / 2) + 1, F.col("x")
+                        F.col("cum") >= F.floor(F.col("n") / 2) + 1, F.col("x")
                     )
                 )
             )
