@@ -17,6 +17,8 @@ Scale design (the reason each variant exists):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -544,21 +546,21 @@ def q_dedup_text_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_minhash_cluster_rep")  # LSH sketch upstream → rows-only
-def q_dedup_minhash_cluster_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-representative output for the MinHash+LSH near-dup path
     (VERDICT r06 item 6's second emitter): one ``(doc_id, rep_id)``
     row per document, rep_id = min doc_id of the LSH-candidate,
     Jaccard-≥0.5-verified cluster — linear output where the pair mode
-    is quadratic in cluster size.
+    is quadratic in cluster size.  The PRODUCTION stream behind
+    q_dedup_minhash_cluster_rep (which emits the oracle-checkable
+    audit of this mapping since its round-10 flip).
 
     Same composition as q_dedup_ngram_cluster_rep: the shared
     collapse-first engine (_minhash_rep_graph) emits verified
     rep-level edges, hook+pointer-jump connected components label the
-    reps, members inherit through one explode join.  Rows-only by
-    design like q_dedup_near_minhash itself (banding is not
-    SQL-expressible); tests pin it to the brute-force clustering at
-    sf0.001 and to ngram-rep equivalence on exact-duplicate groups.
+    reps, members inherit through one explode join; tests pin it to
+    the brute-force clustering at sf0.001 and to ngram-rep
+    equivalence on exact-duplicate groups.
     """
     from i3cols_spark.operators.graph import connected_components
 
@@ -574,14 +576,193 @@ def q_dedup_minhash_cluster_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_simhash")  # xxhash64-based sketch → rows-only
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document 64-bit SimHash sketch + its 4 16-bit band keys.
+@query(
+    "q_dedup_minhash_cluster_rep",
+    oracle=r"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, sh
+        FROM (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                   )) AS sh
+            FROM (SELECT doc_id,
+                         string_split_regex(lower(trim(text)), '\s+') AS toks
+                  FROM documents)
+        )
+    ),
+    ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+    sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+    tp AS (
+        SELECT da, db
+        FROM (
+            SELECT a.doc_id AS da, b.doc_id AS db,
+                   CAST(count(*) AS BIGINT) AS common
+            FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ) co
+        JOIN sz sa ON sa.doc_id = da
+        JOIN sz sb ON sb.doc_id = db
+        WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5
+    ),
+    edges AS (
+        SELECT da AS a, db AS b FROM tp
+        UNION ALL
+        SELECT db, da FROM tp
+    ),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (SELECT src AS doc_id, min(dst) AS c FROM reach GROUP BY src)
+    SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+        (SELECT CAST(count(DISTINCT c) AS BIGINT) FROM comp)
+            AS n_true_closure_clusters,
+        TRUE AS exact_dups_coclustered_ok,
+        TRUE AS rep_min_member_ok,
+        TRUE AS refines_truth_ok
+    """,
+)
+def q_dedup_minhash_cluster_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH cluster-representative mapping, emitted as its
+    oracle-checkable AUDIT (VERDICT r09 item 5 — same flip as
+    q_dedup_near_minhash/q_dedup_simhash; the per-doc stream is
+    ``minhash_cluster_members`` above, and the md5-family pipeline is
+    value-hash-pinned end to end by
+    q_dedup_minhash_cluster_rep_verified): one row with
+
+    * ``n_docs`` and ``n_true_closure_clusters`` — the EXACT ground
+      truth the oracle recomputes: component count of the transitive
+      closure of the exact-3-shingle-Jaccard ≥ 0.5 doc graph
+      (recursive CTE in DuckDB; inverted-index pairs + hook/pointer-
+      jump CC in Spark — the two engines agree on the closure even
+      though the LSH banding itself has no SQL twin);
+    * ``exact_dups_coclustered_ok``: identical normalized texts land
+      in one xx cluster (collapse-first invariance, from the OUTPUT);
+    * ``rep_min_member_ok``: every cluster's rep_id is the min of its
+      member doc_ids AND maps to itself (a drifted keep-min rule or a
+      rep that isn't a member flips it);
+    * ``refines_truth_ok``: every xx cluster is contained in exactly
+      ONE true-closure component — guaranteed when the verify step
+      admits only true j ≥ 0.5 edges, so a broken verify (admitting a
+      false candidate) flips it.
+
+    Scale shape: the LSH side is the production plan; the truth side
+    (inverted-index exact Jaccard over distinct-text reps + CC) is a
+    test-SF audit a production run drops with the booleans.
+    """
+    from i3cols_spark.operators.graph import connected_components
+
+    xx = minhash_cluster_members(spark, sf_dir).localCheckpoint()
+    grp, _ = _minhash_rep_graph(spark, sf_dir)
+
+    # Truth: exact j >= 0.5 rep pairs via the inverted index, closed
+    # transitively; members inherit through the exact-dup groups.
+    shr = grp.select(
+        F.col("rep").alias("doc_id"), shingle_hashes("text").alias("sh")
+    )
+    ex = shr.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("g")
+    )
+    ta = ex.select(
+        F.col("doc_id").alias("rep_a"), F.col("n").alias("na"),
+        F.col("g").alias("ga"),
+    )
+    tb = ex.select(
+        F.col("doc_id").alias("rep_b"), F.col("n").alias("nb"),
+        F.col("g").alias("gb"),
+    )
+    true_pairs = (
+        ta.join(
+            tb,
+            (F.col("ga") == F.col("gb")) & (F.col("rep_a") < F.col("rep_b")),
+        )
+        .groupBy("rep_a", "rep_b")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+        .filter(
+            F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+            >= 0.5
+        )
+        .select("rep_a", "rep_b")
+    )
+    tcomp = connected_components(
+        grp.select(F.col("rep").alias("id")),
+        true_pairs.select(F.col("rep_a").alias("a"), F.col("rep_b").alias("b")),
+    )
+    truth = (
+        grp.select("rep", F.explode("ids").alias("doc_id"))
+        .join(tcomp, F.col("rep") == F.col("id"))
+        .select("doc_id", F.col("comp").alias("tcomp"))
+        .localCheckpoint()
+    )
+
+    n_docs = (
+        table(spark, sf_dir, "documents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    n_truth = truth.agg(
+        F.countDistinct("tcomp").cast("bigint").alias("n_true_closure_clusters")
+    )
+    # identical texts → one xx cluster
+    dup_chk = (
+        grp.select(F.col("th"), F.explode("ids").alias("doc_id"))
+        .join(xx, "doc_id")
+        .groupBy("th")
+        .agg(F.countDistinct("rep_id").alias("nr"))
+        .agg(F.max("nr").alias("max_nr"))
+    )
+    # rep = min member AND rep maps to itself
+    rep_chk = xx.groupBy("rep_id").agg(
+        F.min("doc_id").alias("min_id"),
+        F.max(F.when(F.col("doc_id") == F.col("rep_id"), 1).otherwise(0)).alias(
+            "has_self"
+        ),
+    ).agg(
+        F.sum(
+            F.when(
+                (F.col("min_id") == F.col("rep_id")) & (F.col("has_self") == 1),
+                0,
+            ).otherwise(1)
+        ).alias("n_rep_bad")
+    )
+    # each xx cluster inside exactly one truth component
+    refine_chk = (
+        xx.join(truth, "doc_id")
+        .groupBy("rep_id")
+        .agg(F.countDistinct("tcomp").alias("nt"))
+        .agg(F.max("nt").alias("max_nt"))
+    )
+    return (
+        n_docs.crossJoin(n_truth)
+        .crossJoin(dup_chk)
+        .crossJoin(rep_chk)
+        .crossJoin(refine_chk)
+        .select(
+            "n_docs",
+            "n_true_closure_clusters",
+            (F.col("max_nr") == 1).alias("exact_dups_coclustered_ok"),
+            (F.col("n_rep_bad") == 0).alias("rep_min_member_ok"),
+            (F.col("max_nt") == 1).alias("refines_truth_ok"),
+        )
+    )
+
+
+def simhash_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 64-bit SimHash sketch + its 4 16-bit band keys —
+    the PRODUCTION output of the xxhash64 SimHash path (one row per
+    doc; what q_dedup_simhash emitted before its round-10 audit flip,
+    still what a pipeline consumes downstream).
 
     Near-dup search = equality on any band (pigeonhole: hamming ≤ 3
-    ⇒ at least one of 4 bands identical).  Deterministic; rows-only
-    check (no DuckDB xxhash64).  At scale the sketch column is 8 bytes
-    per doc — the join input shrinks by ~1000× vs raw text.
+    ⇒ at least one of 4 bands identical).  At scale the sketch column
+    is 8 bytes per doc — the join input shrinks by ~1000× vs raw text.
 
     Plan: collapse exact duplicates by normalized-text hash (identical
     token multisets ⇒ identical sketch — compute each distinct text's
@@ -624,6 +805,202 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.shiftrightunsigned(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).cast("int"),
         )
     return out
+
+
+@query(
+    "q_dedup_simhash",
+    oracle="""
+    WITH d AS (
+      SELECT lower(trim(text)) AS t, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1
+    )
+    SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+        (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_distinct_texts,
+        (SELECT CAST(coalesce(sum(c * (c - 1) / 2), 0) AS BIGINT) FROM d)
+            AS n_exact_dup_pairs,
+        TRUE AS dup_sketch_equal_ok,
+        TRUE AS bands_decompose_ok,
+        TRUE AS estimator_bound_ok
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64 SimHash path, emitted as its oracle-checkable AUDIT
+    (VERDICT r09 item 5 — the q_dedup_near_minhash r9 precedent;
+    the per-doc sketch stream itself is ``simhash_sketches`` above,
+    and the md5-family construction is value-hash-pinned end to end
+    by q_dedup_simhash_verified): one row with the exact corpus
+    ground truth the oracle recomputes — doc count, distinct-text
+    count, exact-duplicate pair count — plus three audited booleans
+    on the production sketch path:
+
+    * ``dup_sketch_equal_ok``: documents with identical normalized
+      text carry identical (simhash, band0..3) — the collapse-first
+      invariance, checked from the OUTPUT against text groups, not
+      assumed from the construction;
+    * ``bands_decompose_ok``: every row's four 16-bit bands
+      reassemble bit-exactly to its sketch (a broken band split
+      silently destroys LSH recall — this catches it);
+    * ``estimator_bound_ok``: over EVERY banded candidate rep pair,
+      the SimHash angle estimate is within 0.35 of the truth —
+      |hamming/64 − θ/π| ≤ 0.35 where θ = arccos of the exact
+      token-count cosine (the quantity SimHash sketches, Charikar
+      2002).  Measured max deviation 0.26 over 228 k candidates at
+      sf0.1 (0.19/0.20 at the smaller SFs); a broken sketch — sign
+      flip, wrong bit weight, vote miscount — pushes the deviation
+      toward ~0.5.  Deterministic: fixed hash family, fixed data.
+
+    Why not hash the sketch ROWS: xxhash64 has no DuckDB twin (the
+    same reason q_dedup_near_minhash flipped to this form in r9).
+
+    Scale shape: the sketch side is the production plan; the truth
+    side (exact token-count cosine on BANDED CANDIDATES only — never
+    all pairs) is a test-SF audit a production run drops with the
+    booleans.
+    """
+    sk = simhash_sketches(spark, sf_dir)
+    docs0 = spread(table(spark, sf_dir, "documents"), spark)
+    ids = docs0.select(
+        "doc_id", F.xxhash64(normalize("text")).alias("th")
+    )
+
+    n_docs = docs0.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    dgrp = ids.groupBy("th").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    dstats = dgrp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_texts"),
+        F.coalesce(F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0))
+        .cast("bigint")
+        .alias("n_exact_dup_pairs"),
+    )
+
+    # dup_sketch_equal_ok: one distinct (simhash, bands) per text group.
+    dup_chk = (
+        ids.join(sk, "doc_id")
+        .groupBy("th")
+        .agg(
+            F.countDistinct(
+                F.struct("simhash", "band0", "band1", "band2", "band3")
+            ).alias("nv")
+        )
+        .agg(F.max("nv").alias("max_nv"))
+    )
+
+    # bands_decompose_ok: reassemble the 4 bands and compare.
+    reassembled = sum(
+        (
+            F.shiftleft(F.col(f"band{b}").cast("long"), 16 * b)
+            for b in range(1, 4)
+        ),
+        F.col("band0").cast("long"),
+    )
+    band_chk = sk.agg(
+        F.sum(F.when(reassembled == F.col("simhash"), 0).otherwise(1)).alias(
+            "n_band_bad"
+        )
+    )
+
+    # estimator_bound_ok: banded candidate rep pairs vs exact
+    # token-count cosine.  Rep = min doc_id per distinct text (the
+    # family's collapse convention); candidates come from the 4-band
+    # LSH — the production access pattern, so the audit never
+    # enumerates all pairs.
+    reps = dgrp.select("th").join(
+        ids.groupBy("th").agg(F.min("doc_id").alias("rep")), "th"
+    )
+    rsk = sk.join(reps, sk.doc_id == reps.rep).select(
+        "rep", "simhash", "band0", "band1", "band2", "band3"
+    )
+    keyed = None
+    for k in range(4):
+        part = rsk.select(
+            "rep",
+            "simhash",
+            F.lit(k).alias("band"),
+            F.col(f"band{k}").alias("bucket"),
+        )
+        keyed = part if keyed is None else keyed.unionAll(part)
+    ka = keyed.select(
+        F.col("rep").alias("ra"), F.col("simhash").alias("ha"), "band", "bucket"
+    )
+    kb = keyed.select(
+        F.col("rep").alias("rb"),
+        F.col("simhash").alias("hb"),
+        F.col("band").alias("band_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    cand = (
+        ka.join(
+            kb,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("ra") < F.col("rb")),
+        )
+        .select(
+            "ra",
+            "rb",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hd"),
+        )
+        .dropDuplicates(["ra", "rb"])
+    )
+    tc = (
+        docs0.groupBy(F.xxhash64(normalize("text")).alias("th"))
+        .agg(F.min("doc_id").alias("rep"), F.first("text").alias("text"))
+        .select("rep", F.explode(tokens("text")).alias("tok"))
+        .groupBy("rep", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nrm = tc.groupBy("rep").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nm")
+    )
+    ta = tc.select(
+        F.col("rep").alias("ra"), F.col("tok").alias("t"), F.col("c").alias("ca")
+    )
+    tb = tc.select(
+        F.col("rep").alias("rb2"),
+        F.col("tok").alias("t2"),
+        F.col("c").alias("cb"),
+    )
+    dots = (
+        cand.join(ta, "ra")
+        .join(tb, (F.col("t") == F.col("t2")) & (F.col("rb") == F.col("rb2")))
+        .groupBy("ra", "rb", "hd")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    dev = (
+        dots.join(
+            nrm.select(F.col("rep").alias("ra"), F.col("nm").alias("na")), "ra"
+        )
+        .join(
+            nrm.select(F.col("rep").alias("rb"), F.col("nm").alias("nb")), "rb"
+        )
+        .select(
+            F.abs(
+                F.col("hd") / F.lit(64.0)
+                - F.acos(
+                    F.least(
+                        F.lit(1.0), F.col("dot") / (F.col("na") * F.col("nb"))
+                    )
+                )
+                / F.lit(float(math.pi))
+            ).alias("d")
+        )
+        .agg(F.sum(F.when(F.col("d") <= 0.35, 0).otherwise(1)).alias("n_dev_bad"))
+    )
+
+    return (
+        n_docs.crossJoin(dstats)
+        .crossJoin(dup_chk)
+        .crossJoin(band_chk)
+        .crossJoin(dev)
+        .select(
+            "n_docs",
+            "n_distinct_texts",
+            "n_exact_dup_pairs",
+            (F.col("max_nv") == 1).alias("dup_sketch_equal_ok"),
+            (F.col("n_band_bad") == 0).alias("bands_decompose_ok"),
+            (F.col("n_dev_bad") == 0).alias("estimator_bound_ok"),
+        )
+    )
 
 
 def _ngram_rep_graph(spark: SparkSession, sf_dir: str):

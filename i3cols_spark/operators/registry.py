@@ -630,13 +630,55 @@ _R9_PRIORITY: tuple[str, ...] = (
 )
 
 
+#: The rows-only-by-design set after the round-10 flips: EMPTY.
+#: Round 10 flipped the last three (q_dedup_simhash,
+#: q_dedup_minhash_cluster_rep, q_similarity_ann_ivfpq) to
+#: oracle-checkable audited-bound output forms (VERDICT r09 item 5 —
+#: the r8/r9 q_agg_approx_distinct precedent); their production
+#: per-row streams live on as the un-registered helpers
+#: ``simhash_sketches`` / ``minhash_cluster_members`` / ``ivfpq_topk``
+#: under property tests.  Every registered entry now has a DuckDB
+#: oracle.
+_R10_ROWS_ONLY: tuple[str, ...] = ()
+
+#: Round-10 rotation (VERDICT r09 items 2+5).  After round 9 the
+#: never-officially-checked names are the 6 ``_R10_DEFERRED`` + the
+#: 56 ``POST_R9_ADDITIONS`` (oracle-backed) + the 3 rows-only names,
+#: which round 10 flipped to oracle-checkable audit forms.  64 claims
+#: on 50 slots:
+#:   * slots 1–3: the three output-contract flips (fresh official
+#:     rows required — the r8/r9 precedent);
+#:   * slots 4–9: the six _R10_DEFERRED (the oldest queue — each
+#:     already independently spot-checked green by the round-8
+#:     judge);
+#:   * slots 10–50: the first 41 POST_R9_ADDITIONS in registration
+#:     order.
+#: The 15 POST_R9 overflow names (``_R11_DEFERRED``) wait for the
+#: round-11 window — 5 of them (skyline, recursive CTE, Levene, MMR,
+#: k-center ∈ the judge's r9 12-name spot-check) already carry
+#: third-party hash-green evidence; all stay sim + soak covered.
+_R10_FLIPS: tuple[str, ...] = (
+    "q_dedup_simhash",
+    "q_dedup_minhash_cluster_rep",
+    "q_similarity_ann_ivfpq",
+)
+
+_R11_DEFERRED: tuple[str, ...] = tuple(POST_R9_ADDITIONS[41:])
+
+_R10_PRIORITY: tuple[str, ...] = (
+    *_R10_FLIPS,
+    *_R10_DEFERRED,
+    *POST_R9_ADDITIONS[:41],
+)
+
+
 def surface_order() -> list[str]:
-    """Driver-facing ordering: the round-9 evidence-rotation block
-    first (see ``_R9_PRIORITY``), the remaining contract + extras in
+    """Driver-facing ordering: the round-10 evidence-rotation block
+    first (see ``_R10_PRIORITY``), the remaining contract + extras in
     §-order after, then any registered name the tuples don't know
     about (fail-open so a new operator is never silently dropped from
     the surface)."""
-    prio = set(_R9_PRIORITY)
+    prio = set(_R10_PRIORITY)
     rest = [
         q
         for q in (
@@ -648,7 +690,7 @@ def surface_order() -> list[str]:
         )
         if q not in prio
     ]
-    known = list(_R9_PRIORITY) + rest
+    known = list(_R10_PRIORITY) + rest
     missing = [k for k in known if k not in QUERIES]
     if missing:
         raise KeyError(f"surface_order: unregistered contract/extra names: {missing}")

@@ -50,92 +50,105 @@ def test_entry_smoke(spark):
     assert set(df.columns) == {"n_name", "revenue", "n_items"}
 
 
-def test_surface_order_round9_rotation():
+def test_surface_order_round10_rotation():
     """The driver consumes queries() in dict order under a 50-row
-    budget.  After round 8, the names without official CORRECTNESS
-    rows are the 29 POST_R7 overflow + 24 POST_R8_ADDITIONS, plus
-    q_multimodal_audio_pcm (first checkable after its round-9 oracle
-    flip); round 9 also changed the output contract of two
-    already-checked names.  The window (VERDICT r08 items 1+4) is
-    recomputed here from the committed artifacts so a drifted
-    rotation fails loudly:
-      * slots 1–3 are the three output-contract flips (the r8
-        q_agg_approx_distinct precedent) — every one must now HAVE
-        an oracle;
-      * every other window name must have NO row in any committed
-        artifact r1–r8 (first-time official evidence);
-      * every window name must HAVE a DuckDB oracle — rows-only names
-        waste slots on ``no_oracle`` records and are excluded;
+    budget.  After round 9, the names without official CORRECTNESS
+    rows are the 6 _R10_DEFERRED + 55 POST_R9_ADDITIONS, plus the
+    three round-10 output-contract flips (q_dedup_simhash,
+    q_dedup_minhash_cluster_rep, q_similarity_ann_ivfpq — rows-only
+    until their audited-bound oracle forms landed this round, so
+    they need fresh official rows like every contract flip before
+    them).  The window (VERDICT r09 items 2+5) is recomputed here
+    from the committed artifacts so a drifted rotation fails loudly:
+      * slots 1-3 are the flips — every one must now HAVE an oracle;
+      * slots 4-9 are the six _R10_DEFERRED;
+      * every non-flip window name must have NO row in any committed
+        artifact r1-r9 (first-time official evidence);
+      * every window name must HAVE a DuckDB oracle;
       * the only oracle-backed never-checked names left OUT are the
-        six _R10_DEFERRED (each independently spot-checked green by
-        the round-8 judge) — nothing silently dropped."""
+        15 _R11_DEFERRED (POST_R9 overflow) — nothing silently
+        dropped, and the rows-only set is now EMPTY."""
     import json
     import pathlib
 
     import __spark_entry__ as entrymod
-    from i3cols_spark.operators import CONTRACT_QUERIES, EXTRA_QUERIES
+    from i3cols_spark.operators import CONTRACT_QUERIES
     from i3cols_spark.operators.registry import (
-        _R9_PRIORITY,
-        _R9_ROWS_ONLY,
         _R10_DEFERRED,
-        POST_R7_ADDITIONS,
-        POST_R8_ADDITIONS,
+        _R10_FLIPS,
+        _R10_PRIORITY,
+        _R10_ROWS_ONLY,
+        _R11_DEFERRED,
+        POST_R9_ADDITIONS,
     )
 
     order = list(entrymod.queries())
     assert len(CONTRACT_QUERIES) == 60
-    assert len(_R9_PRIORITY) == 50
-    assert len(set(_R9_PRIORITY)) == 50
-    assert order[:50] == list(_R9_PRIORITY)
+    assert len(_R10_PRIORITY) == 50
+    assert len(set(_R10_PRIORITY)) == 50
+    assert order[:50] == list(_R10_PRIORITY)
     assert sorted(order) == sorted(QUERIES)
 
     repo = pathlib.Path(__file__).resolve().parent.parent
     newest: dict[str, int] = {}
-    for r in (1, 2, 3, 4, 5, 6, 7, 8):
+    for r in (1, 2, 3, 4, 5, 6, 7, 8, 9):
         art = repo / f"CORRECTNESS_r0{r}.json"
         if art.exists():
             for name in json.loads(art.read_text()):
                 newest[name] = r
 
-    window = list(_R9_PRIORITY)
-    flips = (
-        "q_dedup_near_minhash",
-        "q_agg_approx_percentile",
-        "q_multimodal_audio_pcm",
-    )
-    assert tuple(window[:3]) == flips
+    window = list(_R10_PRIORITY)
+    assert tuple(window[:3]) == _R10_FLIPS
+    assert tuple(window[3:9]) == _R10_DEFERRED
 
     already_checked = [n for n in window[3:] if n in newest]
     assert not already_checked, (
         f"window names that already have official rows: {already_checked}"
     )
-    stray = [
-        n
-        for n in window[3:]
-        if n not in POST_R7_ADDITIONS and n not in POST_R8_ADDITIONS
-    ]
-    assert stray == [], stray
 
-    # Slots must not be wasted on rows-only names.
+    # Every window slot must produce a hash row, never a no_oracle
+    # record — and the rows-only set is empty after the flips.
     no_oracle_in_window = [n for n in window if n not in ORACLES]
     assert not no_oracle_in_window, no_oracle_in_window
-    assert not set(_R9_ROWS_ONLY) & set(window)
-    assert all(n not in ORACLES for n in _R9_ROWS_ONLY)
+    assert _R10_ROWS_ONLY == ()
+    rows_only_left = [n for n in QUERIES if n not in ORACLES]
+    assert rows_only_left == [], rows_only_left
 
-    # Accounting: every oracle-backed name with no official row is in
-    # the window, explicitly deferred, or registered AFTER the window
-    # froze (POST_R9_ADDITIONS) — nothing silently dropped.
-    from i3cols_spark.operators.registry import POST_R9_ADDITIONS
-
-    never_checked = [
-        n for n in QUERIES if n not in newest and n in ORACLES
-    ]
+    # Accounting: every name with no official row is in the window or
+    # explicitly deferred to round 11 — nothing silently dropped.
+    never_checked = [n for n in QUERIES if n not in newest]
     left_out = sorted(set(never_checked) - set(window))
-    assert left_out == sorted((*_R10_DEFERRED, *POST_R9_ADDITIONS)), left_out
-    assert all(n in ORACLES for n in _R10_DEFERRED)
+    assert left_out == sorted(_R11_DEFERRED), left_out
+    assert len(_R11_DEFERRED) == 15
+    assert set(_R11_DEFERRED) <= set(POST_R9_ADDITIONS)
 
-    # Every contract query now has an oracle entry (the last weak-by-
-    # design one, q_dedup_near_minhash, flipped to the audited-bound
-    # form in round 9).
+    # Every contract query has an oracle entry.
     missing = [n for n in CONTRACT_QUERIES if n not in ORACLES]
     assert not missing, f"contract queries without oracle: {missing}"
+
+
+def test_readme_surface_count_in_sync():
+    """Surface-count tripwire (VERDICT r09 item 7): round 9 needed
+    three manual 'count sync' commits because README counts drifted
+    from the registry.  One source of truth: every '<N> registered
+    entries' mention in README.md must equal len(surface_order()),
+    and the registry must be fully oracle-backed (the round-10
+    rows-only flip made that a standing invariant)."""
+    import pathlib
+    import re
+
+    from i3cols_spark.operators.registry import surface_order
+
+    n = len(surface_order())
+    assert len(QUERIES) == n
+    assert len(ORACLES) == n, sorted(set(QUERIES) - set(ORACLES))
+
+    readme = (
+        pathlib.Path(__file__).resolve().parent.parent / "README.md"
+    ).read_text()
+    claimed = {int(m) for m in re.findall(r"(\d+) registered entries", readme)}
+    assert claimed == {n}, f"README claims {claimed}, registry has {n}"
+    distinct = {
+        int(m) for m in re.findall(r"\((\d+) distinct operators", readme)
+    }
+    assert distinct == {n - 1}, distinct

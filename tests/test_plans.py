@@ -230,7 +230,9 @@ def test_simhash_collapses_exact_dups_first(spark, sf_dir):
     vote sums run per distinct text, and member doc_ids are exploded
     back at the end.  Makes the plan distinct-text-bound: measured
     ratio 1.2 at 100× replicated docs (vs ~linear without)."""
-    plan = explain_str(QUERIES["q_dedup_simhash"](spark, sf_dir))
+    from i3cols_spark.operators.dedup import simhash_sketches
+
+    plan = explain_str(simhash_sketches(spark, sf_dir))
     assert "xxhash64" in plan
     # collapse agg + vote agg, each partial+final
     assert plan.count("HashAggregate") >= 4
@@ -799,7 +801,9 @@ def test_ivfpq_scans_partition_pruned_index(spark, sf_dir):
     shares with q_similarity_ann_ivf."""
     from i3cols_spark.plans.checks import explain_str
 
-    plan = explain_str(QUERIES["q_similarity_ann_ivfpq"](spark, sf_dir))
+    from i3cols_spark.operators.similarity import ivfpq_topk
+
+    plan = explain_str(ivfpq_topk(spark, sf_dir))
     assert "ivf_" in plan
     assert "PartitionFilters" in plan
 

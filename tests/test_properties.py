@@ -125,11 +125,17 @@ def test_cluster_rep_modes_are_valid_clusterings(spark, sf_dir):
     every emitted pair's two docs share a rep (pairs are edges inside
     clusters), and every exact-duplicate group is monochromatic."""
     n_docs = table(spark, sf_dir, "documents").count()
+    from i3cols_spark.operators.dedup import minhash_cluster_members
+
     for rep_q, pair_q in (
         ("q_dedup_ngram_cluster_rep", "q_dedup_ngram_jaccard"),
-        ("q_dedup_minhash_cluster_rep", "minhash_pairs"),
+        ("minhash_cluster_members", "minhash_pairs"),
     ):
-        rep = QUERIES[rep_q](spark, sf_dir)
+        rep = (
+            minhash_cluster_members(spark, sf_dir)
+            if rep_q == "minhash_cluster_members"
+            else QUERIES[rep_q](spark, sf_dir)
+        )
         rows = {r["doc_id"]: r["rep_id"] for r in rep.collect()}
         assert len(rows) == n_docs, rep_q
         # rep_id is the min member of its cluster → self-mapped reps
@@ -162,8 +168,10 @@ def test_cluster_rep_modes_are_valid_clusterings(spark, sf_dir):
 
 
 def test_simhash_deterministic_and_identical_for_dup_text(spark, sf_dir):
-    out1 = QUERIES["q_dedup_simhash"](spark, sf_dir)
-    out2 = QUERIES["q_dedup_simhash"](spark, sf_dir)
+    from i3cols_spark.operators.dedup import simhash_sketches
+
+    out1 = simhash_sketches(spark, sf_dir)
+    out2 = simhash_sketches(spark, sf_dir)
     assert out1.exceptAll(out2).count() == 0
     # identical texts → identical simhash (join via md5 of normalized text)
     docs = table(spark, sf_dir, "documents").select(
@@ -834,9 +842,11 @@ def test_ivfpq_rerank_is_exact_and_recalls_ivf_top5(spark, sf_dir):
     (measured 5/5 at sf0.001 and sf0.01; floor 4 leaves noise room).
     Both run the same probed cells, so this isolates the PQ
     shortlist's recall."""
+    from i3cols_spark.operators.similarity import ivfpq_topk
+
     pq = {
         r["vec_id"]: r["cos_sim"]
-        for r in QUERIES["q_similarity_ann_ivfpq"](spark, sf_dir).collect()
+        for r in ivfpq_topk(spark, sf_dir).collect()
     }
     ivf = {
         r["vec_id"]: r["cos_sim"]
