@@ -443,13 +443,11 @@ POST_R8_ADDITIONS: tuple[str, ...] = (
 )
 
 
-#: The POST_R7/POST_R8 names still with no DuckDB oracle after the
-#: round-9 flips (rows-only by design): a window slot spent on one
-#: records ``no_oracle`` instead of a green hash row, so they are
-#: excluded from official windows and stay covered by sim + pytest.
-#: Round 9 flipped the other three (q_agg_approx_percentile,
-#: q_dedup_near_minhash, q_multimodal_audio_pcm) to oracle-checkable
-#: audit/bound output forms — the q_agg_approx_distinct r8 precedent.
+#: HISTORICAL (round-9 state): the names still with no DuckDB oracle
+#: after the round-9 flips.  Round 9 flipped q_agg_approx_percentile /
+#: q_dedup_near_minhash / q_multimodal_audio_pcm to oracle-checkable
+#: audit/bound output forms; round 10 flipped these remaining three
+#: the same way (see ``_R10_FLIPS``), emptying the rows-only set.
 _R9_ROWS_ONLY: tuple[str, ...] = (
     "q_dedup_minhash_cluster_rep",
     "q_dedup_simhash",
@@ -665,6 +663,19 @@ _R10_FLIPS: tuple[str, ...] = (
 
 _R11_DEFERRED: tuple[str, ...] = tuple(POST_R9_ADDITIONS[41:])
 
+#: Operators registered in round 10, after the r10 window was frozen:
+#: first candidates for the round-11 rotation (with _R11_DEFERRED),
+#: sim + soak covered meanwhile.
+POST_R10_ADDITIONS: tuple[str, ...] = (
+    # round-10 wave 1 — the offline-eval block completed: calibration
+    # (reliability bins + exact-integer ECE) and hard-prediction
+    # grading (confusion cells + integer-scaled macro-F1), plus the
+    # paired member of the distribution-free monitoring kit.
+    "q_ml_eval_calibration",
+    "q_ml_eval_confusion",
+    "q_stats_wilcoxon_signed",
+)
+
 _R10_PRIORITY: tuple[str, ...] = (
     *_R10_FLIPS,
     *_R10_DEFERRED,
@@ -687,6 +698,7 @@ def surface_order() -> list[str]:
             *POST_R7_ADDITIONS,
             *POST_R8_ADDITIONS,
             *POST_R9_ADDITIONS,
+            *POST_R10_ADDITIONS,
         )
         if q not in prio
     ]

@@ -3323,3 +3323,351 @@ def q_stats_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("k") - 1).cast("long").alias("df_between"),
         (F.col("n") - F.col("k")).cast("long").alias("df_within"),
     )
+
+
+@query(
+    "q_ml_eval_calibration",
+    oracle="""
+    WITH lab AS (
+      SELECT CAST(l_quantity AS BIGINT) AS s,
+             CAST(floor((l_quantity - 1) / 5) AS BIGINT) AS bin,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+      FROM lineitem
+    ), b AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(s) AS BIGINT) AS sum_s,
+             CAST(sum(pos) AS BIGINT) AS n_pos
+      FROM lab GROUP BY bin
+    ), e AS (
+      SELECT CAST(sum(abs(sum_s - 50 * n_pos)) AS BIGINT) AS gap_num,
+             CAST(sum(n) AS BIGINT) AS n_all
+      FROM b
+    )
+    SELECT b.bin, b.n,
+           floor(b.sum_s / (50.0 * b.n) * 1000000 + 0.5) / 1000000.0
+               AS mean_pred,
+           floor(b.n_pos * 1.0 / b.n * 1000000 + 0.5) / 1000000.0
+               AS obs_rate,
+           floor(abs(b.sum_s - 50 * b.n_pos) / (50.0 * b.n)
+                 * 1000000 + 0.5) / 1000000.0 AS gap,
+           floor(e.gap_num / (50.0 * e.n_all) * 1000000 + 0.5) / 1000000.0
+               AS ece
+    FROM b CROSS JOIN e
+    ORDER BY b.bin
+    """,
+)
+def q_ml_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier CALIBRATION audit — the reliability diagram + exact
+    expected calibration error (ECE) that belongs next to the
+    threshold sweep (q_ml_eval_roc_pr): a well-ranked model can still
+    be mis-calibrated, and a pipeline gating on predicted
+    probabilities (confidence filtering, routing, active learning)
+    must check both.  Ten equal-width score bins; per bin the mean
+    predicted probability, the observed positive rate and their gap;
+    ECE = Σ_b (n_b/N)·gap_b as a constant column.
+
+    Fixture framing (the q_ml_eval_roc_pr convention): score =
+    l_quantity ∈ 1..50 read as predicted probability s/50, label =
+    (l_returnflag = 'R').
+
+    Cross-engine exactness: every quantity is a ratio of exact
+    BIGINTs — mean_pred = Σs/(50n), obs_rate = pos/n, and the gap
+    collapses to |Σs − 50·pos|/(50n), so even ECE's weighted sum
+    keeps an INTEGER numerator (Σ_b |Σs_b − 50·pos_b|) and divides
+    exactly once → HALF_UP 6 dp, no float accumulation anywhere.
+
+    Scale shape: ONE map-side-combined per-bin groupBy (10 reduce
+    rows); the ECE fold and every ratio run on that constant-size
+    table — a 100 TB scan folds to 10 rows before any join.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("s"),
+        F.floor((F.col("l_quantity") - 1) / 5).cast("long").alias("bin"),
+        (F.col("l_returnflag") == "R").cast("long").alias("pos"),
+    )
+    b = li.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("s").cast("long").alias("sum_s"),
+        F.sum("pos").cast("long").alias("n_pos"),
+    )
+    e = b.agg(
+        F.sum(F.abs(F.col("sum_s") - 50 * F.col("n_pos")))
+        .cast("long")
+        .alias("gap_num"),
+        F.sum("n").cast("long").alias("n_all"),
+    )
+    return (
+        b.crossJoin(F.broadcast(e))
+        .select(
+            "bin",
+            "n",
+            round_half_up(F.col("sum_s") / (F.lit(50.0) * F.col("n")), 6).alias(
+                "mean_pred"
+            ),
+            round_half_up(F.col("n_pos") * 1.0 / F.col("n"), 6).alias(
+                "obs_rate"
+            ),
+            round_half_up(
+                F.abs(F.col("sum_s") - 50 * F.col("n_pos"))
+                / (F.lit(50.0) * F.col("n")),
+                6,
+            ).alias("gap"),
+            round_half_up(
+                F.col("gap_num") / (F.lit(50.0) * F.col("n_all")), 6
+            ).alias("ece"),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
+    "q_ml_eval_confusion",
+    oracle="""
+    WITH lab AS (
+      SELECT l_returnflag AS t,
+             CASE WHEN l_quantity <= 17 THEN 'A'
+                  WHEN l_quantity <= 34 THEN 'N'
+                  ELSE 'R' END AS p
+      FROM lineitem
+    ), cells AS (
+      SELECT t, p, CAST(count(*) AS BIGINT) AS c FROM lab GROUP BY t, p
+    ), cls AS (
+      SELECT t AS label,
+             CAST(coalesce(sum(CASE WHEN p = t THEN c END), 0) AS BIGINT)
+                 AS tp,
+             CAST(sum(c) AS BIGINT) AS n_true
+      FROM cells GROUP BY t
+    ), pr AS (
+      SELECT p AS label, CAST(sum(c) AS BIGINT) AS n_pred
+      FROM cells GROUP BY p
+    ), m AS (
+      SELECT cls.label, cls.tp, cls.n_true,
+             coalesce(pr.n_pred, 0) AS n_pred,
+             coalesce(pr.n_pred, 0) - cls.tp AS fp,
+             cls.n_true - cls.tp AS fn,
+             CAST(floor(2.0 * cls.tp
+                        / (2 * cls.tp + (coalesce(pr.n_pred, 0) - cls.tp)
+                           + (cls.n_true - cls.tp))
+                        * 1000000 + 0.5) AS BIGINT) AS f1s
+      FROM cls LEFT JOIN pr ON pr.label = cls.label
+    ), mac AS (
+      SELECT CAST(sum(f1s) AS BIGINT) AS f1s_sum,
+             CAST(count(*) AS BIGINT) AS k
+      FROM m
+    )
+    SELECT m.label, m.tp, m.fp, m.fn, m.n_true, m.n_pred,
+           floor(m.tp * 1.0 / m.n_pred * 1000000 + 0.5) / 1000000.0
+               AS precision_,
+           floor(m.tp * 1.0 / m.n_true * 1000000 + 0.5) / 1000000.0
+               AS recall,
+           m.f1s / 1000000.0 AS f1,
+           floor(x.f1s_sum * 1.0 / x.k + 0.5) / 1000000.0 AS macro_f1
+    FROM m CROSS JOIN mac x
+    ORDER BY m.label
+    """,
+)
+def q_ml_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass confusion summary — per-class TP/FP/FN with
+    precision/recall/F1 and macro-F1, the third leg of the offline
+    eval block (q_ml_eval_roc_pr sweeps binary thresholds,
+    q_ml_eval_ndcg grades rankers; this grades a hard multiclass
+    prediction).
+
+    Fixture framing: truth = l_returnflag (A/N/R), prediction = a
+    deterministic quantity-tertile rule (≤17 → A, ≤34 → N, else R) —
+    a deliberately weak classifier so every off-diagonal cell is
+    populated and the per-class asymmetries are real.
+
+    Cross-engine exactness: precision/recall are single ratios of
+    exact BIGINTs → HALF_UP 6 dp.  Macro-F1 averages per-class F1s —
+    a sum of three unlike-denominator rationals, so each F1 is first
+    integer-scaled to 10⁶ (floor(x·10⁶ + 0.5) as BIGINT, the NDCG
+    discount-table discipline), the sum stays in integer space, and
+    ONE final division renders the average — no float accumulation.
+
+    Scale shape: one map-side-combined (truth, pred) groupBy — the
+    cell table is |classes|² (9 rows); every join and fold after is
+    constant-size.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("t"),
+        F.when(F.col("l_quantity") <= 17, "A")
+        .when(F.col("l_quantity") <= 34, "N")
+        .otherwise("R")
+        .alias("p"),
+    )
+    cells = li.groupBy("t", "p").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cls = cells.groupBy(F.col("t").alias("label")).agg(
+        F.coalesce(F.sum(F.when(F.col("p") == F.col("t"), F.col("c"))), F.lit(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum("c").cast("long").alias("n_true"),
+    )
+    pr = cells.groupBy(F.col("p").alias("label")).agg(
+        F.sum("c").cast("long").alias("n_pred")
+    )
+    m = (
+        cls.join(pr, "label", "left")
+        .select(
+            "label",
+            "tp",
+            "n_true",
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            (F.coalesce("n_pred", F.lit(0)) - F.col("tp"))
+            .cast("long")
+            .alias("fp"),
+            (F.col("n_true") - F.col("tp")).cast("long").alias("fn"),
+        )
+        .withColumn(
+            "f1s",
+            F.floor(
+                F.lit(2.0)
+                * F.col("tp")
+                / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
+                * 1000000
+                + 0.5
+            ).cast("long"),
+        )
+    )
+    mac = m.agg(
+        F.sum("f1s").cast("long").alias("f1s_sum"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    return (
+        m.crossJoin(F.broadcast(mac))
+        .select(
+            "label",
+            "tp",
+            "fp",
+            "fn",
+            "n_true",
+            "n_pred",
+            round_half_up(F.col("tp") * 1.0 / F.col("n_pred"), 6).alias(
+                "precision_"
+            ),
+            round_half_up(F.col("tp") * 1.0 / F.col("n_true"), 6).alias(
+                "recall"
+            ),
+            (F.col("f1s") / F.lit(1000000.0)).alias("f1"),
+            (
+                F.floor(F.col("f1s_sum") * 1.0 / F.col("k") + 0.5)
+                / F.lit(1000000.0)
+            ).alias("macro_f1"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "q_stats_wilcoxon_signed",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             round(sum(CASE WHEN event_type = 'click' THEN value
+                            ELSE 0 END), 2) AS x,
+             round(sum(CASE WHEN event_type = 'view' THEN value
+                            ELSE 0 END), 2) AS y
+      FROM events
+      GROUP BY 1
+    ), d AS (
+      SELECT x - y AS diff, abs(x - y) AS ad
+      FROM daily WHERE x <> y
+    ), r AS (
+      SELECT diff,
+             rank() OVER (ORDER BY ad)
+                 + (count(*) OVER (PARTITION BY ad) - 1) / 2.0 AS midrank,
+             count(*) OVER (PARTITION BY ad) AS tie_n,
+             row_number() OVER (PARTITION BY ad ORDER BY diff) AS tie_rn
+      FROM d
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CASE WHEN diff > 0 THEN midrank ELSE 0 END) AS w_plus,
+             sum(CASE WHEN tie_rn = 1
+                      THEN CAST(tie_n AS DOUBLE) * tie_n * tie_n - tie_n
+                      ELSE 0 END) AS tie_corr
+      FROM r
+    )
+    SELECT n AS n_pairs, w_plus,
+           floor(n * (n + 1) / 4.0 * 1000000 + 0.5) / 1000000.0 AS e_w,
+           CASE WHEN n * (n + 1) * (2.0 * n + 1) / 24 - tie_corr / 48 > 0
+                THEN floor((w_plus - n * (n + 1) / 4.0)
+                     / sqrt(n * (n + 1) * (2.0 * n + 1) / 24 - tie_corr / 48)
+                     * 1000000 + 0.5) / 1000000.0
+           END AS z_stat
+    FROM agg
+    """,
+)
+def q_stats_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED daily series — clicks vs
+    views value totals per day: the paired complement of
+    q_stats_mann_whitney (two independent samples) in the
+    distribution-free monitoring kit.  Zero differences drop (the
+    standard convention), |d| gets tie-aware MIDRANKS, W⁺ sums the
+    positive-difference ranks, and the normal approximation uses the
+    tie-corrected variance n(n+1)(2n+1)/24 − Σ(t³−t)/48.
+
+    Cross-engine exactness: daily values are round(sum, 2)-
+    canonicalized (the q_stats_runs_test convention), so the paired
+    differences and tie groups are identical doubles in both engines;
+    midranks are exact multiples of 0.5 (rank + (tie−1)/2 — the
+    q_stats_mann_whitney midrank construction); W⁺ sums ≤ |days|
+    such values (calendar-bounded, far under the 2⁵³ exactness
+    ceiling); E[W], Var[W] are integer rationals → z HALF_UP 6 dp,
+    NULLed when the variance degenerates (the runs-test guard).
+
+    Scale shape: ONE day-keyed aggregate is the only data-sized pass
+    (map-side combined); the rank window runs over the days-long
+    difference series, calendar-bounded like Mann–Kendall.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.round(
+            F.sum(F.when(F.col("event_type") == "click", F.col("value")).otherwise(0.0)),
+            2,
+        ).alias("x"),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "view", F.col("value")).otherwise(0.0)),
+            2,
+        ).alias("y"),
+    )
+    d = daily.filter(F.col("x") != F.col("y")).select(
+        (F.col("x") - F.col("y")).alias("diff"),
+        F.abs(F.col("x") - F.col("y")).alias("ad"),
+    )
+    r = d.select(
+        "diff",
+        (
+            F.rank().over(Window.orderBy("ad"))
+            + (F.count(F.lit(1)).over(Window.partitionBy("ad")) - 1) / 2.0
+        ).alias("midrank"),
+        F.count(F.lit(1)).over(Window.partitionBy("ad")).alias("tie_n"),
+        F.row_number()
+        .over(Window.partitionBy("ad").orderBy("diff"))
+        .alias("tie_rn"),
+    )
+    agg = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("diff") > 0, F.col("midrank")).otherwise(0.0)).alias(
+            "w_plus"
+        ),
+        F.sum(
+            F.when(
+                F.col("tie_rn") == 1,
+                F.col("tie_n").cast("double") * F.col("tie_n") * F.col("tie_n")
+                - F.col("tie_n"),
+            ).otherwise(0.0)
+        ).alias("tie_corr"),
+    )
+    n, w_plus, tie_corr = F.col("n"), F.col("w_plus"), F.col("tie_corr")
+    var_w = n * (n + 1) * (F.lit(2.0) * n + 1) / 24 - tie_corr / 48
+    return agg.select(
+        n.alias("n_pairs"),
+        w_plus,
+        round_half_up(n * (n + 1) / F.lit(4.0), 6).alias("e_w"),
+        F.when(
+            var_w > 0,
+            round_half_up(
+                (w_plus - n * (n + 1) / F.lit(4.0)) / F.sqrt(var_w), 6
+            ),
+        ).alias("z_stat"),
+    )

@@ -43,7 +43,8 @@ from i3cols_spark.sources.tables import TABLES, table
 SRC = "/root/testdata/sf0.1"
 COPIES = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 DISTINCT = "distinct" in sys.argv[2:3]
-DST = f"/tmp/i3cols_scale/{'d' if DISTINCT else 'x'}{COPIES}"
+FACTS = "facts" in sys.argv[2:4]  # replicate orders/lineitem/events past 10x
+DST = f"/tmp/i3cols_scale/{'d' if DISTINCT else ('f' if FACTS and COPIES > 10 else 'x')}{COPIES}"
 KEY_OFFSET = 10_000_000
 
 # Heavy-output probes LAST: the session is shared, and GC pressure from
@@ -166,7 +167,10 @@ def build(spark) -> None:
 
     replicate("documents", ["doc_id"])     # texts repeat → real dups
     replicate("embeddings", ["vec_id"])
-    if COPIES <= 10:
+    if COPIES <= 10 or FACTS:
+        # Past 10× the relational facts replicate only on request
+        # (`facts` flag — VERDICT r09 item 6 ×100 probes for the
+        # orders/lineitem-graph family); ~60 M lineitem rows at ×100.
         for name in ("region", "nation", "customer", "supplier", "part"):
             table(spark, SRC, name).write.mode("overwrite").parquet(
                 f"{DST}/{name}.parquet"
@@ -194,7 +198,7 @@ def main() -> None:
         QUERIES[name](spark, sf).write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
 
-    extra = [a for a in sys.argv[2:] if a != "distinct"]
+    extra = [a for a in sys.argv[2:] if a not in ("distinct", "facts")]
     if DISTINCT:
         probes = extra or DISTINCT_PROBES
     else:

@@ -114,11 +114,14 @@ def test_surface_order_round10_rotation():
     rows_only_left = [n for n in QUERIES if n not in ORACLES]
     assert rows_only_left == [], rows_only_left
 
-    # Accounting: every name with no official row is in the window or
-    # explicitly deferred to round 11 — nothing silently dropped.
+    # Accounting: every name with no official row is in the window,
+    # explicitly deferred to round 11, or registered AFTER the r10
+    # window froze (POST_R10_ADDITIONS) — nothing silently dropped.
+    from i3cols_spark.operators.registry import POST_R10_ADDITIONS
+
     never_checked = [n for n in QUERIES if n not in newest]
     left_out = sorted(set(never_checked) - set(window))
-    assert left_out == sorted(_R11_DEFERRED), left_out
+    assert left_out == sorted((*_R11_DEFERRED, *POST_R10_ADDITIONS)), left_out
     assert len(_R11_DEFERRED) == 15
     assert set(_R11_DEFERRED) <= set(POST_R9_ADDITIONS)
 
