@@ -674,6 +674,10 @@ POST_R10_ADDITIONS: tuple[str, ...] = (
     "q_ml_eval_calibration",
     "q_ml_eval_confusion",
     "q_stats_wilcoxon_signed",
+    # round-10 wave 2 — proper-scoring decomposition + scale
+    # reliability
+    "q_ml_eval_brier",
+    "q_stats_cronbach_alpha",
 )
 
 _R10_PRIORITY: tuple[str, ...] = (

@@ -3671,3 +3671,178 @@ def q_stats_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("z_stat"),
     )
+
+
+@query(
+    "q_ml_eval_brier",
+    oracle="""
+    WITH lab AS (
+      SELECT CAST(l_quantity AS BIGINT) AS s,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+      FROM lineitem
+    ), g AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS n_s,
+             CAST(sum(pos) AS BIGINT) AS pos_s,
+             CAST(sum((s - 50 * pos) * (s - 50 * pos)) AS BIGINT) AS sq
+      FROM lab GROUP BY s
+    ), tot AS (
+      SELECT CAST(sum(n_s) AS BIGINT) AS n,
+             CAST(sum(pos_s) AS BIGINT) AS p,
+             CAST(sum(sq) AS BIGINT) AS sq
+      FROM g
+    ), parts AS (
+      SELECT
+        sum((50.0 * g.pos_s - g.n_s * g.s) * (50.0 * g.pos_s - g.n_s * g.s)
+            / (2500.0 * g.n_s * t.n)) AS rel,
+        sum(g.n_s * (g.pos_s * 1.0 / g.n_s - t.p * 1.0 / t.n)
+                  * (g.pos_s * 1.0 / g.n_s - t.p * 1.0 / t.n) / t.n) AS res
+      FROM g CROSS JOIN tot t
+    )
+    SELECT t.n AS n_rows,
+           floor(t.p * 1.0 / t.n * 1000000 + 0.5) / 1000000.0 AS base_rate,
+           floor(t.sq / (2500.0 * t.n) * 1000000 + 0.5) / 1000000.0
+               AS brier,
+           floor(p.rel * 1000000 + 0.5) / 1000000.0 AS reliability,
+           floor(p.res * 1000000 + 0.5) / 1000000.0 AS resolution,
+           floor((t.p * 1.0 / t.n) * (1 - t.p * 1.0 / t.n) * 1000000 + 0.5)
+               / 1000000.0 AS uncertainty
+    FROM tot t CROSS JOIN parts p
+    """,
+)
+def q_ml_eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score with the Murphy decomposition — the proper-scoring
+    complement of q_ml_eval_calibration: B = uncertainty − resolution
+    + reliability, decomposed over the 50 distinct-score forecast
+    groups (p̂ = s/50, the q_ml_eval_roc_pr fixture framing).  A
+    gating pipeline reads reliability as "how mis-calibrated",
+    resolution as "how much the forecast actually separates
+    outcomes", uncertainty as the irreducible base-rate floor.
+
+    Cross-engine exactness: the Brier numerator is the exact integer
+    Σ(s − 50·pos)² (pos ∈ {0,1}), divided once by 2500N → HALF_UP
+    6 dp.  The decomposition terms are 50-term double folds of exact
+    integer ratios — far below rounding precision at 6 dp (the
+    q_ml_feature_mi ln-fold discipline).
+
+    Scale shape: ONE map-side-combined per-score groupBy (50 reduce
+    rows, the roc_pr sweep table); every fold after is constant-size.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("s"),
+        (F.col("l_returnflag") == "R").cast("long").alias("pos"),
+    )
+    g = li.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s"),
+        F.sum("pos").cast("long").alias("pos_s"),
+        F.sum(
+            (F.col("s") - 50 * F.col("pos")) * (F.col("s") - 50 * F.col("pos"))
+        )
+        .cast("long")
+        .alias("sq"),
+    )
+    tot = g.agg(
+        F.sum("n_s").cast("long").alias("n"),
+        F.sum("pos_s").cast("long").alias("p"),
+        F.sum("sq").cast("long").alias("sq"),
+    )
+    parts = g.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            (F.lit(50.0) * F.col("pos_s") - F.col("n_s") * F.col("s"))
+            * (F.lit(50.0) * F.col("pos_s") - F.col("n_s") * F.col("s"))
+            / (F.lit(2500.0) * F.col("n_s") * F.col("n"))
+        ).alias("rel"),
+        F.sum(
+            F.col("n_s")
+            * (F.col("pos_s") * 1.0 / F.col("n_s") - F.col("p") * 1.0 / F.col("n"))
+            * (F.col("pos_s") * 1.0 / F.col("n_s") - F.col("p") * 1.0 / F.col("n"))
+            / F.col("n")
+        ).alias("res"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(parts))
+        .select(
+            F.col("n").alias("n_rows"),
+            round_half_up(F.col("p") * 1.0 / F.col("n"), 6).alias("base_rate"),
+            round_half_up(F.col("sq") / (F.lit(2500.0) * F.col("n")), 6).alias(
+                "brier"
+            ),
+            round_half_up(F.col("rel"), 6).alias("reliability"),
+            round_half_up(F.col("res"), 6).alias("resolution"),
+            round_half_up(
+                (F.col("p") * 1.0 / F.col("n"))
+                * (1 - F.col("p") * 1.0 / F.col("n")),
+                6,
+            ).alias("uncertainty"),
+        )
+    )
+
+
+@query(
+    "q_stats_cronbach_alpha",
+    oracle="""
+    WITH items AS (
+      SELECT l_quantity AS i1,
+             l_extendedprice / 1000.0 AS i2,
+             l_discount * 100.0 AS i3,
+             l_tax * 100.0 AS i4,
+             l_quantity + l_extendedprice / 1000.0
+               + l_discount * 100.0 + l_tax * 100.0 AS s
+      FROM lineitem
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(4 AS BIGINT) AS k_items,
+           round(var_samp(i1), 6) AS var_i1,
+           round(var_samp(i2), 6) AS var_i2,
+           round(var_samp(i3), 6) AS var_i3,
+           round(var_samp(i4), 6) AS var_i4,
+           round(var_samp(s), 6)  AS var_total,
+           round(4.0 / 3.0 * (1 - (var_samp(i1) + var_samp(i2)
+                 + var_samp(i3) + var_samp(i4)) / var_samp(s)), 6)
+               AS alpha
+    FROM items
+    """,
+)
+def q_stats_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha — internal-consistency reliability of a
+    k-item scale, the classic label-quality / rater-battery audit:
+    α = k/(k−1) · (1 − Σ σ²ᵢ / σ²_total).  Fixture framing: four
+    rescaled lineitem measurements as the "items" (quantity,
+    price/1000, discount·100, tax·100); on independent synthetic
+    columns α sits near 0, which is itself the informative reading —
+    the items don't measure one construct.
+
+    Cross-engine exactness: ``var_samp`` is a single-pass partial-
+    merged aggregate in both engines; multi-row double reductions →
+    round 6 dp (the q_agg_stats_corr discipline) on every variance
+    AND on α, whose extra arithmetic is per-row IEEE on already-
+    canonical aggregates.
+
+    Scale shape: one scan, five constant-state variance aggregates
+    merged map-side — no shuffle beyond the 1-row final merge, the
+    cheapest plan in the stats family.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("i1"),
+        (F.col("l_extendedprice") / 1000.0).alias("i2"),
+        (F.col("l_discount") * 100.0).alias("i3"),
+        (F.col("l_tax") * 100.0).alias("i4"),
+    )
+    li = li.withColumn(
+        "s", F.col("i1") + F.col("i2") + F.col("i3") + F.col("i4")
+    )
+    v = lambda c: F.var_samp(c)  # noqa: E731
+    return li.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.lit(4).cast("long").alias("k_items"),
+        F.round(v("i1"), 6).alias("var_i1"),
+        F.round(v("i2"), 6).alias("var_i2"),
+        F.round(v("i3"), 6).alias("var_i3"),
+        F.round(v("i4"), 6).alias("var_i4"),
+        F.round(v("s"), 6).alias("var_total"),
+        F.round(
+            F.lit(4.0)
+            / 3.0
+            * (1 - (v("i1") + v("i2") + v("i3") + v("i4")) / v("s")),
+            6,
+        ).alias("alpha"),
+    )
