@@ -2744,3 +2744,98 @@ def q_text_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("est_slots")
     )
+
+
+@query(
+    "q_quality_dedup_by_source",
+    oracle=r"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, lang, sh
+        FROM (
+            SELECT doc_id, lang,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                   )) AS sh
+            FROM (SELECT doc_id, lang,
+                         string_split_regex(lower(trim(text)), '\s+') AS toks
+                  FROM documents)
+        )
+    ),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+    ),
+    edges AS (
+        SELECT a_id AS a, b_id AS b FROM pairs
+        UNION ALL
+        SELECT b_id, a_id FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    rep AS (
+        SELECT src AS doc_id, min(dst) AS rep_id FROM reach GROUP BY src
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT r.rep_id) AS BIGINT) AS n_clusters_touched,
+           CAST(sum(CASE WHEN d.doc_id = r.rep_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           floor((count(*) - sum(CASE WHEN d.doc_id = r.rep_id
+                                      THEN 1 ELSE 0 END))
+                 * 1.0 / count(*) * 1000000 + 0.5) / 1000000.0 AS drop_rate
+    FROM documents d JOIN rep r ON r.doc_id = d.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def q_quality_dedup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-SOURCE dedup retention readout — the table a curation
+    run publishes to answer "which feeds are mostly duplicates?":
+    per document source, how many docs it contributed, how many
+    near-dup clusters those docs touch, how many rows survive the
+    keep-cluster-representative policy, and the resulting drop rate.
+    q_dedup_text_report aggregates the same clustering by CLUSTER
+    SIZE; this slices it by the provenance dimension a data-sourcing
+    decision actually acts on.
+
+    Composition: two cheap aggregations over the linear
+    (doc_id, rep_id) mapping of q_dedup_ngram_cluster_rep joined to
+    the documents' source column — rows ∝ |docs|, then |sources|.
+    The oracle rebuilds the identical clusters via the recursive-CTE
+    transitive closure (the cluster_rep oracle) and re-slices.
+
+    Cross-engine exactness: counts are exact BIGINTs; drop_rate is
+    one integer ratio → HALF_UP 6 dp.
+    """
+    from i3cols_spark.functions.rounding import round_half_up
+
+    rep = q_dedup_ngram_cluster_rep(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        docs.join(rep, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("rep_id").cast("long").alias("n_clusters_touched"),
+            F.sum(F.when(F.col("doc_id") == F.col("rep_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_clusters_touched",
+            "n_kept",
+            round_half_up(
+                (F.col("n_docs") - F.col("n_kept")) * 1.0 / F.col("n_docs"), 6
+            ).alias("drop_rate"),
+        )
+        .orderBy("source")
+    )

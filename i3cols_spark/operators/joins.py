@@ -1149,3 +1149,64 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         nearest.alias("nearest_click_id"),
         gap.cast("bigint").alias("gap_us"),
     )
+
+
+@query(
+    "q_join_asof_forward",
+    oracle="""
+    SELECT p.event_id, p.user_id, c.event_id AS next_click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (
+        -- one click per (user, ts): min event_id — ASOF's pick among
+        -- equal-ts clicks is otherwise unspecified in BOTH engines
+        SELECT user_id, ts, min(event_id) AS event_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    ) c
+      ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — each purchase matched to the NEXT click at
+    or after it, per user: the attribution direction q_join_asof
+    (last click BEFORE) leaves open, completing the as-of family
+    (backward / forward / nearest / tolerance).  "What did the user
+    do right after buying" is the post-purchase-behavior spelling of
+    the same streaming-ETL primitive.
+
+    Same union-and-carry emulation as q_join_asof, mirrored: tag both
+    streams, sort within user by (ts, tag) with clicks AFTER
+    purchases at equal ts (the join is inclusive, p.ts <= c.ts), and
+    each purchase takes the FIRST non-null click id in the forward
+    frame — one shuffle on user_id, one ordered scan, no range join.
+    Equal-ts clicks are pre-collapsed to min event_id so both
+    engines' pick is pinned.
+
+    At 100 TB: identical cost shape to q_join_asof — the union sorts
+    once per user partition; the forward frame scans monotonically.
+    """
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("click_id"),
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("click_id"))
+        .select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id", "ts", F.lit(1).alias("tag"), "click_id",
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "tag", "click_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    merged = purchases.unionByName(clicks).withColumn(
+        "next_click_id", F.first("click_id", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("tag") == 0).select(
+        "event_id", "user_id", F.col("next_click_id").alias("next_click_id")
+    )

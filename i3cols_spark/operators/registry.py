@@ -678,6 +678,11 @@ POST_R10_ADDITIONS: tuple[str, ...] = (
     # reliability
     "q_ml_eval_brier",
     "q_stats_cronbach_alpha",
+    # round-10 wave 3 — forward as-of attribution, targeting eval,
+    # per-source dedup retention
+    "q_join_asof_forward",
+    "q_ml_eval_lift_gains",
+    "q_quality_dedup_by_source",
 )
 
 _R10_PRIORITY: tuple[str, ...] = (

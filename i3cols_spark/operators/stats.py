@@ -3846,3 +3846,94 @@ def q_stats_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("alpha"),
     )
+
+
+@query(
+    "q_ml_eval_lift_gains",
+    oracle="""
+    WITH lab AS (
+      SELECT CAST(floor((50 - l_quantity) / 5) AS BIGINT) AS band,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+      FROM lineitem
+    ), b AS (
+      SELECT band, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS n_pos
+      FROM lab GROUP BY band
+    ), c AS (
+      SELECT band, n, n_pos,
+             CAST(sum(n) OVER (ORDER BY band
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_n,
+             CAST(sum(n_pos) OVER (ORDER BY band
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_pos,
+             CAST(sum(n) OVER () AS BIGINT) AS tot_n,
+             CAST(sum(n_pos) OVER () AS BIGINT) AS tot_pos
+      FROM b
+    )
+    SELECT band, n, n_pos, cum_n, cum_pos,
+           floor(cum_pos * 1.0 / tot_pos * 1000000 + 0.5) / 1000000.0
+               AS gain,
+           floor((cum_pos * 1.0 * tot_n) / (cum_n * 1.0 * tot_pos)
+                 * 1000000 + 0.5) / 1000000.0 AS lift
+    FROM c
+    ORDER BY band
+    """,
+)
+def q_ml_eval_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table by descending score band — the
+    targeting-eval readout ("contact the top k% by model score, how
+    many positives do we capture, at what lift over random?") that
+    completes the offline-eval block's four views: threshold sweep
+    (roc_pr), probability calibration (calibration/brier), ranked
+    relevance (ndcg), and now population targeting.
+
+    Fixture framing (the roc_pr convention): score = l_quantity,
+    label = (l_returnflag = 'R'); ten equal-width score bands,
+    band 0 = the highest-score decile.  ``gain`` = fraction of all
+    positives captured through this band; ``lift`` = capture rate
+    relative to the base rate, = (cum_pos·N)/(cum_n·P) — the last
+    band's gain is 1 and lift is 1 by construction (a built-in
+    self-check).
+
+    Cross-engine exactness: every metric is one ratio of exact
+    BIGINT products → HALF_UP 6 dp.  Scale shape: one map-side-
+    combined per-band groupBy (10 reduce rows); all windows run on
+    that constant-size table.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        F.floor((50 - F.col("l_quantity")) / 5).cast("long").alias("band"),
+        (F.col("l_returnflag") == "R").cast("long").alias("pos"),
+    )
+    b = li.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+    )
+    w_cum = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    c = b.select(
+        "band",
+        "n",
+        "n_pos",
+        F.sum("n").over(w_cum).cast("long").alias("cum_n"),
+        F.sum("n_pos").over(w_cum).cast("long").alias("cum_pos"),
+        F.sum("n").over(w_all).cast("long").alias("tot_n"),
+        F.sum("n_pos").over(w_all).cast("long").alias("tot_pos"),
+    )
+    return c.select(
+        "band",
+        "n",
+        "n_pos",
+        "cum_n",
+        "cum_pos",
+        round_half_up(F.col("cum_pos") * 1.0 / F.col("tot_pos"), 6).alias(
+            "gain"
+        ),
+        round_half_up(
+            (F.col("cum_pos") * 1.0 * F.col("tot_n"))
+            / (F.col("cum_n") * 1.0 * F.col("tot_pos")),
+            6,
+        ).alias("lift"),
+    ).orderBy("band")
