@@ -683,6 +683,9 @@ POST_R10_ADDITIONS: tuple[str, ...] = (
     "q_join_asof_forward",
     "q_ml_eval_lift_gains",
     "q_quality_dedup_by_source",
+    # round-10 wave 4 — assumption-free paired inference under the
+    # deterministic md5 flip discipline
+    "q_stats_permutation_signflip",
 )
 
 _R10_PRIORITY: tuple[str, ...] = (

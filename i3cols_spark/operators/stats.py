@@ -3937,3 +3937,138 @@ def q_ml_eval_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lift"),
     ).orderBy("band")
+
+
+@query(
+    "q_stats_permutation_signflip",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS day,
+             CAST(floor(sum(CASE WHEN event_type = 'click' THEN value
+                                 ELSE 0 END) * 100 + 0.5) AS BIGINT)
+             - CAST(floor(sum(CASE WHEN event_type = 'view' THEN value
+                                   ELSE 0 END) * 100 + 0.5) AS BIGINT)
+                 AS d_cents
+      FROM events GROUP BY 1
+    ), obs AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(abs(sum(d_cents)) AS BIGINT) AS t_obs
+      FROM daily
+    ), flips AS (
+      SELECT g.salt,
+             CAST(abs(sum(CASE WHEN substr(
+                        md5(concat(CAST(day AS VARCHAR), '|',
+                                   CAST(g.salt AS VARCHAR))), 1, 1)
+                        < '8'
+                   THEN d_cents ELSE -d_cents END)) AS BIGINT) AS t_k
+      FROM daily CROSS JOIN (
+        SELECT unnest(generate_series(1, 199)) AS salt) g
+      GROUP BY g.salt
+    ), tail AS (
+      SELECT CAST(sum(CASE WHEN f.t_k >= o.t_obs THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_geq
+      FROM flips f CROSS JOIN obs o
+    )
+    SELECT o.n_days, o.t_obs AS t_obs_abs_cents,
+           CAST(199 AS BIGINT) AS k_perms,
+           t.n_geq,
+           floor((1 + t.n_geq) * 1.0 / 200 * 1000000 + 0.5) / 1000000.0
+               AS p_value
+    FROM obs o CROSS JOIN tail t
+    """,
+)
+def q_stats_permutation_signflip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PERMUTATION (randomization) test — the modern,
+    assumption-free member of the paired-comparison family: sign-flip
+    the daily click-minus-view differences under 199 md5-derived
+    pseudo-random flip patterns and read the two-sided p-value
+    directly from the null distribution p = (1 + #{|T_k| ≥ |T_obs|})
+    / (K + 1).  Where q_stats_wilcoxon_signed leans on the normal
+    approximation of a rank statistic, this tests the RAW mean
+    difference with no distributional assumption at all — the test a
+    metrics team reaches for when n is small or the distribution is
+    ugly.
+
+    Determinism discipline: flip signs come from
+    md5(epoch_day || '|' || salt) — the engine's standing
+    content-hash trick (q_split_assign / q_sample_* lineage), so both
+    engines flip identically and reruns reproduce bit-for-bit; no RNG
+    state anywhere.
+
+    Cross-engine exactness: daily sums land in EXACT INTEGER CENTS
+    (floor(x·100 + 0.5) per the TPC-H money discipline) so every
+    T_k, T_obs and the tail count are exact BIGINTs — the ≥
+    comparison can never be flipped by summation order; the p-value
+    is one integer ratio → HALF_UP 6 dp.
+
+    Scale shape: ONE day-keyed aggregate is the only data-sized pass;
+    the 199-fold explode runs over the days-long difference table
+    (calendar-bounded × K rows), and the null distribution is a
+    199-row aggregate.  K is a constant chosen for the standard
+    p ∈ {k/200} grid.
+    """
+    ev = table(spark, sf_dir, "events")
+    cents = lambda t: F.floor(  # noqa: E731
+        F.sum(
+            F.when(F.col("event_type") == t, F.col("value")).otherwise(0.0)
+        )
+        * 100
+        + 0.5
+    ).cast("long")
+    daily = ev.groupBy(
+        (F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+        .cast("long")
+        .alias("day")
+    ).agg((cents("click") - cents("view")).alias("d_cents"))
+    obs = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.abs(F.sum("d_cents")).cast("long").alias("t_obs"),
+    )
+    flips = (
+        daily.select(
+            "day",
+            "d_cents",
+            F.explode(F.sequence(F.lit(1), F.lit(199))).alias("salt"),
+        )
+        .groupBy("salt")
+        .agg(
+            F.abs(
+                F.sum(
+                    F.when(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col("day").cast("string"),
+                                    F.lit("|"),
+                                    F.col("salt").cast("string"),
+                                )
+                            ),
+                            1,
+                            1,
+                        )
+                        < "8",
+                        F.col("d_cents"),
+                    ).otherwise(-F.col("d_cents"))
+                )
+            )
+            .cast("long")
+            .alias("t_k")
+        )
+    )
+    tail = flips.crossJoin(F.broadcast(obs)).agg(
+        F.sum(F.when(F.col("t_k") >= F.col("t_obs"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_geq")
+    )
+    return (
+        obs.crossJoin(F.broadcast(tail))
+        .select(
+            "n_days",
+            F.col("t_obs").alias("t_obs_abs_cents"),
+            F.lit(199).cast("long").alias("k_perms"),
+            "n_geq",
+            round_half_up((1 + F.col("n_geq")) * 1.0 / 200, 6).alias(
+                "p_value"
+            ),
+        )
+    )
