@@ -35,11 +35,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.3.
 
     The driver consumes this dict in insertion order under a finite
-    (50-row) budget, so ordering is evidence strategy: round 7 leads
-    with the rotation block — exactly the 50 names whose newest
-    official CORRECTNESS row is round 4, the oldest evidence on the
-    surface (see registry._R7_PRIORITY) — then the remaining contract
-    + extras in §-order.
+    (50-row) budget, so ordering is evidence strategy: round 10 leads
+    with the rotation block — the three audited-bound oracle flips,
+    the six names deferred from round 9, then the never-officially-
+    checked POST_R9 names in registration order (see
+    registry._R10_PRIORITY) — then the remaining contract + extras in
+    §-order.
     """
     return {name: QUERIES[name] for name in surface_order()}
 
