@@ -3389,7 +3389,7 @@ def q_ml_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("s").cast("long").alias("sum_s"),
         F.sum("pos").cast("long").alias("n_pos"),
-    )
+    ).localCheckpoint()  # 10 rows, consumed 2x (ECE fold + final join)
     e = b.agg(
         F.sum(F.abs(F.col("sum_s") - 50 * F.col("n_pos")))
         .cast("long")
@@ -3496,7 +3496,9 @@ def q_ml_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("R")
         .alias("p"),
     )
-    cells = li.groupBy("t", "p").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cells = li.groupBy("t", "p").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint()  # |classes|^2 rows, consumed 2x (row/col margins)
     cls = cells.groupBy(F.col("t").alias("label")).agg(
         F.coalesce(F.sum(F.when(F.col("p") == F.col("t"), F.col("c"))), F.lit(0))
         .cast("long")
@@ -3739,7 +3741,7 @@ def q_ml_eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("sq"),
-    )
+    ).localCheckpoint()  # 50 rows, consumed 2x (totals + decomposition)
     tot = g.agg(
         F.sum("n_s").cast("long").alias("n"),
         F.sum("pos_s").cast("long").alias("p"),
@@ -4019,7 +4021,9 @@ def q_stats_permutation_signflip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
         .cast("long")
         .alias("day")
-    ).agg((cents("click") - cents("view")).alias("d_cents"))
+    ).agg(
+        (cents("click") - cents("view")).alias("d_cents")
+    ).localCheckpoint()  # days-long, consumed 2x (observed + 199 flips)
     obs = daily.agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),
         F.abs(F.sum("d_cents")).cast("long").alias("t_obs"),
