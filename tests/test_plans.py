@@ -1334,3 +1334,39 @@ def test_lateral_topk_decorrelates_to_window(spark, sf_dir):
     nodes = _nodes(plan)
     assert "Window" in nodes
     assert "BroadcastNestedLoopJoin" not in nodes
+
+
+def test_eval_fold_aggregates_scan_once(spark, sf_dir):
+    """The round-10 eval/stats ops whose tiny first aggregate feeds
+    two downstream folds must NOT re-scan the fact table per consumer
+    (2-4 FileScans before the fix): the aggregate is localCheckpointed,
+    so the executed plan carries ZERO parquet scans (one scan ran at
+    checkpoint time) and no join beyond the 1-row crossJoins."""
+    for q in (
+        "q_ml_eval_calibration",
+        "q_ml_eval_brier",
+        "q_ml_eval_confusion",
+        "q_stats_permutation_signflip",
+    ):
+        plan = (
+            QUERIES[q](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("FileScan parquet") == 0, q
+        assert "CartesianProduct" not in plan, q
+
+
+def test_asof_forward_is_union_window_not_range_join(spark, sf_dir):
+    """q_join_asof_forward's union-and-carry emulation: one user-keyed
+    sort, a forward first-non-null frame — never a sort-merge range
+    join or nested loop over event pairs."""
+    from i3cols_spark.plans.checks import explain_str
+
+    plan = explain_str(QUERIES["q_join_asof_forward"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+    assert "Union" in plan
