@@ -686,6 +686,10 @@ POST_R10_ADDITIONS: tuple[str, ...] = (
     # round-10 wave 4 — assumption-free paired inference under the
     # deterministic md5 flip discipline
     "q_stats_permutation_signflip",
+    # round-10 wave 5 — the grid pattern reinstated as the registered
+    # pair-EMITTING interval join (bounded slice; the aggregate
+    # sibling became the sweep-line)
+    "q_join_interval_pairs",
 )
 
 _R10_PRIORITY: tuple[str, ...] = (
