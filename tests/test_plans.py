@@ -1370,3 +1370,17 @@ def test_asof_forward_is_union_window_not_range_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
     assert "Union" in plan
+
+
+def test_interval_pairs_grid_is_equi_not_nested_loop(spark, sf_dir):
+    """The pair-emitting interval join must meet candidates through
+    the (cell) EQUI join — never BroadcastNestedLoopJoin or a
+    cartesian product (the shapes grid binning exists to avoid)."""
+    from i3cols_spark.plans.checks import explain_str
+
+    plan = explain_str(QUERIES["q_join_interval_pairs"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
