@@ -690,6 +690,9 @@ POST_R10_ADDITIONS: tuple[str, ...] = (
     # pair-EMITTING interval join (bounded slice; the aggregate
     # sibling became the sweep-line)
     "q_join_interval_pairs",
+    # round-10 wave 6 — corpus quality + sampling design
+    "q_text_ttr_diversity",
+    "q_sample_neyman",
 )
 
 _R10_PRIORITY: tuple[str, ...] = (

@@ -4076,3 +4076,82 @@ def q_stats_permutation_signflip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_sample_neyman",
+    oracle="""
+    WITH m AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sx,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+      FROM documents GROUP BY lang
+    ), w AS (
+      SELECT lang, n_docs, sx,
+             sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)) AS ns
+      FROM m
+    ), t AS (SELECT sum(ns) AS total_ns FROM w)
+    SELECT w.lang, w.n_docs, w.sx AS sum_chars,
+           floor(w.ns / t.total_ns * 1000000 + 0.5) / 1000000.0
+               AS neyman_weight,
+           CAST(floor(1000 * w.ns / t.total_ns + 0.5) AS BIGINT)
+               AS target_n,
+           CAST(least(floor(1000 * w.ns / t.total_ns + 0.5), w.n_docs)
+                AS BIGINT) AS n_sampled
+    FROM w CROSS JOIN t
+    ORDER BY w.lang
+    """,
+)
+def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN (variance-proportional) stratified-sampling allocation —
+    the statistically optimal quota design the uniform
+    (q_sample_balanced) and size-proportional policies bracket:
+    for a fixed budget B, allocate q_l ∝ N_l·σ_l so strata with more
+    internal variance get more samples (minimum-variance unbiased
+    stratified mean).  Strata = language, variable = document length,
+    B = 1000; the emitted table is the allocation design a sampling
+    run feeds into the deterministic md5-rank selector
+    (q_sample_balanced's machinery).
+
+    Cross-engine exactness: N_l·σ_l = √(N·Σx² − (Σx)²) is computed
+    from EXACT integer moments (n_chars is integer), so the per-row
+    sqrt is bit-identical IEEE in both engines; the |langs|-term
+    weight denominator is a double fold of those values (rounded
+    ratios at 6 dp), and quota floors sit on irrational ratios —
+    never at a representable boundary.
+
+    Scale shape: one map-side-combined per-lang moment aggregate
+    (|langs| reduce rows); the weight fold and quota arithmetic run
+    on that constant-size table.
+    """
+    m = table(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("sxx"),
+    )
+    w = m.select(
+        "lang",
+        "n_docs",
+        "sx",
+        F.sqrt(
+            (F.col("n_docs") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast("double")
+        ).alias("ns"),
+    ).localCheckpoint()  # |langs| rows, consumed 2x (total + quotas)
+    t = w.agg(F.sum("ns").alias("total_ns"))
+    target = F.floor(1000 * F.col("ns") / F.col("total_ns") + 0.5)
+    return (
+        w.crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            "n_docs",
+            F.col("sx").alias("sum_chars"),
+            round_half_up(F.col("ns") / F.col("total_ns"), 6).alias(
+                "neyman_weight"
+            ),
+            target.cast("long").alias("target_n"),
+            F.least(target, F.col("n_docs")).cast("long").alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )

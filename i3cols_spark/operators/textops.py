@@ -2655,3 +2655,78 @@ def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("total_count"), F.asc("word"))
     )
+
+
+@query(
+    "q_text_ttr_diversity",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, lang,
+             len(toks) AS n_tok,
+             len(list_distinct(toks)) AS n_types
+      FROM (SELECT doc_id, lang,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents)
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(n_types) AS BIGINT) AS n_types_sum,
+           floor(sum(n_types) * 1.0 / sum(n_tok) * 1000000 + 0.5)
+               / 1000000.0 AS pooled_ttr,
+           floor(min(n_types * 1.0 / n_tok) * 1000000 + 0.5) / 1000000.0
+               AS min_doc_ttr,
+           CAST(sum(CASE WHEN n_types * 2 < n_tok THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low_diversity
+    FROM tk
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_text_ttr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity (type-token ratio) profile per language —
+    the classic repetitive-text quality signal the Gopher-rule family
+    (q_text_gopher_rules, q_text_repetition) approximates with
+    character ratios: per doc, distinct-token count over token count;
+    per language, the pooled TTR, the worst doc, and how many docs
+    fall under the TTR < 0.5 "half the words are repeats" screen a
+    curation pass would flag.
+
+    Cross-engine exactness: n_tok / n_types are exact per-row
+    integers (one in-row split + array_distinct, no explode, no
+    shuffle of token rows); every emitted ratio is a single integer
+    ratio → HALF_UP 6 dp — min_doc_ttr picks the minimum of exact
+    per-row ratios BEFORE rounding, identical in both engines since
+    per-row IEEE division is bit-exact.
+
+    Scale shape: the whole profile is one in-row projection + one
+    map-side-combined per-lang aggregate — |langs| reduce rows, the
+    cheapest possible shape for a corpus-wide quality readout.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    tk = docs.select(
+        "lang",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+    )
+    return (
+        tk.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum("n_types").cast("long").alias("n_types_sum"),
+            round_half_up(
+                F.sum("n_types") * 1.0 / F.sum("n_tok"), 6
+            ).alias("pooled_ttr"),
+            round_half_up(
+                F.min(F.col("n_types") * 1.0 / F.col("n_tok")), 6
+            ).alias("min_doc_ttr"),
+            F.sum(
+                F.when(F.col("n_types") * 2 < F.col("n_tok"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_low_diversity"),
+        )
+        .orderBy("lang")
+    )
