@@ -693,6 +693,9 @@ POST_R10_ADDITIONS: tuple[str, ...] = (
     # round-10 wave 6 — corpus quality + sampling design
     "q_text_ttr_diversity",
     "q_sample_neyman",
+    # round-10 wave 7 — exact-budget quota apportionment (pure
+    # integer arithmetic, the Hamilton largest-remainder method)
+    "q_sample_apportion_lrm",
 )
 
 _R10_PRIORITY: tuple[str, ...] = (

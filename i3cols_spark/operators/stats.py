@@ -4155,3 +4155,77 @@ def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q_sample_apportion_lrm",
+    oracle="""
+    WITH m AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ), t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM m),
+    q AS (
+      SELECT m.lang, m.n_docs,
+             CAST(1000 * m.n_docs // t.n AS BIGINT) AS base,
+             CAST(1000 * m.n_docs % t.n AS BIGINT) AS remainder
+      FROM m CROSS JOIN t
+    ), lv AS (
+      SELECT CAST(1000 - sum(base) AS BIGINT) AS leftover FROM q
+    ), r AS (
+      SELECT q.*, lv.leftover,
+             row_number() OVER (ORDER BY q.remainder DESC, q.lang)
+                 AS rem_rank
+      FROM q CROSS JOIN lv
+    )
+    SELECT lang, n_docs, base, remainder,
+           CAST(base + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM r
+    ORDER BY lang
+    """,
+)
+def q_sample_apportion_lrm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) APPORTIONMENT of a fixed sampling
+    budget across strata — the exact-budget companion of
+    q_sample_neyman: independent floors of proportional shares leave
+    budget on the table (Σ floor(B·wₗ) < B), so the leftover seats go
+    to the largest fractional remainders, and the quotas sum to B
+    EXACTLY — the allocation a sampling job must honor when "1000
+    docs" is a hard contract, not a target.
+
+    Cross-engine exactness: 100% INTEGER arithmetic — base =
+    (B·Nₗ) DIV N, remainder = (B·Nₗ) MOD N, leftover = B − Σ base,
+    award by (remainder DESC, lang) rank.  No doubles anywhere, no
+    rounding discipline needed; the deterministic lang tie-break pins
+    equal remainders identically in both engines.
+
+    Scale shape: one map-side-combined per-lang count (|langs| reduce
+    rows); the apportionment windows run on that constant-size table.
+    """
+    m = table(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).localCheckpoint()  # |langs| rows, consumed 2x (total + shares)
+    t = m.agg(F.sum("n_docs").cast("long").alias("n"))
+    q = m.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_docs",
+        F.expr("1000 * n_docs DIV n").cast("long").alias("base"),
+        (1000 * F.col("n_docs") % F.col("n")).cast("long").alias("remainder"),
+    )
+    lv = q.agg((F.lit(1000) - F.sum("base")).cast("long").alias("leftover"))
+    r = q.crossJoin(F.broadcast(lv)).withColumn(
+        "rem_rank",
+        F.row_number().over(Window.orderBy(F.desc("remainder"), F.asc("lang"))),
+    )
+    return r.select(
+        "lang",
+        "n_docs",
+        "base",
+        "remainder",
+        (
+            F.col("base")
+            + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("quota"),
+    ).orderBy("lang")

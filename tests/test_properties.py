@@ -3084,3 +3084,13 @@ def test_interval_sweep_equals_bruteforce_pairs(spark, sf_dir):
     }
     assert got == want
     assert want, "non-vacuous"
+
+
+def test_apportionment_quotas_sum_to_budget(spark, sf_dir):
+    """Hamilton apportionment's defining contract: the per-stratum
+    quotas sum to the budget EXACTLY (independent floors would not),
+    and each quota is base or base+1."""
+    rows = QUERIES["q_sample_apportion_lrm"](spark, sf_dir).collect()
+    assert sum(r["quota"] for r in rows) == 1000
+    for r in rows:
+        assert r["quota"] in (r["base"], r["base"] + 1), tuple(r)
