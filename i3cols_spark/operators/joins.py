@@ -848,8 +848,16 @@ def q_join_interval_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("s")
         .rowsBetween(W.unboundedPreceding, -1)
     )
+    # NB: Spark's least() SKIPS nulls (unlike SQL's strict NULL-in →
+    # NULL-out), so the empty w_prior frame on the first start-day per
+    # priority would otherwise collapse candidate (a) to max_e - s — a
+    # phantom self-overlap of the earliest interval (ADVICE r10, high).
+    prior_max = F.max("max_e").over(w_prior)
     cand = F.greatest(
-        F.least(F.max("max_e").over(w_prior), F.col("max_e")) - F.col("s"),
+        F.when(
+            prior_max.isNotNull(),
+            F.least(prior_max, F.col("max_e")) - F.col("s"),
+        ),
         F.when(F.col("n_s") >= 2, F.col("max2_e") - F.col("s")),
     )
     widest = (

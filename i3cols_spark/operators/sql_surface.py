@@ -557,11 +557,25 @@ def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at 64 in the statement, so the LEVEL guard (default 100) needs
     # no touch.  Raising the ROW guard for a provably list-shaped
     # recursion is the correct setting, not a bypass.  The limit is a
-    # FIXED constant (ADVICE r09: the earlier data-sized form ran an
-    # eager count() job inside the builder — the one impure builder in
-    # the engine; the conf is read at execution time, so save/restore
-    # around sql() would un-raise it before the plan ever runs).
+    # FIXED constant (ADVICE r09: a data-sized bound ran an eager
+    # count() job inside the builder), and — ADVICE r10 — the raise is
+    # SCOPED: the conf is read at execution time, so the recursion is
+    # materialized here via localCheckpoint() (the engine's standard
+    # eager-reuse primitive) and the session guard restored in a
+    # finally, leaving later statements under the default
+    # runaway-recursion protection.
+    prior = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
     spark.conf.set("spark.sql.cteRecursionRowLimit", str(2_000_000_000))
+    try:
+        return _recursive_walk_sql(spark).localCheckpoint()
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.cteRecursionRowLimit")
+        else:
+            spark.conf.set("spark.sql.cteRecursionRowLimit", prior)
+
+
+def _recursive_walk_sql(spark: SparkSession) -> DataFrame:
     return spark.sql("""
         WITH RECURSIVE base AS (
           SELECT o_custkey AS c, o_orderkey AS k,

@@ -3456,8 +3456,9 @@ def q_ml_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM m
     )
     SELECT m.label, m.tp, m.fp, m.fn, m.n_true, m.n_pred,
-           floor(m.tp * 1.0 / m.n_pred * 1000000 + 0.5) / 1000000.0
-               AS precision_,
+           CASE WHEN m.n_pred > 0
+                THEN floor(m.tp * 1.0 / m.n_pred * 1000000 + 0.5) / 1000000.0
+           END AS precision_,
            floor(m.tp * 1.0 / m.n_true * 1000000 + 0.5) / 1000000.0
                AS recall,
            m.f1s / 1000000.0 AS f1,
@@ -3544,9 +3545,15 @@ def q_ml_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fn",
             "n_true",
             "n_pred",
-            round_half_up(F.col("tp") * 1.0 / F.col("n_pred"), 6).alias(
-                "precision_"
-            ),
+            # n_pred = 0 guard (ADVICE r10): Spark's 0/0 yields NULL
+            # but DuckDB's IEEE float path yields inf — make both
+            # engines render NULL via an explicit CASE.  Unreachable
+            # under the tertile rule (every class is predicted) but
+            # latent for any other prediction rule.
+            F.when(
+                F.col("n_pred") > 0,
+                round_half_up(F.col("tp") * 1.0 / F.col("n_pred"), 6),
+            ).alias("precision_"),
             round_half_up(F.col("tp") * 1.0 / F.col("n_true"), 6).alias(
                 "recall"
             ),

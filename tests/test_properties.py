@@ -3086,6 +3086,49 @@ def test_interval_sweep_equals_bruteforce_pairs(spark, sf_dir):
     assert want, "non-vacuous"
 
 
+def test_interval_sweep_first_start_day_no_phantom_self_overlap(
+    spark, tmp_path
+):
+    """ADVICE r10 (high) regression: Spark's least() SKIPS nulls, so
+    before the fix the empty prior-max frame on the FIRST start-day per
+    priority made candidate (a) collapse to max_e - s — a phantom
+    self-overlap of the earliest interval.  Repro from the advice:
+    intervals [0,100] and [90,91] must report max_overlap_days = 1
+    (the buggy sweep returned 100).  The fixture-data brute-force test
+    above passes by data luck on dense data; this pins the edge."""
+    import datetime as dt
+
+    day = lambda d: dt.datetime(1970, 1, 1) + dt.timedelta(days=d)  # noqa: E731
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 1.0, day(0), "1-URGENT"),   # interval [0, 100]
+            (2, 11, "O", 2.0, day(90), "1-URGENT"),  # interval [90, 91]
+            (3, 12, "O", 3.0, day(5), "2-HIGH"),     # lone interval: dropped
+        ],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    lineitem = spark.createDataFrame(
+        [
+            (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", day(100)),
+            (2, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", day(91)),
+            (3, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", day(6)),
+        ],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    )
+    fx = str(tmp_path / "fx")
+    orders.write.parquet(f"{fx}/orders.parquet")
+    lineitem.write.parquet(f"{fx}/lineitem.parquet")
+    got = {
+        r["priority"]: (r["n_pairs"], r["max_overlap_days"])
+        for r in QUERIES["q_join_interval_grid"](spark, fx).collect()
+    }
+    assert got == {"1-URGENT": (1, 1)}, got
+
+
 def test_apportionment_quotas_sum_to_budget(spark, sf_dir):
     """Hamilton apportionment's defining contract: the per-stratum
     quotas sum to the budget EXACTLY (independent floors would not),
