@@ -705,13 +705,77 @@ _R10_PRIORITY: tuple[str, ...] = (
 )
 
 
+#: Round-11 implementation-change re-checks (the r8/r9 "fresh official
+#: rows after a contract or plan change" precedent): the ADVICE-r10
+#: fixes changed executable logic in two already-checked names —
+#: q_join_interval_grid (phantom first-start-day self-overlap in the
+#: sweep-line max, joins.py; latest row r8 predates BOTH the r10 sweep
+#: rewrite and the fix) and q_similarity_ann_ivfpq (audit booleans:
+#: tolerance-based re-rank compare + margin-bearing recall floor;
+#: latest row r10 predates the change).  Values are expected unchanged
+#: on the fixtures (both driver-sim hash-green at sf0.01/sf0.1 this
+#: round) but the official artifact should re-witness them.
+_R11_RECHECK_CHANGED: tuple[str, ...] = (
+    "q_join_interval_grid",
+    "q_similarity_ann_ivfpq",
+)
+
+#: Round-11 staleness re-checks (VERDICT r10 item 2): after round 10,
+#: the OLDEST official rows are the 48 round-5 stamps.  The 20 window
+#: slots left after the never-checked block take the first 20 of those
+#: in registration order; the remaining 28 r5 names queue for the
+#: round-12 window (``_R12_STALE_QUEUE``), all sim + soak covered
+#: meanwhile.
+_R11_STALE_RECHECKS: tuple[str, ...] = (
+    "q_string_editdist",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_embedding",
+    "q_text_quality",
+    "q_text_langid",
+    "q_text_tokens",
+    "q_text_fingerprint",
+    "q_text_token_rarity",
+    "q_agg_heavy_hitters",
+    "q_source_overlap",
+    "q_text_pii_scrub",
+    "q_similarity_ann_lsh",
+    "q_similarity_ann_ivf",
+    "q_similarity_knn_batch",
+    "q_stream_dedup",
+    "q_stream_join",
+    "q_merge_latest_state",
+    "q_scd2_intervals",
+    "q_ts_gapfill",
+    "q_funnel_conversion",
+)
+
+#: Round-10 registrations still without official rows after the r11
+#: window freezes: NONE — the r11 window's 28 never-checked slots
+#: absorb the whole backlog (15 _R11_DEFERRED + 13 POST_R10_ADDITIONS),
+#: closing official coverage to 324/324 distinct names.
+_R12_DEFERRED: tuple[str, ...] = ()
+
+#: Round-11 rotation (VERDICT r10 items 1+2).  50 slots:
+#:   * slots 1–2: the two ADVICE-fix re-checks (logic changed);
+#:   * slots 3–17: the 15 _R11_DEFERRED (POST_R9 overflow — the oldest
+#:     never-checked queue), registration order;
+#:   * slots 18–30: the 13 POST_R10_ADDITIONS, registration order;
+#:   * slots 31–50: the 20 stalest r5 rows, registration order.
+_R11_PRIORITY: tuple[str, ...] = (
+    *_R11_RECHECK_CHANGED,
+    *_R11_DEFERRED,
+    *POST_R10_ADDITIONS,
+    *_R11_STALE_RECHECKS,
+)
+
+
 def surface_order() -> list[str]:
-    """Driver-facing ordering: the round-10 evidence-rotation block
-    first (see ``_R10_PRIORITY``), the remaining contract + extras in
+    """Driver-facing ordering: the round-11 evidence-rotation block
+    first (see ``_R11_PRIORITY``), the remaining contract + extras in
     §-order after, then any registered name the tuples don't know
     about (fail-open so a new operator is never silently dropped from
     the surface)."""
-    prio = set(_R10_PRIORITY)
+    prio = set(_R11_PRIORITY)
     rest = [
         q
         for q in (
@@ -724,7 +788,7 @@ def surface_order() -> list[str]:
         )
         if q not in prio
     ]
-    known = list(_R10_PRIORITY) + rest
+    known = list(_R11_PRIORITY) + rest
     missing = [k for k in known if k not in QUERIES]
     if missing:
         raise KeyError(f"surface_order: unregistered contract/extra names: {missing}")

@@ -50,78 +50,88 @@ def test_entry_smoke(spark):
     assert set(df.columns) == {"n_name", "revenue", "n_items"}
 
 
-def test_surface_order_round10_rotation():
+def test_surface_order_round11_rotation():
     """The driver consumes queries() in dict order under a 50-row
-    budget.  After round 9, the names without official CORRECTNESS
-    rows are the 6 _R10_DEFERRED + 55 POST_R9_ADDITIONS, plus the
-    three round-10 output-contract flips (q_dedup_simhash,
-    q_dedup_minhash_cluster_rep, q_similarity_ann_ivfpq — rows-only
-    until their audited-bound oracle forms landed this round, so
-    they need fresh official rows like every contract flip before
-    them).  The window (VERDICT r09 items 2+5) is recomputed here
-    from the committed artifacts so a drifted rotation fails loudly:
-      * slots 1-3 are the flips — every one must now HAVE an oracle;
-      * slots 4-9 are the six _R10_DEFERRED;
-      * every non-flip window name must have NO row in any committed
-        artifact r1-r9 (first-time official evidence);
+    budget.  After round 10, the names without official CORRECTNESS
+    rows are exactly the 15 _R11_DEFERRED (POST_R9 overflow) + the 13
+    POST_R10_ADDITIONS = 28 — the whole remaining backlog fits one
+    window (VERDICT r10 item 1), and the leftover 22 slots go to
+    re-checks (item 2): 2 names whose executable logic the ADVICE-r10
+    fixes changed, then the 20 stalest (round-5) official rows.  The
+    window is recomputed here from the committed artifacts so a
+    drifted rotation fails loudly:
+      * slots 1-2 are the ADVICE-fix re-checks — each HAS a prior
+        official row (they are re-witnesses, not first-times);
+      * slots 3-17 are the 15 _R11_DEFERRED, slots 18-30 the 13
+        POST_R10_ADDITIONS — each must have NO row in any committed
+        artifact r1-r10 (first-time official evidence);
+      * slots 31-50 are 20 names whose newest official row is r5 —
+        the oldest stamps in the repo;
       * every window name must HAVE a DuckDB oracle;
-      * the only oracle-backed never-checked names left OUT are the
-        15 _R11_DEFERRED (POST_R9 overflow) — nothing silently
-        dropped, and the rows-only set is now EMPTY."""
+      * NOTHING oracle-backed and never-checked is left out — after
+        this window lands, official coverage is 324/324."""
     import json
     import pathlib
 
     import __spark_entry__ as entrymod
     from i3cols_spark.operators import CONTRACT_QUERIES
     from i3cols_spark.operators.registry import (
-        _R10_DEFERRED,
-        _R10_FLIPS,
-        _R10_PRIORITY,
-        _R10_ROWS_ONLY,
         _R11_DEFERRED,
+        _R11_PRIORITY,
+        _R11_RECHECK_CHANGED,
+        _R11_STALE_RECHECKS,
+        _R12_DEFERRED,
         POST_R9_ADDITIONS,
+        POST_R10_ADDITIONS,
     )
 
     order = list(entrymod.queries())
     assert len(CONTRACT_QUERIES) == 60
-    assert len(_R10_PRIORITY) == 50
-    assert len(set(_R10_PRIORITY)) == 50
-    assert order[:50] == list(_R10_PRIORITY)
+    assert len(_R11_PRIORITY) == 50
+    assert len(set(_R11_PRIORITY)) == 50
+    assert order[:50] == list(_R11_PRIORITY)
     assert sorted(order) == sorted(QUERIES)
 
     repo = pathlib.Path(__file__).resolve().parent.parent
     newest: dict[str, int] = {}
-    for r in (1, 2, 3, 4, 5, 6, 7, 8, 9):
-        art = repo / f"CORRECTNESS_r0{r}.json"
+    for r in range(1, 11):
+        art = repo / f"CORRECTNESS_r{r:02d}.json"
         if art.exists():
             for name in json.loads(art.read_text()):
                 newest[name] = r
 
-    window = list(_R10_PRIORITY)
-    assert tuple(window[:3]) == _R10_FLIPS
-    assert tuple(window[3:9]) == _R10_DEFERRED
+    window = list(_R11_PRIORITY)
+    assert tuple(window[:2]) == _R11_RECHECK_CHANGED
+    assert tuple(window[2:17]) == _R11_DEFERRED
+    assert tuple(window[17:30]) == POST_R10_ADDITIONS
+    assert tuple(window[30:]) == _R11_STALE_RECHECKS
 
-    already_checked = [n for n in window[3:] if n in newest]
+    # Re-check slots must already carry official evidence...
+    for n in (*_R11_RECHECK_CHANGED, *_R11_STALE_RECHECKS):
+        assert n in newest, f"re-check slot {n} has no prior official row"
+    # ...stale slots specifically the oldest (round-5) stamps...
+    for n in _R11_STALE_RECHECKS:
+        assert newest[n] == 5, (n, newest[n])
+    # ...and first-time slots none at all.
+    already_checked = [n for n in window[2:30] if n in newest]
     assert not already_checked, (
-        f"window names that already have official rows: {already_checked}"
+        f"first-time window names with official rows: {already_checked}"
     )
 
     # Every window slot must produce a hash row, never a no_oracle
-    # record — and the rows-only set is empty after the flips.
+    # record — the registry is fully oracle-backed since round 10.
     no_oracle_in_window = [n for n in window if n not in ORACLES]
     assert not no_oracle_in_window, no_oracle_in_window
-    assert _R10_ROWS_ONLY == ()
     rows_only_left = [n for n in QUERIES if n not in ORACLES]
     assert rows_only_left == [], rows_only_left
 
-    # Accounting: every name with no official row is in the window,
-    # explicitly deferred to round 11, or registered AFTER the r10
-    # window froze (POST_R10_ADDITIONS) — nothing silently dropped.
-    from i3cols_spark.operators.registry import POST_R10_ADDITIONS
-
+    # Accounting: the never-checked set is EXACTLY the first-time
+    # block — nothing silently dropped, nothing deferred past r11.
     never_checked = [n for n in QUERIES if n not in newest]
-    left_out = sorted(set(never_checked) - set(window))
-    assert left_out == sorted((*_R11_DEFERRED, *POST_R10_ADDITIONS)), left_out
+    assert sorted(never_checked) == sorted(window[2:30]), sorted(
+        set(never_checked) ^ set(window[2:30])
+    )
+    assert _R12_DEFERRED == ()
     assert len(_R11_DEFERRED) == 15
     assert set(_R11_DEFERRED) <= set(POST_R9_ADDITIONS)
 
@@ -149,9 +159,20 @@ def test_readme_surface_count_in_sync():
     readme = (
         pathlib.Path(__file__).resolve().parent.parent / "README.md"
     ).read_text()
-    claimed = {int(m) for m in re.findall(r"(\d+) registered entries", readme)}
+    # Normalize whitespace FIRST (VERDICT r10: a line-wrapped
+    # "(310\ndistinct operators" mention slipped through the
+    # space-only regex for a whole round) so wrapped mentions match.
+    flat = re.sub(r"\s+", " ", readme)
+    claimed = {int(m) for m in re.findall(r"(\d+) registered entries", flat)}
     assert claimed == {n}, f"README claims {claimed}, registry has {n}"
     distinct = {
-        int(m) for m in re.findall(r"\((\d+) distinct operators", readme)
+        int(m) for m in re.findall(r"\((\d+) distinct operators", flat)
     }
     assert distinct == {n - 1}, distinct
+    # Belt-and-braces: no OTHER "<N> distinct operators" phrasing (any
+    # punctuation/wrapping) may carry a stale number anywhere in the
+    # README.
+    all_distinct = {
+        int(m) for m in re.findall(r"(\d+) distinct operators", flat)
+    }
+    assert all_distinct == {n - 1}, all_distinct
