@@ -140,6 +140,23 @@ def test_surface_order_round11_rotation():
     assert not missing, f"contract queries without oracle: {missing}"
 
 
+def test_catalog_current():
+    """CATALOG.md is generated from the live registry (VERDICT r10
+    item 7) — a stale committed copy fails here, same discipline as
+    the README count tripwire.  Regenerate with
+    ``python scripts/gen_catalog.py``."""
+    import pathlib
+
+    from i3cols_spark.catalog import build_catalog
+
+    committed = (
+        pathlib.Path(__file__).resolve().parent.parent / "CATALOG.md"
+    ).read_text()
+    assert committed == build_catalog(), (
+        "CATALOG.md is stale — run: python scripts/gen_catalog.py"
+    )
+
+
 def test_readme_surface_count_in_sync():
     """Surface-count tripwire (VERDICT r09 item 7): round 9 needed
     three manual 'count sync' commits because README counts drifted
