@@ -1257,13 +1257,32 @@ def q_join_interval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The grid, outside-in: (1) every interval explodes to the 28-day
     cells it covers; (2) candidates meet through an ordinary
-    EQUI-join on cell — shuffle-partitionable, no nested loop;
-    (3) the exact overlap predicate filters same-cell non-overlaps;
-    (4) the one-cell rule cell = floor(max(s_a, s_b)/W) counts each
-    surviving pair exactly once (the cell holding the later start is
-    covered by both sides iff they overlap, and it is unique) — no
-    dedup shuffle.  Cost is Σ_cell n_cell², data-adaptive like a
-    spatial join; hot cells are AQE skew-join territory.
+    EQUI-join on (cell, salt) — shuffle-partitionable, no nested
+    loop; (3) the exact overlap predicate filters same-cell
+    non-overlaps; (4) the one-cell rule cell = floor(max(s_a,
+    s_b)/W) counts each surviving pair exactly once (the cell
+    holding the later start is covered by both sides iff they
+    overlap, and it is unique) — no dedup shuffle.  Cost is
+    Σ_cell n_cell², data-adaptive like a spatial join.
+
+    SALTING (round-11 probe finding): a bounded window of interest
+    has FEW populated cells (~8 here), so a plain cell equi-join's
+    reduce parallelism is |cells| — and worse, when the filtered
+    slice is small enough for AQE to coalesce its aggregate to one
+    partition and broadcast side b, the entire Σ n_cell² pair
+    generation ran as ONE task (measured: a single 988-s-and-counting
+    task at ×10 before this fix).  The classic replicate-one-side
+    salt restores cluster-proportional parallelism: side a carries
+    salt_a = xxhash64(key) mod S, side b is exploded over ALL S salt
+    values, the join key becomes (cell, salt), and side a is
+    explicitly hash-repartitioned on it (defeating the AQE coalesce).
+    Each unordered pair still meets exactly once per shared cell
+    (a's single salt picks one of b's S replicas) and the one-cell
+    rule dedups across cells exactly as before, so output values are
+    unchanged — only the task grid changes: |cells|·S reduce buckets
+    instead of |cells|.  S is a fixed constant; at 1000 executors
+    you raise it with the cluster, the ×S replication rides the
+    broadcast/shuffle of the SMALLER side only.
 
     The oracle states the same join as a plain range self-join —
     affordable on the bounded slice, which is the very asymmetry the
@@ -1291,6 +1310,7 @@ def q_join_interval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("e"),
         )
     )
+    SALTS = 32
     cells = iv.select(
         "o_orderkey",
         "s",
@@ -1301,11 +1321,24 @@ def q_join_interval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cell"),
     )
-    a, b = cells.alias("a"), cells.alias("b")
+    a = (
+        cells.withColumn(
+            "salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(SALTS))
+        )
+        # explicit hash repartition on the join key: without it AQE
+        # coalesces the small filtered slice to ONE partition and the
+        # whole pair generation runs as one task (see docstring).
+        .repartition(SALTS, "cell", "salt")
+        .alias("a")
+    )
+    b = cells.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SALTS - 1)))
+    ).alias("b")
     return (
         a.join(
             b,
             (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
         )
         .filter(

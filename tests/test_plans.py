@@ -1384,3 +1384,8 @@ def test_interval_pairs_grid_is_equi_not_nested_loop(spark, sf_dir):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+    # Round-11 salting fix: probe side a must be explicitly
+    # hash-repartitioned on (cell, salt) — without it AQE coalesces
+    # the small filtered slice to one partition and the Σ n_cell² pair
+    # generation runs as a single task (measured 988 s+ at ×10).
+    assert "hashpartitioning(cell" in plan and "salt" in plan, plan
