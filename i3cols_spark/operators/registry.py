@@ -755,6 +755,41 @@ _R11_STALE_RECHECKS: tuple[str, ...] = (
 #: closing official coverage to 324/324 distinct names.
 _R12_DEFERRED: tuple[str, ...] = ()
 
+#: The 28 round-5-stamped names the r11 window could NOT fit (48 r5
+#: rows total, 20 taken) — first candidates for the round-12 staleness
+#: rotation, registration order.  Not consumed by surface_order() yet;
+#: the r12 rotation promotes them.
+_R12_STALE_QUEUE: tuple[str, ...] = (
+    "q_rolling_active_users",
+    "q_retention_cohorts",
+    "q_multimodal_features",
+    "q_multimodal_resize_sample",
+    "q_multimodal_real_resize",
+    "q_agg_histogram",
+    "q_physics_pulse_summary",
+    "q_enum_decode_join",
+    "q_pivot",
+    "q_agg_percentile",
+    "q_agg_stats_corr",
+    "q_sample_stratified",
+    "q_split_assign",
+    "q_profile_columns",
+    "q_sample_mixture",
+    "q_sample_fixed_n",
+    "q_anomaly_zscore",
+    "q_agg_mode",
+    "q_dedup_clusters",
+    "q_dedup_cluster_sizes",
+    "q_text_contamination",
+    "q_dedup_keep_best",
+    "q_pack_sequences",
+    "q_text_repetition",
+    "q_embedding_centroids",
+    "q_embedding_quantize",
+    "q_pipeline_end2end",
+    "q_text_chunking",
+)
+
 #: Round-11 rotation (VERDICT r10 items 1+2).  50 slots:
 #:   * slots 1–2: the two ADVICE-fix re-checks (logic changed);
 #:   * slots 3–17: the 15 _R11_DEFERRED (POST_R9 overflow — the oldest

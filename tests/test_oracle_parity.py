@@ -135,6 +135,14 @@ def test_surface_order_round11_rotation():
     assert len(_R11_DEFERRED) == 15
     assert set(_R11_DEFERRED) <= set(POST_R9_ADDITIONS)
 
+    # Staleness accounting: the r11 window's 20 stale slots plus the
+    # declared round-12 queue cover the round-5-stamped set EXACTLY.
+    from i3cols_spark.operators.registry import _R12_STALE_QUEUE
+
+    r5 = {n for n, r in newest.items() if r == 5 and n in QUERIES}
+    assert set(_R11_STALE_RECHECKS) | set(_R12_STALE_QUEUE) == r5
+    assert not set(_R11_STALE_RECHECKS) & set(_R12_STALE_QUEUE)
+
     # Every contract query has an oracle entry.
     missing = [n for n in CONTRACT_QUERIES if n not in ORACLES]
     assert not missing, f"contract queries without oracle: {missing}"
