@@ -1280,9 +1280,13 @@ def q_join_interval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a's single salt picks one of b's S replicas) and the one-cell
     rule dedups across cells exactly as before, so output values are
     unchanged — only the task grid changes: |cells|·S reduce buckets
-    instead of |cells|.  S is a fixed constant; at 1000 executors
-    you raise it with the cluster, the ×S replication rides the
-    broadcast/shuffle of the SMALLER side only.
+    instead of |cells|.  S is a fixed constant; raising it with the
+    cluster buys parallelism at a REAL cost — this is a SELF-join, so
+    the replicated side b is the full exploded cell set, and its
+    shuffle (or broadcast, which clears the threshold S× sooner)
+    volume multiplies by S.  The trade is sound because the pair
+    generation is Σ n_cell² while the replication is S·Σ n_cell, but
+    size S against the slice, not for free.
 
     The oracle states the same join as a plain range self-join —
     affordable on the bounded slice, which is the very asymmetry the

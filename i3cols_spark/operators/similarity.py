@@ -923,16 +923,21 @@ def q_similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("true_cos").alias("exact_top1_cos"),
         )
     )
-    # |Δ| ≤ 1e-6, not equality: the two sides compute the same cosine
-    # through different float paths (numpy qnorm vs Spark norm_l2), so
-    # the 6-dp roundings can land one ulp apart on a .xxxxxx5 boundary
-    # (ADVICE r10) — the tolerance is exactly the rounding quantum.
+    # |Δ| ≤ 1.5e-6, not equality: the two sides compute the same
+    # cosine through different float paths (numpy qnorm vs Spark
+    # norm_l2), so the 6-dp roundings can land one quantum apart on a
+    # .xxxxxx5 boundary (ADVICE r10).  The bound sits at 1.5 quanta
+    # because two ADJACENT 6-dp doubles usually differ by slightly
+    # MORE than 1e-6 in IEEE arithmetic (|0.123457-0.123456| =
+    # 1.000000000001e-06) — a bound of exactly 1e-6 would reject the
+    # very divergence it exists to tolerate — while still rejecting
+    # any ≥ 2-quantum (genuinely wrong) re-rank score.
     rerank_chk = (
         pq.join(exact, "vec_id", "left")
         .agg(
             F.sum(
                 F.when(
-                    F.abs(F.col("cos_sim") - F.col("true_cos")) <= 1e-6, 0
+                    F.abs(F.col("cos_sim") - F.col("true_cos")) <= 1.5e-6, 0
                 ).otherwise(1)
             ).alias("n_rerank_bad")
         )

@@ -39,12 +39,22 @@ SHUFFLE = 32  # identical task grid at both levels
 
 def run_level(cpus: int, names: list[str]) -> dict[str, float]:
     out = subprocess.run(
-        [sys.executable, __file__, "--level", str(cpus), *names],
+        [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--level",
+            str(cpus),
+            *names,
+        ],
         capture_output=True,
         text=True,
         cwd=REPO,
         timeout=3600,
     )
+    if out.returncode != 0:
+        raise RuntimeError(
+            f"level local[{cpus}] failed (rc={out.returncode}):\n{out.stderr}"
+        )
     last = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(last)
 

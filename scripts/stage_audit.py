@@ -2,10 +2,10 @@
 
 For each query: run once warm, then re-run with the Spark UI enabled
 and pull per-stage task metrics from the REST API.  Reports, for every
-stage that contributed meaningful time, (numTasks, stage wall,
-max-task vs mean-task time) — a heavy stage with numTasks == 1, or a
-max/mean skew >> 1, is a genuine serialization bottleneck; many tiny
-stages in sequence is driver-iteration latency (expected for the
+stage that contributed meaningful time, (numTasks, executor-run
+seconds) — a heavy stage with numTasks == 1 (or == a handful after an
+AQE coalesce) is a genuine serialization bottleneck; many tiny stages
+in sequence is driver-iteration latency (expected for the
 iterative-loop operators at fixture scale, where each round is
 milliseconds of compute behind a fixed scheduling cost).
 
@@ -28,11 +28,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def main() -> None:
     from pyspark.sql import SparkSession
 
-    from i3cols_spark.session import get_spark
-
-    # get_spark disables the UI; build an equivalent session with it on.
-    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
-    base = get_spark  # reuse sizing logic via its module constants
+    # session.get_spark disables the UI, so build an equivalent
+    # session (same sizing/confs) with the UI on.
     spark = (
         SparkSession.builder.master("local[32]")
         .appName("stage-audit")
@@ -50,7 +47,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     from i3cols_spark.operators import QUERIES
 
-    api = "http://localhost:4050/api/v1"
+    # 4050 is only a request — Spark auto-increments on bind conflict,
+    # so read the REAL bound address back from the context.
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        raise RuntimeError("Spark UI did not come up; cannot audit stages")
+    api = f"{ui}/api/v1"
     app_id = spark.sparkContext.applicationId
 
     def stages_snapshot() -> dict[int, dict]:
