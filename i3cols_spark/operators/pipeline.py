@@ -72,7 +72,7 @@ _BENCH_NGRAM = 5
 )
 def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: fraction of each training document's
-    distinct word {n}-grams that appear in the held-out benchmark set.
+    distinct word n-grams that appear in the held-out benchmark set.
 
     Plan shape for 100 TB: the benchmark side is SMALL by definition
     (eval sets are thousands of docs, the corpus is billions), so its
@@ -1223,7 +1223,7 @@ _HARDNEG_QUERIES = 20
 )
 def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-pair mining — for each of the first
-    {_HARDNEG_QUERIES} vectors: its nearest SAME-label neighbor (the
+    _HARDNEG_QUERIES = 20 vectors: its nearest SAME-label neighbor (the
     positive) and its nearest OTHER-label neighbor (the hard
     negative), with the margin and a margin-violation flag.  This is
     the triplet-assembly step of embedding-model training data: hard

@@ -76,6 +76,17 @@ def exact_percentiles_multi(
     anyway) to share the stacked column.
     """
     cols = list(specs)
+    # Percentile names are flattened into shared __h_/__lo_/__hi_
+    # aliases across value columns — a repeated name under two vcols
+    # would make the F.col references ambiguous at plan time (round-11
+    # self-review), so fail loudly here instead.
+    all_names = [n for c in cols for n in specs[c]]
+    if len(all_names) != len(set(all_names)):
+        dupes = sorted({n for n in all_names if all_names.count(n) > 1})
+        raise ValueError(
+            f"exact_percentiles_multi: percentile names must be unique "
+            f"across value columns, got duplicates {dupes}"
+        )
     stack_args = ", ".join(
         f"'{c}', CAST({c} AS DOUBLE)" for c in cols
     )
@@ -516,8 +527,18 @@ def zscore_stats(ev: DataFrame) -> DataFrame:
 def zscore_screen(ev: DataFrame, stats: DataFrame) -> DataFrame:
     """Score rows against a (event_type, mu, sigma) stats frame and
     keep |z| ≥ ZSCORE_THRESHOLD — broadcast join + per-row projection,
-    batch and streaming alike."""
-    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4)
+    batch and streaming alike.  HALF_UP at 4 dp, not round(): z is a
+    ratio of 6-dp decimals over 2-dp fixture values — the same
+    rational structure whose 4-dp .5 boundary hit mad_screen for real
+    at sf0.1 (round-11 self-review; see mad_screen).  The σ=0 guard
+    (constant group) keeps both engines NULL-consistent — unguarded,
+    Spark's x/0 yields NULL (row dropped) while DuckDB's IEEE float
+    path yields ±inf (row KEPT); the oracle carries the matching
+    ``sigma <> 0`` predicate."""
+    z = F.when(
+        F.col("sigma") != 0,
+        round_half_up((F.col("value") - F.col("mu")) / F.col("sigma"), 4),
+    )
     return (
         ev.join(F.broadcast(stats), "event_type")
         .withColumn("z", z)
@@ -552,7 +573,16 @@ def mad_screen(ev: DataFrame, stats: DataFrame) -> DataFrame:
     4-dp .5 boundary — one sf0.1 row measured 3.85225, rounding
     3.8522 (DuckDB half-even) vs 3.8523 (Spark HALF_UP) before this
     (functions/rounding.py)."""
-    rz = round_half_up(0.6745 * (F.col("value") - F.col("md")) / F.col("mad"), 4)
+    # MAD = 0 guard (a group where >50% of values equal the median):
+    # Spark's x/0 yields NULL (row dropped) but DuckDB's IEEE float
+    # path yields ±inf (row KEPT) — guard both dialects identically
+    # (round-11 self-review; the q_ml_eval_confusion discipline).
+    rz = F.when(
+        F.col("mad") != 0,
+        round_half_up(
+            0.6745 * (F.col("value") - F.col("md")) / F.col("mad"), 4
+        ),
+    )
     return (
         ev.join(F.broadcast(stats), "event_type")
         .withColumn("rz", rz)
@@ -581,7 +611,8 @@ def mad_screen(ev: DataFrame, stats: DataFrame) -> DataFrame:
            floor((0.6745 * (d.value - d.md) / s.mad) * 10000 + 0.5)
                / 10000.0 AS rz
     FROM d JOIN s USING (event_type)
-    WHERE abs(floor((0.6745 * (d.value - d.md) / s.mad) * 10000 + 0.5)
+    WHERE s.mad <> 0
+      AND abs(floor((0.6745 * (d.value - d.md) / s.mad) * 10000 + 0.5)
               / 10000.0) >= 3.5
     """,
 )
@@ -616,9 +647,11 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY event_type
     )
     SELECT e.event_id, e.event_type, e.value,
-           round((e.value - s.mu) / s.sigma, 4) AS z
+           floor((e.value - s.mu) / s.sigma * 10000 + 0.5) / 10000.0 AS z
     FROM events e JOIN s USING (event_type)
-    WHERE abs(round((e.value - s.mu) / s.sigma, 4)) >= 3.0
+    WHERE s.sigma <> 0
+      AND abs(floor((e.value - s.mu) / s.sigma * 10000 + 0.5) / 10000.0)
+          >= 3.0
     """,
 )
 def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -638,9 +671,12 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Float discipline: μ/σ are multi-row reductions → rounded to 6 dp
     in both dialects; the per-row z is then IEEE-identical arithmetic
-    on identical doubles, rounded at 4 dp, and the threshold compares
-    the ROUNDED z (round-then-filter) so the cut is boundary-exact
-    across engines.
+    on identical doubles, rounded HALF_UP at 4 dp (round-11
+    self-review: plain round() diverges half-even vs half-away on a
+    4-dp .5 boundary — the documented mad_screen incident class), and
+    the threshold compares the ROUNDED z (round-then-filter) so the
+    cut is boundary-exact across engines; σ=0 groups are excluded in
+    both dialects (Spark NULL vs DuckDB inf otherwise).
     """
     ev = table(spark, sf_dir, "events")
     return zscore_screen(ev, zscore_stats(ev))
@@ -650,8 +686,11 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sample_weighted",
     oracle="""
     WITH keyed AS (
+        -- ((x % m) + m) % m mirrors Spark's pmod for negative ids
+        -- (latent on the non-negative fixture; round-11 self-review)
         SELECT event_type, event_id, value,
-               ln((CAST((event_id % 65536 * 2654435761) % 65536 AS DOUBLE)
+               ln((CAST((((event_id % 65536) + 65536) % 65536
+                         * 2654435761) % 65536 AS DOUBLE)
                    + 1.0) / 65537.0) / greatest(value, 0.01) AS lk
         FROM events
     ),
@@ -751,7 +790,9 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id, source, n_chars
     FROM documents
-    WHERE CAST((doc_id % 65536 * 2654435761) % 65536 AS DOUBLE) / 65536.0 <
+    -- ((x % m) + m) % m mirrors Spark's pmod for negative ids
+    WHERE CAST(((((doc_id % 65536) + 65536) % 65536)
+               * 2654435761) % 65536 AS DOUBLE) / 65536.0 <
           0.9 * least(1.0, n_chars / 800.0)
     """,
 )
@@ -1301,8 +1342,6 @@ def q_stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a 1-row fold.  Both CDF fractions are integer ratios →
     HALF_UP 6 dp; the argmax breaks ties on the smallest value.
     """
-    from i3cols_spark.functions.rounding import round_half_up
-
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag").isin("R", "A")
     )
@@ -1389,8 +1428,6 @@ def q_stats_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact (log10 of a positive double and the power round-trip are
     bit-identical in both engines).
     """
-    from i3cols_spark.functions.rounding import round_half_up
-
     orders = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
     digit = F.floor(
         F.col("o_totalprice")
@@ -1546,8 +1583,6 @@ def q_stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT in double, so u_stat is bit-identical before rounding and
     only z's sqrt touches libm.
     """
-    from i3cols_spark.functions.rounding import round_half_up
-
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag").isin("R", "A")
     )
@@ -1645,8 +1680,6 @@ def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group cumulative window over the support-sized table, one
     fold — the q_agg_percentile plan with a weights twist.
     """
-    from i3cols_spark.functions.rounding import round_half_up
-
     li = table(spark, sf_dir, "lineitem")
     dist = (
         li.groupBy(F.col("l_returnflag").alias("flag"),
@@ -1730,8 +1763,6 @@ def q_stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     combination — algebraically the global mean, computed without
     touching rows twice.
     """
-    from i3cols_spark.functions.rounding import round_half_up
-
     li = table(spark, sf_dir, "lineitem")
     g = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_i"),
@@ -1763,7 +1794,12 @@ def q_stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stats_proportion_ztest",
     oracle="""
     WITH assigned AS (
-      SELECT user_id % 2 AS cohort,
+      -- ((x % 2) + 2) % 2 mirrors Spark's pmod for negative ids
+      -- (DuckDB's % keeps the dividend's sign, which would drop
+      -- negative-id rows from BOTH cohorts while Spark's pmod puts
+      -- them in cohort 1 — latent on the non-negative fixture ids,
+      -- divergent on any other dataset; round-11 self-review).
+      SELECT ((user_id % 2) + 2) % 2 AS cohort,
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
       FROM events
     ), s AS (
@@ -1802,8 +1838,6 @@ def q_stats_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic is a ratio of exact integers through one mirrored
     expression tree → HALF_UP 6 dp (sqrt is the only libm call).
     """
-    from i3cols_spark.functions.rounding import round_half_up
-
     ev = table(spark, sf_dir, "events")
     is_a = F.pmod(F.col("user_id"), F.lit(2)) == 0
     conv = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
@@ -2007,8 +2041,6 @@ def q_agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined (flag, value) reduction, one per-group
     cumulative window over the support-sized table, one fold.
     """
-    from i3cols_spark.functions.rounding import round_half_up
-
     li = table(spark, sf_dir, "lineitem")
     dist = (
         li.groupBy(F.col("l_returnflag").alias("flag"),
@@ -2091,7 +2123,7 @@ _TEMP_ALPHA = 0.7
     """,
 )
 def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-scaled mixture quotas (α = {_TEMP_ALPHA}, the
+    """Temperature-scaled mixture quotas (α = _TEMP_ALPHA = 0.7, the
     Lample & Conneau 2019 multilingual default) — the sampling POLICY
     table of training-data assembly: per language, the natural share
     p = n/N, the temperature share q ∝ p^α (flattens the head,
@@ -2110,8 +2142,6 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     round identical doubles; p and epochs are exact-integer ratios →
     HALF_UP 6 dp.
     """
-    from i3cols_spark.functions.rounding import round_half_up
-
     docs = table(spark, sf_dir, "documents")
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     tot = counts.agg(F.sum("n_docs").cast("long").alias("n"))
