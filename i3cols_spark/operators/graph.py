@@ -2031,7 +2031,7 @@ _LPA_ROUNDS_SQL = ",\n    ".join(
     lab0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
     {_LPA_ROUNDS_SQL}
     SELECT node, CAST(label AS BIGINT) AS community
-    FROM lab_LPA_ROUNDS = 4
+    FROM lab{_LPA_ROUNDS}
     ORDER BY node
     """,
 )
@@ -2042,7 +2042,7 @@ def q_graph_label_propagation(spark, sf_dir: str) -> DataFrame:
     label; each round every node adopts the most frequent label among
     its neighbors, ties to the SMALLEST label — the classic LPA with
     the deterministic tie-break that makes it engine-checkable.
-    After _LPA_ROUNDS = 4 sync rounds the surviving labels are the
+    After 4 (_LPA_ROUNDS) sync rounds the surviving labels are the
     communities.  Complements the graph family: connected components
     (q_dedup_clusters) finds REACHABILITY groups, modularity
     (q_graph_modularity) SCORES a partition — LPA PRODUCES one

@@ -1223,7 +1223,7 @@ _HARDNEG_QUERIES = 20
 )
 def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-pair mining — for each of the first
-    _HARDNEG_QUERIES = 20 vectors: its nearest SAME-label neighbor (the
+    20 (_HARDNEG_QUERIES) vectors: its nearest SAME-label neighbor (the
     positive) and its nearest OTHER-label neighbor (the hard
     negative), with the margin and a margin-violation flag.  This is
     the triplet-assembly step of embedding-model training data: hard

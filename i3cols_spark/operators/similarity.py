@@ -2193,16 +2193,16 @@ _TRUNC_TOPK = 10
 def q_similarity_dim_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimension-truncation recall audit — brute-force cosine top-10
     on the FULL 64-dim embedding vs the same search using only the
-    first _TRUNC_DIM = 16 dimensions (the Matryoshka / dimension-pruned
+    first 16 (_TRUNC_DIM) dimensions (the Matryoshka / dimension-pruned
     serving trick: store one vector, ANSWER cheap queries from a
-    prefix), reported as recall@k for k = 1.._TRUNC_TOPK = 10.  The
+    prefix), reported as recall@k for k = 1..10 (_TRUNC_TOPK).  The
     audit a serving stack runs before committing to a truncated
     index tier — the dimensional sibling of
     q_similarity_ivf_recall_curve's cell-probe audit.
 
     Shape: two exact top-k scans (each a corpus scan with a k-row
     heap per partition — the q_similarity_knn_cosine plan, the
-    truncated one reading _TRUNC_DIM = 16/64 of each vector's arithmetic)
+    truncated one reading 16/64 of each vector's arithmetic)
     joined on the ≤ k surviving ids; the k-sweep is a broadcast of a
     10-row literal range against a ≤ 10-row join — driver-trivial
     always.  Both rankings order on (rounded score, id) so ranks are
@@ -2846,17 +2846,17 @@ def q_similarity_pq_adc_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the q_dedup_minhash_lsh_verified precedent: re-express the
     engine-side construction with cross-engine-computable pieces and
     hash-check the WHOLE trajectory).  4 subspaces × 16 dims, 8
-    deterministic codewords per subspace (first-_PQV_K = 8-vectors
+    deterministic codewords per subspace (first-8-vectors (_PQV_K)
     prefix sample — the production path's own seeding), every vector
     encoded to its per-block argmin codeword, query distances
     table-looked-up (ADC: approx d² = Σ_b d²(q_b, c_b,code)), top-10
     by ADC distance with the exact distance and an exact-top-10
     membership audit on every emitted row.
 
-    Scale shape: encoding is n×_PQV_BLOCKS = 4×_PQV_K = 8 rows against a
-    broadcast _PQV_K = 8-row codebook with a map-side-combined
+    Scale shape: encoding is n×4×8 (_PQV_BLOCKS×_PQV_K) rows against a
+    broadcast 8-row codebook with a map-side-combined
     min(struct) argmin (production fuses this in-row; the explode
-    keeps the SQL twin symmetric); the LUT is _PQV_BLOCKS = 4×_PQV_K = 8
+    keeps the SQL twin symmetric); the LUT is 4×8
     rows; the audit side is one exact scan.  Subspace distances are
     in-order fixed-length folds (identical fold order in both
     dialects) rounded 9 dp before the argmin; ADC sums round 9 dp,

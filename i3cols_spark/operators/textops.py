@@ -1924,7 +1924,7 @@ def q_text_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Terms are word 3-grams, NOT unigrams, by design: this fixture's
     unigram vocabulary is 31 tokens with df ≈ 0.8 N — a unigram
     posting join would be all-pairs quadratic — while shingle df
-    maxes at 25 (sf0.1).  The df cap (≤ _TFIDF_DFCAP = 200) makes that a
+    maxes at 25 (sf0.1).  The df cap (≤ 200, _TFIDF_DFCAP) makes that a
     GUARANTEE rather than an observation: vector space = terms with
     df ≤ cap, so per-term posting fanout is bounded by C(cap, 2) and
     stop-phrases drop out of the space entirely (they carry ≈ 0

@@ -1356,7 +1356,7 @@ _SAX_BREAKS = (-0.6745, 0.0, 0.6745)
     q AS (
         SELECT user_id, round(avg(value), 9) AS mu,
                round(stddev_pop(value), 9) AS sg
-        FROM s64 GROUP BY user_id HAVING count(*) = _SAX_LEN = 64
+        FROM s64 GROUP BY user_id HAVING count(*) = {_SAX_LEN}
     ),
     z AS (
         SELECT s.user_id,
@@ -1389,13 +1389,13 @@ _SAX_BREAKS = (-0.6745, 0.0, 0.6745)
 )
 def q_ts_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SAX symbolization (Lin & Keogh 2003) — each user's first
-    _SAX_LEN = 64 event values (ordered by ts, event_id) z-normalized,
-    PAA-compressed to _SAX_SEG = 8 segment means, and quantized against
+    64 (_SAX_LEN) event values (ordered by ts, event_id) z-normalized,
+    PAA-compressed to 8 (_SAX_SEG) segment means, and quantized against
     the alphabet-4 Gaussian breakpoints ±0.6745/0 into an 8-character
     word.  The symbolic fingerprint is what motif discovery, series
     dedup and index-accelerated similarity run on INSTEAD of raw
     floats — the time-series twin of document fingerprinting.  Users
-    with fewer than _SAX_LEN = 64 events are out of scope (no partial
+    with fewer than 64 events are out of scope (no partial
     words).
 
     Shape: one window pass (row_number per user) → per-user stats →
