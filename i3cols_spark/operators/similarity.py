@@ -117,6 +117,13 @@ def blocked_pair_sims(emb: DataFrame, threshold: float) -> DataFrame:
     _CELL_CAP² sim matrix regardless of block skew — the
     DIMSUM/block-cartesian shape.
     """
+    # NULL labels never pair in the oracle dialect (a.label = b.label
+    # is NULL, not true) nor in the rep-pair cross path (the inner
+    # joins on "label" drop them) — but groupBy would bucket NULLs
+    # TOGETHER and emit intra-group pairs for them.  Exclude up front
+    # so all three paths agree (round-11 self-review; latent — the
+    # fixture labels are non-null).
+    emb = emb.filter(F.col("label").isNotNull())
     grp, rep_sims = rep_pair_sims(emb, threshold)
 
     # Expand rep pairs to member pairs (cross) and add intra-group
@@ -511,9 +518,13 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, refine_iters: int = 0) -> 
     stride = max(1, -(-emb.count() // _IVF_NLIST))
     # Bounded collect: the stride filter keeps ≤ _IVF_NLIST rows (stride
     # = ceil(count/nlist)), and Catalyst pushes it below the orderBy, so
-    # the sort ranks ~nlist rows — never the corpus.
+    # the sort ranks ~nlist rows — never the corpus.  The residue is
+    # 1 % stride, not 1: at stride == 1 (corpus ≤ nlist) a literal
+    # `% 1 == 1` matches NOTHING and the empty centroid matrix crashes
+    # the assignment GEMM (round-11 self-review); `1 % 1 == 0` keeps
+    # every vector as its own centroid instead.
     cents = (
-        emb.filter(F.col("vec_id") % stride == 1)
+        emb.filter(F.col("vec_id") % stride == 1 % stride)
         .select("vec_id", as_double("embedding").alias("v"))
         .orderBy("vec_id")
         .collect()
@@ -684,7 +695,7 @@ def ivf_partitioned_mirror(spark: SparkSession, sf_dir: str) -> str:
         emb = table(spark, sf_dir, "embeddings")
         stride = max(1, -(-emb.count() // _IVF_NLIST))
         cents = (
-            emb.filter(F.col("vec_id") % stride == 1)
+            emb.filter(F.col("vec_id") % stride == 1 % stride)
             .select("vec_id", as_double("embedding").alias("v"))
             .orderBy("vec_id")
             .collect()
@@ -1288,11 +1299,19 @@ def _knn_batch_ivf(
     )
     from pyspark.sql.window import Window
 
+    # Zero-norm vectors score 0.0, NOT dropped: the exact tiled route
+    # maps a zero norm to inf (sim 0/inf = 0.0, kept), so filtering the
+    # NULL here would break the route-equivalence contract the plan
+    # tests assert (round-11 self-review; latent — no fixture vector
+    # is zero).
     cand = (
         corpus.join(probes, "cell")
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", cos_sim.alias("cos_sim"))
-        .filter(F.col("cos_sim").isNotNull())
+        .select(
+            "qid",
+            "vec_id",
+            F.coalesce(cos_sim, F.lit(0.0)).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
@@ -1408,6 +1427,12 @@ def q_join_radius_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle ∝ 9n, pair work ∝ occupied-cell density, never n².
     """
     r = 0.05
+    # The filter constant must be the SAME double in both engines:
+    # Python's r*r = 0.0025000000000000005 sits 2 ulp ABOVE the
+    # oracle's parsed literal 0.0025, so a pair whose exact d2 lands
+    # in that window would be emitted here and rejected there
+    # (round-11 self-review; latent on the fixture).
+    r2 = 0.0025  # == the oracle's literal, NOT r * r
     pts = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.element_at("embedding", 1).cast("double").alias("x"),
@@ -1451,7 +1476,7 @@ def q_join_radius_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * (F.col("ay") - F.col("by"))
     return (
         a.join(b, ["cellx", "celly"])
-        .filter((F.col("id_a") < F.col("id_b")) & (d2 <= r * r))
+        .filter((F.col("id_a") < F.col("id_b")) & (d2 <= r2))
         .select("id_a", "id_b", F.round(F.sqrt(d2), 6).alias("dist"))
     )
 
