@@ -796,6 +796,9 @@ _R12_STALE_QUEUE: tuple[str, ...] = (
 #:     never-checked queue), registration order;
 #:   * slots 18–30: the 13 POST_R10_ADDITIONS, registration order;
 #:   * slots 31–50: the 20 stalest r5 rows, registration order.
+#: Kept (not consumed by surface_order() since r12) because the
+#: rotation tests recompute each historical window from the committed
+#: artifacts.
 _R11_PRIORITY: tuple[str, ...] = (
     *_R11_RECHECK_CHANGED,
     *_R11_DEFERRED,
@@ -803,14 +806,94 @@ _R11_PRIORITY: tuple[str, ...] = (
     *_R11_STALE_RECHECKS,
 )
 
+#: Round-12 staleness re-checks, part 2 (VERDICT r11 "What's missing"
+#: item 1): after the r12 queue absorbs the last 28 round-5 stamps,
+#: the window's remaining 22 slots take the OLDEST round-6 official
+#: rows in registration order (the nested.py block, q_case_when, the
+#: UDF family, then the oldest extras).  The other 28 r6 names queue
+#: for round 13 (``_R13_STALE_QUEUE``).
+_R12_STALE_R6: tuple[str, ...] = (
+    "q_case_when",
+    "q_json_extract",
+    "q_array_collect",
+    "q_array_explode",
+    "q_array_hof",
+    "q_struct_nested",
+    "q_map_funcs",
+    "q_udf_scalar",
+    "q_udaf_grouped",
+    "q_udtf_expand",
+    "q_ts_ohlc",
+    "q_event_transitions",
+    "q_ts_interpolate",
+    "q_snapshot_diff",
+    "q_join_bloom_prefilter",
+    "q_embedding_kmeans_assign",
+    "q_multimodal_video_frames",
+    "q_join_salted_skew",
+    "q_sample_importance",
+    "q_dedup_incremental",
+    "q_text_bigram_lm",
+    "q_graph_pagerank",
+)
+
+#: The 28 round-6-stamped names the r12 window cannot fit (50 r6 rows
+#: total, 22 taken) — first candidates for the round-13 staleness
+#: rotation, registration order.  Not consumed by surface_order() yet.
+_R13_STALE_QUEUE: tuple[str, ...] = (
+    "q_multimodal_gif_anim",
+    "q_join_point_in_time",
+    "q_agg_moments",
+    "q_join_bucketed",
+    "q_dedup_containment",
+    "q_window_sessionid",
+    "q_agg_entropy",
+    "q_join_fuzzy_names",
+    "q_scan_zorder",
+    "q_embedding_covariance",
+    "q_ts_ewma",
+    "q_quality_rules",
+    "q_agg_gini",
+    "q_source_jsonl_scan",
+    "q_source_csv_scan",
+    "q_join_radius_2d",
+    "q_udtf_arrow",
+    "q_feature_scale",
+    "q_multimodal_audio_feats",
+    "q_text_minhash_signature",
+    "q_join_interval_overlap",
+    "q_ts_resample_agg",
+    "q_dedup_url_canon",
+    "q_window_distribution",
+    "q_udtf_python",
+    "q_source_npy_scan",
+    "q_unpivot",
+    "q_agg_string_agg",
+)
+
+#: Round-12 rotation (VERDICT r11 item 1).  50 slots, pure staleness
+#: refresh — official coverage has been 324/324 since r11 and no
+#: executable logic changed in an already-checked name at round open,
+#: so there are no first-time or recheck-changed slots:
+#:   * slots 1–28: the 28 last round-5 stamps (``_R12_STALE_QUEUE``),
+#:     registration order;
+#:   * slots 29–50: the 22 oldest round-6 stamps (``_R12_STALE_R6``),
+#:     registration order.
+#: After this window lands every official row is ≤6 rounds old and the
+#: oldest stamp advances from r5 to r6.
+_R12_PRIORITY: tuple[str, ...] = (
+    *_R12_STALE_QUEUE,
+    *_R12_STALE_R6,
+)
+
 
 def surface_order() -> list[str]:
-    """Driver-facing ordering: the round-11 evidence-rotation block
-    first (see ``_R11_PRIORITY``), the remaining contract + extras in
+    """Driver-facing ordering: the round-12 evidence-rotation block
+    first (see ``_R12_PRIORITY``), the remaining contract + extras in
     §-order after, then any registered name the tuples don't know
     about (fail-open so a new operator is never silently dropped from
     the surface)."""
-    prio = set(_R11_PRIORITY)
+    prio = set(_R12_PRIORITY)
     rest = [
         q
         for q in (
@@ -823,7 +906,7 @@ def surface_order() -> list[str]:
         )
         if q not in prio
     ]
-    known = list(_R11_PRIORITY) + rest
+    known = list(_R12_PRIORITY) + rest
     missing = [k for k in known if k not in QUERIES]
     if missing:
         raise KeyError(f"surface_order: unregistered contract/extra names: {missing}")

@@ -7,6 +7,18 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+# VERDICT r11 blocking nit: a post-battery source commit stranded a
+# stale CATALOG.md (line numbers drifted, test_catalog_current red at
+# the closing tree).  Regenerate + diff-check here so the catalog can
+# never be stale at close: if the regen changes the file, the close
+# fails and the refreshed catalog is left in the tree to commit.
+python scripts/gen_catalog.py >/dev/null
+if ! git diff --quiet -- CATALOG.md; then
+    echo "ROUND CLOSE FAILED — CATALOG.md was stale; regenerated copy" >&2
+    echo "left in the working tree: commit it and re-run." >&2
+    exit 1
+fi
+
 bad=$(git status --porcelain)
 if [ -n "$bad" ]; then
     echo "ROUND CLOSE FAILED — uncommitted paths:" >&2

@@ -85,11 +85,14 @@ def test_surface_order_round11_rotation():
         POST_R10_ADDITIONS,
     )
 
+    # Historical check since round 12: the r11 window is no longer the
+    # live surface prefix (tests/test_rotation_r12.py owns that), but
+    # its composition is still recomputed from the r1-r10 artifacts so
+    # edits to the frozen tuples fail loudly.
     order = list(entrymod.queries())
     assert len(CONTRACT_QUERIES) == 60
     assert len(_R11_PRIORITY) == 50
     assert len(set(_R11_PRIORITY)) == 50
-    assert order[:50] == list(_R11_PRIORITY)
     assert sorted(order) == sorted(QUERIES)
 
     repo = pathlib.Path(__file__).resolve().parent.parent
