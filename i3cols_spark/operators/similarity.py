@@ -1129,16 +1129,28 @@ def _knn_batch_impl(
     )
     k = _KNN_BATCH_K
     is_query = F.col("vec_id") % _KNN_QUERY_MOD == 0
-    queries = emb.filter(is_query).withColumn(
+    base = emb.filter(is_query)
+    n_queries = base.count()
+    n_tiles = max(1, -(-n_queries // tile_rows))
+    if n_tiles > route_tiles:
+        # IVF route: no persist and no qtile window.  The route's only
+        # eager pass over the query frame (the probed-cell collect) and
+        # its lazy join input both re-derive from one pushed-down
+        # parquet scan+filter, which is cheaper than pinning |Q| dim-
+        # wide vectors in executor storage; the round-11 persist here
+        # was dead weight anyway — it was unpersisted in a ``finally``
+        # BEFORE the returned lazy plan ever executed (round-12 fix).
+        return _knn_batch_ivf(spark, sf_dir, base, k, nprobe)
+    # Exact route: the global row_number tiling window exists only
+    # here, and the persist IS consumed before release — every tile's
+    # driver-side collect in _knn_batch_exact reads it eagerly, and the
+    # returned plan references only ``emb``, never ``queries``.
+    queries = base.withColumn(
         "qtile",
         F.floor((F.row_number().over(Window.orderBy("vec_id")) - 1) / tile_rows),
     )
     queries.persist()
     try:
-        n_queries = queries.count()
-        n_tiles = max(1, -(-n_queries // tile_rows))
-        if n_tiles > route_tiles:
-            return _knn_batch_ivf(spark, sf_dir, queries, k, nprobe)
         return _knn_batch_exact(spark, emb, queries, n_tiles, k)
     finally:
         queries.unpersist()

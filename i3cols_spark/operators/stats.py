@@ -38,6 +38,26 @@ from i3cols_spark.operators.registry import query
 from i3cols_spark.sources.tables import spread, table
 
 
+def knuth_u16(key: Column) -> Column:
+    """The cross-engine deterministic uniform hash shared by the
+    sampling family: ``(key mod 2^16) · 2654435761 mod 2^16`` as a
+    DOUBLE in [0, 65536).  Callers shift/scale it into their own unit
+    interval (``/65536`` half-open, or ``(+1)/65537`` open).
+
+    Reduce the key mod 2^16 BEFORE the Knuth multiply: mathematically
+    identical ((a mod m)·k mod m ≡ a·k mod m), but the product stays
+    < 2^48 for ANY key, where the raw multiply overflows int64 at
+    key ≈ 3.5e9 (Spark wraps / ANSI-errors, DuckDB promotes to
+    HUGEINT — cross-engine divergence at large key ranges).  pmod
+    keeps negative keys non-negative, matching the oracle's
+    ``((x % m) + m) % m`` spelling.  Extracted in round 12 so a future
+    correction (e.g. widening the modulus) lands once, not per-copy.
+    """
+    return F.pmod(
+        F.pmod(key, F.lit(65536)) * F.lit(2654435761), F.lit(65536)
+    ).cast("double")
+
+
 def exact_percentiles(
     df: DataFrame, key: str, value: str, ps: dict[str, float]
 ) -> DataFrame:
@@ -729,10 +749,8 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the corpus.
     """
     ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    u = (
-        (F.pmod(F.pmod(F.col("event_id"), F.lit(65536)) * F.lit(2654435761), F.lit(65536))).cast("double")
-        + F.lit(1.0)
-    ) / F.lit(65537.0)
+    # Open-interval shift (+1)/65537 — ln(u) needs u > 0.
+    u = (knuth_u16(F.col("event_id")) + F.lit(1.0)) / F.lit(65537.0)
     # weight floor: sf0.1 carries value = 0.0 rows, and w = 0 is both
     # a division-by-zero (ANSI) and a degenerate weight — clamp in
     # BOTH dialects.
@@ -814,18 +832,7 @@ def q_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the scan — no shuffle, no state, any scale.
     """
     docs = table(spark, sf_dir, "documents")
-    # Reduce doc_id mod 2^16 BEFORE the Knuth multiply: mathematically
-    # identical ((a mod m)·k mod m ≡ a·k mod m), but the product stays
-    # < 2^48 for ANY doc_id, where the raw multiply overflows int64 at
-    # doc_id ≈ 3.5e9 (Spark wraps / ANSI-errors, DuckDB promotes to
-    # HUGEINT — cross-engine divergence at large key ranges).
-    u = (
-        F.pmod(
-            F.pmod(F.col("doc_id"), F.lit(65536)) * F.lit(2654435761),
-            F.lit(65536),
-        ).cast("double")
-        / 65536.0
-    )
+    u = knuth_u16(F.col("doc_id")) / 65536.0
     p = 0.9 * F.least(F.lit(1.0), F.col("n_chars") / 800.0)
     return docs.filter(u < p).select("doc_id", "source", "n_chars")
 
@@ -1629,6 +1636,52 @@ def q_stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tail_cut_histogram(li: DataFrame) -> DataFrame:
+    """Shared stage of q_agg_trimmed_mean / q_agg_winsorized_mean
+    (extracted in round 12 — the two carried byte-identical copies):
+    the per-(l_returnflag, l_extendedprice) count histogram with
+    per-group cumulative counts and the interval-arithmetic kept
+    weight for a g = ⌊n/20⌋ two-sided tail cut.
+
+    Exactness without sorting rows: on the per-DISTINCT-VALUE
+    histogram (the exact_percentiles discipline), the kept weight of
+    a value group is pure interval arithmetic —
+    max(0, min(cum, n−g) − max(cum_prev, g)) — so tail groups
+    STRADDLING the cut contribute exactly their inside portion, all
+    in BIGINTs.
+
+    Scale shape: one map-side-combined (flag, value) reduction + one
+    per-group cumulative window over the support-sized table — the
+    q_agg_percentile plan with a weights twist; skewed raw rows never
+    shuffle, only the distinct-value histogram does.
+
+    Columns: flag, v, ct, cum, n, g, kept.
+    """
+    dist = (
+        li.groupBy(F.col("l_returnflag").alias("flag"),
+                   F.col("l_extendedprice").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    )
+    w_cum = Window.partitionBy("flag").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy("flag")
+    ranked = dist.select(
+        "flag", "v", "ct",
+        F.sum("ct").over(w_cum).alias("cum"),
+        F.sum("ct").over(w_all).alias("n"),
+    )
+    g = F.floor(F.col("n") / 20).cast("bigint")
+    kept = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(F.col("cum"), F.col("n") - g)
+        - F.greatest(F.col("cum") - F.col("ct"), g),
+    )
+    return ranked.select(
+        "flag", "v", "ct", "cum", "n", g.alias("g"), kept.alias("kept")
+    )
+
+
 @query(
     "q_agg_trimmed_mean",
     oracle="""
@@ -1667,41 +1720,12 @@ def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator between mean (outlier-chasing) and median (discards
     almost everything), the one winsorized-metrics dashboards run.
 
-    Exactness without sorting rows: on the per-DISTINCT-VALUE
-    histogram (the exact_percentiles discipline), the kept weight of
-    a value group is pure interval arithmetic —
-    max(0, min(cum, n−g) − max(cum_prev, g)) — so tail groups
-    STRADDLING the cut contribute exactly their inside portion, all
-    in BIGINTs.  Σ v·kept multiplies exact 2-dp money by integers
-    (≪ 2^53, exact in double), so the only rounding is the final
-    dyadic-decimal ratio → HALF_UP 6 dp.
-
-    Scale shape: one map-side-combined (flag, value) reduction, one
-    per-group cumulative window over the support-sized table, one
-    fold — the q_agg_percentile plan with a weights twist.
+    Histogram + kept-weight machinery: ``_tail_cut_histogram``.
+    Σ v·kept multiplies exact 2-dp money by integers (≪ 2^53, exact
+    in double), so the only rounding is the final dyadic-decimal
+    ratio → HALF_UP 6 dp.
     """
-    li = table(spark, sf_dir, "lineitem")
-    dist = (
-        li.groupBy(F.col("l_returnflag").alias("flag"),
-                   F.col("l_extendedprice").alias("v"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
-    )
-    w_cum = Window.partitionBy("flag").orderBy("v").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    w_all = Window.partitionBy("flag")
-    ranked = dist.select(
-        "flag", "v", "ct",
-        F.sum("ct").over(w_cum).alias("cum"),
-        F.sum("ct").over(w_all).alias("n"),
-    )
-    g = F.floor(F.col("n") / 20).cast("bigint")
-    kept = F.greatest(
-        F.lit(0).cast("bigint"),
-        F.least(F.col("cum"), F.col("n") - g)
-        - F.greatest(F.col("cum") - F.col("ct"), g),
-    )
-    cut = ranked.select("flag", "v", "ct", "n", g.alias("g"), kept.alias("kept"))
+    cut = _tail_cut_histogram(table(spark, sf_dir, "lineitem"))
     return (
         cut.groupBy("flag")
         .agg(
@@ -2031,40 +2055,14 @@ def q_agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     are hash-checked alongside the mean.
 
     Same exactness-without-sorting-rows machinery as the trimmed
-    twin: interior kept-weights by interval arithmetic on the
-    per-distinct-value histogram, and the two clamp values as
-    conditional mins over the cumulative frame (cum is monotone in v,
-    so min v with cum ≥ r IS the r-th order statistic).  All integer
-    arithmetic until the single HALF_UP ratio.
-
-    Scale shape: identical to q_agg_trimmed_mean — one
-    map-side-combined (flag, value) reduction, one per-group
-    cumulative window over the support-sized table, one fold.
+    twin (``_tail_cut_histogram``): interior kept-weights by interval
+    arithmetic on the per-distinct-value histogram, and the two clamp
+    values as conditional mins over the cumulative frame (cum is
+    monotone in v, so min v with cum ≥ r IS the r-th order
+    statistic).  All integer arithmetic until the single HALF_UP
+    ratio.
     """
-    li = table(spark, sf_dir, "lineitem")
-    dist = (
-        li.groupBy(F.col("l_returnflag").alias("flag"),
-                   F.col("l_extendedprice").alias("v"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
-    )
-    w_cum = Window.partitionBy("flag").orderBy("v").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    w_all = Window.partitionBy("flag")
-    ranked = dist.select(
-        "flag", "v", "ct",
-        F.sum("ct").over(w_cum).alias("cum"),
-        F.sum("ct").over(w_all).alias("n"),
-    )
-    g = F.floor(F.col("n") / 20).cast("bigint")
-    kept = F.greatest(
-        F.lit(0).cast("bigint"),
-        F.least(F.col("cum"), F.col("n") - g)
-        - F.greatest(F.col("cum") - F.col("ct"), g),
-    )
-    cut = ranked.select(
-        "flag", "v", "ct", "cum", "n", g.alias("g"), kept.alias("kept")
-    )
+    cut = _tail_cut_histogram(table(spark, sf_dir, "lineitem"))
     clamp_low = F.min(F.when(F.col("cum") >= F.col("g") + 1, F.col("v")))
     clamp_high = F.min(F.when(F.col("cum") >= F.col("n") - F.col("g"), F.col("v")))
     return (
@@ -2094,6 +2092,32 @@ def q_agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: multilingual rebalancing default every multilingual LLM data stack
 #: uses) .
 _TEMP_ALPHA = 0.7
+
+
+def _temperature_policy_base(docs: DataFrame) -> DataFrame:
+    """Shared policy core of q_sample_temperature (the planning
+    table) and q_sample_temperature_apply (the exact-count row
+    selection) — extracted in round 12, the two carried identical
+    copies: per-lang counts, the corpus total as a broadcast scalar,
+    the unnormalized temperature score sc = (n_docs/N)^α, and the
+    9-dp-rounded partition function zsum broadcast back onto every
+    row.  Everything downstream (shares, quotas, epochs) is a
+    projection over the returned |langs|-row frame.
+
+    Columns: lang, n_docs, n, sc, zsum.
+    """
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = counts.agg(F.sum("n_docs").cast("long").alias("n"))
+    s = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n",
+        F.pow(F.col("n_docs").cast("double") / F.col("n"), _TEMP_ALPHA).alias("sc"),
+    )
+    z = s.agg(F.round(F.sum("sc"), 9).alias("zsum"))
+    return s.crossJoin(F.broadcast(z))
 
 
 @query(
@@ -2142,20 +2166,10 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     round identical doubles; p and epochs are exact-integer ratios →
     HALF_UP 6 dp.
     """
-    docs = table(spark, sf_dir, "documents")
-    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    tot = counts.agg(F.sum("n_docs").cast("long").alias("n"))
-    s = counts.crossJoin(F.broadcast(tot)).select(
-        "lang",
-        "n_docs",
-        "n",
-        F.pow(F.col("n_docs").cast("double") / F.col("n"), _TEMP_ALPHA).alias("sc"),
-    )
-    z = s.agg(F.round(F.sum("sc"), 9).alias("zsum"))
     q_temp = F.round(F.col("sc") / F.col("zsum"), 6)
     target_n = F.floor(q_temp * F.col("n") + F.lit(0.5)).cast("long")
     return (
-        s.crossJoin(F.broadcast(z))
+        _temperature_policy_base(table(spark, sf_dir, "documents"))
         .select(
             "lang",
             "n_docs",
@@ -2499,28 +2513,14 @@ def q_sample_temperature_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the policy table's epochs column.
     """
     docs = table(spark, sf_dir, "documents")
-    counts = docs.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
-    )
-    tot = counts.agg(F.sum("n_docs").cast("long").alias("n"))
-    s = counts.crossJoin(F.broadcast(tot)).select(
+    quota = _temperature_policy_base(docs).select(
         "lang",
         "n_docs",
-        "n",
-        F.pow(F.col("n_docs").cast("double") / F.col("n"), _TEMP_ALPHA).alias("sc"),
-    )
-    z = s.agg(F.round(F.sum("sc"), 9).alias("zsum"))
-    quota = (
-        s.crossJoin(F.broadcast(z))
-        .select(
-            "lang",
-            "n_docs",
-            F.floor(
-                F.round(F.col("sc") / F.col("zsum"), 6) * F.col("n") + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("target_n"),
+        F.floor(
+            F.round(F.col("sc") / F.col("zsum"), 6) * F.col("n") + F.lit(0.5)
         )
+        .cast("long")
+        .alias("target_n"),
     )
     ranked = docs.select(
         "doc_id",
