@@ -59,14 +59,30 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_rep_graph(spark: SparkSession, sf_dir: str):
+def _minhash_rep_graph(
+    spark: SparkSession, sf_dir: str, materialize_grp: bool = False
+):
     """Shared engine of the MinHash+LSH family: collapse exact
     duplicates, 32-perm signature, 8-band bucketing, exact-Jaccard
     verify.  Returns ``(grp, rep_pairs)`` — exact-dup groups
     (th, rep, ids, text) and verified rep-level pairs
     (rep_a, rep_b, jaccard ≥ 0.5).  See q_dedup_near_minhash for the
     plan rationale (collapse-first, single-exchange signature,
-    bucket-expand instead of self-join)."""
+    bucket-expand instead of self-join).
+
+    ``materialize_grp``: localCheckpoint the collapse groupBy before
+    fanning out.  Pass True ONLY from callers that consume grp /
+    rep_pairs across SEPARATE JOBS (the connected-components callers:
+    CC's edge checkpoint, its label checkpoint, and the final member
+    join each run their own action, so Catalyst's ReuseExchange —
+    which shares subtrees within ONE physical plan — cannot see the
+    repetition and the collapse re-executes per job; the r12 stage
+    audit measured the engine subtree running 4x inside
+    q_dedup_minhash_cluster_rep).  Single-plan pair callers
+    (q_dedup_near_minhash) must keep the default: for them
+    ReuseExchange already shares the exchange, and an eager
+    checkpoint was measured WORSE (BASELINE.md round-11 negative
+    result on q_dedup_simhash_verified)."""
     num_perm, bands, rows_per_band = 32, 8, 4
     # Single-file fixture ⇒ single input split; spread the per-row
     # shingle/hash work across cores (at 100 TB the file count does it).
@@ -79,6 +95,11 @@ def _minhash_rep_graph(spark: SparkSession, sf_dir: str):
         F.sort_array(F.collect_list("doc_id")).alias("ids"),
         F.first("text").alias("text"),
     )
+    if materialize_grp:
+        # One |distinct-texts|-sized materialization; every downstream
+        # job (signature pipeline, CC checkpoints, member join) reads
+        # it instead of re-running the corpus scan + collapse.
+        grp = grp.localCheckpoint()
     docs = grp.select(F.col("rep").alias("doc_id"), shingle_hashes("text").alias("sh"))
     # Signature via explode → hash-aggregate with 32 min() accumulators:
     # map-side partial aggregation does the min-reduce before the
@@ -564,7 +585,7 @@ def minhash_cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from i3cols_spark.operators.graph import connected_components
 
-    grp, rep_pairs = _minhash_rep_graph(spark, sf_dir)
+    grp, rep_pairs = _minhash_rep_graph(spark, sf_dir, materialize_grp=True)
     comp = connected_components(
         grp.select(F.col("rep").alias("id")),
         rep_pairs.select(F.col("rep_a").alias("a"), F.col("rep_b").alias("b")),
@@ -657,7 +678,7 @@ def q_dedup_minhash_cluster_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from i3cols_spark.operators.graph import connected_components
 
     xx = minhash_cluster_members(spark, sf_dir).localCheckpoint()
-    grp, _ = _minhash_rep_graph(spark, sf_dir)
+    grp, _ = _minhash_rep_graph(spark, sf_dir, materialize_grp=True)
 
     # Truth: exact j >= 0.5 rep pairs via the inverted index, closed
     # transitively; members inherit through the exact-dup groups.
@@ -1003,14 +1024,21 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ngram_rep_graph(spark: SparkSession, sf_dir: str):
+def _ngram_rep_graph(
+    spark: SparkSession, sf_dir: str, materialize_grp: bool = False
+):
     """Shared engine of the n-gram Jaccard family: collapse exact
     duplicates, then the inverted-index similarity join over one
     representative per group.  Returns ``(grp, rep_pairs)`` — the
     exact-dup groups (lang, rep, ids, sh) and the rep-level pair list
     (rep_a, rep_b, jaccard ≥ 0.2).  See q_dedup_ngram_jaccard for the
     plan rationale (collapse-first, ReuseExchange single evaluation of
-    shingle_hashes, |union| from ridden-along sizes)."""
+    shingle_hashes, |union| from ridden-along sizes).
+
+    ``materialize_grp``: localCheckpoint the collapsed+shingled groups
+    before fan-out — True only for the connected-components callers,
+    whose consumers run in separate jobs ReuseExchange cannot share
+    across (see _minhash_rep_graph for the full rationale)."""
     docs0 = spread(table(spark, sf_dir, "documents"), spark)
     grp = (
         docs0.groupBy("lang", F.xxhash64(normalize("text")).alias("th"))
@@ -1021,6 +1049,8 @@ def _ngram_rep_graph(spark: SparkSession, sf_dir: str):
         )
         .select("lang", "rep", "ids", shingle_hashes("text").alias("sh"))
     )
+    if materialize_grp:
+        grp = grp.localCheckpoint()
     # Per-rep shingle count rides ALONG the exploded rows instead of
     # being a separate `grp` consumer: the expensive shingle_hashes
     # projection then has exactly ONE evaluation site — the self-join
@@ -1214,7 +1244,7 @@ def q_dedup_ngram_cluster_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from i3cols_spark.operators.graph import connected_components
 
-    grp, rep_pairs = _ngram_rep_graph(spark, sf_dir)
+    grp, rep_pairs = _ngram_rep_graph(spark, sf_dir, materialize_grp=True)
     comp = connected_components(
         grp.select(F.col("rep").alias("id")),
         rep_pairs.select(F.col("rep_a").alias("a"), F.col("rep_b").alias("b")),
@@ -1697,7 +1727,15 @@ def q_dedup_embedding_cluster_rep(spark: SparkSession, sf_dir: str) -> DataFrame
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double("embedding").alias("v")
     )
-    pairs = blocked_pair_sims(emb, threshold=0.35).select("a_id", "b_id")
+    # Materialize the GEMM's pair output once: nodes (2 union
+    # branches) and CC's edge checkpoint are separate jobs, so
+    # without this the block GEMM re-executes 3x (r12 stage audit);
+    # the pair list is id-pairs only — tiny relative to the vectors.
+    pairs = (
+        blocked_pair_sims(emb, threshold=0.35)
+        .select("a_id", "b_id")
+        .localCheckpoint()
+    )
     nodes = (
         pairs.select(F.col("a_id").alias("id"))
         .union(pairs.select(F.col("b_id").alias("id")))
@@ -1996,7 +2034,15 @@ def q_dedup_minhash_cluster_rep_verified(spark: SparkSession, sf_dir: str) -> Da
     """
     from i3cols_spark.operators.graph import connected_components
 
-    pairs = q_dedup_minhash_lsh_verified(spark, sf_dir).select("doc_a", "doc_b")
+    # Materialize the verified pair stream once: the md5 LSH+verify
+    # engine is the query's entire cost, and nodes / CC-edge
+    # checkpoint / member join are separate jobs that would each
+    # re-run it (ReuseExchange only shares within one plan).
+    pairs = (
+        q_dedup_minhash_lsh_verified(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
     nodes = (
         pairs.select(F.col("doc_a").alias("id"))
         .union(pairs.select(F.col("doc_b").alias("id")))
