@@ -173,6 +173,17 @@ def main() -> None:
         for name in HEADLINE:
             if name in HEAVY and pass_i > 0:
                 continue
+            # SERIES CONVENTION (r01..): the timer covers the ACTION
+            # only.  Construction — py4j expression building (seconds
+            # for the 32-perm minhash / wedge-join trees) and any
+            # driver-paced loop iterations — happens before t0, as in
+            # every prior round's numbers this file is compared
+            # against.  Operators must therefore not do eager
+            # cluster-side work at construction (checkpoints are
+            # eager=False, materialized by the timed action); an r12
+            # A/B that moved construction inside the timer re-priced
+            # the suite 50 s -> 110 s purely on py4j/driver-loop time
+            # and was reverted to keep the series comparable.
             df = QUERIES[name](spark, sf_dir)
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()

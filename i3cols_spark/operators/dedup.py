@@ -99,7 +99,7 @@ def _minhash_rep_graph(
         # One |distinct-texts|-sized materialization; every downstream
         # job (signature pipeline, CC checkpoints, member join) reads
         # it instead of re-running the corpus scan + collapse.
-        grp = grp.localCheckpoint()
+        grp = grp.localCheckpoint(eager=False)
     docs = grp.select(F.col("rep").alias("doc_id"), shingle_hashes("text").alias("sh"))
     # Signature via explode → hash-aggregate with 32 min() accumulators:
     # map-side partial aggregation does the min-reduce before the
@@ -1050,7 +1050,7 @@ def _ngram_rep_graph(
         .select("lang", "rep", "ids", shingle_hashes("text").alias("sh"))
     )
     if materialize_grp:
-        grp = grp.localCheckpoint()
+        grp = grp.localCheckpoint(eager=False)
     # Per-rep shingle count rides ALONG the exploded rows instead of
     # being a separate `grp` consumer: the expensive shingle_hashes
     # projection then has exactly ONE evaluation site — the self-join
@@ -1734,7 +1734,7 @@ def q_dedup_embedding_cluster_rep(spark: SparkSession, sf_dir: str) -> DataFrame
     pairs = (
         blocked_pair_sims(emb, threshold=0.35)
         .select("a_id", "b_id")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     nodes = (
         pairs.select(F.col("a_id").alias("id"))
@@ -2041,7 +2041,7 @@ def q_dedup_minhash_cluster_rep_verified(spark: SparkSession, sf_dir: str) -> Da
     pairs = (
         q_dedup_minhash_lsh_verified(spark, sf_dir)
         .select("doc_a", "doc_b")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     nodes = (
         pairs.select(F.col("doc_a").alias("id"))

@@ -1039,7 +1039,7 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.levenshtein("cn", "sn") <= 1),
         )
         .select("cust", "supp")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     edges = raw.select(F.col("cust").alias("a"), F.col("supp").alias("b"))
     nodes = (
