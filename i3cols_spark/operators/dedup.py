@@ -879,11 +879,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     all pairs) is a test-SF audit a production run drops with the
     booleans.
     """
-    sk = simhash_sketches(spark, sf_dir)
+    # Materialize the two corpus-derived frames once (lazily): the
+    # audit's 1-row boolean branches meet in crossJoins whose sides
+    # execute as SEPARATE broadcast-subquery jobs, so the sketch and
+    # text-hash subtrees re-ran per branch (r12 stage audit: six
+    # 11-18 s stages of the same subtree; ReuseExchange cannot share
+    # across jobs).  Both frames are narrow per-doc rows.
+    sk = simhash_sketches(spark, sf_dir).localCheckpoint(eager=False)
     docs0 = spread(table(spark, sf_dir, "documents"), spark)
     ids = docs0.select(
         "doc_id", F.xxhash64(normalize("text")).alias("th")
-    )
+    ).localCheckpoint(eager=False)
 
     n_docs = docs0.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     dgrp = ids.groupBy("th").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
