@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import math
 
+from pyspark.storagelevel import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -99,7 +100,7 @@ def _minhash_rep_graph(
         # One |distinct-texts|-sized materialization; every downstream
         # job (signature pipeline, CC checkpoints, member join) reads
         # it instead of re-running the corpus scan + collapse.
-        grp = grp.localCheckpoint(eager=False)
+        grp = grp.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     docs = grp.select(F.col("rep").alias("doc_id"), shingle_hashes("text").alias("sh"))
     # Signature via explode → hash-aggregate with 32 min() accumulators:
     # map-side partial aggregation does the min-reduce before the
@@ -885,11 +886,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # text-hash subtrees re-ran per branch (r12 stage audit: six
     # 11-18 s stages of the same subtree; ReuseExchange cannot share
     # across jobs).  Both frames are narrow per-doc rows.
-    sk = simhash_sketches(spark, sf_dir).localCheckpoint(eager=False)
+    sk = simhash_sketches(spark, sf_dir).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     docs0 = spread(table(spark, sf_dir, "documents"), spark)
     ids = docs0.select(
         "doc_id", F.xxhash64(normalize("text")).alias("th")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
 
     n_docs = docs0.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     dgrp = ids.groupBy("th").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
@@ -969,6 +970,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["ra", "rb"])
     )
+    # The truth side's (rep, tok, c) table feeds THREE consumers
+    # (norms + both dot-product join sides); its exchanges are shared
+    # by AQE stage reuse.  A lazy localCheckpoint here was tried (r12)
+    # and REVERTED — measured slower at sf0.1 (checkpoint write/read
+    # of the |distinct texts|×|tokens| table beats nothing, since the
+    # post-shuffle aggregate is all the consumers re-run), same
+    # single-plan lesson as q_dedup_simhash_verified.
     tc = (
         docs0.groupBy(F.xxhash64(normalize("text")).alias("th"))
         .agg(F.min("doc_id").alias("rep"), F.first("text").alias("text"))
@@ -1056,7 +1064,7 @@ def _ngram_rep_graph(
         .select("lang", "rep", "ids", shingle_hashes("text").alias("sh"))
     )
     if materialize_grp:
-        grp = grp.localCheckpoint(eager=False)
+        grp = grp.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     # Per-rep shingle count rides ALONG the exploded rows instead of
     # being a separate `grp` consumer: the expensive shingle_hashes
     # projection then has exactly ONE evaluation site — the self-join
@@ -1740,7 +1748,7 @@ def q_dedup_embedding_cluster_rep(spark: SparkSession, sf_dir: str) -> DataFrame
     pairs = (
         blocked_pair_sims(emb, threshold=0.35)
         .select("a_id", "b_id")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     nodes = (
         pairs.select(F.col("a_id").alias("id"))
@@ -2047,7 +2055,7 @@ def q_dedup_minhash_cluster_rep_verified(spark: SparkSession, sf_dir: str) -> Da
     pairs = (
         q_dedup_minhash_lsh_verified(spark, sf_dir)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     nodes = (
         pairs.select(F.col("doc_a").alias("id"))
@@ -2177,19 +2185,38 @@ def q_dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     hexd = "0123456789abcdef"
     docs = spread(table(spark, sf_dir, "documents"), spark)
+    # d feeds BOTH the vote chain and the (th, rep) signature join;
+    # its collapse exchange is shared by AQE stage reuse.  A lazy
+    # localCheckpoint here was tried (r12) and REVERTED: planning the
+    # consumers over the LogicalRDD leaf blew up Catalyst constraint
+    # propagation on the driver (OOM in QueryPlanConstraints under a
+    # vanilla 1 GiB session — the driver-sim sweep crashed at this
+    # query), and the no-checkpoint form measured FASTER anyway once
+    # the band union below became a single explode.
     d = docs.groupBy(F.md5(normalize("text")).alias("th")).agg(
         F.min("doc_id").alias("rep"),
         F.min(normalize("text")).alias("norm"),
     )
-    tk = (
-        d.select("th", F.explode(F.split("norm", r"\s+")).alias("tok"))
-        .groupBy("th", "tok")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
+    # Re-spread after the collapse: the collapse output is tiny in
+    # bytes, so AQE coalesces it to ONE partition — and the heavy
+    # downstream chain (token explode → per-token md5 → 64 vote
+    # accumulators) inherited that single task (r12 stage audit: two
+    # serialized 1-task ~2.3 s stages).  The repartition shuffles only
+    # |distinct texts| narrow rows; at production byte sizes AQE never
+    # coalesces to 1 and the extra exchange is noise.
+    dsp = d.select("th", "norm").repartition(spark.sparkContext.defaultParallelism)
+    # Votes fold per token INSTANCE straight into groupBy(th): the old
+    # (th, tok, cnt) pre-aggregate existed only to dedupe md5 calls
+    # for repeated tokens, but its reduce side carried the whole
+    # md5 → conv-nibble → 64-sum chain on the coalesced single task.
+    # Σ_tok cnt·(2·bit−1) ≡ Σ_instances (2·bit−1) — identical integer
+    # votes, one shuffle fewer, and every expensive expression now
+    # runs on the 32-task map side with map-side partial aggregation.
     h = F.md5("tok")
-    nb = tk.select(
+    nb = dsp.select(
+        "th", F.explode(F.split("norm", r"\s+")).alias("tok")
+    ).select(
         "th",
-        "cnt",
         *[
             (F.conv(F.substring(h, i + 1, 1), 16, 10).cast("int")).alias(f"n{i}")
             for i in range(16)
@@ -2198,11 +2225,8 @@ def q_dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = nb.groupBy("th").agg(
         *[
             F.sum(
-                F.col("cnt")
-                * (
-                    2 * F.shiftright(F.col(f"n{b // 4}"), b % 4).bitwiseAND(F.lit(1))
-                    - 1
-                )
+                2 * F.shiftright(F.col(f"n{b // 4}"), b % 4).bitwiseAND(F.lit(1))
+                - 1
             )
             .cast("long")
             .alias(f"v{b}")
@@ -2233,14 +2257,30 @@ def q_dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.lit(hexd).substr(F.col(f"m{i}") + 1, F.lit(1)) for i in range(16)]
         ).alias("simhash"),
     )
-    keyed = None
-    for k in range(4):
-        part = sig.select(
-            "rep",
-            F.lit(k).cast("bigint").alias("band"),
-            F.substring("simhash", 1 + 4 * k, 4).alias("bucket"),
-        )
-        keyed = part if keyed is None else keyed.unionAll(part)
+    # Band keys as ONE in-row explode (the minhash-family band_entries
+    # shape), not a 4-branch unionAll: the union form re-executed the
+    # whole token-vote subtree per branch, and with sa/sb below the
+    # signature table had SIX consumers in one plan; the explode form
+    # leaves three (banding, verify-a, verify-b), all hanging off
+    # exchanges AQE stage reuse shares (values unchanged: same (rep,
+    # band, bucket) rows, same verify joins).  A lazy localCheckpoint
+    # of sig was tried (r12) and REVERTED — Catalyst
+    # constraint-propagation OOM on a vanilla 1 GiB driver (see the
+    # collapse note above), and no faster than stage reuse.
+    keyed = sig.select(
+        "rep",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("bigint").alias("band"),
+                        F.substring("simhash", 1 + 4 * k, 4).alias("bucket"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("rep", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
     buckets = (
         keyed.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list("rep")).alias("ids"))

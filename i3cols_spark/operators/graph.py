@@ -26,6 +26,7 @@ not replay rounds 1..k-1.  Convergence is an exact fixpoint check
 
 from __future__ import annotations
 
+from pyspark.storagelevel import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -83,7 +84,7 @@ def connected_components(
     labels = (
         nodes.select("id", F.col("id").alias("comp"))
         .coalesce(p)
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
 
     # Scope shuffle.partitions to the graph-sized ``p`` for the loop's
@@ -166,7 +167,7 @@ def _cc_loop(sym: DataFrame, labels: DataFrame, p: int, max_iter: int) -> DataFr
                 F.coalesce("p_comp", "comp").alias("comp"),
             )
             .coalesce(p)
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
         )
         labels = nxt.select("id", "comp")
         if (it + 1) % check_every == 0 or it == max_iter - 1:
@@ -544,10 +545,16 @@ def _copurchase_triangle_counts(spark, sf_dir: str):
         ),
         ["b", "c"],
     )
-    corners = (
-        tris.select(F.col("a").alias("node"))
-        .unionAll(tris.select(F.col("b").alias("node")))
-        .unionAll(tris.select(F.col("c").alias("node")))
+    # Corner expansion as ONE in-row explode, not a 3-branch union:
+    # tris has no exchange at its top, so union branches are three
+    # full re-executions of the wedge join + closing join (the two
+    # most expensive joins in the engine — ReuseExchange only shares
+    # identical *exchanges*, and these branches project different
+    # columns straight into the union).  explode(array(a, b, c))
+    # emits the same 3 corner rows per triangle in a single pass
+    # (r12: 3 wedge-join executions → 1; same groupBy counts).
+    corners = tris.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
     )
     counts = corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
@@ -1138,7 +1145,7 @@ def q_graph_bfs_levels(spark, sf_dir: str) -> DataFrame:
     edges = (
         pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
         .union(pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     visited = pairs.agg(F.min("cust").alias("node")).select(
         "node", F.lit(0).cast("long").alias("level")
@@ -1151,7 +1158,7 @@ def q_graph_bfs_levels(spark, sf_dir: str) -> DataFrame:
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .select("node", F.lit(lvl).cast("long").alias("level"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
         )
         visited = visited.union(nxt)
         frontier = nxt.select("node")
@@ -1262,12 +1269,12 @@ def q_graph_sssp(spark, sf_dir: str) -> DataFrame:
                 w.alias("w"),
             )
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     dist = (
         pairs.agg(F.min("cust").alias("node"))
         .select("node", F.lit(0).cast("long").alias("d"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     frontier = dist
     for _ in range(_SSSP_HOPS):
@@ -1276,10 +1283,10 @@ def q_graph_sssp(spark, sf_dir: str) -> DataFrame:
             dist.union(cand)
             .groupBy("node")
             .agg(F.min("d").alias("d"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
         )
         frontier = merged.join(dist, ["node", "d"], "left_anti").localCheckpoint(
-            eager=False
+            eager=False, storageLevel=StorageLevel.DISK_ONLY
         )
         dist = merged
     return dist.select("node", F.col("d").alias("dist"))
@@ -1745,9 +1752,20 @@ def q_graph_hits(spark, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
         .distinct()
+        # |E| rows feed all four half-step joins plus the a1 degree
+        # aggregate; without truncation each consumer re-runs the
+        # orders⋈lineitem distinct (r12: 176-scan / 392-exchange plan).
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
 
     def normalize(raw: DataFrame, key: str, out: str, dp: int, exact: bool) -> DataFrame:
+        # Each normalize consumes `raw` TWICE (the 1-row max aggregate
+        # and the crossJoin left side), so an untruncated `raw` doubles
+        # its whole upstream subtree at every half-step — 2⁴ copies of
+        # the edge build by h2 (the r12 plan-size audit).  A lazy
+        # |nodes|-row localCheckpoint per level keeps the plan linear;
+        # values are unchanged (same rows, same arithmetic).
+        raw = raw.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
         mx = raw.agg(F.max("raw").alias("mx"))
         val = F.col("raw").cast("double") / F.col("mx")
         rounded = round_half_up(val, dp) if exact else F.round(val, dp)
@@ -2073,7 +2091,7 @@ def q_graph_label_propagation(spark, sf_dir: str) -> DataFrame:
     edges = (
         pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
         .union(pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
@@ -2093,7 +2111,7 @@ def q_graph_label_propagation(spark, sf_dir: str) -> DataFrame:
                     )
                 )["lb"].alias("label")
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
         )
     return labels.select(
         "node", F.col("label").cast("bigint").alias("community")

@@ -11,6 +11,7 @@ better than the estimate (dimension tables → ``broadcast``, fact-fact
 
 from __future__ import annotations
 
+from pyspark.storagelevel import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -1039,7 +1040,7 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.levenshtein("cn", "sn") <= 1),
         )
         .select("cust", "supp")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     edges = raw.select(F.col("cust").alias("a"), F.col("supp").alias("b"))
     nodes = (

@@ -253,7 +253,15 @@ def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     embarrassingly parallel over the scan; payloads never leave the
     task that decoded them and only the tiny feature row shuffles.
     """
-    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    # spread() BEFORE the attach (the q_multimodal_audio_pcm r7
+    # pattern): the fixture is one parquet file = one input split, so
+    # the synthesis + per-frame JPEG decode otherwise runs on one
+    # core; only (doc_id, text) rows shuffle — the AVI payloads are
+    # built and decoded inside the receiving task.  No-op at
+    # production file counts.
+    docs = spread(
+        table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0), spark
+    )
     video = attach_synthetic_video(docs)
     return extract_video_features(video, every_n=2)
 
@@ -305,7 +313,11 @@ def q_multimodal_gif_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
     media ops: embarrassingly parallel decode over the scan, only the
     feature row shuffles.
     """
-    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 1)
+    # spread() BEFORE the attach (audio_pcm r7 pattern): one input
+    # split otherwise serializes the LZW decode on one core.
+    docs = spread(
+        table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 1), spark
+    )
     gifs = attach_synthetic_gif(docs)
     return extract_gif_features(gifs, every_n=2)
 
@@ -1012,7 +1024,12 @@ def q_multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from i3cols_spark.functions.multimodal import extract_video_frame_lumas
     from pyspark.sql.window import Window as W
 
-    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    # spread() BEFORE the attach (audio_pcm r7 pattern): one input
+    # split otherwise serializes the whole every-frame decode on one
+    # core; only text rows shuffle, never pixels or AVI bytes.
+    docs = spread(
+        table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0), spark
+    )
     video = attach_synthetic_video(docs)
     lum = extract_video_frame_lumas(video)
     w = W.partitionBy("media_id").orderBy("frame_idx")

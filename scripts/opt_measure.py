@@ -1,0 +1,82 @@
+"""Round-12 optimization measurement harness.
+
+Per-query tooling for the optimization loop (guide §1): capture
+``explain("formatted")`` to ``plans/r12/<name>_<tag>.txt`` and time the
+query with the noop sink (bench.py's exact convention: construction
+untimed, min over N timed actions), without paying the full 48-query
+suite for every iteration.
+
+Usage:
+  python scripts/opt_measure.py explain <tag> <query> [...]   # plans/r12/<q>_<tag>.txt
+  python scripts/opt_measure.py time [--passes N] <query> [...]
+  python scripts/opt_measure.py both <tag> <query> [...]
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default os.cpu_count()).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+PLANS_DIR = "/root/repo/plans/r12"
+
+
+def main() -> int:
+    mode = sys.argv[1]
+    args = sys.argv[2:]
+    passes = 3
+    if args and args[0] == "--passes":
+        passes = int(args[1])
+        args = args[2:]
+    tag = None
+    if mode in ("explain", "both"):
+        tag, *names = args
+    else:
+        names = args
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from i3cols_spark.session import get_spark
+
+    spark = get_spark("opt-measure")
+    spark.sparkContext.setLogLevel("ERROR")
+    from i3cols_spark.operators import QUERIES
+
+    # Warm the JVM + parquet footers (bench.py convention, not measured).
+    QUERIES["q_topk"](spark, sf_dir).collect()
+
+    os.makedirs(PLANS_DIR, exist_ok=True)
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in names:
+        if mode in ("explain", "both"):
+            df = QUERIES[name](spark, sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            path = os.path.join(PLANS_DIR, f"{name}_{tag}.txt")
+            with open(path, "w") as fh:
+                fh.write(plan)
+            print(f"# wrote {path} ({len(plan)} bytes)", file=sys.stderr)
+        if mode in ("time", "both"):
+            for _ in range(passes):
+                df = QUERIES[name](spark, sf_dir)
+                spark.sparkContext.setJobDescription(f"opt: {name}")
+                t0 = time.perf_counter()
+                df.write.mode("overwrite").format("noop").save()
+                dt = round(time.perf_counter() - t0, 3)
+                timings[name] = min(timings.get(name, dt), dt)
+                if name not in rows:
+                    rows[name] = QUERIES[name](spark, sf_dir).count()
+                print(f"# {name}: {dt}s ({rows[name]} rows)", file=sys.stderr)
+    for name, t in timings.items():
+        print(f"{name}\t{t}\t{rows[name]}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
