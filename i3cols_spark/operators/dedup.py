@@ -1836,6 +1836,15 @@ def q_dedup_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from i3cols_spark.functions.text import shingles
 
+    # r12 NEGATIVE RESULT, left as-is on measurement: the 4-branch
+    # union is four 1-task scans at fixture scale (stage audit: 4.8 s
+    # executor-run over 4 tasks), but BOTH rewrites tried against it
+    # measured worse — spread()+union multiplied executor-run 8x
+    # (38.8 s: shuffle-row deserialization per branch replaces the
+    # pruned columnar scan), and spread()+single-pass-sigs+in-row
+    # band explode 5x (25.2 s: the 8 HOF transforms lose the
+    # per-branch projection CSE).  At production file counts the four
+    # branch scans parallelize by file and stay columnar-pruned.
     docs = table(spark, sf_dir, "documents")
     staged = docs.select("doc_id", shingles("text").alias("sh"))
 
@@ -2212,26 +2221,32 @@ def q_dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Σ_tok cnt·(2·bit−1) ≡ Σ_instances (2·bit−1) — identical integer
     # votes, one shuffle fewer, and every expensive expression now
     # runs on the 32-task map side with map-side partial aggregation.
+    # Two 8-hex-char conv()s per instance instead of sixteen 1-char
+    # ones (r12 stage audit: this 32-task vote stage was 13.2 s of
+    # executor-run, dominated by per-instance expression cost).  Hex
+    # char j of the digest occupies bits (7−j)·4..(7−j)·4+3 of the
+    # first 32-bit word (chars 0–7) resp. (15−j)·4.. of the second
+    # (chars 8–15), so bit k of nibble j is one shiftright away —
+    # identical integer votes, 8× fewer substring/conv per token.
     h = F.md5("tok")
     nb = dsp.select(
         "th", F.explode(F.split("norm", r"\s+")).alias("tok")
     ).select(
         "th",
-        *[
-            (F.conv(F.substring(h, i + 1, 1), 16, 10).cast("int")).alias(f"n{i}")
-            for i in range(16)
-        ],
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("w0"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("w1"),
     )
+
+    def _vote(b: int):
+        j, k = b // 4, b % 4
+        if j < 8:
+            word, shift = F.col("w0"), (7 - j) * 4 + k
+        else:
+            word, shift = F.col("w1"), (15 - j) * 4 + k
+        return 2 * F.shiftright(word, shift).bitwiseAND(F.lit(1)) - 1
+
     v = nb.groupBy("th").agg(
-        *[
-            F.sum(
-                2 * F.shiftright(F.col(f"n{b // 4}"), b % 4).bitwiseAND(F.lit(1))
-                - 1
-            )
-            .cast("long")
-            .alias(f"v{b}")
-            for b in range(64)
-        ]
+        *[F.sum(_vote(b)).cast("long").alias(f"v{b}") for b in range(64)]
     )
     sk = v.select(
         "th",

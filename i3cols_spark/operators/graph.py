@@ -878,7 +878,7 @@ def q_basket_assoc_rules(spark, sf_dir: str) -> DataFrame:
     """
     from i3cols_spark.functions.rounding import round_half_up
 
-    op, pc0, nc, tot = _assoc_rule_parts(spark, sf_dir)
+    pc0, nc, tot = _assoc_rule_parts(spark, sf_dir)
     pc = pc0.where(F.col("c") >= 2)
     rules = pc.select(
         F.col("part_a").alias("antecedent"),
@@ -925,22 +925,29 @@ _ASSOC_MINSUP_FRAC = 1e-5
 
 
 def _assoc_rule_parts(spark, sf_dir: str):
-    """Shared skeleton of the assoc-rules twins: ONE distinct
-    (order, part) pass → per-order basket arrays → IN-ROW pair
-    expansion (basket-width-bounded) → map-side-combined per-pair
-    support.  The round-7 form self-joined the distinct pairs on
-    orderkey, which re-evaluates the distinct lineage once per join
-    side; collecting baskets first shuffles the pass exactly once and
-    expands pairs without a join — measured 2.7× → 1.3× on the x10
-    replication probe.  The collected array is sorted so the in-row
-    combinations emit part_a < part_b, matching the oracle's
-    ``a.p < b.p``.  Returns ``(op, pc, nc, tot)``."""
+    """Shared skeleton of the assoc-rules twins: per-order basket SETS
+    in one aggregation → IN-ROW pair expansion (basket-width-bounded)
+    → map-side-combined per-pair support.  The round-7 form
+    self-joined the distinct pairs on orderkey, which re-evaluates the
+    distinct lineage once per join side; collecting baskets first
+    shuffles the pass exactly once and expands pairs without a join —
+    measured 2.7× → 1.3× on the x10 replication probe.  The r12 form
+    additionally folds the separate ``distinct()`` pre-pass into the
+    basket aggregation itself (``collect_set`` dedupes in the
+    aggregate; the distinct exchange on (orderkey, partkey) that fed
+    the basket exchange on orderkey is gone — guide §2.4), and the
+    marginals/total derive from the SAME basket lineage instead of a
+    second distinct pass: nc explodes the per-order sets (each (o, p)
+    appears exactly once, so the count per p equals the distinct-pair
+    count), tot counts basket rows (= countDistinct orderkey).  The
+    set array is sorted so the in-row combinations emit
+    part_a < part_b, matching the oracle's ``a.p < b.p``.  Returns
+    ``(pc, nc, tot)``."""
     from i3cols_spark.functions.arrays import pair_structs
 
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    op = li.distinct()
-    baskets = op.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list("l_partkey")).alias("items")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("items")
     )
     pc = (
         baskets.select(F.explode(pair_structs(F.col("items"))).alias("pr"))
@@ -950,11 +957,13 @@ def _assoc_rule_parts(spark, sf_dir: str):
         )
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    nc = op.groupBy(F.col("l_partkey").alias("p")).agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    nc = (
+        baskets.select(F.explode("items").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    tot = op.agg(F.countDistinct("l_orderkey").cast("long").alias("n_baskets"))
-    return op, pc, nc, tot
+    tot = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+    return pc, nc, tot
 
 
 @query(
@@ -1029,7 +1038,7 @@ def q_basket_assoc_rules_rel(spark, sf_dir: str) -> DataFrame:
     """
     from i3cols_spark.functions.rounding import round_half_up
 
-    op, pc, nc, tot = _assoc_rule_parts(spark, sf_dir)
+    pc, nc, tot = _assoc_rule_parts(spark, sf_dir)
     flr = tot.select(
         "n_baskets",
         F.greatest(
@@ -2077,6 +2086,21 @@ def q_graph_label_propagation(spark, sf_dir: str) -> DataFrame:
     by |distinct (dst,label)| ≤ |E|, and rounds are a CONSTANT —
     driver-side control only, all data distributed.
     """
+    _, labels = _lpa_engine(spark, sf_dir)
+    return labels.select(
+        "node", F.col("label").cast("bigint").alias("community")
+    ).orderBy("node")
+
+
+def _lpa_engine(spark, sf_dir: str):
+    """Shared body of the LPA family: builds the directed trading-graph
+    edge list (checkpointed — every round and every composing caller
+    reads the materialization, not the orders⋈lineitem distinct) and
+    runs the _LPA_ROUNDS sync rounds.  Returns ``(edges, labels)`` so
+    composing queries (q_graph_conductance) reuse BOTH the final
+    checkpointed labels and the SAME checkpointed edge list instead of
+    re-running the |E|-sized distinct build in their own jobs (r12
+    stage audit: conductance executed the edge build twice)."""
     orders = table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("cust")
     )
@@ -2113,9 +2137,7 @@ def q_graph_label_propagation(spark, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
         )
-    return labels.select(
-        "node", F.col("label").cast("bigint").alias("community")
-    ).orderBy("node")
+    return edges, labels
 
 
 @query(
@@ -2187,25 +2209,14 @@ def q_graph_conductance(spark, sf_dir: str) -> DataFrame:
     the same bound as one LPA round; everything downstream is
     community-sized.
     """
-    labels = q_graph_label_propagation(spark, sf_dir).select(
-        "node", F.col("community").alias("label")
-    )
-    orders = table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("cust")
-    )
-    li = table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("supp")
-    )
-    pairs = (
-        orders.join(li, "ok")
-        .select("cust", (F.col("supp") + F.lit(1099511627776)).alias("supp"))
-        .distinct()
-    )
-    edges = pairs.select(
-        F.col("cust").alias("src"), F.col("supp").alias("dst")
-    ).union(
-        pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
-    )
+    # Reuse BOTH halves of the LPA engine (r12): the labels AND the
+    # checkpointed edge list — the previous form called the registered
+    # LPA query for labels but re-built its own identical
+    # orders⋈lineitem distinct edge set, executing the |E|-sized build
+    # twice across the composed jobs (same values: the engine's edges
+    # are the identical union expression, cast included).
+    edges, lab = _lpa_engine(spark, sf_dir)
+    labels = lab.select("node", F.col("label").cast("bigint").alias("label"))
     ls = labels.select(F.col("node").alias("src"), F.col("label").alias("c_src"))
     ld = labels.select(F.col("node").alias("dst"), F.col("label").alias("c_dst"))
     labeled = edges.join(ls, "src").join(ld, "dst")
