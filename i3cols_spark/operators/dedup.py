@@ -306,6 +306,17 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the booleans.
     """
     grp, rep_pairs = _minhash_rep_graph(spark, sf_dir)
+    # Both audited booleans consume rep_pairs, and both anti-joins
+    # BROADCAST one side (the truth resp. pair tables are tiny), so
+    # neither consumer has a reusable exchange at the engine's top —
+    # the whole signature/banding/verify subtree executed twice in the
+    # final plan (r12 stage audit: duplicated ~8 s + ~3 s stage pairs).
+    # The rep-level pair list is |verified pairs| rows of two ids + a
+    # double — metadata-sized — so one lazy DISK_ONLY checkpoint
+    # collapses the second execution.
+    rep_pairs = rep_pairs.localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
+    )
     docs = table(spark, sf_dir, "documents")
 
     # Truth: exact Jaccard ≥ 0.5 over distinct-text REPS via the

@@ -22,6 +22,7 @@ import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from i3cols_spark.functions.arrays import pair_structs
 from i3cols_spark.functions.vectors import as_double, cosine, dot, lsh_bucket, norm_l2
@@ -1770,6 +1771,16 @@ def q_similarity_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame
         idx_df.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id", "cell_rank", cos.alias("cos_sim"))
+        # The nprobe rungs are nested prefixes of this ONE candidate
+        # table, but their cell_rank filters push below any shared
+        # exchange Catalyst could reuse, so without a materialization
+        # each rung re-scans the index and re-computes the cosines
+        # (4x "Scan parquet" in the r12 before-plan).  The table is
+        # |probed-cells ∩ corpus| x |Q| rows of 4 scalars — bounded by
+        # the audit's query sampling, never corpus-sized — so a lazy
+        # DISK_ONLY checkpoint is metadata-cheap and collapses the
+        # ladder to one candidate pass.
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     rank_win = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     ivf_parts = None
