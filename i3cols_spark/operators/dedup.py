@@ -2376,6 +2376,16 @@ def _lsh_md5_rep_parts(spark: SparkSession, sf_dir: str):
             F.min("doc_id").alias("doc_id"),
             F.min(normalize("text")).alias("norm"),
         )
+        # Re-spread after the collapse (the q_dedup_simhash_verified
+        # pattern): the collapse output is tiny in BYTES, so AQE
+        # coalesces it to one partition — and the expensive per-rep
+        # work downstream (shingling + 8 salted-min md5 transforms)
+        # inherited that single task (r12 stage audit: serialized
+        # ~2.4 s 1-task stages in every consumer of this helper).  The
+        # repartition shuffles only |distinct texts| narrow rows; at
+        # production byte sizes AQE never coalesces to 1 and the extra
+        # exchange is noise.
+        .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", shingles("norm").alias("sh"))
     )
 
@@ -2389,6 +2399,14 @@ def _lsh_md5_rep_parts(spark: SparkSession, sf_dir: str):
         F.array_distinct(F.transform("sh", lambda s: F.md5(s))).alias("hsh"),
         *[salted_min(j) for j in range(_SIG_PERMS)],
     )
+    # One lazy materialization of the signature table: its consumers
+    # (4 banding branches + the truth/estimator sides that join on
+    # doc_id) all sit behind BROADCAST joins or disjoint projections,
+    # so no exchange tops the expensive shingle→salted-md5 lineage for
+    # ReuseExchange to share — each consumer re-ran it (r12 stage
+    # audit).  |distinct texts| rows of one hash set + 8 digest
+    # strings: collapse-bounded, never corpus-sized.
+    hs = hs.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     keyed = None
     for b in range(4):
         part = hs.select(
@@ -2506,6 +2524,13 @@ def q_dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
+    # truth and cand each feed a bare count AND the hits join, both
+    # via broadcast — no shared exchange, so the inverted-index truth
+    # join resp. the banding pipeline executed twice (r12 stage
+    # audit).  Both are pair-id tables (two longs per row): lazy
+    # DISK_ONLY materialization is metadata-cheap.
+    truth = truth.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    cand = cand.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     hits = truth.join(cand, ["doc_a", "doc_b"])
     n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
@@ -2649,13 +2674,23 @@ def q_quality_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "has_eval"
         ),
     )
-    hs = g.select(
-        "rep",
-        "has_train",
-        "has_eval",
-        F.array_distinct(
-            F.transform(shingles("norm"), lambda s: F.md5(s))
-        ).alias("hsh"),
+    # Re-spread the near-dup branch after the collapse (the
+    # q_dedup_simhash_verified pattern): the group table is tiny in
+    # bytes, so AQE coalesces it to one partition and the shingling +
+    # md5 transforms below serialized on a single task (r12 stage
+    # audit: a 2.4 s 1-task stage).  grp_counts keeps consuming `g`
+    # directly — only the expensive branch pays the narrow reshuffle.
+    hs = (
+        g.select("rep", "has_train", "has_eval", "norm")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "rep",
+            "has_train",
+            "has_eval",
+            F.array_distinct(
+                F.transform(shingles("norm"), lambda s: F.md5(s))
+            ).alias("hsh"),
+        )
     )
     sh_rows = hs.select(
         "rep",
