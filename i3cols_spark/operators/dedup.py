@@ -1684,7 +1684,13 @@ def q_text_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from i3cols_spark.functions.text import shingles
 
-    docs = table(spark, sf_dir, "documents")
+    # spread(): the single-file fixture is one input split, and this
+    # query is ONE map stage (scan → signatures → sink) — so the whole
+    # 8-permutation salted-md5 workload ran on a single task (r12
+    # stage audit: a 2-stage plan with 1.6 s on one core).  Narrow
+    # (doc_id, text) rows shuffle once; no-op at production file
+    # counts.
+    docs = spread(table(spark, sf_dir, "documents"), spark)
     staged = docs.select("doc_id", shingles("text").alias("sh"))
 
     # The lambda MUST stay unary: pyspark binds a 2-param lambda as

@@ -1242,7 +1242,12 @@ def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from i3cols_spark.functions.vectors import as_double, cosine
 
-    emb = table(spark, sf_dir, "embeddings").select(
+    # spread(): the single-file embeddings fixture is one input split,
+    # so the broadcast join + per-candidate cosine fold below ran on
+    # ONE task (r12 stage audit: 1.6 s single-task stage = 83% of the
+    # query's executor time).  Narrow |corpus| rows shuffle once; at
+    # production file counts this is a no-op.
+    emb = spread(table(spark, sf_dir, "embeddings"), spark).select(
         "vec_id", "label", as_double("embedding").alias("v")
     )
     q = emb.filter(F.col("vec_id") < _HARDNEG_QUERIES).select(
