@@ -313,7 +313,11 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # final plan (r12 stage audit: duplicated ~8 s + ~3 s stage pairs).
     # The rep-level pair list is |verified pairs| rows of two ids + a
     # double — metadata-sized — so one lazy DISK_ONLY checkpoint
-    # collapses the second execution.
+    # collapses the second execution.  (Cluster-mode caveat: a
+    # localCheckpoint truncates lineage, so blocks lost to executor
+    # failure abort the job instead of recomputing; a production
+    # deployment that needs fault tolerance for this intermediate
+    # would use a reliable checkpoint or persist() instead.)
     rep_pairs = rep_pairs.localCheckpoint(
         eager=False, storageLevel=StorageLevel.DISK_ONLY
     )
@@ -2228,7 +2232,9 @@ def q_dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # downstream chain (token explode → per-token md5 → 64 vote
     # accumulators) inherited that single task (r12 stage audit: two
     # serialized 1-task ~2.3 s stages).  The repartition shuffles only
-    # |distinct texts| narrow rows; at production byte sizes AQE never
+    # |distinct texts| collapse-bounded rows (each carries the full
+    # normalized text, so bounded in count, not tiny in bytes); at
+    # production byte sizes AQE never
     # coalesces to 1 and the extra exchange is noise.
     dsp = d.select("th", "norm").repartition(spark.sparkContext.defaultParallelism)
     # Votes fold per token INSTANCE straight into groupBy(th): the old
@@ -2388,8 +2394,9 @@ def _lsh_md5_rep_parts(spark: SparkSession, sf_dir: str):
         # work downstream (shingling + 8 salted-min md5 transforms)
         # inherited that single task (r12 stage audit: serialized
         # ~2.4 s 1-task stages in every consumer of this helper).  The
-        # repartition shuffles only |distinct texts| narrow rows; at
-        # production byte sizes AQE never coalesces to 1 and the extra
+        # repartition shuffles only |distinct texts| collapse-bounded
+        # rows (each carries the full normalized text — bounded in
+        # count, not tiny in bytes); at production byte sizes AQE never coalesces to 1 and the extra
         # exchange is noise.
         .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", shingles("norm").alias("sh"))

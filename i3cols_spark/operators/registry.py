@@ -886,14 +886,106 @@ _R12_PRIORITY: tuple[str, ...] = (
     *_R12_STALE_R6,
 )
 
+#: Round-13 recheck-changed block (VERDICT r12 item 1): every query
+#: whose executable logic changed during round 12 — directly or via a
+#: shared helper (``_minhash_rep_graph``/``_ngram_rep_graph``/
+#: ``_lsh_md5_rep_parts``/``connected_components``/``_cc_loop``/
+#: ``_copurchase_triangle_counts``/``_assoc_rule_parts``/
+#: ``_lpa_engine``/``_knn_batch_impl``/``knuth_u16``) — leads the r13
+#: oracle window so the round-12 optimizations get official driver
+#: witness (the r12 window was frozen at round open and missed them).
+#: Derived from `git diff 250162d..HEAD -- i3cols_spark/` hunk
+#: functions plus a call-site trace of the changed helpers; names
+#: already re-witnessed post-change inside the r12 window
+#: (q_multimodal_video_frames, q_sample_importance) are kept anyway —
+#: a second witness is harmless and the list stays auditable against
+#: VERDICT r12's enumeration.  Extended at round-13 close with any
+#: name this round's own optimizations touch.
+_R13_RECHECK_CHANGED: tuple[str, ...] = (
+    # dedup/quality family (dedup.py)
+    "q_dedup_simhash_verified",
+    "q_dedup_simhash",
+    "q_dedup_near_minhash",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_lsh_eval",
+    "q_text_minhash_estimate_error",
+    "q_quality_split_leakage",
+    "q_text_minhash_signature",
+    "q_dedup_minhash_cluster_rep",
+    "q_dedup_minhash_cluster_rep_verified",
+    "q_dedup_ngram_cluster_rep",
+    "q_dedup_embedding_cluster_rep",
+    "q_quality_dedup_by_source",
+    "q_dedup_text_report",
+    # graph family (graph.py: CC loop storage, triangle corner
+    # explode, HITS checkpoints, LPA engine share, assoc-rule parts)
+    "q_graph_hits",
+    "q_graph_triangles",
+    "q_graph_clustering_coef",
+    "q_graph_conductance",
+    "q_graph_label_propagation",
+    "q_basket_assoc_rules",
+    "q_basket_assoc_rules_rel",
+    "q_dedup_clusters",
+    "q_dedup_cluster_sizes",
+    # joins.py
+    "q_entity_resolution",
+    "q_join_fuzzy_names",
+    # similarity.py
+    "q_similarity_ivf_recall_curve",
+    "q_similarity_knn_batch",
+    "q_similarity_knn_batch_ivf",
+    # multimodal_ops.py
+    "q_multimodal_video_frames",
+    "q_multimodal_gif_anim",
+    "q_multimodal_scene_cuts",
+    # pipeline.py
+    "q_embedding_hard_negatives",
+    # stats.py knuth_u16 extraction (expressions identical, but the
+    # shared sampling hash is new code on these paths)
+    "q_agg_trimmed_mean",
+    "q_agg_winsorized_mean",
+    "q_sample_importance",
+    "q_sample_temperature",
+    "q_sample_temperature_apply",
+    "q_sample_weighted",
+    "q_stats_mann_whitney",
+)
+
+#: Round-13 rotation (VERDICT r12 item 1).  50 slots:
+#:   * slots 1–39: the recheck-changed block above;
+#:   * slots 40–50: the 11 oldest names from ``_R13_STALE_QUEUE`` not
+#:     already consumed by the recheck block (q_multimodal_gif_anim,
+#:     q_join_fuzzy_names and q_text_minhash_signature appear in both
+#:     — the recheck slot satisfies the staleness refresh too).
+#: The 14 unconsumed queue names roll to the next rotation.
+_R13_STALE_FILL: tuple[str, ...] = (
+    "q_join_point_in_time",
+    "q_agg_moments",
+    "q_join_bucketed",
+    "q_dedup_containment",
+    "q_window_sessionid",
+    "q_agg_entropy",
+    "q_scan_zorder",
+    "q_embedding_covariance",
+    "q_ts_ewma",
+    "q_quality_rules",
+    "q_agg_gini",
+)
+
+_R13_PRIORITY: tuple[str, ...] = (
+    *_R13_RECHECK_CHANGED,
+    *_R13_STALE_FILL,
+)
+
 
 def surface_order() -> list[str]:
-    """Driver-facing ordering: the round-12 evidence-rotation block
-    first (see ``_R12_PRIORITY``), the remaining contract + extras in
+    """Driver-facing ordering: the round-13 evidence-rotation block
+    first (see ``_R13_PRIORITY``), the remaining contract + extras in
     §-order after, then any registered name the tuples don't know
     about (fail-open so a new operator is never silently dropped from
     the surface)."""
-    prio = set(_R12_PRIORITY)
+    prio = set(_R13_PRIORITY)
     rest = [
         q
         for q in (
@@ -906,7 +998,7 @@ def surface_order() -> list[str]:
         )
         if q not in prio
     ]
-    known = list(_R12_PRIORITY) + rest
+    known = list(_R13_PRIORITY) + rest
     missing = [k for k in known if k not in QUERIES]
     if missing:
         raise KeyError(f"surface_order: unregistered contract/extra names: {missing}")

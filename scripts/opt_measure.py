@@ -1,17 +1,24 @@
-"""Round-12 optimization measurement harness.
+"""Optimization measurement harness (rounds 12+).
 
 Per-query tooling for the optimization loop (guide §1): capture
-``explain("formatted")`` to ``plans/r12/<name>_<tag>.txt`` and time the
-query with the noop sink (bench.py's exact convention: construction
+``explain("formatted")`` to ``plans/<round>/<name>_<tag>.txt`` and time
+the query with the noop sink (bench.py's exact convention: construction
 untimed, min over N timed actions), without paying the full 48-query
 suite for every iteration.
 
 Usage:
-  python scripts/opt_measure.py explain <tag> <query> [...]   # plans/r12/<q>_<tag>.txt
+  python scripts/opt_measure.py explain <tag> <query> [...]   # plans/<round>/<q>_<tag>.txt
   python scripts/opt_measure.py time [--passes N] <query> [...]
   python scripts/opt_measure.py both <tag> <query> [...]
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default os.cpu_count()).
+     SPARK_GRAFT_CPUS (default os.cpu_count()),
+     SPARK_GRAFT_PLANS_ROUND (default r13 — plans/<round>/ target dir).
+
+Import-path rule (VERDICT r12 "What's wrong" #4): the engine is
+imported from THIS script's checkout, not a hardcoded /root/repo, so a
+detached-worktree "before" run measures the before code.  Every run
+prints the resolved package path so an interleaved A/B transcript
+self-documents which tree each JVM imported.
 """
 
 from __future__ import annotations
@@ -20,13 +27,23 @@ import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
-PLANS_DIR = "/root/repo/plans/r12"
+PLANS_DIR = os.path.join(
+    _REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13")
+)
 
 
 def main() -> int:
     mode = sys.argv[1]
+    if mode == "--where":
+        # Self-test hook: print which tree the engine resolves from
+        # (no Spark session) so a worktree A/B can be sanity-checked.
+        import i3cols_spark
+
+        print(os.path.dirname(os.path.abspath(i3cols_spark.__file__)))
+        return 0
     args = sys.argv[2:]
     passes = 3
     if args and args[0] == "--passes":
@@ -39,6 +56,9 @@ def main() -> int:
         names = args
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import i3cols_spark
+
+    print(f"# engine: {os.path.dirname(i3cols_spark.__file__)}", file=sys.stderr)
     from i3cols_spark.session import get_spark
 
     spark = get_spark("opt-measure")

@@ -27,7 +27,6 @@ def _newest_rows(last_round: int) -> dict[str, int]:
 
 
 def test_surface_order_round12_rotation():
-    import __spark_entry__ as entrymod
     from i3cols_spark.operators.registry import (
         _R12_PRIORITY,
         _R12_STALE_QUEUE,
@@ -35,12 +34,11 @@ def test_surface_order_round12_rotation():
         _R13_STALE_QUEUE,
     )
 
-    order = list(entrymod.queries())
     assert len(CONTRACT_QUERIES) == 60
     assert len(_R12_PRIORITY) == 50
     assert len(set(_R12_PRIORITY)) == 50
-    assert order[:50] == list(_R12_PRIORITY)
-    assert sorted(order) == sorted(QUERIES)
+    # Since round 13 the live window is _R13_PRIORITY (see
+    # test_rotation_r13.py); the r12 tuples stay pinned as history.
 
     newest = _newest_rows(11)
 
@@ -74,6 +72,25 @@ def test_surface_order_round12_rotation():
     # Every contract query has an oracle entry.
     missing = [n for n in CONTRACT_QUERIES if n not in ORACLES]
     assert not missing, f"contract queries without oracle: {missing}"
+
+
+def test_round12_window_landed_green():
+    """CORRECTNESS_r12.json must contain exactly the 50 names the r12
+    rotation promised, all fully green (rows+schema+hash) — the same
+    history guard test_round11_window_landed_green provides for r11."""
+    from i3cols_spark.operators.registry import _R12_PRIORITY
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    art = json.loads((repo / "CORRECTNESS_r12.json").read_text())
+    assert sorted(art) == sorted(_R12_PRIORITY)
+    bad = {
+        n: row
+        for n, row in art.items()
+        if not (row["rows_match"] and row["schema_match"] and row["hash_match"])
+        or row["err"] is not None
+        or row["spark_rows"] == 0
+    }
+    assert not bad, bad
 
 
 def test_round11_window_landed_green():
