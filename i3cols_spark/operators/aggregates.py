@@ -163,11 +163,17 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = table(spark, sf_dir, "nation")
     customer = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders")
-    joined = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    # Pre-join the dimension chain once (customer grain) so the fact
+    # stream probes ONE broadcast hash table instead of three in
+    # sequence (r13: was three separate broadcast builds + three
+    # probes per orders row; inner joins on unique PKs are
+    # associative, so the values are identical).
+    dims = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name", "n_name")
     )
+    joined = orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
     return joined.rollup("r_name", "n_name").agg(
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         F.count("*").alias("n_orders"),

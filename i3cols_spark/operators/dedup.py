@@ -2251,6 +2251,21 @@ def q_dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # first 32-bit word (chars 0–7) resp. (15−j)·4.. of the second
     # (chars 8–15), so bit k of nibble j is one shiftright away —
     # identical integer votes, 8× fewer substring/conv per token.
+    # (r13 measured negatives, both reverted — VERDICT r12 item 7:
+    #  1. dedup md5 calls per (text, token) IN-ROW (array_distinct +
+    #     per-distinct frequency via transform/filter, no new
+    #     exchange, votes as Σ cnt·(2b−1)): 4.08 s vs 3.57 s
+    #     interleaved min-of-3 — the interpreted HOF counting pass
+    #     costs more than the 2.33× md5+conv savings;
+    #  2. votes as v_b = 2·S_b − N (bare-bit sums, ±1 mapping moved to
+    #     a post-aggregation projection): 5.22/5.24 s vs 4.11/3.81 s —
+    #     the extra 64-expression projection pushes the final stage
+    #     past the whole-stage-codegen budget (the r12 unrolled-dot()
+    #     disease).
+    # With the r12 groupBy (th, tok, cnt) pre-aggregate also
+    # adjudicated negative, per-instance folding below is the measured
+    # optimum; the ~3.3-3.6 s clean cost is the oracle-pinned
+    # md5-vote floor.)
     h = F.md5("tok")
     nb = dsp.select(
         "th", F.explode(F.split("norm", r"\s+")).alias("tok")

@@ -1140,31 +1140,36 @@ def q_quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFra
     before exposing a partition, because ONE orphan silently turns
     every downstream inner join into row loss.
 
-    Shape: each relation is a LEFT ANTI join counted — broadcastable
-    dimension sides where small, shuffle-hash otherwise, always the
-    null-safe anti-join plan (never NOT IN's null trap); the five
-    audits are independent scans a scheduler can overlap.  Output is
-    five rows of exact integers.
+    Shape: each relation is ONE pass — a left join of the child's key
+    column onto the parent's (unique) primary key, with n_child and
+    n_orphans counted in a single map-side-combined aggregate over the
+    joined stream (r13: the former anti-join form scanned each child
+    TWICE — once for the bare count, once under the anti join — and
+    stitched the two single-row aggregates with a crossJoin, i.e. two
+    jobs + a broadcast build per relation).  A left join against a
+    unique PK preserves child row count exactly, a NULL/unmatched key
+    surfaces as a NULL parent key (never NOT IN's null trap), so the
+    counts are identical; the five audits remain independent scans a
+    scheduler can overlap.  Output is five rows of exact integers.
     """
 
     def audit(child: DataFrame, ckey: str, parent: DataFrame, pkey: str,
               name: str) -> DataFrame:
-        orphans = child.join(
-            parent, child[ckey] == parent[pkey], "left_anti"
+        joined = child.select(F.col(ckey).alias("__ck")).join(
+            parent.select(F.col(pkey).alias("__pk")),
+            F.col("__ck") == F.col("__pk"),
+            "left",
         )
-        return (
-            child.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
-            .crossJoin(
-                orphans.agg(
-                    F.count(F.lit(1)).cast("long").alias("n_orphans")
-                )
-            )
-            .select(
-                F.lit(name).alias("relation"),
-                "n_child",
-                "n_orphans",
-                (F.col("n_orphans") == 0).alias("fk_ok"),
-            )
+        return joined.agg(
+            F.count(F.lit(1)).cast("long").alias("n_child"),
+            F.count(F.when(F.col("__pk").isNull(), 1))
+            .cast("long")
+            .alias("n_orphans"),
+        ).select(
+            F.lit(name).alias("relation"),
+            "n_child",
+            "n_orphans",
+            (F.col("n_orphans") == 0).alias("fk_ok"),
         )
 
     orders = table(spark, sf_dir, "orders")

@@ -567,12 +567,11 @@ def zscore_screen(ev: DataFrame, stats: DataFrame) -> DataFrame:
     )
 
 
-def mad_stats(ev: DataFrame) -> DataFrame:
-    """Per-type (median, MAD) reference stats, 6-dp rounded.  Shared by
-    q_anomaly_mad and streaming.jobs.stream_anomaly_mad_screen so the
-    batch and streaming twins can never drift apart (the zscore_stats
-    pattern); both medians ride the distinct-value-histogram engine
-    (exact_percentiles), never Spark's value-buffering median."""
+def _mad_parts(ev: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared construction of the MAD reference frames: per-type
+    median ``m``, the deviation stream ``d`` (events + md + |value−md|)
+    and the per-type MAD ``s``.  One builder feeds both mad_stats and
+    q_anomaly_mad so the batch and streaming twins can never drift."""
     m = exact_percentiles(ev, "event_type", "value", {"md": 0.5}).select(
         "event_type", F.round("md", 6).alias("md")
     )
@@ -582,6 +581,16 @@ def mad_stats(ev: DataFrame) -> DataFrame:
     s = exact_percentiles(d, "event_type", "ad", {"mad": 0.5}).select(
         "event_type", F.round("mad", 6).alias("mad")
     )
+    return m, d, s
+
+
+def mad_stats(ev: DataFrame) -> DataFrame:
+    """Per-type (median, MAD) reference stats, 6-dp rounded.  Shared by
+    q_anomaly_mad and streaming.jobs.stream_anomaly_mad_screen so the
+    batch and streaming twins can never drift apart (the zscore_stats
+    pattern); both medians ride the distinct-value-histogram engine
+    (exact_percentiles), never Spark's value-buffering median."""
+    m, _d, s = _mad_parts(ev)
     return m.join(s, "event_type")
 
 
@@ -593,21 +602,28 @@ def mad_screen(ev: DataFrame, stats: DataFrame) -> DataFrame:
     4-dp .5 boundary — one sf0.1 row measured 3.85225, rounding
     3.8522 (DuckDB half-even) vs 3.8523 (Spark HALF_UP) before this
     (functions/rounding.py)."""
-    # MAD = 0 guard (a group where >50% of values equal the median):
-    # Spark's x/0 yields NULL (row dropped) but DuckDB's IEEE float
-    # path yields ±inf (row KEPT) — guard both dialects identically
-    # (round-11 self-review; the q_ml_eval_confusion discipline).
-    rz = F.when(
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("rz", _mad_rz())
+        .filter(F.abs(F.col("rz")) >= 3.5)
+        .select("event_id", "event_type", "value", "rz")
+    )
+
+
+def _mad_rz() -> Column:
+    """The modified z-score expression over (value, md, mad) columns —
+    ONE definition shared by mad_screen and q_anomaly_mad's fused
+    batch plan so the score can never drift between them.
+
+    MAD = 0 guard (a group where >50% of values equal the median):
+    Spark's x/0 yields NULL (row dropped) but DuckDB's IEEE float
+    path yields ±inf (row KEPT) — guard both dialects identically
+    (round-11 self-review; the q_ml_eval_confusion discipline)."""
+    return F.when(
         F.col("mad") != 0,
         round_half_up(
             0.6745 * (F.col("value") - F.col("md")) / F.col("mad"), 4
         ),
-    )
-    return (
-        ev.join(F.broadcast(stats), "event_type")
-        .withColumn("rz", rz)
-        .filter(F.abs(F.col("rz")) >= 3.5)
-        .select("event_id", "event_type", "value", "rz")
     )
 
 
@@ -652,6 +668,18 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     back onto the event scan; scoring is a pure projection.  Stats
     round at 6 dp and the score at 4 dp in both engines (registry
     discipline: interpolated doubles feed further arithmetic).
+
+    r13 negative (measured, reverted): scoring straight off the
+    deviation stream ``d`` (which already carries md) instead of
+    ``ev ⋈ broadcast(m ⋈ s)`` shrinks the plan (one fewer events scan
+    in the text, no m ⋈ s join, m's subtree no longer duplicated
+    inside the stats broadcast build) but measured 1.17–1.19 s vs
+    1.07–1.08 s interleaved — the fused form pays TWO broadcast
+    probes on the corpus-sized stream (m then s) where this form pays
+    ONE (the pre-joined stats), and the m-duplication it removes
+    lives only inside bounded histogram broadcast builds.  The
+    composition below is the right scale shape as well as the
+    measured-faster one.
     """
     ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     return mad_screen(ev, mad_stats(ev))
