@@ -2027,6 +2027,17 @@ def q_dedup_minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .dropDuplicates()
     )
+    # (r13 measured negative, reverted — the q_dedup_simhash_verified
+    # verify-stream pinning tried here: a pinned repartition of the
+    # doc-level (doc_id, hsh) side, shared by ha/hb via ReuseExchange,
+    # to spread the 6-task AQE-coalesced verify tail seen at the 10×
+    # probe.  d10: 10.4 → 9.95 s (marginal — the dominant 138 s stage
+    # already runs 128-wide); sf0.1 interleaved: 1.21/1.17 →
+    # 1.30/1.35 s, a real regression: shuffling the hashed-shingle
+    # ARRAYS costs more than the small verify tail it spreads — the
+    # same verdict as r12's hs disk-checkpoint negative.  Unlike
+    # simhash_verified, this verify's per-row work rides arrays the
+    # pinning must move.)
     ha = hs.select(F.col("doc_id").alias("doc_a"), F.col("hsh").alias("ha"))
     hb = hs.select(F.col("doc_id").alias("doc_b"), F.col("hsh").alias("hb"))
     jac = F.size(F.array_intersect("ha", "hb")) / F.size(F.array_union("ha", "hb"))
@@ -2334,20 +2345,44 @@ def q_dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("rep", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
+    # Re-spread around the quadratic pair expansion (r13 core-scaling
+    # probe at 10× distinct data): AQE sizes post-shuffle partitions
+    # by BYTES, but a bucket row explodes into C(|ids|, 2) pairs and a
+    # pair row pays two broadcast probes + the 16-word hamming — so
+    # the bytes-based coalesce crammed the explode into ONE task
+    # (21 s) and the verify/save stage into 10 tasks (307 s of 400 s
+    # executor-run; 8→32 cores sped the query 1.04×).  Pinning the
+    # partition count via repartition (AQE never coalesces a
+    # user-specified repartition) spreads both stages; the shuffled
+    # rows are bucket id-lists resp. 16-byte pairs — trivial bytes at
+    # any scale next to the work they fan out.  Values unchanged.
+    p = spark.sparkContext.defaultParallelism
     buckets = (
         keyed.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list("rep")).alias("ids"))
         .filter(F.size("ids") >= 2)
+        .repartition(p)
     )
     cand = (
         buckets.select(F.explode(_pair_structs(F.col("ids"))).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .dropDuplicates()
+        .repartition(p)
     )
-    sa = sig.select(
+    # Pin the verify STREAM width too (r13 probe follow-up): the
+    # planner broadcasts whichever verify side estimates smaller — at
+    # the 10× probe it broadcast cand and streamed sa, so the whole
+    # probe/emit/hamming chain ran in sig's AQE-coalesced stage (10
+    # tasks, 304 s of 439 s executor-run) and the cand respread above
+    # never reached the hot stage.  A pinned repartition of the sig
+    # lineage (narrow rows: id + 16 ints) keeps the verify stage wide
+    # whichever side streams; ReuseExchange shares the one sig
+    # shuffle between sa and sb.
+    sigp = sig.repartition(p)
+    sa = sigp.select(
         F.col("rep").alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(16)]
     )
-    sb = sig.select(
+    sb = sigp.select(
         F.col("rep").alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(16)]
     )
     ham = sum(

@@ -950,15 +950,23 @@ _R13_RECHECK_CHANGED: tuple[str, ...] = (
     "q_sample_temperature_apply",
     "q_sample_weighted",
     "q_stats_mann_whitney",
+    # round-13's own optimizations (single-pass FK audit, rollup dim
+    # pre-join, the _mad_parts/_mad_rz refactor) — added so THIS
+    # round's changed names get official witness in the same window,
+    # closing the gap VERDICT r12 item 1 flagged about round 12.
+    "q_quality_referential_integrity",
+    "q_agg_rollup",
+    "q_anomaly_mad",
 )
 
 #: Round-13 rotation (VERDICT r12 item 1).  50 slots:
-#:   * slots 1–39: the recheck-changed block above;
-#:   * slots 40–50: the 11 oldest names from ``_R13_STALE_QUEUE`` not
+#:   * slots 1–42: the recheck-changed block above (39 round-12
+#:     names + 3 round-13 names);
+#:   * slots 43–50: the 8 oldest names from ``_R13_STALE_QUEUE`` not
 #:     already consumed by the recheck block (q_multimodal_gif_anim,
 #:     q_join_fuzzy_names and q_text_minhash_signature appear in both
 #:     — the recheck slot satisfies the staleness refresh too).
-#: The 14 unconsumed queue names roll to the next rotation.
+#: The unconsumed queue names roll to the next rotation.
 _R13_STALE_FILL: tuple[str, ...] = (
     "q_join_point_in_time",
     "q_agg_moments",
@@ -968,9 +976,6 @@ _R13_STALE_FILL: tuple[str, ...] = (
     "q_agg_entropy",
     "q_scan_zorder",
     "q_embedding_covariance",
-    "q_ts_ewma",
-    "q_quality_rules",
-    "q_agg_gini",
 )
 
 _R13_PRIORITY: tuple[str, ...] = (

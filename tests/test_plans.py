@@ -1433,3 +1433,21 @@ def test_rollup_fact_stream_probes_one_broadcast(spark, sf_dir):
     # and every other join must sit below a BroadcastExchange
     bx_idx = [i for i, ln in enumerate(lines) if "BroadcastExchange" in ln]
     assert all(any(b < j for b in bx_idx) for j in bhj_idx[1:])
+
+
+def test_simhash_verified_pins_verify_stage_width(spark, sf_dir):
+    """r13 core-scaling probe finding: AQE sizes post-shuffle
+    partitions by BYTES, but the banding pair-explode multiplies rows
+    quadratically and every verify row pays two hash probes + a
+    16-word hamming — at a 10× probe the whole verify chain collapsed
+    to 10 tasks (304 s of 439 s executor-run; 8→32 cores = 1.04×).
+    The plan must pin the stage width with explicit repartitions
+    (which AQE never coalesces) at the bucket explode and on the sig
+    lineage feeding the verify joins."""
+    df = QUERIES["q_dedup_simhash_verified"](spark, sf_dir)
+    plan = explain_str(df)
+    # pinned round-robin respreads: collapse respread (pre-existing),
+    # bucket explode, pair dedup, and the sig verify lineage
+    assert plan.count("REPARTITION_BY_NUM") >= 4, plan.count(
+        "REPARTITION_BY_NUM"
+    )
